@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Exact (brute-force) vector search — the reference's
+  * `precision: "exact"` path (collection.go:569-712), re-expressed as
+  * declarative Spark plans.
+  *
+  * Scale posture: a single-query kNN is map-side distance math +
+  * `orderBy(dist).limit(k)`, which Catalyst executes as
+  * TakeOrderedAndProject — each task keeps a k-row heap and only k rows
+  * per partition ever move, no full sort and no shuffle of the table.
+  * Radius search is a pushed-down-filterable map-side predicate.
+  * Batch kNN broadcasts the (small) query set and shuffles once on
+  * query id for the per-query top-k.
+  */
+object Knn {
+
+  sealed trait Metric
+  case object Cosine extends Metric    // angular distance, ref collection.go:821
+  case object Euclidean extends Metric // ref collection.go:812
+
+  def distCol(metric: Metric, a: Column, b: Column): Column = metric match {
+    case Cosine    => Vectors.angularDist(a, b)
+    case Euclidean => Vectors.euclideanDist(a, b)
+  }
+
+  /** Top-k nearest rows to `query` (a column-expression literal vector or a
+    * 1-row broadcastable DataFrame with column `qvec`). Ties broken by id
+    * for determinism.
+    */
+  def knn(data: DataFrame, vecCol: String, query: DataFrame, k: Int,
+          metric: Metric, idCol: String): DataFrame = {
+    val d = distCol(metric, col(vecCol), col("qvec"))
+    data.crossJoin(broadcast(query))
+      .withColumn("dist", d)
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec")
+  }
+
+  /** All rows within `radius` of the query vector — reference radius
+    * mode (collection.go:597). No shuffle: pure filter. */
+  def radius(data: DataFrame, vecCol: String, query: DataFrame, r: Double,
+             metric: Metric): DataFrame = {
+    val d = distCol(metric, col(vecCol), col("qvec"))
+    data.crossJoin(broadcast(query))
+      .withColumn("dist", d)
+      .filter(col("dist") <= r)
+      .drop("qvec")
+  }
+
+  /** Batch kNN: top-k for every row of `queries` (columns qid, qvec).
+    * Broadcast the small query side; one shuffle on qid for ranking. */
+  def knnBatch(data: DataFrame, vecCol: String, queries: DataFrame, k: Int,
+               metric: Metric, idCol: String): DataFrame = {
+    val d = distCol(metric, col(vecCol), col("qvec"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col(idCol).asc)
+    data.crossJoin(broadcast(queries))
+      .withColumn("dist", d)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("qvec")
+  }
+
+  /** Exhaustive listing with pagination — the reference's
+    * k==0 && radius==0 search mode (collection.go:633-666): stable id
+    * order, optional filter, offset/limit. */
+  def listRecords(data: DataFrame, idCol: String, filter: Option[Column],
+                  limit: Int, offset: Int): DataFrame = {
+    val filtered = filter.map(data.filter).getOrElse(data)
+    val w = Window.orderBy(col(idCol).asc)
+    // offset needs a global position; rank over a single ordered window.
+    // For offset == 0 skip the window entirely (keeps the plan shuffle-free
+    // modulo the TakeOrdered for limit).
+    if (offset == 0) filtered.orderBy(col(idCol).asc).limit(limit)
+    else filtered
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") > offset && col("_pos") <= offset + limit)
+      .drop("_pos")
+  }
+}
