@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Crud, Knn}
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val data = Seq(
+    (1L, Array(0.0f, 0.0f)),
+    (2L, Array(1.0f, 0.0f)),
+    (3L, Array(0.0f, 2.0f)),
+    (4L, Array(3.0f, 3.0f))
+  ).toDF("id", "vec")
+
+  private lazy val origin = Seq(Tuple1(Array(0.1f, 0.0f))).toDF("qvec")
+
+  test("knn euclidean returns nearest ids in order") {
+    val got = Knn.knn(data, "vec", origin, 2, Knn.Euclidean, "id")
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("radius returns only points within r") {
+    val got = Knn.radius(data, "vec", origin, 1.0, Knn.Euclidean)
+      .select("id").as[Long].collect().toSorted
+    assert(got == Seq(1L, 2L))
+  }
+
+  test("knnBatch ranks per query") {
+    val qs = Seq((10L, Array(0.0f, 0.0f)), (20L, Array(3.0f, 3.0f)))
+      .toDF("qid", "qvec")
+    val got = Knn.knnBatch(data, "vec", qs, 1, Knn.Euclidean, "id")
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 20L -> 4L))
+  }
+
+  test("listRecords paginates in id order with filter") {
+    val docs = (1L to 100L).map(i => (i, i * 10)).toDF("id", "len")
+    val got = Knn.listRecords(docs, "id", Some(col("len") >= 200), 3, 2)
+      .select("id").as[Long].collect().toSeq
+    // filter keeps ids 20..100; offset 2 -> start at 22
+    assert(got == Seq(22L, 23L, 24L))
+  }
+
+  test("upsert keeps latest version; delete drops tombstoned keys") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "v", "version")
+    val changes = Seq((2L, "b2", 1L), (3L, "c", 1L)).toDF("id", "v", "version")
+    val merged = Crud.upsert(base, changes, "id", "version")
+    val got = merged.select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+    val afterDelete = Crud.delete(merged, Seq(Tuple1(2L)).toDF("id"), "id")
+    assert(afterDelete.select("id").as[Long].collect().toSorted == Seq(1L, 3L))
+  }
+
+  implicit class SortedSeq(s: Seq[Long]) { def toSorted: Seq[Long] = s.sorted }
+  implicit class SortedArr(s: Array[Long]) { def toSorted: Seq[Long] = s.toSeq.sorted }
+}
