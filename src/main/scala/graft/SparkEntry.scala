@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
 import graft.operators.{Crud, Knn}
+import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -91,6 +92,28 @@ object SparkEntry {
       val tableAgg = emb.agg(count(lit(1)).as("n_records"),
         first(size(col("embedding"))).cast("bigint").as("dims"))
       tableAgg.crossJoin(pairAgg)
+    }),
+
+    "filter_dsl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pred = FilterCompiler.compile(
+        """(lang IN ["en", "de"] AND n_chars >= 300) OR
+          |(source == "src0" AND text CONTAINS "vector")""".stripMargin, docs)
+      docs.filter(pred).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
+    "filter_json" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val pred = FilterCompiler.compileJson("k >= 50 AND k < 90", col("props"))
+      ev.filter(pred).select(col("event_id"), col("event_type"),
+        round(col("value"), 5).as("value"))
+    }),
+
+    "knn_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pred = FilterCompiler.compile("label IN [1, 2, 3]", emb)
+      Knn.knn(emb.filter(pred), "embedding", queryVec(s, dir), 10, Knn.Cosine, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
     "q1_agg" -> ((s, dir) => {
@@ -195,6 +218,23 @@ object SparkEntry {
          |       (SELECT len(embedding) FROM embeddings WHERE vec_id = 0) AS dims,
          |       (SELECT count(*) FROM p) AS n_pairs,
          |       (SELECT round(avg(d), 5) FROM p) AS avg_dist""".stripMargin,
+
+    "filter_dsl" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE (lang IN ('en', 'de') AND n_chars >= 300)
+        |   OR (source = 'src0' AND text LIKE '%vector%')""".stripMargin,
+
+    "filter_json" ->
+      """SELECT event_id, event_type, round(value, 5) AS value FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+        |  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) < 90""".stripMargin,
+
+    "knn_filtered" ->
+      s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM (
+         |  SELECT vec_id, label, $cosDistSql AS d
+         |  FROM embeddings, q WHERE label IN (1, 2, 3))
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,6 +1,7 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated test tables (see TESTDATA.md).
   * Callers select the columns they need so parquet column pruning and
@@ -19,5 +20,13 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader
+    * rejects; read nanos as long and convert to a microsecond
+    * timestamp (DuckDB's CAST(ts_ns AS TIMESTAMP) truncates the same
+    * way, keeping the oracle aligned). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
 }

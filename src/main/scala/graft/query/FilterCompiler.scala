@@ -1,0 +1,198 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import FilterLang._
+
+/** Compiles a filter-DSL AST to a Catalyst `Column`.
+  *
+  * Two resolution modes mirror the reference's two metadata shapes
+  * (query/compiler.go evaluates against decoded JSON):
+  *  - **column mode**: identifiers are DataFrame columns (incl. nested
+  *    struct fields and array indices). Predicates are native Catalyst
+  *    expressions, so parquet predicate pushdown and codegen apply.
+  *  - **json mode**: identifiers are paths inside one JSON string
+  *    column (like the reference's per-record metadata blob), resolved
+  *    with `get_json_object`, with casts driven by the literal side.
+  */
+object FilterCompiler {
+
+  /** Column mode: compile against a DataFrame's schema. */
+  def compile(filter: String, df: DataFrame): Column =
+    compileNode(FilterLang.parse(filter), new ColumnResolver(df.schema))
+
+  /** JSON mode: compile against a JSON string column. */
+  def compileJson(filter: String, jsonCol: Column): Column =
+    compileNode(FilterLang.parse(filter), new JsonResolver(jsonCol))
+
+  // ---------- resolvers ----------
+  private[query] trait Resolver {
+    /** Resolve a path to (column, static type if known, exists in schema). */
+    def resolve(ref: Ref): (Column, Option[DataType], Boolean)
+  }
+
+  private[query] final class ColumnResolver(schema: StructType) extends Resolver {
+    def resolve(ref: Ref): (Column, Option[DataType], Boolean) = {
+      var c: Column = null
+      var dt: Option[DataType] = None
+      var exists = true
+      ref.path.foreach {
+        case Field(name) =>
+          if (c == null) {
+            schema.find(_.name == name) match {
+              case Some(f) => c = col(name); dt = Some(f.dataType)
+              case None    => c = lit(null); dt = None; exists = false
+            }
+          } else {
+            dt match {
+              case Some(st: StructType) =>
+                st.find(_.name == name) match {
+                  case Some(f) => c = c.getField(name); dt = Some(f.dataType)
+                  case None    => c = lit(null); dt = None; exists = false
+                }
+              case _ => c = c.getField(name); dt = None
+            }
+          }
+        case Index(i) =>
+          // get() tolerates out-of-bounds like the reference (query/
+          // compiler.go "[]": nil for invalid index); getItem throws
+          // under ANSI mode.
+          c = get(c, lit(i))
+          dt = dt.collect { case ArrayType(et, _) => et }
+        case LengthSeg =>
+          c = dt match {
+            case Some(_: ArrayType) => size(c).cast("double")
+            case Some(_: MapType)   => size(c).cast("double")
+            case _                  => length(c).cast("double")
+          }
+          dt = Some(DoubleType)
+      }
+      (c, dt, exists)
+    }
+  }
+
+  private[query] final class JsonResolver(jsonCol: Column) extends Resolver {
+    def resolve(ref: Ref): (Column, Option[DataType], Boolean) = {
+      val (segs, hasLength) = ref.path.last match {
+        case LengthSeg => (ref.path.init, true)
+        case _         => (ref.path, false)
+      }
+      val jsonPath = "$" + segs.map {
+        case Field(n)  => s".$n"
+        case Index(i)  => s"[$i]"
+        case LengthSeg => throw new IllegalArgumentException(".length only allowed at path end")
+      }.mkString
+      val c = get_json_object(jsonCol, jsonPath)
+      if (hasLength) {
+        // arrays report element count, plain strings their char count
+        val asArrLen = json_array_length(c).cast("double")
+        (coalesce(asArrLen, length(c).cast("double")), Some(DoubleType), true)
+      } else (c, None, true)
+    }
+  }
+
+  // ---------- compilation ----------
+  private def compileNode(node: Node, r: Resolver): Column = node match {
+    case And(l, rr) => compileNode(l, r) && compileNode(rr, r)
+    case Or(l, rr)  => compileNode(l, r) || compileNode(rr, r)
+    case Not(n)     => !compileNode(n, r)
+
+    case Cmp(op, l, rr) =>
+      val (lc, rc) = coerceOperands(l, rr, r)
+      op match {
+        case "==" => rr match {
+          case Lit(null) => lc.isNull
+          case _ => lc === rc
+        }
+        case "!=" => rr match {
+          case Lit(null) => lc.isNotNull
+          case _ => lc =!= rc
+        }
+        case ">"  => lc > rc
+        case ">=" => lc >= rc
+        case "<"  => lc < rc
+        case "<=" => lc <= rc
+      }
+
+    case StrOp(op, l, rr) =>
+      val (lc, ldt, _) = operand(l, r)
+      val rv = rr match {
+        case Lit(s: String) => s
+        case _ => throw new IllegalArgumentException(s"$op requires a string literal")
+      }
+      (op, ldt) match {
+        case ("CONTAINS", Some(_: ArrayType)) => array_contains(lc, rv)
+        case ("CONTAINS", _)    => lc.contains(rv)
+        case ("STARTS_WITH", _) => lc.startsWith(rv)
+        case ("ENDS_WITH", _)   => lc.endsWith(rv)
+        case ("MATCHES", _)     => lc.rlike(rv)
+      }
+
+    case In(expr, ArrayLit(vals), negated) =>
+      val (lc, ldt, _) = operand(expr, r)
+      val lits = vals.map {
+        case Lit(v) => narrowNum(v)
+        case other  => throw new IllegalArgumentException(s"IN list must hold literals, got $other")
+      }
+      // numeric-cast the json-string column when the list is numeric
+      val castLc = if (ldt.isEmpty && vals.forall(_.isInstanceOf[Lit] ) &&
+        lits.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double])) lc.cast("double") else lc
+      val in = castLc.isin(lits: _*)
+      if (negated) !in else in
+    case In(_, other, _) =>
+      throw new IllegalArgumentException(s"IN requires an array literal, got $other")
+
+    case Exists(ref, negated) =>
+      val (c, _, inSchema) = r.resolve(ref)
+      if (!inSchema) lit(negated)
+      else if (negated) c.isNull else c.isNotNull
+
+    case Length(arg) => arg match {
+      case Ref(path) => r.resolve(Ref(path :+ LengthSeg))._1
+      case _ => throw new IllegalArgumentException("LENGTH requires a field reference")
+    }
+
+    case Ref(_) | Lit(_) | ArrayLit(_) =>
+      operand(node, r)._1
+  }
+
+  private def operand(node: Node, r: Resolver): (Column, Option[DataType], Boolean) = node match {
+    case ref: Ref  => r.resolve(ref)
+    case Lit(null) => (lit(null), None, true)
+    case Lit(v)    => (lit(narrowNum(v)), Some(litType(v)), true)
+    case Length(arg) => (compileNode(Length(arg), r), Some(DoubleType), true)
+    case other     => (compileNode(other, r), Some(BooleanType), true)
+  }
+
+  /** Integral number literals become LongType so comparisons against
+    * integer columns need no cast — an uncast predicate pushes down to
+    * the parquet scan, a cast one does not. */
+  private def narrowNum(v: Any): Any = v match {
+    case d: Double if d.isWhole && d.abs < Long.MaxValue.toDouble => d.toLong
+    case other => other
+  }
+
+  private def litType(v: Any): DataType = v match {
+    case _: String  => StringType
+    case _: Double  => DoubleType
+    case _: Boolean => BooleanType
+    case _          => NullType
+  }
+
+  /** When one side is an untyped JSON string extraction and the other a
+    * typed literal, cast the extraction to the literal's type (the
+    * reference compares decoded-JSON values type-sensitively,
+    * query/compiler.go:268-322). */
+  private def coerceOperands(l: Node, rr: Node, r: Resolver): (Column, Column) = {
+    val (lc, ldt, _) = operand(l, r)
+    val (rc, rdt, _) = operand(rr, r)
+    (ldt, rdt) match {
+      case (None, Some(DoubleType))  => (lc.cast("double"), rc)
+      case (None, Some(BooleanType)) => (lc.cast("boolean"), rc)
+      case (Some(DoubleType), None)  => (lc, rc.cast("double"))
+      case (Some(BooleanType), None) => (lc, rc.cast("boolean"))
+      case _ => (lc, rc)
+    }
+  }
+}

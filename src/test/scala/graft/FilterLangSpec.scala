@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.query.{FilterCompiler, FilterLang}
+
+/** Covers the DSL surface documented in the reference README
+  * ("Query Filter Language") and query/compiler_test.go. */
+class FilterLangSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val people: DataFrame = Seq(
+    (1L, "John Doe", 25, "active", "john@example.com", Seq("a", "b"), Some(7)),
+    (2L, "Jane Roe", 16, "active", "jane@test.org", Seq("a"), None),
+    (3L, "Bob Poe", 40, "inactive", "bob@example.com", Seq.empty[String], Some(3)),
+    (4L, "Ann Zoe", 30, "pending", "ann@example.com", Seq("x", "y", "z"), Some(1))
+  ).toDF("id", "name", "age", "status", "email", "tags", "phone")
+
+  private def ids(filter: String, df: DataFrame = people): Seq[Long] =
+    df.filter(FilterCompiler.compile(filter, df)).select("id").as[Long].collect().toSeq.sorted
+
+  test("comparison and logical operators") {
+    assert(ids("age >= 18 AND status == \"active\"") == Seq(1L))
+    assert(ids("age >= 18 OR status == 'active'") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("NOT (status == 'active')") == Seq(3L, 4L))
+    assert(ids("age != 25") == Seq(2L, 3L, 4L))
+    assert(ids("(age >= 18 AND status == 'active') OR status == 'pending'") == Seq(1L, 4L))
+  }
+
+  test("string operators") {
+    assert(ids("name STARTS_WITH 'J'") == Seq(1L, 2L))
+    assert(ids("email ENDS_WITH '@example.com'") == Seq(1L, 3L, 4L))
+    assert(ids("name CONTAINS 'oe'") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("name MATCHES '^J.*e$'") == Seq(1L, 2L))
+  }
+
+  test("IN / NOT IN") {
+    assert(ids("status IN ['active', 'pending']") == Seq(1L, 2L, 4L))
+    assert(ids("status NOT IN ['active']") == Seq(3L, 4L))
+    assert(ids("age IN [16, 40]") == Seq(2L, 3L))
+  }
+
+  test("EXISTS / DOES NOT EXIST (null and missing columns)") {
+    assert(ids("phone EXISTS") == Seq(1L, 3L, 4L))
+    assert(ids("phone DOES NOT EXIST") == Seq(2L))
+    // a column absent from the schema never exists
+    assert(ids("nickname EXISTS") == Seq())
+    assert(ids("nickname DOES NOT EXIST") == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("length on arrays and strings, array contains/index") {
+    assert(ids("tags.length > 1") == Seq(1L, 4L))
+    assert(ids("LENGTH(tags) == 0") == Seq(3L))
+    assert(ids("name.length >= 8") == Seq(1L, 2L))
+    assert(ids("tags CONTAINS 'a'") == Seq(1L, 2L))
+    assert(ids("tags[0] == 'x'") == Seq(4L))
+  }
+
+  test("nested struct fields") {
+    val df = Seq((1L, ("alice", true)), (2L, ("bob", false)))
+      .toDF("id", "user")
+      .select(col("id"), col("user._1").as("name"), col("user._2").as("verified"))
+      .select(col("id"), struct(col("name"), col("verified")).as("profile"))
+    val got = df.filter(FilterCompiler.compile("profile.verified == true", df))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("json mode resolves paths, casts by literal, and honors length") {
+    val df = Seq(
+      (1L, """{"k": 69, "tags": ["a","b"], "user": {"name": "jo"}}"""),
+      (2L, """{"k": 12, "tags": [], "user": {"name": "meg"}}"""),
+      (3L, """{"tags": ["z"]}""")
+    ).toDF("id", "props")
+    def jids(f: String): Seq[Long] =
+      df.filter(FilterCompiler.compileJson(f, col("props"))).select("id").as[Long].collect().toSeq.sorted
+    assert(jids("k >= 50") == Seq(1L))
+    assert(jids("k EXISTS") == Seq(1L, 2L))
+    assert(jids("k DOES NOT EXIST") == Seq(3L))
+    assert(jids("tags.length >= 1") == Seq(1L, 3L))
+    assert(jids("user.name == 'meg'") == Seq(2L))
+    assert(jids("k IN [12, 99]") == Seq(2L))
+  }
+
+  test("parser rejects malformed input") {
+    intercept[IllegalArgumentException](FilterLang.parse("age >="))
+    intercept[IllegalArgumentException](FilterLang.parse("age > 18 AND"))
+    intercept[IllegalArgumentException](FilterLang.parse("(age > 18"))
+    intercept[IllegalArgumentException](FilterLang.parse("age @ 18"))
+    intercept[IllegalArgumentException](FilterLang.parse("name CONTAINS"))
+  }
+
+  test("filters compile to pushable predicates (scan-level pushdown)") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val plan = docs.filter(FilterCompiler.compile("n_chars >= 300 AND lang == 'en'", docs))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(n_chars,300)"),
+      s"expected pushed filters in:\n$plan")
+  }
+}
