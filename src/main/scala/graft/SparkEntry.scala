@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{Crud, Knn}
+import graft.operators.{Crud, Dedup, Embed, Knn}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,6 +25,31 @@ object SparkEntry {
   private def queryVec(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qvec"))
+
+  /** Dedup test corpus derived from `documents`: originals + exact
+    * copies (doc_id % 7, shifted +100000) + truncated near-dups
+    * (doc_id % 5, last 5 words dropped, shifted +200000). Mirrored by
+    * the `corpus` CTE in the oracles. */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val copies = docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val mutated = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text"))
+    docs.unionByName(copies).unionByName(mutated)
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, array_to_string(w[1:greatest(len(w)-5, 1)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE doc_id % 5 = 0)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_cosine" -> ((s, dir) => {
@@ -114,6 +139,47 @@ object SparkEntry {
       val pred = FilterCompiler.compile("label IN [1, 2, 3]", emb)
       Knn.knn(emb.filter(pred), "embedding", queryVec(s, dir), 10, Knn.Cosine, "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(dedupCorpus(s, dir), "text", "doc_id")
+        .filter(col("dup_count") > 1)
+        .select(col("canonical_id"), col("dup_count"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(dedupCorpus(s, dir), "text", "doc_id",
+          numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(dedupCorpus(s, dir), "text", "doc_id", maxHamming = 8)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
+    }),
+
+    "dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "text", "doc_id",
+          n = 3, threshold = 0.6, maxDf = 100)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val vd = col("embedding").cast("array<double>")
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"),
+          col("label"))
+      val corpus = emb.select(col("vec_id"), vd.as("embedding"), col("label"))
+        .unionByName(perturbed)
+      Dedup.embeddingPairs(corpus, "embedding", "vec_id", col("label"), 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+    }),
+
+    "embed_text" -> ((s, dir) => {
+      Embed.embedSparse(Tables.documents(s, dir), "text", "doc_id", 16)
+        .select(col("doc_id"), col("bucket"), round(col("weight"), 5).as("weight"))
     }),
 
     "q1_agg" -> ((s, dir) => {
@@ -235,6 +301,97 @@ object SparkEntry {
          |  SELECT vec_id, label, $cosDistSql AS d
          |  FROM embeddings, q WHERE label IN (1, 2, 3))
          |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH $corpusSql
+         |SELECT canonical_id, dup_count FROM (
+         |  SELECT min(doc_id) AS canonical_id, count(*) AS dup_count
+         |  FROM corpus GROUP BY md5(text))
+         |WHERE dup_count > 1""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $corpusSql,
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(w)-1, 1)),
+         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM wt),
+         |mh AS (SELECT doc_id, j, min(CAST('0x' || substr(md5(j || ':' || sh), 1, 15) AS BIGINT)) AS mh
+         |       FROM sh, range(16) t(j) GROUP BY doc_id, j),
+         |bandkey AS (SELECT doc_id, j // 4 AS band, string_agg(mh, ',' ORDER BY j) AS key
+         |            FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bandkey a JOIN bandkey b USING (band, key)
+         |         WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
+         |          JOIN sh sa ON sa.doc_id = id_a
+         |          JOIN sh sb ON sb.doc_id = id_b AND sa.sh = sb.sh
+         |          GROUP BY id_a, id_b)
+         |SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 5) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $corpusSql,
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+         |th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS th FROM tok),
+         |bits AS (SELECT doc_id, i,
+         |           sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM th, range(60) r(i) GROUP BY doc_id, i),
+         |sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+         |        FROM bits GROUP BY doc_id),
+         |banded AS (SELECT doc_id, simhash, bb.b AS band, (simhash >> (bb.b * 15)) & 32767 AS key
+         |           FROM sim, range(4) bb(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |            bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |          FROM banded a JOIN banded b USING (band, key)
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH $corpusSql,
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(1, greatest(len(w)-1, 1)),
+         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM wt),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+         |         WHERE c <= 100),
+         |f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |          FROM f a JOIN f b USING (sh) WHERE a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 5) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON na.doc_id = id_a
+         |JOIN sizes nb ON nb.doc_id = id_b
+         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.6""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v, label FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_concat([v[1] + 0.1], v[2:len(v)]), label
+        |  FROM base WHERE vec_id % 10 = 0),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |            least(greatest(list_dot_product(a.v, b.v) /
+        |              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+        |              -1.0), 1.0) AS cos
+        |          FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 5) AS cos FROM pairs WHERE cos >= 0.99""".stripMargin,
+
+    "embed_text" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |bc AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16 AS bucket,
+        |         count(*) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM bc GROUP BY doc_id)
+        |SELECT doc_id, bucket, round(c / nrm, 5) AS weight
+        |FROM bc JOIN nrm USING (doc_id)""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Embed}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup of 1
+    (4L, "completely different words appear in this one here"),
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds exact duplicates with min-id canonical") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter(col("dup_count") > 1)
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(groups == Seq((1L, 2L)))
+    assert(Dedup.exactDedup(docs, "text", "doc_id").count() == 4)
+  }
+
+  test("shingles builds word n-grams; short docs yield none") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L).head == "the quick brown" && sh(1L).size == 7)
+    assert(sh(5L).isEmpty)
+  }
+
+  test("minhashPairs finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id", 16, 4, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs get identical hashes, hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("ngramJaccardPairs ranks exact above near dup") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3, 100)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+  }
+
+  test("embeddingPairs only compares within buckets and respects tau") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0), 0),
+      (2L, Array(0.999, 0.01), 0),  // same bucket, near-identical
+      (3L, Array(0.0, 1.0), 0),     // same bucket, orthogonal
+      (4L, Array(1.0, 0.0), 1)      // identical to 1 but other bucket
+    ).toDF("id", "vec", "bucket")
+    val pairs = Dedup.embeddingPairs(vecs, "vec", "id", col("bucket"), 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedDense produces L2-normalized vectors of the right dim") {
+    val dense = Embed.embedDense(docs, "text", "doc_id", 8)
+    val row = dense.filter(col("doc_id") === 1).select("embedding")
+      .as[Seq[Double]].head()
+    assert(row.size == 8)
+    assert(math.abs(math.sqrt(row.map(x => x * x).sum) - 1.0) < 1e-9)
+  }
+}
