@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{Crud, Dedup, Embed, Knn}
+import graft.operators.{Crud, Dedup, Embed, Knn, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -180,6 +180,30 @@ object SparkEntry {
     "embed_text" -> ((s, dir) => {
       Embed.embedSparse(Tables.documents(s, dir), "text", "doc_id", 16)
         .select(col("doc_id"), col("bucket"), round(col("weight"), 5).as("weight"))
+    }),
+
+    "lang_id" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("lang_pred"), col("lang_score").cast("bigint").as("lang_score"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.quality(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("punct_ratio"), 5).as("punct_ratio"),
+          round(col("stop_ratio"), 5).as("stop_ratio"),
+          round(col("mean_word_len"), 5).as("mean_word_len"),
+          round(col("quality"), 5).as("quality"))
+    }),
+
+    "token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_subtokens"), col("n_chars_actual"))
+    }),
+
+    "doc_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("fp_min"), col("n_fp"))
     }),
 
     "q1_agg" -> ((s, dir) => {
@@ -392,6 +416,59 @@ object SparkEntry {
         |nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM bc GROUP BY doc_id)
         |SELECT doc_id, bucket, round(c / nrm, 5) AS weight
         |FROM bc JOIN nrm USING (doc_id)""".stripMargin,
+
+    "lang_id" -> {
+      def sqlList(l: Seq[String]) = l.map(s => s"'$s'").mkString("[", ", ", "]")
+      val scoreCols = TextAnalysis.langProfiles.map { case (lang, list) =>
+        s"len(list_filter(w, t -> list_contains(${sqlList(list)}, t))) AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val best = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id,
+         |  $scoreCols
+         |FROM f)
+         |SELECT doc_id,
+         |  CASE WHEN $best = 0 THEN 'und' $caseChain END AS lang_pred,
+         |  $best AS lang_score
+         |FROM g""".stripMargin
+    },
+
+    "text_quality" -> {
+      val en = TextAnalysis.enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
+         |g AS (SELECT doc_id, len(w) AS n,
+         |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct,
+         |  len(list_filter(w, t -> list_contains($en, t)))::DOUBLE / len(w) AS stop,
+         |  list_sum(list_transform(w, t -> length(t)))::DOUBLE / len(w) AS meanlen
+         |FROM f)
+         |SELECT doc_id, n AS n_tokens,
+         |  round(punct, 5) AS punct_ratio,
+         |  round(stop, 5) AS stop_ratio,
+         |  round(meanlen, 5) AS mean_word_len,
+         |  round(0.4 * stop + 0.3 * (1.0 - punct) + 0.3 * least(n / 100.0, 1.0), 5) AS quality
+         |FROM g""".stripMargin
+    },
+
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+        |  length(text) AS n_chars_actual
+        |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      """WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |h AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-1, 1)),
+        |        i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT)) AS hs
+        |      FROM wt)
+        |SELECT doc_id,
+        |  CASE WHEN len(hs) = 0 THEN NULL ELSE list_min(hs) END AS fp_min,
+        |  CASE WHEN len(hs) = 0 THEN 0 WHEN len(hs) < 8 THEN 1
+        |       ELSE len(list_distinct(list_transform(range(1, len(hs)-6),
+        |              i -> list_min(hs[i:i+7])))) END AS n_fp
+        |FROM h""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

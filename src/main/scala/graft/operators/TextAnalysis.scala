@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, and winnowing fingerprints.
+  *
+  * Everything is built from codegen'd built-ins (split / filter /
+  * transform / aggregate / regexp) — map-side only, no shuffles, no
+  * UDFs — so these run at full scan speed over a 100 TB corpus.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram-free heuristic
+    * language ID. Order matters: ties resolve to the first list. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "du", "ich", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "he"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "que", "pas"),
+    "it" -> Seq("il", "di", "che", "la", "non", "un", "per", "con", "del", "si"))
+
+  val enStopwords: Seq[String] = langProfiles.toMap.apply("en")
+
+  private def w(text: Column): Column = split(text, " ")
+
+  private def stopHits(text: Column, list: Seq[String]): Column =
+    size(filter(w(text), t => t.isin(list.map(lit): _*)))
+
+  /** Stopword-hit language scores + argmax prediction ('und' when no
+    * profile matches). Tie-break: first language in profile order. */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val scored = langProfiles.foldLeft(df) { case (acc, (lang, list)) =>
+      acc.withColumn(s"score_$lang", stopHits(col(textCol), list))
+    }
+    val scores = langProfiles.map { case (lang, _) => col(s"score_$lang") }
+    val best = greatest(scores: _*)
+    val pred = langProfiles.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, _), _), els) =>
+        when(col(s"score_$lang") === best && best > 0, lang).otherwise(els)
+    }
+    // `when` chains evaluate in order, so the FIRST matching language
+    // wins ties — foldRight builds exactly that chain.
+    scored.withColumn("lang_pred", pred).withColumn("lang_score", best)
+  }
+
+  /** Quality features + a composite score in [0, 1]. */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = w(text)
+    val n = size(words)
+    val punct = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text)
+    val stop = stopHits(text, enStopwords).cast("double") / n
+    val meanLen = aggregate(transform(words, t => length(t)),
+      lit(0), (a, x) => a + x).cast("double") / n
+    df.withColumn("n_tokens", n.cast("bigint"))
+      .withColumn("punct_ratio", punct)
+      .withColumn("stop_ratio", stop)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("quality",
+        lit(0.4) * stop + lit(0.3) * (lit(1.0) - punct) +
+          lit(0.3) * least(n.cast("double") / 100.0, lit(1.0)))
+  }
+
+  /** Whitespace tokens, BPE-ish subword tokens (letter runs / digit
+    * runs / single other), and character count. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("n_ws_tokens", size(w(text)).cast("bigint"))
+      .withColumn("n_subtokens",
+        size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint"))
+      .withColumn("n_chars_actual", length(text).cast("bigint"))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al. 2003, "local algorithms
+    * for document fingerprinting"): hash every word 3-gram, slide a
+    * window of `window` hashes, keep each window's min; the distinct
+    * mins are the document's fingerprints. Emits the global min and
+    * the distinct-fingerprint count. */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String,
+                  shingleN: Int = 3, window: Int = 8): DataFrame = {
+    val hashes = transform(Dedup.shingles(col(textCol), shingleN), s => Dedup.hash64(s))
+    val m = size(hashes)
+    val winnowed = transform(sequence(lit(1), m - (window - 1)),
+      i => array_min(slice(hashes, i, lit(window))))
+    df.select(col(idCol),
+      when(m === 0, lit(null).cast("long")).otherwise(array_min(hashes)).as("fp_min"),
+      when(m === 0, lit(0L))
+        .when(m < window, lit(1L))
+        .otherwise(size(array_distinct(winnowed)).cast("bigint")).as("n_fp"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat is in the hat and it is good"),
+    (2L, "der hund ist nicht ein die das mit du ich"),
+    (3L, "xyzzy plugh foobar"),
+    (4L, "el que no la de un se ser en y")
+  ).toDF("doc_id", "text")
+
+  test("langId picks the profile with most stopword hits, 'und' when none") {
+    val got = TextAnalysis.langId(docs, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "und")
+    assert(got(4L) == "es")
+  }
+
+  test("quality computes ratios over tokens") {
+    val row = TextAnalysis.quality(docs, "text")
+      .filter(col("doc_id") === 1)
+      .select("n_tokens", "stop_ratio", "punct_ratio")
+      .as[(Long, Double, Double)].head()
+    assert(row._1 == 10L)
+    // the, is, the, and, it, is -> 7 hits of en stopwords ("in" too)
+    assert(row._2 == 0.7)
+    assert(row._3 == 0.0)
+  }
+
+  test("tokenCounts splits on whitespace and subword regex") {
+    val row = TextAnalysis.tokenCounts(
+        Seq((1L, "abc12 de-f")).toDF("doc_id", "text"), "text")
+      .select("n_ws_tokens", "n_subtokens", "n_chars_actual")
+      .as[(Long, Long, Long)].head()
+    assert(row._1 == 2L)     // "abc12", "de-f"
+    assert(row._2 == 5L)     // abc, 12, de, -, f
+    assert(row._3 == 10L)
+  }
+
+  test("fingerprint: identical docs share fp_min; short docs degrade gracefully") {
+    val d = Seq(
+      (1L, "a b c d e f g h i j k l m"),
+      (2L, "a b c d e f g h i j k l m"),
+      (3L, "a b c"),   // one shingle -> 1 fingerprint
+      (4L, "a b")      // no shingles
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprint(d, "text", "doc_id")
+      .select("doc_id", "fp_min", "n_fp")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getLong(2))).toMap
+    assert(got(1L) == got(2L))
+    assert(got(3L)._2 == 1L)
+    assert(got(4L) == (None, 0L))
+  }
+}
