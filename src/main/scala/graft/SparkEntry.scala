@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{Crud, Dedup, Embed, Knn, TextAnalysis}
+import graft.operators.{AnnIvf, AnnLsh, Crud, Dedup, Embed, Events, Knn, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -182,6 +182,33 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), round(col("weight"), 5).as("weight"))
     }),
 
+    "ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      AnnLsh.knn(emb, "embedding", queryVec(s, dir), 10,
+          numPlanes = 4, dim = 64, Knn.Cosine, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      AnnIvf.knn(emb, "embedding", queryVec(s, dir), 10, centroids,
+          nprobe = 2, Knn.Cosine, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
+    "events_window" -> ((s, dir) => {
+      Events.windowedAgg(Tables.events(s, dir), "ts", "event_type", "value", "1 hour")
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      Events.sessionStats(Tables.events(s, dir), "ts", "user_id", "event_id", "value", 30)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+    }),
+
     "lang_id" -> ((s, dir) => {
       TextAnalysis.langId(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_score").cast("bigint").as("lang_score"))
@@ -244,7 +271,44 @@ object SparkEntry {
       |  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
       |   sqrt(list_dot_product(qvec, qvec))), -1.0), 1.0)) / pi()""".stripMargin
 
+  /** Angular distance between two DOUBLE[] SQL expressions. */
+  private def angSql(a: String, b: String): String =
+    s"acos(least(greatest(list_dot_product($a, $b) / " +
+      s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), -1.0), 1.0)) / pi()"
+
   def oracleSql: Map[String, String] = Map(
+    "ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT h, list_transform(range(64), d ->
+         |    (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(4) t(h)),
+         |b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1::BIGINT << h) ELSE 0 END) AS bucket
+         |  FROM b, planes GROUP BY vec_id),
+         |bb AS (SELECT b.vec_id, b.label, b.v, buckets.bucket FROM b JOIN buckets USING (vec_id)),
+         |q AS (SELECT v AS qvec, bucket AS qbucket FROM bb WHERE vec_id = 0)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM (
+         |  SELECT bb.vec_id, bb.label, ${angSql("bb.v", "q.qvec")} AS d
+         |  FROM bb, q WHERE bb.bucket = q.qbucket)
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivf" ->
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, v AS c FROM b WHERE vec_id < 8),
+         |adist AS (SELECT b.vec_id, b.label, b.v, cent.cell, ${angSql("b.v", "cent.c")} AS cd
+         |          FROM b, cent),
+         |assigned AS (SELECT vec_id, label, v, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM adist) WHERE rn = 1),
+         |q AS (SELECT v AS qvec FROM b WHERE vec_id = 0),
+         |probe AS (SELECT cell FROM cent, q ORDER BY ${angSql("cent.c", "q.qvec")}, cell LIMIT 2)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM (
+         |  SELECT a.vec_id, a.label, ${angSql("a.v", "q.qvec")} AS d
+         |  FROM assigned a JOIN probe USING (cell), q)
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
     "knn_cosine" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round(d, 5) AS dist FROM (
@@ -416,6 +480,22 @@ object SparkEntry {
         |nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM bc GROUP BY doc_id)
         |SELECT doc_id, bucket, round(c / nrm, 5) AS weight
         |FROM bc JOIN nrm USING (doc_id)""".stripMargin,
+
+    "events_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |l AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM e),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |                     THEN 1 ELSE 0 END AS new_s FROM l),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_seq FROM f)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "lang_id" -> {
       def sqlList(l: Seq[String]) = l.map(s => s"'$s'").mkString("[", ", ", "]")

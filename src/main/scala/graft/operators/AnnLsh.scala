@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors
+
+/** Approximate nearest neighbors via random-hyperplane LSH.
+  *
+  * The reference's ANN index (lshtree.go) is an adaptive in-memory
+  * forest of hyperplane splits — a pointer structure that cannot scan.
+  * The Spark-native re-expression: every vector gets a *bucket id*
+  * column (one sign bit per hyperplane), the table is grouped /
+  * partitioned by bucket, and a query probes only its own bucket
+  * (plus optional multiprobe neighbors). At 100 TB the bucket id is a
+  * parquet partition column, so a probe is a partition-pruned scan
+  * that never touches the rest of the corpus.
+  *
+  * Hyperplanes are *derived from md5*, not an RNG: plane h, dim d is
+  * `(hash64(h + "_" + d) mod 1000) / 1000 - 0.5`. Deterministic across
+  * runs, executors, and engines — which keeps ANN oracle-checkable.
+  */
+object AnnLsh {
+
+  /** 60-bit md5-derived hash of a string — JVM twin of
+    * Dedup.hash64 / the DuckDB `CAST('0x'||substr(md5(s),1,15))`. */
+  def hash64Local(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Deterministic pseudo-random hyperplanes, numPlanes x dim. */
+  def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((h, d) =>
+      (hash64Local(s"${h}_${d}") % 1000) / 1000.0 - 0.5)
+
+  /** Bucket id column: bit h set when dot(vec, plane_h) > 0. */
+  def bucketCol(vecCol: Column, numPlanes: Int, dim: Int): Column = {
+    val ps = planes(numPlanes, dim)
+    (0 until numPlanes).map { h =>
+      when(Vectors.dot(vecCol, typedlit(ps(h).toSeq)) > 0.0,
+        lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Assign every row its LSH bucket. At scale, persist this with
+    * `.write.partitionBy("bucket")` so probes prune partitions. */
+  def index(df: DataFrame, vecCol: String, numPlanes: Int, dim: Int): DataFrame =
+    df.withColumn("bucket", bucketCol(col(vecCol), numPlanes, dim))
+
+  /** Approximate top-k: probe only the query's bucket, exact distance
+    * inside it. `query` is a 1-row frame with column qvec. */
+  def knn(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
+          numPlanes: Int, dim: Int, metric: Knn.Metric, idCol: String): DataFrame = {
+    val indexed = index(df, vecCol, numPlanes, dim)
+    val q = query.withColumn("qbucket", bucketCol(col("qvec"), numPlanes, dim))
+    indexed.join(broadcast(q), col("bucket") === col("qbucket"))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec", "qbucket")
+  }
+
+  /** Recall@k of the approximate result vs exact brute force. */
+  def recallAtK(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
+                numPlanes: Int, dim: Int, metric: Knn.Metric, idCol: String): Double = {
+    val approx = knn(df, vecCol, query, k, numPlanes, dim, metric, idCol)
+      .select(col(idCol)).collect().map(_.get(0)).toSet
+    val exact = Knn.knn(df, vecCol, query, k, metric, idCol)
+      .select(col(idCol)).collect().map(_.get(0)).toSet
+    if (exact.isEmpty) 1.0 else approx.intersect(exact).size.toDouble / exact.size
+  }
+}

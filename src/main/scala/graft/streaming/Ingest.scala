@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming twins of the batch surface: continuous ingest
+  * (the streaming analogue of the reference's REST upsert endpoint),
+  * windowed aggregation, and stateful sessionization.
+  *
+  * These operate on unbounded sources (`readStream`) with event-time
+  * watermarks, so state stores stay bounded: late data beyond the
+  * watermark is dropped, window state is evicted once finalized.
+  */
+object Ingest {
+
+  /** Streaming upsert dedup: keep the first arrival per id within the
+    * watermark horizon (the streaming twin of Crud.upsert's
+    * latest-wins for an append-only id stream). */
+  def dedupStream(events: DataFrame, idCol: String, tsCol: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol))
+
+  /** Streaming tumbling-window aggregation — same shape as
+    * Events.windowedAgg, plus a watermark so state is evictable. */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowDuration: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        col("n_events"), col("sum_value"))
+
+  case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long, sum_value: Double)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState:
+    * emits a session when no event arrives within the gap (processing-
+    * time timeout). State per user is O(1). Pass
+    * `GroupStateTimeout.NoTimeout` to close sessions only on arrival
+    * of a later event (deterministic, used by tests — with a real
+    * timeout `processAllAvailable` never settles). */
+  def sessionize(events: DataFrame, gapMinutes: Int,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout())
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events.as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach(state.update)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+            closed.iterator
+          }
+      }.toDF()
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+import graft.streaming.Ingest
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("batch sessionize splits on gap and aggregates per session") {
+    val events = Seq(
+      (1L, 100L, ts(0), 1.0),
+      (2L, 100L, ts(10), 2.0),
+      (3L, 100L, ts(50), 3.0),  // 40-min gap -> new session
+      (4L, 200L, ts(5), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Events.sessionStats(events, "ts", "user_id", "event_id", "value", 30)
+      .select("user_id", "session_seq", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((100L, 1L, 2L, 3.0), (100L, 2L, 1L, 3.0), (200L, 1L, 1L, 4.0)))
+  }
+
+  test("streaming windowed agg matches batch result once drained") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = Ingest.windowedAgg(df, "ts", "event_type", "value", "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "click", 4.0),
+        (ts(3), "view", 8.0))
+      q.processAllAvailable()
+      val got = spark.table("win_agg")
+        .select(col("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(10), "click", 1L, 4.0),
+        (ts(0), "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first arrival per id") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("id", "ts", "value")
+    val q = Ingest.dedupStream(df, "id", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), 1.0), (1L, ts(1), 99.0), (2L, ts(2), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("id", "value")
+        .as[(Long, Double)].collect().toSet
+      assert(got == Set((1L, 1.0), (2L, 2.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits closed sessions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "value")
+    val q = Ingest.sessionize(df, gapMinutes = 30,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // two sessions for user 7 arriving in one batch: gap of 40 min
+      mem.addData((7L, ts(0), 1.0), (7L, ts(10), 2.0), (7L, ts(50), 3.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      // first session closed by arrival of the third event; second stays open
+      assert(got == Set((7L, 2L, 3.0)))
+    } finally q.stop()
+  }
+}
