@@ -209,6 +209,17 @@ object SparkEntry {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }),
 
+    "mm_features" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("payload", col("text").cast("binary"))
+      val sampled = graft.operators.Multimodal.frameSample(docs, "payload", 32)
+      sampled.select(col("doc_id"),
+        length(col("payload")).cast("bigint").as("n_bytes"),
+        sha2(col("payload"), 256).as("checksum"),
+        length(col("sample")).cast("bigint").as("sample_len"),
+        sha2(col("sample").cast("binary"), 256).as("sample_checksum"))
+    }),
+
     "lang_id" -> ((s, dir) => {
       TextAnalysis.langId(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_score").cast("bigint").as("lang_score"))
@@ -496,6 +507,19 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  count(*) AS n_events, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+
+    "mm_features" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_transform(range(1, length(text) + 1, 32),
+        |      i -> substr(text, i::INT, 1)), '') AS sample
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_bytes,
+        |  sha256(text) AS checksum,
+        |  length(sample) AS sample_len,
+        |  sha256(sample) AS sample_checksum
+        |FROM s""".stripMargin,
 
     "lang_id" -> {
       def sqlList(l: Seq[String]) = l.map(s => s"'$s'").mkString("[", ", ", "]")

@@ -1,0 +1,145 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Quantization
+import graft.operators.{AnnLsh, Crud, Knn}
+import graft.query.FilterCompiler
+
+/** Options mirroring the reference's CollectionOptions
+  * (collection.go:30-52). */
+final case class CollectionOptions(
+    name: String,
+    dimensionCount: Int,
+    distanceMethod: Knn.Metric = Knn.Cosine,
+    quantization: Int = 64,
+    lshPlanes: Int = 4)
+
+/** Search arguments mirroring the reference's SearchArgs
+  * (collection.go:160-183): k-NN, radius, exhaustive listing with
+  * pagination, a filter in the query DSL, and precision "exact" vs
+  * "medium" (ANN via LSH buckets). */
+final case class SearchArgs(
+    vector: Option[Seq[Double]] = None,
+    k: Int = 0,
+    radius: Double = 0.0,
+    limit: Int = 0,
+    offset: Int = 0,
+    precision: String = "medium",
+    filter: Option[String] = None)
+
+/** An embeddable vector collection over a parquet-backed versioned
+  * log — the Spark-native re-expression of the reference's
+  * `Collection` (collection.go): same operations, but every mutation
+  * is an appended batch and every read is a declarative plan over
+  * "latest version per id, minus tombstones".
+  *
+  * Storage layout (`path/`): parquet files with columns
+  * (id long, vector array<double>, metadata string-json,
+  * version long, deleted boolean). At 100 TB the log would be
+  * partitioned/bucketed by id range and compacted periodically; the
+  * current-view window then shuffles only new deltas.
+  */
+final class Collection(spark: SparkSession, val options: CollectionOptions, path: String) {
+
+  private def emptyBatch(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", LongType), StructField("vector", ArrayType(DoubleType)),
+        StructField("metadata", StringType), StructField("version", LongType),
+        StructField("deleted", BooleanType))))
+  }
+
+  private def log(): DataFrame =
+    try spark.read.parquet(path)
+    catch { case _: Throwable => emptyBatch() }
+
+  private def nextVersion(): Long =
+    log().agg(coalesce(max(col("version")), lit(-1L))).head().getLong(0) + 1
+
+  private def append(batch: DataFrame): Unit =
+    batch.write.mode("append").parquet(path)
+
+  /** AddDocument upsert (collection.go:427): vectors are stored
+    * quantized per options (lossy below 32 bits, like the
+    * reference). */
+  def addDocuments(docs: DataFrame): Unit = {
+    val v = nextVersion()
+    val vec = options.quantization match {
+      case 32 => col("vector").cast("array<float>").cast("array<double>")
+      case 64 => col("vector").cast("array<double>")
+      case bits => Quantization.dequantize(
+        Quantization.quantize(col("vector"), bits), bits)
+    }
+    append(docs.select(col("id").cast("long"), vec.as("vector"),
+      col("metadata").cast("string"), lit(v).as("version"), lit(false).as("deleted")))
+  }
+
+  /** UpdateDocument metadata (collection.go:490): rewrite metadata,
+    * keep the stored vector. */
+  def updateMetadata(id: Long, metadata: String): Unit = {
+    val v = nextVersion()
+    append(current().filter(col("id") === id)
+      .select(col("id"), col("vector"), lit(metadata).as("metadata"),
+        lit(v).as("version"), lit(false).as("deleted")))
+  }
+
+  /** RemoveDocument (collection.go:511): tombstone append. */
+  def removeDocuments(ids: Seq[Long]): Unit = {
+    val v = nextVersion()
+    append(spark.createDataFrame(ids.map(i => Tuple1(i))).toDF("id")
+      .select(col("id").cast("long"), lit(null).cast("array<double>").as("vector"),
+        lit(null).cast("string").as("metadata"), lit(v).as("version"),
+        lit(true).as("deleted")))
+  }
+
+  /** Latest-version view minus tombstones. */
+  def current(): DataFrame =
+    Crud.currentView(log(), "id", "version", "deleted")
+      .select(col("id"), col("vector"), col("metadata"))
+
+  def documentCount(): Long = current().count()
+
+  def getAllIds(): Seq[Long] =
+    current().select(col("id")).orderBy(col("id")).collect().map(_.getLong(0)).toSeq
+
+  /** The reference's single search endpoint (collection.go:569):
+    * dispatches on (k, radius, precision) exactly like the Go code. */
+  def search(args: SearchArgs): DataFrame = {
+    val base = current()
+    val filtered = args.filter match {
+      case Some(f) => base.filter(FilterCompiler.compileJson(f, col("metadata")))
+      case None => base
+    }
+    (args.vector, args.k, args.radius) match {
+      case (None, _, _) | (_, 0, 0.0) =>
+        // exhaustive listing with pagination, stable id order
+        Knn.listRecords(filtered, "id", None,
+          if (args.limit > 0) args.limit else Int.MaxValue, args.offset)
+      case (Some(q), k, 0.0) =>
+        val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
+        if (args.precision == "exact")
+          Knn.knn(filtered, "vector", qdf, k, options.distanceMethod, "id")
+        else
+          AnnLsh.knn(filtered, "vector", qdf, k, options.lshPlanes,
+            options.dimensionCount, options.distanceMethod, "id")
+      case (Some(q), _, r) =>
+        val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
+        Knn.radius(filtered, "vector", qdf, r, options.distanceMethod)
+    }
+  }
+
+  /** ComputeStats (collection.go:67): counts and storage footprint. */
+  def stats(): (Long, Int, Long) = {
+    val n = documentCount()
+    val bytesPerVec = options.quantization / 8 * options.dimensionCount
+    (n, options.dimensionCount, n * bytesPerVec)
+  }
+}
+
+object Collection {
+  /** NewCollection (collection.go:224). */
+  def create(spark: SparkSession, options: CollectionOptions, path: String): Collection =
+    new Collection(spark, options, path)
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: images/audio/video ride along as opaque
+  * `binary` columns with typed metadata, processed by per-partition
+  * batch operators.
+  *
+  * The reference embeds images by shipping base64 payloads to Ollama
+  * (embedding.go:56-76). Offline, the *decode* step is a documented
+  * deterministic stub — but the Spark-side plumbing (schema, binary
+  * columns, partition-batched processing, feature schema) is real and
+  * is exactly what a libjpeg/ffmpeg-backed decoder would plug into.
+  *
+  * Scale posture: binary payloads stay columnar in parquet; feature
+  * extraction is mapPartitions (no per-row JVM<->format overhead, one
+  * decoder instance per partition batch); nothing is collected to the
+  * driver.
+  */
+object Multimodal {
+
+  /** Feature row produced by the (stubbed) decoder. */
+  case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: String,
+                           width: Int, height: Int, mean_luma: Double)
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** STUB decoder: a real implementation would hand `bytes` to an
+    * image codec. This deterministic fake derives "dimensions" and
+    * "luma" from the payload so the pipeline shape (batch in, typed
+    * features out) is fully exercised and testable offline. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+    val n = bytes.length
+    val width = 16 + (math.abs(n * 31 + 7) % 1024)
+    val height = 16 + (math.abs(n * 17 + 3) % 1024)
+    val luma = if (n == 0) 0.0
+      else bytes.iterator.map(b => (b & 0xFF).toDouble).sum / n / 255.0
+    (width, height, luma)
+  }
+
+  /** Per-partition batched feature extraction over a binary column.
+    * The decoder is instantiated once per partition (the pattern a
+    * real codec needs), rows stream through without materializing the
+    * whole partition. */
+  def extractFeatures(df: DataFrame, idCol: String, binCol: String)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one "decoder" per partition; stub has no real init cost
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          val (w, h, luma) = decodeStub(bytes)
+          digest.reset()
+          val sum = digest.digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(id, bytes.length.toLong, sum, w, h, luma)
+        }
+      }.toDF()
+  }
+
+  /** Frame sampling on a payload: every `stride`-th byte of the
+    * (utf8) payload becomes part of the "sampled" stream — the video
+    * frame-subsampling access pattern, in declarative built-ins. */
+  def frameSample(df: DataFrame, binCol: String, stride: Int): DataFrame = {
+    val text = col(binCol).cast("string")
+    df.withColumn("sample",
+      concat_ws("", transform(
+        sequence(lit(1), length(text), lit(stride)),
+        i => text.substr(i, lit(1)))))
+  }
+}

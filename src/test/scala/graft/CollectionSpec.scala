@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{Collection, CollectionOptions, SearchArgs}
+import graft.operators.Knn
+
+class CollectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newCollection(quantization: Int = 64): Collection = {
+    val dir = Files.createTempDirectory("graft-coll").toFile
+    dir.delete()
+    Collection.create(spark,
+      CollectionOptions("test", dimensionCount = 4,
+        distanceMethod = Knn.Euclidean, quantization = quantization),
+      dir.getAbsolutePath)
+  }
+
+  private def docs3 = Seq(
+    (1L, Seq(0.0, 0.0, 0.0, 0.0), """{"tag": "a"}"""),
+    (2L, Seq(1.0, 0.0, 0.0, 0.0), """{"tag": "b"}"""),
+    (3L, Seq(0.0, 5.0, 0.0, 0.0), """{"tag": "a"}""")
+  ).toDF("id", "vector", "metadata")
+
+  test("add / count / ids / remove round-trip (reference CRUD surface)") {
+    val c = newCollection()
+    c.addDocuments(docs3)
+    assert(c.documentCount() == 3)
+    assert(c.getAllIds() == Seq(1L, 2L, 3L))
+    c.removeDocuments(Seq(2L))
+    assert(c.getAllIds() == Seq(1L, 3L))
+    // re-adding a removed id resurrects it (latest version wins)
+    c.addDocuments(Seq((2L, Seq(9.0, 9.0, 9.0, 9.0), "{}")).toDF("id", "vector", "metadata"))
+    assert(c.getAllIds() == Seq(1L, 2L, 3L))
+  }
+
+  test("updateMetadata keeps vector, swaps metadata") {
+    val c = newCollection()
+    c.addDocuments(docs3)
+    c.updateMetadata(1L, """{"tag": "z"}""")
+    val row = c.current().filter(col("id") === 1L)
+      .select("metadata", "vector").as[(String, Seq[Double])].head()
+    assert(row._1 == """{"tag": "z"}""")
+    assert(row._2 == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("exact knn search with DSL filter") {
+    val c = newCollection()
+    c.addDocuments(docs3)
+    val got = c.search(SearchArgs(vector = Some(Seq(0.1, 0.0, 0.0, 0.0)),
+        k = 2, precision = "exact", filter = Some("tag == 'a'")))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 3L)) // id 2 filtered out despite being closer
+  }
+
+  test("radius search and exhaustive listing with pagination") {
+    val c = newCollection()
+    c.addDocuments(docs3)
+    val near = c.search(SearchArgs(vector = Some(Seq(0.0, 0.0, 0.0, 0.0)), radius = 2.0))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(near == Seq(1L, 2L))
+    val page = c.search(SearchArgs(limit = 2, offset = 1))
+      .select("id").as[Long].collect().toSeq
+    assert(page == Seq(2L, 3L))
+  }
+
+  test("lossy quantization stores dequantized grid values (ref quantization.go)") {
+    val c = newCollection(quantization = 8)
+    c.addDocuments(Seq((1L, Seq(0.5, -0.25, 0.1, 0.77), "{}")).toDF("id", "vector", "metadata"))
+    val v = c.current().select("vector").as[Seq[Double]].head()
+    v.zip(Seq(0.5, -0.25, 0.1, 0.77)).foreach { case (q, orig) =>
+      assert(math.abs(q - orig) <= 1.0 / 255 + 1e-9)
+    }
+    val (n, dims, bytes) = c.stats()
+    assert(n == 1 && dims == 4 && bytes == 4)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Seq(
+    (1L, "hello world this is payload one".getBytes("UTF-8")),
+    (2L, Array.empty[Byte]),
+    (3L, Array.fill[Byte](1000)(65))
+  ).toDF("doc_id", "payload")
+
+  test("extractFeatures runs per-partition and emits the typed schema") {
+    implicit val s = spark
+    val feats = Multimodal.extractFeatures(media, "doc_id", "payload")
+    assert(feats.schema == Multimodal.featureSchema)
+    val rows = feats.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(2), r.getDouble(5))).toMap
+    assert(rows(1L)._1 == 31L)
+    assert(rows(2L)._1 == 0L && rows(2L)._3 == 0.0)
+    assert(rows(3L)._1 == 1000L && math.abs(rows(3L)._3 - 65.0 / 255) < 1e-12)
+    // checksum is the real sha256 of the payload
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("hello world this is payload one".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows(1L)._2 == expected)
+  }
+
+  test("decodeStub is deterministic") {
+    val a = Multimodal.decodeStub("abc".getBytes)
+    assert(a == Multimodal.decodeStub("abc".getBytes))
+  }
+
+  test("frameSample takes every Nth byte") {
+    val df = Seq((1L, "abcdefghij".getBytes("UTF-8"))).toDF("id", "payload")
+    val got = Multimodal.frameSample(df, "payload", 3)
+      .select("sample").as[String].head()
+    assert(got == "adgj")
+  }
+}
