@@ -38,7 +38,10 @@ object SparkEntry {
     val mutated = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 200000).as("doc_id"),
         concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text"))
+    // local test files are one parquet split; spread the map-heavy
+    // hashing across cores (real deployments get this from input splits)
     docs.unionByName(copies).unionByName(mutated)
+      .repartition(s.sparkContext.defaultParallelism)
   }
 
   private val corpusSql =
@@ -160,7 +163,7 @@ object SparkEntry {
 
     "dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "text", "doc_id",
-          n = 3, threshold = 0.6, maxDf = 100)
+          n = 3, threshold = 0.6, maxDf = 20)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
@@ -408,16 +411,25 @@ object SparkEntry {
          |  FROM corpus GROUP BY md5(text))
          |WHERE dup_count > 1""".stripMargin,
 
-    "dedup_minhash" ->
+    "dedup_minhash" -> {
+      val (as, bs) = Dedup.minhashConsts(16)
+      val aLit = as.mkString("[", ", ", "]")
+      val bLit = bs.mkString("[", ", ", "]")
       s"""WITH $corpusSql,
          |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |         range(1, greatest(len(w)-1, 1)),
-         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM wt),
-         |mh AS (SELECT doc_id, j, min(CAST('0x' || substr(md5(j || ':' || sh), 1, 15) AS BIGINT)) AS mh
-         |       FROM sh, range(16) t(j) GROUP BY doc_id, j),
-         |bandkey AS (SELECT doc_id, j // 4 AS band, string_agg(mh, ',' ORDER BY j) AS key
-         |            FROM mh GROUP BY doc_id, j // 4),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |          range(1, greatest(len(w)-1, 1)),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM wt),
+         |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
+         |sig AS (SELECT doc_id, list_transform(range(16), j ->
+         |          list_min(list_transform(
+         |            list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647),
+         |            h -> ($aLit[j+1] * h + $bLit[j+1]) % 2147483647))) AS sig
+         |        FROM shl WHERE len(shs) > 0),
+         |bandkey AS (SELECT doc_id, b.b AS band,
+         |              array_to_string(sig[(4*b.b+1):(4*b.b+4)], ',') AS key
+         |            FROM sig, range(4) b(b)),""".stripMargin +
+      s"""
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM bandkey a JOIN bandkey b USING (band, key)
          |         WHERE a.doc_id < b.doc_id),
@@ -430,7 +442,8 @@ object SparkEntry {
          |FROM inter
          |JOIN sizes na ON na.doc_id = id_a
          |JOIN sizes nb ON nb.doc_id = id_b
-         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin,
+         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin
+    },
 
     "dedup_simhash" ->
       s"""WITH $corpusSql,
@@ -456,7 +469,7 @@ object SparkEntry {
          |         range(1, greatest(len(w)-1, 1)),
          |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM wt),
          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
-         |         WHERE c <= 100),
+         |         WHERE c <= 20),
          |f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -475,11 +488,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id + 10000, list_concat([v[1] + 0.1], v[2:len(v)]), label
         |  FROM base WHERE vec_id % 10 = 0),
+        |nrm AS (SELECT vec_id, label,
+        |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |        FROM corpus),
         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |            least(greatest(list_dot_product(a.v, b.v) /
-        |              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-        |              -1.0), 1.0) AS cos
-        |          FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |            least(greatest(list_dot_product(a.nv, b.nv), -1.0), 1.0) AS cos
+        |          FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 5) AS cos FROM pairs WHERE cos >= 0.99""".stripMargin,
 
     "embed_text" ->

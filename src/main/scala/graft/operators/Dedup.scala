@@ -51,29 +51,54 @@ object Dedup {
 
   // ---------- MinHash + LSH ----------
 
-  /** MinHash signature: for hash index j, sig_j = min over shingles of
-    * hash64(j:shingle). Returns (idCol, sig array<long>). Docs with no
-    * shingles are dropped (no signature to compare). */
+  /** Modulus for the universal-hash family (Mersenne prime 2^31-1):
+    * products a*(h%M) stay under 2^62, no BIGINT overflow in either
+    * engine. */
+  val MINHASH_M: Long = 2147483647L
+
+  /** Per-function universal-hash constants, md5-derived (deterministic,
+    * engine-independent): a_j in [1, M-1], b_j in [0, M-1]. */
+  def minhashConsts(numHashes: Int): (Seq[Long], Seq[Long]) = (
+    (0 until numHashes).map(j => AnnLsh.hash64Local(s"a:$j") % (MINHASH_M - 1) + 1),
+    (0 until numHashes).map(j => AnnLsh.hash64Local(s"b:$j") % MINHASH_M))
+
+  /** MinHash signature: base-hash each distinct shingle once (md5),
+    * then sig_j = min over shingles of the universal hash
+    * (a_j * (h % M) + b_j) % M.
+    *
+    * Entirely map-side — ZERO shuffles. The signature is ONE
+    * `aggregate` traversal carrying all numHashes running minima, so
+    * each shingle is hashed exactly once. (A naive per-j formulation
+    * re-evaluates the md5 pipeline numHashes times at runtime — the
+    * optimizer inlines aliases referenced inside lambdas — and
+    * measured 10x slower.) Docs shorter than the shingle width are
+    * dropped with a cheap word-count filter (no hashing). */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int, shingleN: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    df.select(col(idCol), explode(array_distinct(sh)).as("sh"))
-      .select(col(idCol), explode(sequence(lit(0), lit(numHashes - 1))).as("j"), col("sh"))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(hash64(concat(col("j"), lit(":"), col("sh")))).as("mh"))
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("j"), col("mh")))).as("s"))
-      .select(col(idCol), transform(col("s"), x => x.getField("mh")).as("sig"))
+    val (as, bs) = minhashConsts(numHashes)
+    val hs = transform(array_distinct(shingles(col(textCol), shingleN)),
+      s => hash64(s) % MINHASH_M)
+    val sig = aggregate(hs, typedlit(Seq.fill(numHashes)(MINHASH_M)),
+      (acc, h) => transform(sequence(lit(0), lit(numHashes - 1)), j =>
+        least(get(acc, j), (get(typedlit(as), j) * h + get(typedlit(bs), j)) % MINHASH_M)))
+    df.filter(size(words(col(textCol))) >= shingleN)
+      .select(col(idCol), sig.as("sig"))
   }
 
   /** LSH candidate pairs: ids sharing at least one band of the
-    * signature. Band b key = sig[b*rows .. b*rows+rows-1]. */
+    * signature. Band b key = sig[b*rows .. b*rows+rows-1].
+    *
+    * The band index is exploded BEFORE the key projection so `sig` is
+    * a materialized Generate output when the 4 keys are sliced from
+    * it — a pre-explode array-of-structs formulation made the
+    * optimizer inline the whole signature pipeline into every key. */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col(idCol),
-        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-          concat_ws(",", (0 until rowsPerBand).map(r =>
-            element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.key"))
+    val banded = sigs
+      .select(col(idCol), col("sig"),
+        explode(typedlit((0 until bands).toList)).as("band"))
+      .select(col(idCol), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand)).cast("array<string>")).as("key"))
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "key"))
@@ -116,19 +141,32 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 60-bit SimHash over tokens (with multiplicity): bit i is set when
-    * the weighted sum of token-hash bit i is positive. */
+    * the weighted sum of token-hash bit i is positive.
+    *
+    * One map-side `aggregate` traversal folds all 60 bit-counters at
+    * once (tokens are md5-hashed exactly once; bit i is read with
+    * integer arithmetic — `h mod 2^(i+1) >= 2^i` — because bit-shift
+    * builtins only take literal shift amounts and string-based bit
+    * access allocates per token). No explode, no shuffle — SimHash
+    * rides the scan at any scale. Emits both the packed long
+    * (`simhash`) and the MSB-first bit string (`simbits`, cheap to
+    * slice into LSH band keys). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val BITS = 60
-    df.select(col(idCol), explode(words(col(textCol))).as("t"))
-      .withColumn("th", hash64(col("t")))
-      .select(col(idCol), col("th"),
-        explode(sequence(lit(0), lit(BITS - 1))).as("i"))
-      .withColumn("sign",
-        when(expr("shiftrightunsigned(th, i)") % 2 === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("i"))
-      .agg(sum(col("sign")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(0L)).as("simhash"))
+    val pow1 = typedlit((0 until BITS).map(i => 1L << i))      // 2^i
+    val pow2 = typedlit((0 until BITS).map(i => 2L << i))      // 2^(i+1)
+    val hs = transform(words(col(textCol)), t => hash64(t))
+    val acc = aggregate(hs, typedlit(Seq.fill(BITS)(0L)),
+      (acc, h) => transform(sequence(lit(0), lit(BITS - 1)), i =>
+        get(acc, i) + when(pmod(h, get(pow2, i)) >= get(pow1, i), 1L).otherwise(-1L)))
+    // MSB-first bit string: acc is the *input* of the transform (one
+    // evaluation), never referenced inside a per-element lambda — that
+    // formulation re-runs the whole fold per bit at runtime
+    val simbits = concat_ws("",
+      transform(reverse(acc), c => when(c > 0, "1").otherwise("0")))
+    df.select(col(idCol), simbits.as("simbits"))
+      .select(col(idCol), col("simbits"),
+        conv(col("simbits"), 2, 10).cast("long").as("simhash"))
   }
 
   /** Near-dup pairs by SimHash: candidates share one of 4 15-bit bands,
@@ -136,10 +174,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 8): DataFrame = {
     val sh = simhash(df, textCol, idCol)
-    val banded = sh.select(col(idCol), col("simhash"),
-        explode(array((0 to 3).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL)).as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
+    // explode the band index first (see lshCandidates for why), then
+    // slice the 15-bit band key out of the bit STRING — substring
+    // accepts column offsets where bit-shifts do not
+    val banded = sh
+      .select(col(idCol), col("simhash"), col("simbits"),
+        explode(typedlit((0 to 3).toList)).as("band"))
+      .select(col(idCol), col("simhash"), col("band"),
+        col("simbits").substr(lit(46) - col("band") * 15, lit(15)).as("key"))
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "key"))
@@ -187,12 +229,16 @@ object Dedup {
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
                      bucketCol: Column, tau: Double): DataFrame = {
     import graft.functions.Vectors
-    val withB = df.select(col(idCol), col(vecCol), bucketCol.as("bucket"))
-    val a = withB.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = withB.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    // normalize once per row before the join: each pair then costs one
+    // dot product instead of a dot plus two norms
+    val withB = df.select(col(idCol),
+      Vectors.normalize(col(vecCol)).as("_nv"), bucketCol.as("bucket"))
+    val a = withB.select(col("bucket"), col(idCol).as("id_a"), col("_nv").as("na"))
+    val b = withB.select(col("bucket"), col(idCol).as("id_b"), col("_nv").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Vectors.cosineSim(col("va"), col("vb")))
+      .withColumn("cos",
+        least(greatest(Vectors.dot(col("na"), col("nb")), lit(-1.0)), lit(1.0)))
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
