@@ -21,9 +21,10 @@ object Vectors {
 
   private def asD(a: Column): Column = a.cast("array<double>")
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product in double precision — a native
+    * codegen'd expression (see [[DotProduct]]); identical math to the
+    * HOF formulation it replaced, minus interpretation overhead. */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
 
@@ -40,10 +41,9 @@ object Vectors {
   def angularDist(a: Column, b: Column): Column =
     acos(cosineSim(a, b)) / lit(math.Pi)
 
-  /** L2 distance with double accumulation. */
+  /** L2 distance with double accumulation (codegen'd inner loop). */
   def euclideanDist(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(DotProduct.l2Sq(a, b))
 
   /** L2-normalize a vector; zero vectors pass through unchanged
     * (reference: lshtree.go:10-28 normalizeVector). */
