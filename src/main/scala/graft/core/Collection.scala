@@ -130,12 +130,39 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     }
   }
 
+  /** GetDocument (collection.go:463). */
+  def getDocument(id: Long): Option[(Seq[Double], String)] =
+    current().filter(col("id") === id)
+      .select(col("vector"), col("metadata"))
+      .collect().headOption
+      .map(r => (r.getSeq[Double](0), r.getString(1)))
+
+  /** computeAverageDistance (collection.go:348): mean pairwise
+    * distance over a deterministic sample (the `sampleIds` lowest ids
+    * — engine-reproducible, unlike the reference's RNG sampling). */
+  def averageDistance(sampleIds: Int): Double = {
+    import graft.functions.Vectors
+    val sample = current().orderBy(col("id")).limit(sampleIds)
+      .select(col("id"), col("vector"))
+    val a = sample.select(col("id").as("i"), col("vector").as("va"))
+    val b = sample.select(col("id").as("j"), col("vector").as("vb"))
+    val d = Knn.distCol(options.distanceMethod, col("va"), col("vb"))
+    val row = a.join(broadcast(b), col("i") < col("j"))
+      .agg(avg(d)).collect().head
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
   /** ComputeStats (collection.go:67): counts and storage footprint. */
   def stats(): (Long, Int, Long) = {
     val n = documentCount()
     val bytesPerVec = options.quantization / 8 * options.dimensionCount
     (n, options.dimensionCount, n * bytesPerVec)
   }
+
+  /** DumpIndex (dump.go): export the current view for inspection /
+    * backup — json lines with id, vector, metadata. */
+  def dump(outPath: String): Unit =
+    current().orderBy(col("id")).write.mode("overwrite").json(outPath)
 }
 
 object Collection {

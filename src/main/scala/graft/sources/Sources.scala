@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest adapters: the shapes the reference accepts over REST
+  * (rest.go records API: id + vector|text + metadata object) read from
+  * batch files or a stream instead of HTTP. Each returns the canonical
+  * (id, vector, metadata-json) frame that Collection.addDocuments
+  * expects.
+  */
+object Sources {
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("vector", ArrayType(DoubleType)),
+    StructField("text", StringType),
+    StructField("metadata", StringType)))
+
+  private def canonical(df: DataFrame, embedDim: Int): DataFrame = {
+    // records without an explicit vector get the deterministic text
+    // embedding (the reference calls Ollama here; see Embed scaladoc)
+    val withVec = df.withColumn("_needs_embed",
+      col("vector").isNull && col("text").isNotNull)
+    val direct = withVec.filter(!col("_needs_embed"))
+      .select(col("id"), col("vector"), col("metadata"))
+    val embedded = graft.operators.Embed.embedDense(
+        withVec.filter(col("_needs_embed")), "text", "id", embedDim)
+      .withColumnRenamed("embedding", "vector")
+      .join(withVec.select(col("id"), col("metadata")), "id")
+      .select(col("id"), col("vector"), col("metadata"))
+    direct.unionByName(embedded)
+  }
+
+  /** JSON-lines records (the REST insert payload shape, one per line). */
+  def jsonRecords(spark: SparkSession, path: String, embedDim: Int = 16): DataFrame =
+    canonical(spark.read.schema(recordSchema).json(path), embedDim)
+
+  /** CSV with headers id,text,metadata (vector-less ingestion). */
+  def csvRecords(spark: SparkSession, path: String, embedDim: Int = 16): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+      .select(col("id").cast("long"),
+        lit(null).cast(ArrayType(DoubleType)).as("vector"),
+        col("text"), col("metadata"))
+    canonical(raw, embedDim)
+  }
+
+  /** Streaming json-lines records for continuous ingest
+    * (graft.streaming.Ingest consumes this). */
+  def jsonRecordStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(recordSchema).json(path)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.{Collection, CollectionOptions, SearchArgs}
+import graft.operators.Knn
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonRecords ingests vector and text records; text gets embedded") {
+    val dir = Files.createTempDirectory("graft-src")
+    Files.writeString(dir.resolve("records.json"),
+      """{"id": 1, "vector": [0.1, 0.2], "metadata": "{\"k\":1}"}
+        |{"id": 2, "text": "hello world hello", "metadata": "{\"k\":2}"}
+        |""".stripMargin)
+    val got = Sources.jsonRecords(spark, dir.toString, embedDim = 2)
+    val byId = got.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(byId(1L) == Seq(0.1, 0.2))
+    // embedded vector is L2-normalized and non-degenerate
+    val v2 = byId(2L)
+    assert(v2.size == 2 && math.abs(math.sqrt(v2.map(x => x * x).sum) - 1.0) < 1e-9)
+  }
+
+  test("collection round-trip: ingest -> search -> dump") {
+    val src = Files.createTempDirectory("graft-src2")
+    Files.writeString(src.resolve("r.json"),
+      """{"id": 1, "vector": [1.0, 0.0], "metadata": "{\"tag\":\"a\"}"}
+        |{"id": 2, "vector": [0.0, 1.0], "metadata": "{\"tag\":\"b\"}"}
+        |""".stripMargin)
+    val cdir = Files.createTempDirectory("graft-coll2").toFile
+    cdir.delete()
+    val c = Collection.create(spark,
+      CollectionOptions("rt", 2, Knn.Euclidean), cdir.getAbsolutePath)
+    c.addDocuments(Sources.jsonRecords(spark, src.toString, 2))
+    assert(c.documentCount() == 2)
+    assert(c.getDocument(1L).map(_._1) == Some(Seq(1.0, 0.0)))
+    assert(c.averageDistance(10) > 1.0) // sqrt(2) between the two
+    val hit = c.search(SearchArgs(vector = Some(Seq(0.9, 0.1)), k = 1, precision = "exact"))
+      .select("id").as[Long].head()
+    assert(hit == 1L)
+    val out = Files.createTempDirectory("graft-dump").toFile
+    out.delete()
+    c.dump(out.getAbsolutePath)
+    assert(spark.read.json(out.getAbsolutePath).count() == 2)
+  }
+}
