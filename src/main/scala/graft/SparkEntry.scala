@@ -433,16 +433,14 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM bandkey a JOIN bandkey b USING (band, key)
          |         WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
-         |          JOIN sh sa ON sa.doc_id = id_a
-         |          JOIN sh sb ON sb.doc_id = id_b AND sa.sh = sb.sh
-         |          GROUP BY id_a, id_b)
-         |SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 5) AS jaccard
-         |FROM inter
-         |JOIN sizes na ON na.doc_id = id_a
-         |JOIN sizes nb ON nb.doc_id = id_b
-         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.5""".stripMargin
+         |hsh AS (SELECT doc_id, list_distinct(list_transform(shs,
+         |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM shl)
+         |SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 5) AS jaccard FROM (
+         |  SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+         |         len(a.hs) AS na, len(b.hs) AS nb
+         |  FROM cand c JOIN hsh a ON a.doc_id = c.id_a
+         |              JOIN hsh b ON b.doc_id = c.id_b)
+         |WHERE i * 1.0 / (na + nb - i) >= 0.5""".stripMargin
     },
 
     "dedup_simhash" ->
@@ -465,21 +463,22 @@ object SparkEntry {
     "dedup_ngram" ->
       s"""WITH $corpusSql,
          |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |         range(1, greatest(len(w)-1, 1)),
-         |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM wt),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |          list_transform(range(1, greatest(len(w)-1, 1)),
+         |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+         |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM wt),
+         |sh AS (SELECT doc_id, unnest(hs) AS sh FROM shl),
          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
          |         WHERE c <= 20),
          |f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |          FROM f a JOIN f b USING (sh) WHERE a.doc_id < b.doc_id
-         |          GROUP BY a.doc_id, b.doc_id)
-         |SELECT id_a, id_b, round(i * 1.0 / (na.n + nb.n - i), 5) AS jaccard
-         |FROM inter
-         |JOIN sizes na ON na.doc_id = id_a
-         |JOIN sizes nb ON nb.doc_id = id_b
-         |WHERE i * 1.0 / (na.n + nb.n - i) >= 0.6""".stripMargin,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM f a JOIN f b USING (sh) WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 5) AS jaccard FROM (
+         |  SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+         |         len(a.hs) AS na, len(b.hs) AS nb
+         |  FROM cand c JOIN shl a ON a.doc_id = c.id_a
+         |              JOIN shl b ON b.doc_id = c.id_b)
+         |WHERE i * 1.0 / (na + nb - i) >= 0.6""".stripMargin,
 
     "dedup_embedding" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

@@ -106,24 +106,22 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard similarity over distinct shingle sets, computed only
-    * for the given candidate pairs. */
+  /** Exact Jaccard similarity over distinct shingle-hash sets, computed
+    * only for the given candidate pairs: each doc carries ONE compact
+    * array of hashed shingles, and a pair costs one codegen'd
+    * `array_intersect` — no per-shingle explode/shuffle in the
+    * verification step. */
   def verifyJaccard(df: DataFrame, textCol: String, idCol: String, shingleN: Int,
                     candidates: DataFrame): DataFrame = {
     val sets = df.select(col(idCol).as("sid"),
-      explode(array_distinct(shingles(col(textCol), shingleN))).as("sh"))
-    val sizes = sets.groupBy(col("sid")).agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sets.select(col("sid").as("id_a"), col("sh")), "id_a")
-      .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(col("sh") === col("sh_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("sid").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("sid").as("id_b"), col("n").as("nb")), "id_b")
+      array_distinct(transform(shingles(col(textCol), shingleN), s => hash64(s))).as("shs"))
+    candidates
+      .join(sets.select(col("sid").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sets.select(col("sid").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .drop("sa", "sb")
   }
 
   /** Full MinHash+LSH near-dup pipeline → verified pairs above τ. */
@@ -195,28 +193,24 @@ object Dedup {
   // ---------- n-gram Jaccard (inverted index) ----------
 
   /** Near-dup pairs via an n-gram inverted index: docs sharing >= 1
-    * n-gram become candidates (bounded by dropping n-grams that occur
-    * in more than maxDf docs), then exact Jaccard >= threshold. */
+    * rare n-gram become candidates (n-grams occurring in more than
+    * maxDf docs are dropped from the index — ubiquitous shingles only
+    * create quadratic candidate fanout), then exact Jaccard over the
+    * FULL shingle sets (one array_intersect per pair) >= threshold. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.6,
                         maxDf: Int = 100): DataFrame = {
     val sets = df.select(col(idCol).as("sid"),
-      explode(array_distinct(shingles(col(textCol), n))).as("sh"))
+      explode(array_distinct(transform(shingles(col(textCol), n), s => hash64(s)))).as("sh"))
     val rare = sets.groupBy(col("sh")).agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDf)
       .select(col("sh"))
     val filtered = sets.join(rare, "sh")
-    val sizes = sets.groupBy(col("sid")).agg(count(lit(1)).as("n"))
-    val inter = filtered.select(col("sh"), col("sid").as("id_a"))
+    val cands = filtered.select(col("sh"), col("sid").as("id_a"))
       .join(filtered.select(col("sh"), col("sid").as("id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("sid").as("id_a"), col("n").as("na")), "id_a")
-      .join(sizes.select(col("sid").as("id_b"), col("n").as("nb")), "id_b")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(df, textCol, idCol, n, cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
