@@ -65,6 +65,27 @@ object AnnLsh {
       .drop("qvec", "qbucket")
   }
 
+  /** Multiprobe approximate top-k: probe the query's bucket plus all
+    * buckets at Hamming distance 1 (one sign bit flipped) — the
+    * standard recall/latency knob for hyperplane LSH: numPlanes+1
+    * partition-pruned probes instead of one, no index change. */
+  def knnMultiprobe(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
+                    numPlanes: Int, dim: Int, metric: Knn.Metric, idCol: String): DataFrame = {
+    val pow = typedlit((0 until numPlanes).map(h => 1L << h))
+    val indexed = index(df, vecCol, numPlanes, dim)
+    val probes = query
+      .withColumn("qbucket", bucketCol(col("qvec"), numPlanes, dim))
+      .select(col("qvec"), explode(concat(
+        array(col("qbucket")),
+        transform(sequence(lit(0), lit(numPlanes - 1)),
+          h => col("qbucket").bitwiseXOR(get(pow, h))))).as("probe"))
+    indexed.join(broadcast(probes), col("bucket") === col("probe"))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec", "probe")
+  }
+
   /** Recall@k of the approximate result vs exact brute force. */
   def recallAtK(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
                 numPlanes: Int, dim: Int, metric: Knn.Metric, idCol: String): Double = {

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{AnnIvf, AnnLsh, Knn}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf0001)
+  private lazy val q = emb.filter(col("vec_id") === 1)
+    .select(col("embedding").as("qvec"))
+
+  test("lsh planes are deterministic and engine-stable") {
+    val p1 = AnnLsh.planes(4, 8)
+    val p2 = AnnLsh.planes(4, 8)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(v => v >= -0.5 && v <= 0.5))
+    // spot value pinned: hash64("0_0") % 1000 / 1000 - 0.5
+    assert(math.abs(p1(0)(0) - ((AnnLsh.hash64Local("0_0") % 1000) / 1000.0 - 0.5)) < 1e-15)
+  }
+
+  test("lsh knn returns k rows from the query's bucket, distances ascending") {
+    val res = AnnLsh.knn(emb, "embedding", q, 5, 4, 64, Knn.Cosine, "vec_id")
+      .select("dist").as[Double].collect().toSeq
+    assert(res.size == 5 && res == res.sorted)
+    // the query vector itself is in its own bucket at distance ~0
+    assert(res.head < 1e-6)
+  }
+
+  test("multiprobe recall >= single-bucket recall") {
+    val k = 20
+    val exact = Knn.knn(emb, "embedding", q, k, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val single = AnnLsh.knn(emb, "embedding", q, k, 4, 64, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val multi = AnnLsh.knnMultiprobe(emb, "embedding", q, k, 4, 64, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    val rs = single.intersect(exact).size.toDouble / k
+    val rm = multi.intersect(exact).size.toDouble / k
+    assert(rm >= rs)
+    // uniform random embeddings are LSH's worst case (no cluster
+    // structure); 5/16 buckets probed should still beat 1/4 recall
+    assert(rm > 0.25, s"multiprobe recall too low: $rm")
+  }
+
+  test("ivf trained centroids improve or match seed assignment cost") {
+    val seeds = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 3L)
+    val trained = AnnIvf.train(emb, "embedding", "vec_id", 0L to 3L, iters = 2, Knn.Cosine)
+    assert(trained.count() == 4)
+    def cost(c: org.apache.spark.sql.DataFrame): Double =
+      AnnIvf.assign(emb, "embedding", "vec_id", c, Knn.Cosine)
+        .agg(sum(col("centroid_dist"))).head().getDouble(0)
+    assert(cost(trained) <= cost(seeds) * 1.05)
+  }
+
+  test("ivf knn probes nprobe cells and returns ordered results") {
+    val cent = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+    val res = AnnIvf.knn(emb, "embedding", q, 10, cent, 2, Knn.Cosine, "vec_id")
+      .select("dist").as[Double].collect().toSeq
+    assert(res.size == 10 && res == res.sorted)
+  }
+}
