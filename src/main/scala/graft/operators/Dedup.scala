@@ -78,11 +78,9 @@ object Dedup {
     val (as, bs) = minhashConsts(numHashes)
     val hs = transform(array_distinct(shingles(col(textCol), shingleN)),
       s => hash64(s) % MINHASH_M)
-    val sig = aggregate(hs, typedlit(Seq.fill(numHashes)(MINHASH_M)),
-      (acc, h) => transform(sequence(lit(0), lit(numHashes - 1)), j =>
-        least(get(acc, j), (get(typedlit(as), j) * h + get(typedlit(bs), j)) % MINHASH_M)))
     df.filter(size(words(col(textCol))) >= shingleN)
-      .select(col(idCol), sig.as("sig"))
+      .select(col(idCol),
+        graft.functions.SketchExprs.minhashSig(hs, as, bs, MINHASH_M).as("sig"))
   }
 
   /** LSH candidate pairs: ids sharing at least one band of the
@@ -151,20 +149,12 @@ object Dedup {
     * slice into LSH band keys). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val BITS = 60
-    val pow1 = typedlit((0 until BITS).map(i => 1L << i))      // 2^i
-    val pow2 = typedlit((0 until BITS).map(i => 2L << i))      // 2^(i+1)
     val hs = transform(words(col(textCol)), t => hash64(t))
-    val acc = aggregate(hs, typedlit(Seq.fill(BITS)(0L)),
-      (acc, h) => transform(sequence(lit(0), lit(BITS - 1)), i =>
-        get(acc, i) + when(pmod(h, get(pow2, i)) >= get(pow1, i), 1L).otherwise(-1L)))
-    // MSB-first bit string: acc is the *input* of the transform (one
-    // evaluation), never referenced inside a per-element lambda — that
-    // formulation re-runs the whole fold per bit at runtime
-    val simbits = concat_ws("",
-      transform(reverse(acc), c => when(c > 0, "1").otherwise("0")))
-    df.select(col(idCol), simbits.as("simbits"))
-      .select(col(idCol), col("simbits"),
-        conv(col("simbits"), 2, 10).cast("long").as("simhash"))
+    df.select(col(idCol),
+        graft.functions.SketchExprs.simhash(hs).as("simhash"))
+      // MSB-first bit string, sliceable by column offsets for band keys
+      .select(col(idCol), lpad(bin(col("simhash")), BITS, "0").as("simbits"),
+        col("simhash"))
   }
 
   /** Near-dup pairs by SimHash: candidates share one of 4 15-bit bands,
