@@ -34,6 +34,18 @@ object Events {
       .drop("_prev", "_new")
   }
 
+  /** Catalyst-native alternative to [[sessionStats]]: Spark's
+    * `session_window` merges events closer than the gap into one
+    * window per key — same sessions, one operator, and it works
+    * identically over Structured Streaming inputs. */
+  def sessionWindowStats(df: DataFrame, tsCol: String, userCol: String,
+                         valueCol: String, gapMinutes: Int): DataFrame =
+    df.groupBy(session_window(col(tsCol), s"$gapMinutes minutes").as("sw"), col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"),
+        min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"))
+      .select(col(userCol), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Per-session rollup on top of [[sessionize]]. */
   def sessionStats(df: DataFrame, tsCol: String, userCol: String,
                    idCol: String, valueCol: String, gapMinutes: Int): DataFrame =

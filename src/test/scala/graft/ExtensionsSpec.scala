@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Events
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions register and match the Column API") {
+    GraftExtensions.register(spark)
+    Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b").createOrReplaceTempView("vecs")
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d, graft_l2sq(a, b) AS l2,
+        |       graft_simhash(array(5L, 6L)) AS sh,
+        |       size(graft_minhash(array(5L, 6L))) AS mh_len
+        |FROM vecs""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 8.0)
+    assert(r.getLong(2) >= 0L)
+    assert(r.getInt(3) == 16)
+  }
+
+  test("session_window stats agree with lag/cumsum sessionization") {
+    val events = Seq(
+      (1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      (3L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:50:00"), 3.0),
+      (4L, 200L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val a = Events.sessionStats(events, "ts", "user_id", "event_id", "value", 30)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Events.sessionWindowStats(events, "ts", "user_id", "value", 30)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+}
