@@ -54,16 +54,21 @@ object Knn {
   }
 
   /** Batch kNN: top-k for every row of `queries` (columns qid, qvec).
-    * Broadcast the small query side; one shuffle on qid for ranking. */
+    * Broadcast the small query side; the bounded [[graft.functions.
+    * TopKAgg]] aggregate keeps at most k rows per partition per query
+    * on the map side, so the one shuffle moves O(partitions x k) rows
+    * (a window ranking would move and sort every candidate). */
   def knnBatch(data: DataFrame, vecCol: String, queries: DataFrame, k: Int,
                metric: Metric, idCol: String): DataFrame = {
+    import graft.functions.TopKAgg
     val d = distCol(metric, col(vecCol), col("qvec"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist").asc, col(idCol).asc)
     data.crossJoin(broadcast(queries))
-      .withColumn("dist", d)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .drop("qvec")
+      .select(col("qid"), d.as("dist"), col(idCol))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk(col("dist"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        (col("_pos") + 1).as("rank"), col("_t.dist").as("dist"))
   }
 
   /** Exhaustive listing with pagination — the reference's
