@@ -27,16 +27,29 @@ object AnnIvf {
     df.filter(col(idCol).isin(seedIds: _*))
       .select(col(idCol).as("cell"), col(vecCol).cast("array<double>").as("centroid"))
 
-  /** Assign each row to its nearest centroid (broadcast join + argmin). */
+  /** Assign each row to its nearest centroid.
+    *
+    * The centroid table is tiny (nlist x dim — the reference holds it
+    * in memory too), so it is collected and unrolled into ONE argmin
+    * expression: `least` over (dist, cell) structs, each dist a
+    * codegen'd dot product against a literal centroid. Zero joins,
+    * zero shuffles — assignment rides the scan, which is the property
+    * that makes IVF indexing feasible on a 100 TB corpus. */
   def assign(df: DataFrame, vecCol: String, idCol: String,
              centroids: DataFrame, metric: Knn.Metric): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_cd").asc, col("cell").asc)
-    df.crossJoin(broadcast(centroids))
-      .withColumn("_cd", Knn.distCol(metric, col(vecCol), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "centroid")
-      .withColumnRenamed("_cd", "centroid_dist")
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assign() needs at least one centroid")
+    val best = cents.map { case (cell, cv) =>
+      struct(Knn.distCol(metric, col(vecCol), typedlit(cv)).as("d"),
+        lit(cell).as("c"))
+    }.reduce(least(_, _))
+    df.withColumn("_best", best)
+      .withColumn("cell", col("_best.c"))
+      .withColumn("centroid_dist", col("_best.d"))
+      .drop("_best")
   }
 
   /** One Lloyd iteration: recompute each cell's centroid as the mean
