@@ -18,13 +18,39 @@ import FilterLang._
   */
 object FilterCompiler {
 
-  /** Column mode: compile against a DataFrame's schema. */
-  def compile(filter: String, df: DataFrame): Column =
-    compileNode(FilterLang.parse(filter), new ColumnResolver(df.schema))
+  /** Column mode: compile against a DataFrame's schema. `params` bind
+    * `:name` placeholders (reference: query/parser.go parseParameter). */
+  def compile(filter: String, df: DataFrame, params: Map[String, Any] = Map.empty): Column =
+    compileNode(bind(FilterLang.parse(filter), params), new ColumnResolver(df.schema))
 
   /** JSON mode: compile against a JSON string column. */
-  def compileJson(filter: String, jsonCol: Column): Column =
-    compileNode(FilterLang.parse(filter), new JsonResolver(jsonCol))
+  def compileJson(filter: String, jsonCol: Column, params: Map[String, Any] = Map.empty): Column =
+    compileNode(bind(FilterLang.parse(filter), params), new JsonResolver(jsonCol))
+
+  /** Substitute Param nodes with literal values (numbers normalized to
+    * Double to match the lexer's number representation). */
+  private def bind(node: Node, params: Map[String, Any]): Node = {
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case f: Float => f.toDouble
+      case other => other
+    }
+    def go(n: Node): Node = n match {
+      case Param(name) => Lit(norm(params.getOrElse(name,
+        throw new IllegalArgumentException(s"unbound filter parameter :$name"))))
+      case And(l, r) => And(go(l), go(r))
+      case Or(l, r) => Or(go(l), go(r))
+      case Not(x) => Not(go(x))
+      case Cmp(op, l, r) => Cmp(op, go(l), go(r))
+      case StrOp(op, l, r) => StrOp(op, go(l), go(r))
+      case In(e, a, neg) => In(go(e), go(a), neg)
+      case ArrayLit(vs) => ArrayLit(vs.map(go))
+      case Length(a) => Length(go(a))
+      case other => other
+    }
+    go(node)
+  }
 
   // ---------- resolvers ----------
   private[query] trait Resolver {

@@ -82,6 +82,14 @@ class FilterLangSpec extends SparkSpec {
     assert(jids("k IN [12, 99]") == Seq(2L))
   }
 
+  test("parameters bind as literals; unbound parameters throw") {
+    assert(people.filter(FilterCompiler.compile("age >= :min_age AND status == :st", people,
+      Map("min_age" -> 18, "st" -> "active")))
+      .select("id").as[Long].collect().toSeq.sorted == Seq(1L))
+    intercept[IllegalArgumentException](
+      FilterCompiler.compile("age >= :missing", people))
+  }
+
   test("parser rejects malformed input") {
     intercept[IllegalArgumentException](FilterLang.parse("age >="))
     intercept[IllegalArgumentException](FilterLang.parse("age > 18 AND"))
