@@ -163,6 +163,24 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     * backup — json lines with id, vector, metadata. */
   def dump(outPath: String): Unit =
     current().orderBy(col("id")).write.mode("overwrite").json(outPath)
+
+  /** Compact the versioned log: collapse to the current view at
+    * version 0 and drop superseded rows and tombstones. The log's
+    * read cost is O(total mutations) until compacted; run this
+    * periodically like any LSM/merge-on-read store. */
+  def compact(): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    current()
+      .select(col("id"), col("vector"), col("metadata"),
+        lit(0L).as("version"), lit(false).as("deleted"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dst, true)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"compaction rename failed for $path")
+  }
 }
 
 object Collection {

@@ -65,6 +65,32 @@ object AnnLsh {
       .drop("qvec", "qbucket")
   }
 
+  /** Persist an LSH-indexed table partitioned by bucket — the 100 TB
+    * layout: each bucket is a parquet partition directory, so a probe
+    * is a partition-pruned scan that reads bucketCount-th of the
+    * corpus (check PartitionFilters in the probe plan). */
+  def writeIndexed(df: DataFrame, vecCol: String, numPlanes: Int, dim: Int,
+                   path: String): Unit =
+    index(df, vecCol, numPlanes, dim)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Approximate top-k against a [[writeIndexed]] table: the bucket
+    * predicate prunes partitions at planning time. */
+  def knnIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                 vecCol: String, query: DataFrame, k: Int, numPlanes: Int,
+                 dim: Int, metric: Knn.Metric, idCol: String): DataFrame = {
+    val q = query.withColumn("qbucket", bucketCol(col("qvec"), numPlanes, dim))
+    val Array(qrow) = q.collect()
+    val qbucket = qrow.getLong(qrow.fieldIndex("qbucket"))
+    spark.read.parquet(path)
+      .filter(col("bucket") === qbucket)
+      .crossJoin(broadcast(query))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec")
+  }
+
   /** Multiprobe approximate top-k: probe the query's bucket plus all
     * buckets at Hamming distance 1 (one sign bit flipped) — the
     * standard recall/latency knob for hyperplane LSH: numPlanes+1

@@ -44,6 +44,23 @@ class AnnSpec extends SparkSpec {
     assert(rm > 0.25, s"multiprobe recall too low: $rm")
   }
 
+  test("bucket-partitioned index probe prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh").toFile
+    dir.delete()
+    AnnLsh.writeIndexed(emb, "embedding", 4, 64, dir.getAbsolutePath)
+    val res = AnnLsh.knnIndexed(spark, dir.getAbsolutePath, "embedding",
+      q, 5, 4, 64, Knn.Cosine, "vec_id")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"expected partition pruning in:\n$plan")
+    assert(res.count() == 5)
+    // pruned probe returns the same rows as the in-memory bucket path
+    val mem = AnnLsh.knn(emb, "embedding", q, 5, 4, 64, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val disk = res.select("vec_id").as[Long].collect().toSeq
+    assert(mem == disk)
+  }
+
   test("ivf trained centroids improve or match seed assignment cost") {
     val seeds = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 3L)
     val trained = AnnIvf.train(emb, "embedding", "vec_id", 0L to 3L, iters = 2, Knn.Cosine)

@@ -65,6 +65,23 @@ class CollectionSpec extends SparkSpec {
     assert(page == Seq(2L, 3L))
   }
 
+  test("compact collapses the log and preserves the current view") {
+    val c = newCollection()
+    c.addDocuments(docs3)
+    c.removeDocuments(Seq(2L))
+    c.updateMetadata(1L, """{"tag": "z"}""")
+    val before = c.current().orderBy(col("id"))
+      .select("id", "metadata").as[(Long, String)].collect().toSeq
+    c.compact()
+    val after = c.current().orderBy(col("id"))
+      .select("id", "metadata").as[(Long, String)].collect().toSeq
+    assert(before == after)
+    assert(c.getAllIds() == Seq(1L, 3L))
+    // mutations keep working on the compacted log
+    c.addDocuments(Seq((9L, Seq(1.0, 1.0, 1.0, 1.0), "{}")).toDF("id", "vector", "metadata"))
+    assert(c.getAllIds() == Seq(1L, 3L, 9L))
+  }
+
   test("lossy quantization stores dequantized grid values (ref quantization.go)") {
     val c = newCollection(quantization = 8)
     c.addDocuments(Seq((1L, Seq(0.5, -0.25, 0.1, 0.77), "{}")).toDF("id", "vector", "metadata"))
