@@ -114,9 +114,17 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     }
     (args.vector, args.k, args.radius) match {
       case (None, _, _) | (_, 0, 0.0) =>
-        // exhaustive listing with pagination, stable id order
-        Knn.listRecords(filtered, "id", None,
-          if (args.limit > 0) args.limit else Int.MaxValue, args.offset)
+        // exhaustive listing with pagination, stable id order; no
+        // limit -> plain sorted scan (a limit of MaxValue would build
+        // a corpus-sized TakeOrdered heap)
+        if (args.limit > 0)
+          Knn.listRecords(filtered, "id", None, args.limit, args.offset)
+        else if (args.offset > 0) {
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col("id").asc)
+          filtered.withColumn("_pos", row_number().over(w))
+            .filter(col("_pos") > args.offset).drop("_pos")
+            .orderBy(col("id").asc)
+        } else filtered.orderBy(col("id").asc)
       case (Some(q), k, 0.0) =>
         val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
         if (args.precision == "exact")
