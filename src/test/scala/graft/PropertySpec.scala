@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.functions.{Quantization, Vectors}
+import graft.operators.Dedup
+
+/** Property-based invariants executed through the real Spark
+  * expressions (batched per property to keep job counts sane). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantization round-trip error is bounded by half a grid step") {
+    for (bits <- Seq(4, 8, 16)) {
+      val xs = Gen.listOfN(200, Gen.chooseNum(-1.2, 1.2)).sample.get
+      val errs = Seq(Tuple1(xs)).toDF("v")
+        .select(Quantization.reconstructionError(col("v"), bits).as("e"))
+        .as[Seq[Double]].head()
+      val bound = 1.0 / ((1 << bits) - 1) + 1e-12
+      // in-range values: half-step error; clamped values can exceed
+      xs.zip(errs).filter { case (x, _) => math.abs(x) <= 1.0 }
+        .foreach { case (x, e) => assert(e <= bound, s"x=$x err=$e bits=$bits") }
+    }
+  }
+
+  test("JVM-local hash64 equals the Spark-side md5 hash64 (plane-parity invariant)") {
+    val strs = Gen.listOfN(100, Gen.alphaNumStr.suchThat(_.nonEmpty)).sample.get
+    val sparkSide = strs.toDF("s").select(Dedup.hash64(col("s")).as("h"))
+      .as[Long].collect().toSeq
+    val localSide = strs.map(graft.operators.AnnLsh.hash64Local)
+    assert(sparkSide == localSide)
+  }
+
+  test("angular distance is in [0,1], symmetric, and zero on self") {
+    val vecs = Gen.listOfN(30,
+      Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0)).suchThat(v => v.exists(_ != 0.0))).sample.get
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val a = df.select(col("i").as("ia"), col("v").as("va"))
+    val b = df.select(col("i").as("ib"), col("v").as("vb"))
+    val pairs = a.crossJoin(b)
+      .select(col("ia"), col("ib"),
+        Vectors.angularDist(col("va"), col("vb")).as("dab"),
+        Vectors.angularDist(col("vb"), col("va")).as("dba"))
+      .collect()
+    pairs.foreach { r =>
+      val (ia, ib, dab, dba) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(dab >= 0.0 && dab <= 1.0)
+      assert(dab == dba, s"asymmetric: $ia $ib")
+      if (ia == ib) assert(dab < 1e-6)
+    }
+  }
+
+  test("minhash jaccard estimate tracks exact jaccard") {
+    // construct docs with known overlap; minhash signature agreement
+    // rate should approximate the true jaccard
+    val base = (1 to 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(40) ++ (1 to 20).map(i => s"x$i")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", 64, 3)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y } / 64.0
+    // true shingle jaccard of the two docs
+    val sets = docs.select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val inter = sets(1L).toSet.intersect(sets(2L).toSet).size.toDouble
+    val truth = inter / (sets(1L).size + sets(2L).size - inter)
+    assert(math.abs(agree - truth) < 0.2, s"estimate=$agree truth=$truth")
+  }
+
+  test("topk aggregate equals sort-limit on random data") {
+    val rows = Gen.listOfN(300, Gen.zip(Gen.chooseNum(0L, 4L),
+      Gen.chooseNum(0.0, 100.0), Gen.chooseNum(0L, 10000L))).sample.get
+    val df = rows.toDF("qid", "dist", "id")
+    val viaAgg = df.groupBy(col("qid"))
+      .agg(graft.functions.TopKAgg.topk(col("dist"), col("id"), 5).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.dist"), col("t.id"))
+      .as[(Long, Double, Long)].collect().toSet
+    val viaSort = rows.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.map(r => (r._2, r._3)).sorted.take(5).map(p => (q, p._1, p._2))
+    }.toSet
+    assert(viaAgg == viaSort)
+  }
+}
