@@ -192,7 +192,39 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
 }
 
 object Collection {
-  /** NewCollection (collection.go:224). */
-  def create(spark: SparkSession, options: CollectionOptions, path: String): Collection =
+
+  private def metaPath(path: String) = s"$path.options.json"
+
+  /** NewCollection (collection.go:224): persists the options next to
+    * the log (the reference stores them in the spanfile header) so a
+    * later [[open]] needs only the path. */
+  def create(spark: SparkSession, options: CollectionOptions, path: String): Collection = {
+    val json =
+      s"""{"name": ${q(options.name)}, "dimensionCount": ${options.dimensionCount},
+         | "distanceMethod": ${q(options.distanceMethod match {
+             case Knn.Cosine => "cosine"; case Knn.Euclidean => "euclidean" })},
+         | "quantization": ${options.quantization}, "lshPlanes": ${options.lshPlanes}}""".stripMargin
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(metaPath(path)), true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
     new Collection(spark, options, path)
+  }
+
+  /** Reopen an existing collection from its persisted options. */
+  def open(spark: SparkSession, path: String): Collection = {
+    val df = spark.read.option("multiLine", "true").json(metaPath(path))
+    val r = df.collect().head
+    def get[T](n: String): T = r.getAs[T](n)
+    val metric = get[String]("distanceMethod") match {
+      case "euclidean" => Knn.Euclidean
+      case _ => Knn.Cosine
+    }
+    new Collection(spark, CollectionOptions(
+      get[String]("name"), get[Long]("dimensionCount").toInt, metric,
+      get[Long]("quantization").toInt, get[Long]("lshPlanes").toInt), path)
+  }
+
+  private def q(s: String): String =
+    "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
 }

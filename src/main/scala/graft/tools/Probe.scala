@@ -1,28 +1,18 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch plan-inspection main (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
-
-    val q = graft.SparkEntry.queries("dedup_ngram")
-    time("ngram run1")(println("[probe] rows=" + q(spark, dir).count()))
-    time("ngram run2")(println("[probe] rows=" + q(spark, dir).count()))
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val name = if (args.length > 1) args(1) else "knn_batch"
+    graft.SparkEntry.queries(name)(spark, dir).explain("formatted")
     spark.stop()
   }
 }

@@ -65,6 +65,22 @@ class CollectionSpec extends SparkSpec {
     assert(page == Seq(2L, 3L))
   }
 
+  test("open() restores a created collection from persisted options") {
+    val dir = Files.createTempDirectory("graft-open").toFile
+    dir.delete()
+    val c = Collection.create(spark,
+      CollectionOptions("reopen-me", 4, Knn.Euclidean, quantization = 8),
+      dir.getAbsolutePath)
+    c.addDocuments(docs3)
+    val reopened = Collection.open(spark, dir.getAbsolutePath)
+    assert(reopened.options == c.options)
+    assert(reopened.documentCount() == 3)
+    val hit = reopened.search(SearchArgs(vector = Some(Seq(0.9, 0.0, 0.0, 0.0)),
+        k = 1, precision = "exact"))
+      .select("id").as[Long].head()
+    assert(hit == 2L)
+  }
+
   test("compact collapses the log and preserves the current view") {
     val c = newCollection()
     c.addDocuments(docs3)
