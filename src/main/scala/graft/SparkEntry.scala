@@ -163,7 +163,7 @@ object SparkEntry {
 
     "dedup_ngram" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(dedupCorpus(s, dir), "text", "doc_id",
-          n = 3, threshold = 0.6, maxDf = 20)
+          n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
@@ -176,7 +176,12 @@ object SparkEntry {
           col("label"))
       val corpus = emb.select(col("vec_id"), vd.as("embedding"), col("label"))
         .unionByName(perturbed)
-      Dedup.embeddingPairs(corpus, "embedding", "vec_id", col("label"), 0.99)
+      // block on the LSH bucket (16 buckets from 4 md5-derived
+      // hyperplanes), NOT a low-cardinality attribute: the self-join
+      // stays per-bucket at any corpus size, and more planes shrink
+      // buckets as the corpus grows
+      Dedup.embeddingPairs(corpus, "embedding", "vec_id",
+          AnnLsh.bucketCol(col("embedding"), numPlanes = 4, dim = 64), 0.99)
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
     }),
 
@@ -469,7 +474,7 @@ object SparkEntry {
          |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM wt),
          |sh AS (SELECT doc_id, unnest(hs) AS sh FROM shl),
          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
-         |         WHERE c <= 20),
+         |         WHERE c <= greatest(20, ceil((SELECT count(*) FROM corpus) * 0.005))),
          |f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM f a JOIN f b USING (sh) WHERE a.doc_id < b.doc_id)
@@ -487,12 +492,20 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id + 10000, list_concat([v[1] + 0.1], v[2:len(v)]), label
         |  FROM base WHERE vec_id % 10 = 0),
-        |nrm AS (SELECT vec_id, label,
+        |planes AS (
+        |  SELECT h, list_transform(range(64), d ->
+        |    (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+        |  FROM range(4) t(h)),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1::BIGINT << h) ELSE 0 END) AS bucket
+        |  FROM corpus, planes GROUP BY vec_id),
+        |nrm AS (SELECT c.vec_id, buckets.bucket,
         |          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
-        |        FROM corpus),
+        |        FROM corpus c JOIN buckets USING (vec_id)),
         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |            least(greatest(list_dot_product(a.nv, b.nv), -1.0), 1.0) AS cos
-        |          FROM nrm a JOIN nrm b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |          FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cos, 5) AS cos FROM pairs WHERE cos >= 0.99""".stripMargin,
 
     "embed_text" ->

@@ -120,9 +120,12 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         if (args.limit > 0)
           Knn.listRecords(filtered, "id", None, args.limit, args.offset)
         else if (args.offset > 0) {
-          val w = org.apache.spark.sql.expressions.Window.orderBy(col("id").asc)
-          filtered.withColumn("_pos", row_number().over(w))
-            .filter(col("_pos") > args.offset).drop("_pos")
+          // unbounded listing from an offset: anti-join away the first
+          // `offset` ids (a TakeOrdered head, broadcastable) instead of
+          // ranking the whole corpus in one global window
+          val head = filtered.orderBy(col("id").asc).limit(args.offset)
+            .select(col("id"))
+          filtered.join(broadcast(head), Seq("id"), "left_anti")
             .orderBy(col("id").asc)
         } else filtered.orderBy(col("id").asc)
       case (Some(q), k, 0.0) =>

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for large-scale training-data pipelines:
   * exact (hash groupBy), MinHash+LSH, SimHash, and n-gram Jaccard.
@@ -104,15 +105,19 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard similarity over distinct shingle-hash sets, computed
-    * only for the given candidate pairs: each doc carries ONE compact
-    * array of hashed shingles, and a pair costs one codegen'd
-    * `array_intersect` — no per-shingle explode/shuffle in the
-    * verification step. */
-  def verifyJaccard(df: DataFrame, textCol: String, idCol: String, shingleN: Int,
-                    candidates: DataFrame): DataFrame = {
-    val sets = df.select(col(idCol).as("sid"),
+  /** Per-doc distinct shingle-hash sets: (sid, shs array<long>). The
+    * shared input of candidate generation AND verification — compute it
+    * once and persist so neither stage re-shingles the raw text. */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("sid"),
       array_distinct(transform(shingles(col(textCol), shingleN), s => hash64(s))).as("shs"))
+
+  /** Exact Jaccard over pre-computed shingle-hash sets (see
+    * [[shingleSets]]), computed only for the given candidate pairs:
+    * each doc carries ONE compact array of hashed shingles, and a pair
+    * costs one codegen'd `array_intersect` — no per-shingle
+    * explode/shuffle in the verification step. */
+  def verifyJaccardSets(sets: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sets.select(col("sid").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sets.select(col("sid").as("id_b"), col("shs").as("sb")), "id_b")
@@ -120,16 +125,34 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .drop("sa", "sb")
-  }
 
-  /** Full MinHash+LSH near-dup pipeline → verified pairs above τ. */
+  /** As [[verifyJaccardSets]] but recomputing the shingle sets from raw
+    * text (standalone use; the pipelines pass a cached set frame). */
+  def verifyJaccard(df: DataFrame, textCol: String, idCol: String, shingleN: Int,
+                    candidates: DataFrame): DataFrame =
+    verifyJaccardSets(shingleSets(df, textCol, idCol, shingleN), candidates)
+
+  /** Full MinHash+LSH near-dup pipeline → verified pairs above τ.
+    *
+    * The shingle sets are computed ONCE and persisted (memory+disk,
+    * spills at scale): signatures, banding, and verification all read
+    * the cache instead of re-running the split+md5 pipeline per stage. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val sigs = minhashSignatures(df, textCol, idCol, numHashes, shingleN)
+    val (as, bs) = minhashConsts(numHashes)
+    val sets = shingleSets(df, textCol, idCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // sig_j = min over the doc's shingle hashes of (a_j*(h%M)+b_j)%M —
+    // duplicates can't change a min, so reducing the raw 60-bit hashes
+    // mod M inline is signature-equivalent to hashing distinct strings
+    val sigs = sets.filter(size(col("shs")) > 0)
+      .select(col("sid").as(idCol),
+        graft.functions.SketchExprs.minhashSig(
+          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
-    verifyJaccard(df, textCol, idCol, shingleN, cands)
+    verifyJaccardSets(sets, cands)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -183,24 +206,61 @@ object Dedup {
   // ---------- n-gram Jaccard (inverted index) ----------
 
   /** Near-dup pairs via an n-gram inverted index: docs sharing >= 1
-    * rare n-gram become candidates (n-grams occurring in more than
-    * maxDf docs are dropped from the index — ubiquitous shingles only
-    * create quadratic candidate fanout), then exact Jaccard over the
-    * FULL shingle sets (one array_intersect per pair) >= threshold. */
+    * rare n-gram become candidates (n-grams occurring in more than the
+    * document-frequency cap are dropped from the index — ubiquitous
+    * shingles only create quadratic candidate fanout), then exact
+    * Jaccard over the FULL shingle sets >= threshold.
+    *
+    * The df cap is corpus-relative: max(maxDf, ceil(maxDfFrac·nDocs)),
+    * so growing the corpus doesn't silently drop genuinely-shared
+    * shingles (a fixed cap of 20 would erase every shingle of a
+    * 21-times-duplicated document at scale).
+    *
+    * Plan shape (the scale-critical part):
+    *  1. shingle sets computed once, persisted — no re-shingling.
+    *  2. candidate generation AGGREGATES the inverted index:
+    *     `groupBy(id_a, id_b).count()` over exploded rare-shingle
+    *     co-occurrences. Map-side partial aggregation collapses the
+    *     pair blowup before the shuffle — no `distinct()` barrier over
+    *     raw pair rows — and the count is the pair's RARE-shingle
+    *     intersection size for free.
+    *  3. Jaccard upper-bound prefilter: |A∩B| <= rare_inter +
+    *     min(|A|-rareA, |B|-rareB) (shingles shared beyond the rare
+    *     index are non-rare in both docs). Only pairs whose bound
+    *     clears the threshold reach the exact `array_intersect`
+    *     verify, which reads the cached sets.
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.6,
-                        maxDf: Int = 100): DataFrame = {
-    val sets = df.select(col(idCol).as("sid"),
-      explode(array_distinct(transform(shingles(col(textCol), n), s => hash64(s)))).as("sh"))
-    val rare = sets.groupBy(col("sh")).agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxDf)
+                        maxDf: Int = 100, maxDfFrac: Double = 0.005): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sets.agg(count(lit(1)).as("_n_docs"))
+    val inverted = sets.select(col("sid"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("sh"))
+    val rare = inverted.groupBy(col("sh")).agg(count(lit(1)).as("df_count"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df_count") <=
+        greatest(lit(maxDf.toLong), ceil(col("_n_docs") * maxDfFrac)))
       .select(col("sh"))
-    val filtered = sets.join(rare, "sh")
-    val cands = filtered.select(col("sh"), col("sid").as("id_a"))
+    val filtered = inverted.join(rare, "sh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // rare-shingle count per doc, for the intersection upper bound
+    val docStats = filtered.groupBy(col("sid"))
+      .agg(first(col("n_sh")).as("n_sh"), count(lit(1)).as("n_rare"))
+    val pairCounts = filtered.select(col("sh"), col("sid").as("id_a"))
       .join(filtered.select(col("sh"), col("sid").as("id_b")), "sh")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    verifyJaccard(df, textCol, idCol, n, cands)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("rare_inter"))
+    val survivors = pairCounts
+      .join(docStats.select(col("sid").as("id_a"), col("n_sh").as("na"), col("n_rare").as("ra")), "id_a")
+      .join(docStats.select(col("sid").as("id_b"), col("n_sh").as("nb"), col("n_rare").as("rb")), "id_b")
+      .withColumn("_ub",
+        col("rare_inter") + least(col("na") - col("ra"), col("nb") - col("rb")))
+      .filter(col("_ub").cast("double") / (col("na") + col("nb") - col("_ub")) >= threshold)
+      .select("id_a", "id_b")
+    verifyJaccardSets(sets, survivors)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -73,19 +72,24 @@ object Knn {
 
   /** Exhaustive listing with pagination — the reference's
     * k==0 && radius==0 search mode (collection.go:633-666): stable id
-    * order, optional filter, offset/limit. */
+    * order, optional filter, offset/limit.
+    *
+    * Scale shape: `orderBy(id).limit(n)` executes as
+    * TakeOrderedAndProject — every task keeps an n-row heap and only n
+    * rows per partition ever move; the corpus is never globally sorted
+    * or moved to one task. The offset is applied by anti-joining away
+    * the first `offset` ids (a second TakeOrdered head, broadcast) —
+    * no global-window ranking anywhere in the plan. */
   def listRecords(data: DataFrame, idCol: String, filter: Option[Column],
                   limit: Int, offset: Int): DataFrame = {
     val filtered = filter.map(data.filter).getOrElse(data)
-    val w = Window.orderBy(col(idCol).asc)
-    // offset needs a global position; rank over a single ordered window.
-    // For offset == 0 skip the window entirely (keeps the plan shuffle-free
-    // modulo the TakeOrdered for limit).
-    if (offset == 0) filtered.orderBy(col(idCol).asc).limit(limit)
-    else filtered
-      .withColumn("_pos", row_number().over(w))
-      .filter(col("_pos") > offset && col("_pos") <= offset + limit)
-      .drop("_pos")
+    val page = filtered.orderBy(col(idCol).asc).limit(offset + limit)
+    if (offset == 0) page
+    else {
+      val head = filtered.select(col(idCol)).orderBy(col(idCol).asc).limit(offset)
+      page.join(broadcast(head), Seq(idCol), "left_anti")
+        .orderBy(col(idCol).asc)
+    }
   }
 
   /** Keyset pagination — the scale-correct cursor API: global numeric
