@@ -137,6 +137,13 @@ object SparkEntry {
         round(col("value"), 5).as("value"))
     }),
 
+    "filter_any_all" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).withColumn("words", split(col("text"), " "))
+      val pred = FilterCompiler.compile(
+        "ANY(words[*] == 'vector') AND ALL(words[*].length <= 6)", docs)
+      docs.filter(pred).select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     "knn_filtered" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val pred = FilterCompiler.compile("label IN [1, 2, 3]", emb)
@@ -401,6 +408,12 @@ object SparkEntry {
       """SELECT event_id, event_type, round(value, 5) AS value FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
         |  AND CAST(json_extract_string(props, '$.k') AS DOUBLE) < 90""".stripMargin,
+
+    "filter_any_all" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT *, string_split(text, ' ') AS words FROM documents)
+        |WHERE len(list_filter(words, w -> w = 'vector')) > 0
+        |  AND len(list_filter(words, w -> NOT (length(w) <= 6))) = 0""".stripMargin,
 
     "knn_filtered" ->
       s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)

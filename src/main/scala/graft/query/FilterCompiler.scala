@@ -47,6 +47,7 @@ object FilterCompiler {
       case In(e, a, neg) => In(go(e), go(a), neg)
       case ArrayLit(vs) => ArrayLit(vs.map(go))
       case Length(a) => Length(go(a))
+      case Quant(op, c) => Quant(op, go(c))
       case other => other
     }
     go(node)
@@ -58,43 +59,52 @@ object FilterCompiler {
     def resolve(ref: Ref): (Column, Option[DataType], Boolean)
   }
 
-  private[query] final class ColumnResolver(schema: StructType) extends Resolver {
-    def resolve(ref: Ref): (Column, Option[DataType], Boolean) = {
-      var c: Column = null
-      var dt: Option[DataType] = None
-      var exists = true
-      ref.path.foreach {
-        case Field(name) =>
-          if (c == null) {
-            schema.find(_.name == name) match {
-              case Some(f) => c = col(name); dt = Some(f.dataType)
+  /** Walk Field/Index/LengthSeg segments from a typed starting column
+    * (shared by [[ColumnResolver]] and the per-element resolution
+    * inside ANY/ALL). */
+  private def walkSegs(c0: Column, dt0: Option[DataType],
+                       segs: List[PathSeg]): (Column, Option[DataType], Boolean) = {
+    var c = c0
+    var dt = dt0
+    var exists = true
+    segs.foreach {
+      case Field(name) =>
+        dt match {
+          case Some(st: StructType) =>
+            st.find(_.name == name) match {
+              case Some(f) => c = c.getField(name); dt = Some(f.dataType)
               case None    => c = lit(null); dt = None; exists = false
             }
-          } else {
-            dt match {
-              case Some(st: StructType) =>
-                st.find(_.name == name) match {
-                  case Some(f) => c = c.getField(name); dt = Some(f.dataType)
-                  case None    => c = lit(null); dt = None; exists = false
-                }
-              case _ => c = c.getField(name); dt = None
-            }
-          }
-        case Index(i) =>
-          // get() tolerates out-of-bounds like the reference (query/
-          // compiler.go "[]": nil for invalid index); getItem throws
-          // under ANSI mode.
-          c = get(c, lit(i))
-          dt = dt.collect { case ArrayType(et, _) => et }
-        case LengthSeg =>
-          c = dt match {
-            case Some(_: ArrayType) => size(c).cast("double")
-            case Some(_: MapType)   => size(c).cast("double")
-            case _                  => length(c).cast("double")
-          }
-          dt = Some(DoubleType)
-      }
-      (c, dt, exists)
+          case _ => c = c.getField(name); dt = None
+        }
+      case Index(i) =>
+        // get() tolerates out-of-bounds like the reference (query/
+        // compiler.go "[]": nil for invalid index); getItem throws
+        // under ANSI mode.
+        c = get(c, lit(i))
+        dt = dt.collect { case ArrayType(et, _) => et }
+      case LengthSeg =>
+        c = dt match {
+          case Some(_: ArrayType) => size(c).cast("double")
+          case Some(_: MapType)   => size(c).cast("double")
+          case _                  => length(c).cast("double")
+        }
+        dt = Some(DoubleType)
+      case StarSeg =>
+        throw new IllegalArgumentException("[*] is only allowed inside ANY(...) / ALL(...)")
+    }
+    (c, dt, exists)
+  }
+
+  private[query] final class ColumnResolver(schema: StructType) extends Resolver {
+    def resolve(ref: Ref): (Column, Option[DataType], Boolean) = ref.path match {
+      case Field(name) :: rest =>
+        schema.find(_.name == name) match {
+          case Some(f) => walkSegs(col(name), Some(f.dataType), rest)
+          case None    => (lit(null), None, false)
+        }
+      case other =>
+        throw new IllegalArgumentException(s"path must start with a field, got $other")
     }
   }
 
@@ -108,6 +118,7 @@ object FilterCompiler {
         case Field(n)  => s".$n"
         case Index(i)  => s"[$i]"
         case LengthSeg => throw new IllegalArgumentException(".length only allowed at path end")
+        case StarSeg   => throw new IllegalArgumentException("[*] is only allowed inside ANY(...) / ALL(...)")
       }.mkString
       val c = get_json_object(jsonCol, jsonPath)
       if (hasLength) {
@@ -116,6 +127,63 @@ object FilterCompiler {
         (coalesce(asArrLen, length(c).cast("double")), Some(DoubleType), true)
       } else (c, None, true)
     }
+  }
+
+  /** Resolves the starred Ref of an ANY/ALL condition against the
+    * current array element (`elem`); everything else delegates to the
+    * enclosing resolver, so conditions can mix element fields with
+    * top-level fields. */
+  private final class ElementResolver(outer: Resolver, elem: Column,
+                                      elemDt: Option[DataType], val json: Boolean) extends Resolver {
+    def resolve(ref: Ref): (Column, Option[DataType], Boolean) = {
+      val i = ref.path.indexOf(StarSeg)
+      if (i < 0) outer.resolve(ref)
+      else {
+        val suffix = ref.path.drop(i + 1)
+        if (suffix.contains(StarSeg))
+          throw new IllegalArgumentException("nested [*] is not supported")
+        if (!json) walkSegs(elem, elemDt, suffix)
+        else {
+          // elements arrive as raw JSON text (from_json to
+          // array<string> preserves object/scalar source text)
+          val (segs, hasLength) = suffix.lastOption match {
+            case Some(LengthSeg) => (suffix.init, true)
+            case _               => (suffix, false)
+          }
+          val c =
+            if (segs.isEmpty) elem
+            else get_json_object(elem, "$" + segs.map {
+              case Field(n) => s".$n"
+              case Index(ix) => s"[$ix]"
+              case other => throw new IllegalArgumentException(s"unexpected $other after [*]")
+            }.mkString)
+          if (hasLength)
+            (coalesce(json_array_length(c).cast("double"), length(c).cast("double")),
+              Some(DoubleType), true)
+          else (c, None, true)
+        }
+      }
+    }
+  }
+
+  /** All distinct array prefixes (path up to `[*]`) referenced in an
+    * ANY/ALL condition. */
+  private def starPrefixes(node: Node): List[List[PathSeg]] = {
+    def go(n: Node): List[List[PathSeg]] = n match {
+      case Ref(path) if path.contains(StarSeg) => List(path.takeWhile(_ != StarSeg))
+      case Ref(_) | Lit(_) | Param(_) => Nil
+      case ArrayLit(vs) => vs.flatMap(go)
+      case Cmp(_, l, r) => go(l) ++ go(r)
+      case StrOp(_, l, r) => go(l) ++ go(r)
+      case And(l, r) => go(l) ++ go(r)
+      case Or(l, r) => go(l) ++ go(r)
+      case Not(x) => go(x)
+      case In(e, a, _) => go(e) ++ go(a)
+      case Exists(ref, _) => go(ref)
+      case Length(a) => go(a)
+      case Quant(_, c) => go(c)
+    }
+    go(node).distinct
   }
 
   // ---------- compilation ----------
@@ -178,6 +246,35 @@ object FilterCompiler {
       case Ref(path) => r.resolve(Ref(path :+ LengthSeg))._1
       case _ => throw new IllegalArgumentException("LENGTH requires a field reference")
     }
+
+    // ANY/ALL over one array: compile the condition per element via a
+    // higher-order function — stays inside whole-stage codegen, no
+    // explode/shuffle (reference: query/compiler.go:107-152).
+    case Quant(op, cond) =>
+      val prefixes = starPrefixes(cond)
+      if (prefixes.isEmpty)
+        throw new IllegalArgumentException(s"$op requires a path containing [*]")
+      if (prefixes.length > 1)
+        throw new IllegalArgumentException(
+          s"$op condition must reference a single [*] array, got ${prefixes.length}")
+      val (arrRaw, adt, inSchema) = r.resolve(Ref(prefixes.head))
+      if (!inSchema) lit(false) // missing array errors out the record in the reference
+      else {
+        val json = r.isInstanceOf[JsonResolver] ||
+          (r match { case er: ElementResolver => er.json; case _ => false })
+        val (arrCol, elemDt) =
+          if (json) (from_json(arrRaw, ArrayType(StringType)), None)
+          else (arrRaw, adt.collect { case ArrayType(et, _) => et })
+        // per-element nulls: the reference skips non-bool matches —
+        // neutral for ALL (true), non-match for ANY (false)
+        def pred(x: Column): Column = {
+          val p = compileNode(cond, new ElementResolver(r, x, elemDt, json))
+          coalesce(p, lit(op == "ALL"))
+        }
+        val q = if (op == "ANY") exists(arrCol, pred) else forall(arrCol, pred)
+        // a null / non-array value errors out the record in the reference
+        coalesce(q, lit(false))
+      }
 
     case Ref(_) | Lit(_) | ArrayLit(_) =>
       operand(node, r)._1

@@ -90,6 +90,74 @@ class FilterLangSpec extends SparkSpec {
       FilterCompiler.compile("age >= :missing", people))
   }
 
+  test("ANY/ALL with [*] over scalar arrays (query/parser_test.go:38)") {
+    val df = Seq(
+      (1L, Seq(500.0, 1500.0), Seq(4, 5)),
+      (2L, Seq(100.0), Seq(2, 5)),
+      (3L, Seq.empty[Double], Seq.empty[Int]),
+      (4L, Seq(2000.0), Seq(4, 4))
+    ).toDF("id", "orders", "ratings")
+    def q(f: String): Seq[Long] =
+      df.filter(FilterCompiler.compile(f, df)).select("id").as[Long].collect().toSeq.sorted
+    assert(q("ANY(orders[*] > 1000)") == Seq(1L, 4L))
+    // ALL over an empty array is vacuously true (reference loop semantics)
+    assert(q("ALL(ratings[*] >= 4)") == Seq(1L, 3L, 4L))
+    assert(q("ANY(orders[*] > 1000) AND ALL(ratings[*] >= 4)") == Seq(1L, 4L))
+    // missing array column → record errors out in the reference → excluded
+    assert(q("ANY(nope[*] > 0)") == Seq())
+    assert(q("ALL(nope[*] > 0)") == Seq())
+  }
+
+  test("ANY over struct-array element fields (query/compiler_test.go:260)") {
+    val df = Seq(
+      (1L, Seq((50, "a"), (150, "b"))),
+      (2L, Seq((75, "c"))),
+      (3L, Seq.empty[(Int, String)])
+    ).toDF("id", "raw")
+      .select(col("id"), transform(col("raw"),
+        x => struct(x.getField("_1").as("quantity"), x.getField("_2").as("sku"))).as("items"))
+    def q(f: String): Seq[Long] =
+      df.filter(FilterCompiler.compile(f, df)).select("id").as[Long].collect().toSeq.sorted
+    assert(q("ANY(items[*].quantity > 100)") == Seq(1L))
+    assert(q("ALL(items[*].quantity <= 100)") == Seq(2L, 3L))
+    assert(q("ANY(items[*].sku == 'c')") == Seq(2L))
+  }
+
+  test("ANY/ALL with [*].length and element string ops") {
+    val df = Seq(
+      (1L, Seq("short", "elongated")),
+      (2L, Seq("tiny")),
+      (3L, Seq("overwhelmingly"))
+    ).toDF("id", "words")
+    def q(f: String): Seq[Long] =
+      df.filter(FilterCompiler.compile(f, df)).select("id").as[Long].collect().toSeq.sorted
+    assert(q("ANY(words[*].length > 8)") == Seq(1L, 3L))
+    assert(q("ALL(words[*].length <= 9)") == Seq(1L, 2L))
+    assert(q("ANY(words[*] ENDS_WITH 'ed')") == Seq(1L))
+  }
+
+  test("ANY/ALL in json mode over object and scalar arrays") {
+    val df = Seq(
+      (1L, """{"items": [{"quantity": 50}, {"quantity": 150}], "scores": [80, 90]}"""),
+      (2L, """{"items": [{"quantity": 75}], "scores": [50, 95]}"""),
+      (3L, """{"items": [], "scores": []}"""),
+      (4L, """{"scores": [60]}""")
+    ).toDF("id", "props")
+    def jq(f: String): Seq[Long] =
+      df.filter(FilterCompiler.compileJson(f, col("props"))).select("id").as[Long].collect().toSeq.sorted
+    assert(jq("ANY(items[*].quantity > 100)") == Seq(1L))
+    assert(jq("ALL(scores[*] >= 60)") == Seq(1L, 3L, 4L))
+    // items missing on id=4 → excluded even under ALL
+    assert(jq("ALL(items[*].quantity <= 100)") == Seq(2L, 3L))
+  }
+
+  test("[*] outside ANY/ALL is rejected") {
+    intercept[IllegalArgumentException](
+      FilterCompiler.compile("tags[*] == 'a'", people))
+    intercept[IllegalArgumentException](
+      FilterCompiler.compile("ANY(age > 10)", people))
+  }
+
   test("parser rejects malformed input") {
     intercept[IllegalArgumentException](FilterLang.parse("age >="))
     intercept[IllegalArgumentException](FilterLang.parse("age > 18 AND"))
