@@ -28,6 +28,13 @@ final case class SearchArgs(
     precision: String = "medium",
     filter: Option[String] = None)
 
+/** Search results with scan telemetry — the reference's
+  * `SearchResults` (collection.go:125-135): the matching rows plus the
+  * percentage of the corpus that was touched to produce them (100 for
+  * exact/radius/listing scans, the probed-bucket mass for
+  * precision="medium" ANN). */
+final case class SearchResults(results: DataFrame, percentSearched: Double)
+
 /** An embeddable vector collection over a parquet-backed versioned
   * log — the Spark-native re-expression of the reference's
   * `Collection` (collection.go): same operations, but every mutation
@@ -139,6 +146,28 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
         Knn.radius(filtered, "vector", qdf, r, options.distanceMethod)
     }
+  }
+
+  /** As [[search]], also reporting PercentSearched
+    * (collection.go:569-712): exhaustive modes touch the whole filtered
+    * corpus (100%); precision="medium" k-NN touches only the query's
+    * LSH bucket, and the fraction is that bucket's share of the
+    * corpus. */
+  def searchWithStats(args: SearchArgs): SearchResults = {
+    val results = search(args)
+    val pct = (args.vector, args.k, args.radius) match {
+      case (Some(q), k, 0.0) if k > 0 && args.precision != "exact" =>
+        val base = current()
+        val filtered = args.filter match {
+          case Some(f) => base.filter(FilterCompiler.compileJson(f, col("metadata")))
+          case None => base
+        }
+        val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
+        AnnLsh.percentSearched(filtered, "vector", qdf,
+          options.lshPlanes, options.dimensionCount)
+      case _ => if (documentCount() == 0L) 0.0 else 100.0
+    }
+    SearchResults(results, pct)
   }
 
   /** GetDocument (collection.go:463). */

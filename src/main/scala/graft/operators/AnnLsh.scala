@@ -112,6 +112,34 @@ object AnnLsh {
       .drop("qvec", "probe")
   }
 
+  /** The probe-bucket list for a query: its own bucket, plus all
+    * Hamming-distance-1 neighbors when `multiprobe`. */
+  def probeBuckets(query: DataFrame, numPlanes: Int, dim: Int,
+                   multiprobe: Boolean): Seq[Long] = {
+    val q = query.withColumn("qbucket", bucketCol(col("qvec"), numPlanes, dim))
+    val Array(qrow) = q.select(col("qbucket")).collect()
+    val qbucket = qrow.getLong(0)
+    if (multiprobe) qbucket +: (0 until numPlanes).map(h => qbucket ^ (1L << h))
+    else Seq(qbucket)
+  }
+
+  /** PercentSearched for an LSH probe — the reference's
+    * `SearchResults.PercentSearched` contract (collection.go:133,704):
+    * pointsSearched / numRecords * 100, where pointsSearched is the
+    * mass of the probed buckets. One small aggregate job (count +
+    * conditional count in a single pass); 0 on an empty corpus like
+    * the reference's NaN guard (collection.go:707). */
+  def percentSearched(df: DataFrame, vecCol: String, query: DataFrame,
+                      numPlanes: Int, dim: Int, multiprobe: Boolean = false): Double = {
+    val probes = probeBuckets(query, numPlanes, dim, multiprobe)
+    val row = index(df, vecCol, numPlanes, dim)
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("bucket").isin(probes: _*), 1L).otherwise(0L)).as("probed"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 0.0 else row.getLong(1).toDouble / total * 100.0
+  }
+
   /** Recall@k of the approximate result vs exact brute force. */
   def recallAtK(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
                 numPlanes: Int, dim: Int, metric: Knn.Metric, idCol: String): Double = {

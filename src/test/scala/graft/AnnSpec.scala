@@ -61,6 +61,53 @@ class AnnSpec extends SparkSpec {
     assert(mem == disk)
   }
 
+  test("percentSearched equals probed-bucket mass / corpus (collection.go:704)") {
+    val numPlanes = 4
+    val indexed = AnnLsh.index(emb, "embedding", numPlanes, 64)
+    val total = indexed.count().toDouble
+    def mass(probes: Seq[Long]): Double =
+      indexed.filter(col("bucket").isin(probes: _*)).count().toDouble
+    val single = AnnLsh.probeBuckets(q, numPlanes, 64, multiprobe = false)
+    val multi = AnnLsh.probeBuckets(q, numPlanes, 64, multiprobe = true)
+    val pctS = AnnLsh.percentSearched(emb, "embedding", q, numPlanes, 64)
+    val pctM = AnnLsh.percentSearched(emb, "embedding", q, numPlanes, 64, multiprobe = true)
+    assert(math.abs(pctS - mass(single) / total * 100.0) < 1e-9)
+    assert(math.abs(pctM - mass(multi) / total * 100.0) < 1e-9)
+    // a medium-precision probe must touch a strict subset of the corpus
+    assert(pctS > 0.0 && pctS < 100.0)
+    assert(pctM >= pctS)
+    // empty corpus reports 0, not NaN (collection.go:707)
+    assert(AnnLsh.percentSearched(emb.filter(lit(false)), "embedding", q, numPlanes, 64) == 0.0)
+  }
+
+  test("recall@10 floors at sf0.01: lsh multiprobe and ivf nprobe=2") {
+    val e = Tables.embeddings(spark, sf001).cache()
+    val k = 10
+    val cent = AnnIvf.seedCentroids(e, "embedding", "vec_id", 0L to 7L)
+    val recalls = (1L to 5L).map { qid =>
+      val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = Knn.knn(e, "embedding", qv, k, Knn.Cosine, "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val lsh = AnnLsh.knnMultiprobe(e, "embedding", qv, k, 4, 64, Knn.Cosine, "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val ivf = AnnIvf.knn(e, "embedding", qv, k, cent, 2, Knn.Cosine, "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      (lsh.intersect(exact).size.toDouble / k, ivf.intersect(exact).size.toDouble / k)
+    }
+    val recallLsh = recalls.map(_._1).sum / recalls.size
+    val recallIvf = recalls.map(_._2).sum / recalls.size
+    info(s"mean recall@10 over ${recalls.size} queries: lsh=$recallLsh ivf=$recallIvf")
+    // floors pin the recall/latency trade ON WORST-CASE DATA (the test
+    // embeddings are uniform random — no cluster structure for the
+    // buckets to exploit): tuning that raises speed by silently
+    // dropping recall below these fails the suite (the reference's
+    // adaptive tree enforces the same contract with targetRecall
+    // backtracking, lshtree.go)
+    assert(recallLsh >= 0.35, s"lsh multiprobe mean recall@10 = $recallLsh < 0.35")
+    assert(recallIvf >= 0.6, s"ivf nprobe=2 mean recall@10 = $recallIvf < 0.6")
+    e.unpersist()
+  }
+
   test("ivf trained centroids improve or match seed assignment cost") {
     val seeds = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 3L)
     val trained = AnnIvf.train(emb, "embedding", "vec_id", 0L to 3L, iters = 2, Knn.Cosine)

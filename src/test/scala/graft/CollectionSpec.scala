@@ -65,6 +65,24 @@ class CollectionSpec extends SparkSpec {
     assert(page == Seq(2L, 3L))
   }
 
+  test("searchWithStats reports PercentSearched per search mode") {
+    val c = newCollection()
+    // enough spread that the 16 LSH buckets are not all one bucket
+    val many = (0 until 64).map(i =>
+      (i.toLong, Seq(math.sin(i * 1.7), math.cos(i * 2.3),
+        math.sin(i * 0.9) - 0.5, math.cos(i * 1.1) - 0.5), "{}"))
+    c.addDocuments(many.toDF("id", "vector", "metadata"))
+    val qv = Some(Seq(1.0, 0.2, -0.3, 0.1))
+    val exact = c.searchWithStats(SearchArgs(vector = qv, k = 3, precision = "exact"))
+    assert(exact.percentSearched == 100.0)
+    assert(exact.results.count() == 3)
+    val medium = c.searchWithStats(SearchArgs(vector = qv, k = 3))
+    assert(medium.percentSearched > 0.0 && medium.percentSearched < 100.0,
+      s"medium search should touch a strict subset, got ${medium.percentSearched}%")
+    val listing = c.searchWithStats(SearchArgs(limit = 5))
+    assert(listing.percentSearched == 100.0)
+  }
+
   test("open() restores a created collection from persisted options") {
     val dir = Files.createTempDirectory("graft-open").toFile
     dir.delete()
