@@ -243,6 +243,16 @@ object Collection {
     new Collection(spark, options, path)
   }
 
+  /** Recreate a collection from a [[Collection#dump]] backup — the
+    * reference's ImportJSON (dump.go:138): create with the given
+    * options, then load every dumped record. */
+  def importDump(spark: SparkSession, options: CollectionOptions,
+                 path: String, dumpPath: String): Collection = {
+    val c = create(spark, options, path)
+    c.addDocuments(graft.sources.Sources.dumpRecords(spark, dumpPath))
+    c
+  }
+
   /** Reopen an existing collection from its persisted options. */
   def open(spark: SparkSession, path: String): Collection = {
     val df = spark.read.option("multiLine", "true").json(metaPath(path))

@@ -220,7 +220,7 @@ object FilterCompiler {
         case ("CONTAINS", _)    => lc.contains(rv)
         case ("STARTS_WITH", _) => lc.startsWith(rv)
         case ("ENDS_WITH", _)   => lc.endsWith(rv)
-        case ("MATCHES", _)     => lc.rlike(rv)
+        case ("MATCHES", _)     => lc.rlike(normalizeRe2(rv))
       }
 
     case In(expr, ArrayLit(vals), negated) =>
@@ -286,6 +286,32 @@ object FilterCompiler {
     case Lit(v)    => (lit(narrowNum(v)), Some(litType(v)), true)
     case Length(arg) => (compileNode(Length(arg), r), Some(DoubleType), true)
     case other     => (compileNode(other, r), Some(BooleanType), true)
+  }
+
+  /** MATCHES dialect guard: the reference evaluates patterns with Go
+    * RE2 (query/compiler.go:426 regexp.MatchString); Spark's `rlike`
+    * uses java.util.regex. Both are UNANCHORED substring matchers and
+    * agree on the core syntax the reference exercises (classes,
+    * quantifiers, `^`/`$` anchors — query/compiler_test.go:296), but
+    * two RE2 spellings are invalid or different in Java and are
+    * rewritten here:
+    *  - POSIX classes `[[:alpha:]]` → `\p{Alpha}` (Java has no POSIX
+    *    bracket form)
+    *  - named groups `(?P<name>...)` → `(?<name>...)`
+    * Residual divergence (Java-only lookaround/backreferences) is
+    * Java-accepting-MORE, so every RE2-legal reference pattern
+    * behaves identically. */
+  private[query] def normalizeRe2(pattern: String): String = {
+    val posix = Map(
+      "alpha" -> "\\p{Alpha}", "digit" -> "\\p{Digit}", "alnum" -> "\\p{Alnum}",
+      "upper" -> "\\p{Upper}", "lower" -> "\\p{Lower}", "space" -> "\\p{Space}",
+      "punct" -> "\\p{Punct}", "xdigit" -> "\\p{XDigit}", "cntrl" -> "\\p{Cntrl}",
+      "print" -> "\\p{Print}", "graph" -> "\\p{Graph}", "blank" -> "\\p{Blank}",
+      "word"  -> "\\w")
+    val p1 = posix.foldLeft(pattern) { case (acc, (name, jav)) =>
+      acc.replace(s"[[:$name:]]", s"[$jav]").replace(s"[:$name:]", jav)
+    }
+    p1.replace("(?P<", "(?<")
   }
 
   /** Integral number literals become LongType so comparisons against

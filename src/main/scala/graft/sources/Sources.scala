@@ -46,6 +46,19 @@ object Sources {
     canonical(raw, embedDim)
   }
 
+  /** Read a [[graft.core.Collection#dump]] backup directory back into
+    * the canonical (id, vector, metadata) record frame — graft's
+    * inverse of the reference's ImportJSON (dump.go:138). The dump is
+    * json-lines with the vector already materialized, so nothing needs
+    * re-embedding. */
+  def dumpRecords(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(StructType(Seq(
+        StructField("id", LongType),
+        StructField("vector", ArrayType(DoubleType)),
+        StructField("metadata", StringType))))
+      .json(path)
+      .select(col("id"), col("vector"), col("metadata"))
+
   /** Streaming json-lines records for continuous ingest
     * (graft.streaming.Ingest consumes this). */
   def jsonRecordStream(spark: SparkSession, path: String): DataFrame =

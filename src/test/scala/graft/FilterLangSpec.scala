@@ -151,6 +151,26 @@ class FilterLangSpec extends SparkSpec {
     assert(jq("ALL(items[*].quantity <= 100)") == Seq(2L, 3L))
   }
 
+  test("MATCHES follows the reference's RE2 dialect (query/compiler_test.go:296)") {
+    val df = Seq(
+      (1L, "john_doe123"), (2L, "JD"), (3L, "UPPER_ONLY"), (4L, "abc def")
+    ).toDF("id", "username")
+    def m(pat: String): Seq[Long] =
+      df.filter(FilterCompiler.compile(s"username MATCHES '$pat'", df))
+        .select("id").as[Long].collect().toSeq.sorted
+    // the reference's own test pattern: full anchors + class + bound
+    assert(m("^[a-z0-9_]{3,16}$") == Seq(1L))
+    // unanchored = substring semantics, like Go regexp.MatchString
+    assert(m("doe") == Seq(1L))
+    assert(m("^UPPER") == Seq(3L))
+    // RE2 POSIX classes normalize to Java \\p classes
+    assert(m("^[[:lower:]]+[[:digit:]]+$") == Seq())
+    assert(m("^[[:alpha:]]+ [[:alpha:]]+$") == Seq(4L))
+    assert(m("[[:digit:]]{3}") == Seq(1L))
+    // RE2 named groups (?P<...>) normalize to Java (?<...>)
+    assert(m("^(?P<first>[a-z]+)_(?P<rest>.*)$") == Seq(1L))
+  }
+
   test("[*] outside ANY/ALL is rejected") {
     intercept[IllegalArgumentException](
       FilterCompiler.compile("tags[*] == 'a'", people))

@@ -45,4 +45,31 @@ class SourcesSpec extends SparkSpec {
     c.dump(out.getAbsolutePath)
     assert(spark.read.json(out.getAbsolutePath).count() == 2)
   }
+
+  test("dump -> importDump restores an identical collection (dump.go:138)") {
+    val cdir = Files.createTempDirectory("graft-imp-src").toFile
+    cdir.delete()
+    val c = Collection.create(spark,
+      CollectionOptions("backup-me", 3, Knn.Cosine), cdir.getAbsolutePath)
+    c.addDocuments(Seq(
+      (1L, Seq(1.0, 0.0, 0.5), """{"tag":"a"}"""),
+      (2L, Seq(0.0, 1.0, -0.5), """{"tag":"b"}"""),
+      (3L, Seq(0.3, 0.3, 0.3), """{"tag":"c"}""")
+    ).toDF("id", "vector", "metadata"))
+    c.removeDocuments(Seq(2L)) // dump captures the current view only
+    val dumpDir = Files.createTempDirectory("graft-imp-dump").toFile
+    dumpDir.delete()
+    c.dump(dumpDir.getAbsolutePath)
+
+    val rdir = Files.createTempDirectory("graft-imp-dst").toFile
+    rdir.delete()
+    val restored = Collection.importDump(spark,
+      CollectionOptions("restored", 3, Knn.Cosine),
+      rdir.getAbsolutePath, dumpDir.getAbsolutePath)
+    def snapshot(x: Collection): Seq[(Long, Seq[Double], String)] =
+      x.current().orderBy(col("id"))
+        .as[(Long, Seq[Double], String)].collect().toSeq
+    assert(snapshot(restored) == snapshot(c))
+    assert(restored.getAllIds() == Seq(1L, 3L))
+  }
 }
