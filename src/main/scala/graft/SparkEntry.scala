@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{AnnIvf, AnnLsh, Crud, Dedup, Embed, Events, Knn, TextAnalysis}
+import graft.operators.{AnnIvf, AnnLsh, Crud, Dedup, Embed, Events, Knn, Sampling, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -163,6 +163,34 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratified(Tables.documents(s, dir), "doc_id", col("source"),
+          Map("src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    "pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+      Sampling.packStats(docs, "doc_id", col("n_tok"), col("source"), 512)
+        .select(col("pack_group"), col("pack_id"), col("n_docs"),
+          col("tokens").cast("long").as("tokens"))
+    }),
+
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(
+        docs.filter(col("source") =!= "src0"), "text", "doc_id",
+        docs.filter(col("source") === "src0"), "text",
+        n = 3, minHits = 3)
+    }),
+
+    "dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(dedupCorpus(s, dir), "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      Dedup.connectedComponents(pairs)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(dedupCorpus(s, dir), "text", "doc_id", maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
@@ -291,6 +319,40 @@ object SparkEntry {
 
   /** The shared distance expression both engines compute: double-cast
     * lists, sequential dot-product folds, clamped acos. */
+  /** Shared CTE chain ending in `mh_pairs` (id_a, id_b, jaccard >=
+    * 0.5) — the DuckDB twin of Dedup.minhashPairs, reused by the
+    * dedup_minhash and dedup_cluster oracles. */
+  private val minhashPairsCtes: String = {
+    val (as, bs) = Dedup.minhashConsts(16)
+    val aLit = as.mkString("[", ", ", "]")
+    val bLit = bs.mkString("[", ", ", "]")
+    s"""$corpusSql,
+       |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          range(1, greatest(len(w)-1, 1)),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM wt),
+       |sig AS (SELECT doc_id, list_transform(range(16), j ->
+       |          list_min(list_transform(
+       |            list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647),
+       |            h -> ($aLit[j+1] * h + $bLit[j+1]) % 2147483647))) AS sig
+       |        FROM shl WHERE len(shs) > 0),
+       |bandkey AS (SELECT doc_id, b.b AS band,
+       |              array_to_string(sig[(4*b.b+1):(4*b.b+4)], ',') AS key
+       |            FROM sig, range(4) b(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bandkey a JOIN bandkey b USING (band, key)
+       |         WHERE a.doc_id < b.doc_id),
+       |hsh AS (SELECT doc_id, list_distinct(list_transform(shs,
+       |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM shl),
+       |mh_pairs AS (
+       |  SELECT id_a, id_b, i * 1.0 / (na + nb - i) AS jaccard FROM (
+       |    SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+       |           len(a.hs) AS na, len(b.hs) AS nb
+       |    FROM cand c JOIN hsh a ON a.doc_id = c.id_a
+       |                JOIN hsh b ON b.doc_id = c.id_b)
+       |  WHERE i * 1.0 / (na + nb - i) >= 0.5)""".stripMargin
+  }
+
   private val cosDistSql =
     """acos(least(greatest(
       |  list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
@@ -429,37 +491,50 @@ object SparkEntry {
          |  FROM corpus GROUP BY md5(text))
          |WHERE dup_count > 1""".stripMargin,
 
-    "dedup_minhash" -> {
-      val (as, bs) = Dedup.minhashConsts(16)
-      val aLit = as.mkString("[", ", ", "]")
-      val bLit = bs.mkString("[", ", ", "]")
-      s"""WITH $corpusSql,
-         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-         |shl AS (SELECT doc_id, list_distinct(list_transform(
-         |          range(1, greatest(len(w)-1, 1)),
-         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM wt),
-         |sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl),
-         |sig AS (SELECT doc_id, list_transform(range(16), j ->
-         |          list_min(list_transform(
-         |            list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647),
-         |            h -> ($aLit[j+1] * h + $bLit[j+1]) % 2147483647))) AS sig
-         |        FROM shl WHERE len(shs) > 0),
-         |bandkey AS (SELECT doc_id, b.b AS band,
-         |              array_to_string(sig[(4*b.b+1):(4*b.b+4)], ',') AS key
-         |            FROM sig, range(4) b(b)),""".stripMargin +
-      s"""
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |         FROM bandkey a JOIN bandkey b USING (band, key)
-         |         WHERE a.doc_id < b.doc_id),
-         |hsh AS (SELECT doc_id, list_distinct(list_transform(shs,
-         |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM shl)
-         |SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 5) AS jaccard FROM (
-         |  SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
-         |         len(a.hs) AS na, len(b.hs) AS nb
-         |  FROM cand c JOIN hsh a ON a.doc_id = c.id_a
-         |              JOIN hsh b ON b.doc_id = c.id_b)
-         |WHERE i * 1.0 / (na + nb - i) >= 0.5""".stripMargin
-    },
+    "dedup_minhash" ->
+      s"""WITH $minhashPairsCtes
+         |SELECT id_a, id_b, round(jaccard, 5) AS jaccard FROM mh_pairs""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 <
+        |      (CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END) * 1000000""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS e FROM t)
+        |SELECT source AS pack_group, CAST(floor((e - n_tok) / 512) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "decontaminate" ->
+      """WITH crp AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents WHERE source <> 'src0'),
+        |ben AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-1, 1)),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM ben),
+        |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-1, 1)),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM crp),
+        |hits AS (SELECT doc_id, count(*) AS bench_hits
+        |         FROM csh JOIN bsh USING (sh) GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(h.bench_hits, 0) AS bench_hits,
+        |       coalesce(h.bench_hits, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM crp) c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "dedup_cluster" ->
+      // connected components over the minhash near-dup pair graph:
+      // transitive closure via recursive CTE; cluster = min reachable id
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $corpusSql,

@@ -62,8 +62,44 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     try spark.read.parquet(path)
     catch { case _: Throwable => emptyBatch() }
 
-  private def nextVersion(): Long =
-    log().agg(coalesce(max(col("version")), lit(-1L))).head().getLong(0) + 1
+  /** Max version from parquet FOOTER statistics — O(files) metadata
+    * reads, zero row data: the scale answer to a monotonic version
+    * counter without a coordination service (every appended batch
+    * carries one constant version, so file-level min/max stats are
+    * exact). Falls back to a full aggregate only if a footer lacks
+    * stats for the column. */
+  private def nextVersion(): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(dir)) return 0L
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+    if (files.isEmpty) return 0L
+    try {
+      var mx = -1L
+      files.foreach { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.forEach { b =>
+            b.getColumns.forEach { c =>
+              if (c.getPath.toDotString == "version") {
+                val st = c.getStatistics
+                if (st == null || !st.hasNonNullValue)
+                  throw new IllegalStateException(s"no version stats in $p")
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              }
+            }
+          }
+        } finally reader.close()
+      }
+      mx + 1
+    } catch {
+      case _: Exception =>
+        log().agg(coalesce(max(col("version")), lit(-1L))).head().getLong(0) + 1
+    }
+  }
 
   private def append(batch: DataFrame): Unit =
     batch.write.mode("append").parquet(path)

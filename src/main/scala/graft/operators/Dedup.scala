@@ -116,15 +116,29 @@ object Dedup {
     * [[shingleSets]]), computed only for the given candidate pairs:
     * each doc carries ONE compact array of hashed shingles, and a pair
     * costs one codegen'd `array_intersect` — no per-shingle
-    * explode/shuffle in the verification step. */
-  def verifyJaccardSets(sets: DataFrame, candidates: DataFrame): DataFrame =
-    candidates
+    * explode/shuffle in the verification step.
+    *
+    * `minJaccard` > 0 adds a size-ratio prefilter before the
+    * intersection: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    * sizes alone rule them out never pay for the O(|A|+|B|) intersect.
+    * Zero extra shuffles — the bound reads the already-joined arrays'
+    * sizes. */
+  def verifyJaccardSets(sets: DataFrame, candidates: DataFrame,
+                        minJaccard: Double = 0.0): DataFrame = {
+    val joined = candidates
       .join(sets.select(col("sid").as("id_a"), col("shs").as("sa")), "id_a")
       .join(sets.select(col("sid").as("id_b"), col("shs").as("sb")), "id_b")
+    val pruned =
+      if (minJaccard > 0)
+        joined.filter(least(size(col("sa")), size(col("sb"))).cast("double") /
+          greatest(size(col("sa")), size(col("sb"))) >= minJaccard)
+      else joined
+    pruned
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .drop("sa", "sb")
+  }
 
   /** As [[verifyJaccardSets]] but recomputing the shingle sets from raw
     * text (standalone use; the pipelines pass a cached set frame). */
@@ -152,7 +166,7 @@ object Dedup {
         graft.functions.SketchExprs.minhashSig(
           transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
-    verifyJaccardSets(sets, cands)
+    verifyJaccardSets(sets, cands, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -263,6 +277,104 @@ object Dedup {
     verifyJaccardSets(sets, survivors)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------- benchmark decontamination ----------
+
+  /** Flag training docs that overlap an evaluation/benchmark set — the
+    * decontamination pass every LLM data pipeline runs before
+    * training. A doc is contaminated when >= `minHits` of its distinct
+    * n-gram shingle hashes appear anywhere in the benchmark corpus.
+    *
+    * Plan shape: the benchmark collapses to ONE distinct shingle-hash
+    * column (however many benchmark docs, the join key set is its
+    * vocabulary, typically << corpus); corpus shingles equi-join it
+    * and aggregate to per-doc hit counts with map-side combine. Both
+    * sides are explode → hash — no arrays ship through the join.
+    * Returns every corpus doc with its hit count and flag, so the
+    * "keep clean docs" filter is `!contaminated`. */
+  def decontaminate(corpus: DataFrame, textCol: String, idCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    n: Int = 3, minHits: Int = 1): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(array_distinct(
+        transform(shingles(col(benchTextCol), n), s => hash64(s)))).as("sh"))
+      .distinct()
+    val corpusShingles = corpus.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        transform(shingles(col(textCol), n), s => hash64(s)))).as("sh"))
+    val hits = corpusShingles.join(benchShingles, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("bench_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("bench_hits"), lit(0L)).as("bench_hits"),
+        (coalesce(col("bench_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  // ---------- near-dup clustering (connected components) ----------
+
+  /** Group near-dup PAIRS into duplicate CLUSTERS: connected
+    * components over the pair graph, cluster id = min doc id in the
+    * component. This is the step every dedup pipeline needs after
+    * pair generation — "keep one doc per cluster" is a groupBy on the
+    * output.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping.
+    * Each round takes the per-node min over neighbor labels AND then
+    * follows its own label one hop (label-of-label) — the jump squares
+    * the effective propagation distance, so rounds needed is
+    * O(log diameter), not O(diameter). Near-dup components are
+    * stars/cliques of duplicates (diameter 2-4), so 2-3 rounds
+    * converge even at corpus scale; the per-round convergence check is
+    * one count over the (small) label frame.
+    *
+    * Returns (doc_id, cluster_id) for every doc appearing in >= 1
+    * pair; singletons are their own implicit cluster and are omitted,
+    * like the pair frames omit them. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): an iterative plan re-OPTIMIZES its
+    // whole lineage on every action, so after a few rounds Catalyst
+    // spends seconds re-planning the upstream pair pipeline per round.
+    // Checkpointing truncates the logical plan to the materialized
+    // blocks — each round then plans only its own two joins.
+    val edges = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    // labels only ever decrease, so sum(label) strictly decreases until
+    // the fixpoint — convergence detection is one tiny aggregate, no
+    // old-vs-new join
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var done = false
+    while (i < maxIters && !done) {
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      val stepped = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jump: adopt the label of the node my label points to —
+      // every label is itself a node id, so the self-join is total
+      val next = stepped
+        .join(stepped.select(col("id").as("_pid"), col("label").as("_plabel")),
+          stepped("label") === col("_pid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"), coalesce(col("_plabel"), stepped("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      done = s == prevSum
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
   // ---------- embedding cosine near-dup ----------

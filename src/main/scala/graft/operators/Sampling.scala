@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-shaping operators for training-data pipelines: deterministic
+  * stratified sampling, domain mixing, and sequence packing. All are
+  * map-side or partition-parallel — none moves the corpus to fewer
+  * partitions than it arrived with.
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  /** Deterministic per-stratum Bernoulli sample: keep a row iff
+    * md5-hash(id) mod M < rate(stratum) * M. Pure map-side filter —
+    * no shuffle, no RNG state, reproducible across runs/engines, and
+    * a doc's fate never depends on partitioning. Strata missing from
+    * `rates` use `defaultRate`. */
+  def stratified(df: DataFrame, idCol: String, stratumCol: Column,
+                 rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val h = Dedup.hash64(col(idCol).cast("string")) % M
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratumCol === k, lit(r)).otherwise(acc)
+    }
+    df.filter(h < rateCol * M)
+  }
+
+  /** Domain-mixing rates: per-stratum sampling rates that hit
+    * `weights` (target fraction of the sampled corpus per stratum) at
+    * a total budget of `budgetDocs`. One groupBy-count job over the
+    * corpus (the only action); rates cap at 1.0 — an under-populated
+    * stratum contributes all it has (upsampling is a repeat-read
+    * policy, not a sampling one). Feed the result to [[stratified]]. */
+  def mixRates(df: DataFrame, stratumCol: Column,
+               weights: Map[String, Double], budgetDocs: Long): Map[String, Double] = {
+    val counts = df.groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    weights.map { case (s, w) =>
+      val have = counts.getOrElse(s, 0L)
+      s -> (if (have == 0L) 0.0 else math.min(1.0, w * budgetDocs / have))
+    }
+  }
+
+  /** Pack documents into fixed-size token windows ("sequence packing"
+    * for LLM training): concatenate each group's docs in stable id
+    * order and assign every doc the window its FIRST token lands in
+    * (contiguous fill — a doc straddling a boundary belongs to the
+    * window it starts in).
+    *
+    * Scale shape: the cumulative sum runs per `groupCol` partition
+    * (Window.partitionBy — parallel across groups, never a global
+    * window). Grouping is by corpus shard/source, exactly how packing
+    * shards at 100 TB; window id is derived arithmetically from the
+    * running token offset, no iterative bin state. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
+                    groupCol: Column, windowTokens: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(idCol).asc)
+    df.withColumn("_grp", groupCol)
+      .withColumn("_tok", tokensCol)
+      .withColumn("_end", sum(col("_tok")).over(w))
+      .withColumn("pack_id", floor((col("_end") - col("_tok")) / windowTokens))
+      .drop("_end")
+      .withColumnRenamed("_grp", "pack_group")
+      .withColumnRenamed("_tok", "pack_tokens")
+  }
+
+  /** Per-window packing stats: docs and token mass per (group,
+    * window) — the frame a packing loader consumes. */
+  def packStats(df: DataFrame, idCol: String, tokensCol: Column,
+                groupCol: Column, windowTokens: Int): DataFrame =
+    packSequences(df, idCol, tokensCol, groupCol, windowTokens)
+      .groupBy(col("pack_group"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("pack_tokens")).as("tokens"))
+}

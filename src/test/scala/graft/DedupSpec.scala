@@ -63,6 +63,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("decontaminate flags docs sharing >= minHits shingles with the benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // heavy overlap
+      (2L, "the quick brown cat sits still"),              // 1 shared shingle
+      (3L, "completely different words entirely here now") // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      Tuple1("the quick brown fox jumps over a fence")
+    ).toDF("text")
+    val byId = Dedup.decontaminate(corpus, "text", "doc_id", bench, "text",
+        n = 3, minHits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // doc 1 shares "the quick brown", "quick brown fox", "fox jumps over"...
+    assert(byId(1L)._1 >= 2 && byId(1L)._2)
+    assert(byId(2L)._1 == 1 && !byId(2L)._2)
+    assert(byId(3L)._1 == 0 && !byId(3L)._2)
+    assert(byId.size == 3) // every corpus doc present, clean ones included
+  }
+
+  test("connectedComponents clusters pairs by min id, converges on chains") {
+    // chain 1-2-3-4 (diameter 3), clique 20-21-22, isolated pair 10-11
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // maxIters caps the propagation: one round = one neighbor-min hop
+    // plus one pointer jump, so node 4 of the chain reaches 2, not 1
+    val capped = Dedup.connectedComponents(pairs, maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped(4L) == 2L)
+  }
+
   test("embedDense produces L2-normalized vectors of the right dim") {
     val dense = Embed.embedDense(docs, "text", "doc_id", 8)
     val row = dense.filter(col("doc_id") === 1).select("embedding")

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = (0L until 1000L).map { i =>
+    (i, s"src${i % 4}", s"doc $i body " + ("w " * (i % 50).toInt))
+  }.toDF("doc_id", "source", "text")
+
+  test("stratified sampling is deterministic and hits per-stratum rates") {
+    val rates = Map("src0" -> 0.5, "src1" -> 0.1)
+    val s1 = Sampling.stratified(corpus, "doc_id", col("source"), rates, defaultRate = 0.0)
+    val s2 = Sampling.stratified(corpus, "doc_id", col("source"), rates, defaultRate = 0.0)
+    // identical output across runs — no RNG state anywhere
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq ==
+      s2.select("doc_id").as[Long].collect().sorted.toSeq)
+    val bySrc = s1.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 250 docs per stratum; md5 uniformity keeps realized rates near target
+    assert(math.abs(bySrc("src0") / 250.0 - 0.5) < 0.15, s"src0: ${bySrc.get("src0")}")
+    assert(math.abs(bySrc.getOrElse("src1", 0L) / 250.0 - 0.1) < 0.08, s"src1: ${bySrc.get("src1")}")
+    assert(!bySrc.contains("src2") && !bySrc.contains("src3")) // default 0.0
+    // membership matches the hash rule exactly (engine-parity contract)
+    val kept = s1.filter(col("source") === "src0").select("doc_id").as[Long].collect().toSet
+    val expected = (0L until 1000L).filter(i => i % 4 == 0)
+      .filter(i => graft.operators.AnnLsh.hash64Local(i.toString) % 1000000L < 500000L).toSet
+    assert(kept == expected)
+  }
+
+  test("mixRates caps at 1.0 and hits the doc budget when available") {
+    val rates = Sampling.mixRates(corpus, col("source"),
+      Map("src0" -> 0.8, "src1" -> 0.2), budgetDocs = 200)
+    // src0 wants 160 of 250 -> 0.64; src1 wants 40 of 250 -> 0.16
+    assert(math.abs(rates("src0") - 0.64) < 1e-9)
+    assert(math.abs(rates("src1") - 0.16) < 1e-9)
+    // a budget larger than the stratum caps at 1.0
+    val capped = Sampling.mixRates(corpus, col("source"),
+      Map("src0" -> 1.0), budgetDocs = 10000)
+    assert(capped("src0") == 1.0)
+    // unknown stratum -> rate 0, not a crash
+    assert(Sampling.mixRates(corpus, col("source"),
+      Map("nope" -> 1.0), budgetDocs = 10)("nope") == 0.0)
+  }
+
+  test("packSequences assigns windows by start offset, parallel per group") {
+    val docs = Seq(
+      (1L, "g1", 300), (2L, "g1", 300), (3L, "g1", 300), (4L, "g1", 50),
+      (10L, "g2", 600)
+    ).toDF("id", "grp", "n_tok")
+    val packed = Sampling.packSequences(docs, "id", col("n_tok"), col("grp"), 512)
+      .select(col("id"), col("pack_id")).as[(Long, Long)].collect().toMap
+    // g1 offsets: 0, 300, 600, 900 -> windows 0, 0, 1, 1
+    assert(packed(1L) == 0L && packed(2L) == 0L)
+    assert(packed(3L) == 1L && packed(4L) == 1L)
+    // g2 starts at its own offset 0 — groups never interleave
+    assert(packed(10L) == 0L)
+    val stats = Sampling.packStats(docs, "id", col("n_tok"), col("grp"), 512)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(stats == Set(("g1", 0L, 2L, 600L), ("g1", 1L, 2L, 350L), ("g2", 0L, 1L, 600L)))
+    // plan check: the window is partitioned (no global-window warning path)
+    val plan = Sampling.packSequences(docs, "id", col("n_tok"), col("grp"), 512)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partitionBy") || plan.contains("PartitionSpec") ||
+      !plan.contains("No Partition Defined"))
+  }
+
+  test("stratified hash agrees with the dedup hash64 (oracle parity)") {
+    val h = corpus.limit(5).select(col("doc_id"),
+      (Dedup.hash64(col("doc_id").cast("string")) % 1000000L).as("h"))
+      .as[(Long, Long)].collect()
+    h.foreach { case (id, hv) =>
+      assert(hv == graft.operators.AnnLsh.hash64Local(id.toString) % 1000000L)
+    }
+  }
+}
