@@ -232,6 +232,16 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnLsh.knnBatch(emb, "embedding", qs, 5, numPlanes = 4, dim = 64,
+          Knn.Cosine, "vec_id")
+        .select(col("qid"), col("vec_id"), col("rank"),
+          round(col("dist"), 5).as("dist"))
+    }),
+
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
@@ -381,6 +391,24 @@ object SparkEntry {
          |  SELECT bb.vec_id, bb.label, ${angSql("bb.v", "q.qvec")} AS d
          |  FROM bb, q WHERE bb.bucket = q.qbucket)
          |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "ann_batch" ->
+      s"""WITH planes AS (
+         |  SELECT h, list_transform(range(64), d ->
+         |    (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(4) t(h)),
+         |b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1::BIGINT << h) ELSE 0 END) AS bucket
+         |  FROM b, planes GROUP BY vec_id),
+         |bb AS (SELECT b.vec_id, b.v, buckets.bucket FROM b JOIN buckets USING (vec_id)),
+         |q AS (SELECT vec_id AS qid, v AS qvec, bucket AS qbucket FROM bb WHERE vec_id < 5),
+         |d AS (SELECT q.qid, bb.vec_id, ${angSql("bb.v", "q.qvec")} AS d
+         |      FROM bb JOIN q ON bb.bucket = q.qbucket),
+         |r AS (SELECT qid, vec_id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
+         |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
 
     "ann_ivf" ->
       s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -91,6 +91,29 @@ object AnnLsh {
       .drop("qvec")
   }
 
+  /** Batch approximate top-k — the many-query twin of [[knn]], and the
+    * scale path for query fan-in: queries bucket themselves with the
+    * same hyperplanes, broadcast, and equi-join the indexed corpus on
+    * bucket, so each query only ever meets its own bucket's rows (the
+    * brute-force [[Knn.knnBatch]] meets ALL rows). The per-query top-k
+    * is a bounded TopKAgg — the shuffle moves O(buckets-hit x k)
+    * rows, not candidates. `queries` carries (qid, qvec). */
+  def knnBatch(df: DataFrame, vecCol: String, queries: DataFrame, k: Int,
+               numPlanes: Int, dim: Int, metric: Knn.Metric, idCol: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val indexed = index(df, vecCol, numPlanes, dim)
+    val qs = queries.select(col("qid"), col("qvec"),
+      bucketCol(col("qvec"), numPlanes, dim).as("bucket"))
+    val d = Knn.distCol(metric, col(vecCol), col("qvec"))
+    indexed.join(broadcast(qs), "bucket")
+      .select(col("qid"), d.as("dist"), col(idCol))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk(col("dist"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        (col("_pos") + 1).as("rank"), col("_t.dist").as("dist"))
+  }
+
   /** Multiprobe approximate top-k: probe the query's bucket plus all
     * buckets at Hamming distance 1 (one sign bit flipped) — the
     * standard recall/latency knob for hyperplane LSH: numPlanes+1

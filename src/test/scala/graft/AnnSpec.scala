@@ -61,6 +61,25 @@ class AnnSpec extends SparkSpec {
     assert(mem == disk)
   }
 
+  test("batch ANN matches per-query single-bucket knn") {
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = AnnLsh.knnBatch(emb, "embedding", qs, 5, 4, 64, Knn.Cosine, "vec_id")
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val single = AnnLsh.knn(emb, "embedding",
+          emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+          5, 4, 64, Knn.Cosine, "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(qid) == single, s"qid=$qid")
+    }
+    // the batch plan joins on bucket — never a full cross product
+    val plan = AnnLsh.knnBatch(emb, "embedding", qs, 5, 4, 64, Knn.Cosine, "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross join in:\n$plan")
+  }
+
   test("percentSearched equals probed-bucket mass / corpus (collection.go:704)") {
     val numPlanes = 4
     val indexed = AnnLsh.index(emb, "embedding", numPlanes, 64)
