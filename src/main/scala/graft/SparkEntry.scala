@@ -163,6 +163,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "pii_scrub" -> ((s, dir) => {
+      // the synthetic corpus carries no PII, so the query plants a
+      // deterministic email/phone/IP per doc, scrubs, and fingerprints
+      // the cleaned text (md5 compares the FULL string per row)
+      val docs = Tables.documents(s, dir)
+        .withColumn("dirty", concat(col("text"),
+          lit(" Contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-867-5309 at 10.0.0."),
+          (col("doc_id") % 255).cast("string")))
+      TextAnalysis.piiScrub(docs, "dirty")
+        .select(col("doc_id"), col("n_pii"),
+          md5(TextAnalysis.normalizeText(col("text_clean"))).as("clean_md5"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       Sampling.stratified(Tables.documents(s, dir), "doc_id", col("source"),
           Map("src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
@@ -522,6 +536,24 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, round(jaccard, 5) AS jaccard FROM mh_pairs""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH d AS (SELECT doc_id,
+        |  text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+        |  '@example.com or 555-867-5309 at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS dirty
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+        |  len(regexp_extract_all(dirty, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) +
+        |  len(regexp_extract_all(dirty, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |  FROM d)
+        |SELECT doc_id, CAST(n_pii AS BIGINT) AS n_pii,
+        |       md5(trim(regexp_replace(lower(clean), '\s+', ' ', 'g'))) AS clean_md5
+        |FROM c""".stripMargin,
 
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents

@@ -73,6 +73,37 @@ object TextAnalysis {
       .withColumn("n_chars_actual", length(text).cast("bigint"))
   }
 
+  /** PII patterns, written to the common subset of RE2 (the
+    * reference's dialect) and java.util.regex: plain classes and
+    * bounded repeats only, so Spark and any RE2 engine redact
+    * identically. Order of application matters — emails first (their
+    * local parts may contain digits), then IPs (dotted), then phones
+    * (dashed); the replacement tokens contain no digits so passes
+    * can't cascade. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails, IPv4 addresses, and dashed phone numbers — the
+    * scrubbing pass an LLM data pipeline runs before training. Adds
+    * `text_clean` (all PII replaced by type tokens) and `n_pii`
+    * (matches found, counted on the original text). Map-side regexes
+    * only — full scan speed, no shuffle. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_pii",
+        (regexp_count(t, lit(EmailRe)) + regexp_count(t, lit(Ipv4Re)) +
+          regexp_count(t, lit(PhoneRe))).cast("long"))
+      .withColumn("text_clean",
+        regexp_replace(regexp_replace(regexp_replace(t,
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>"))
+  }
+
+  /** Canonical text normalization: lowercase, collapse whitespace
+    * runs, trim. The standard pre-dedup/pre-tokenize cleanup. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
   /** Winnowing fingerprint (Schleimer et al. 2003, "local algorithms
     * for document fingerprinting"): hash every word 3-gram, slide a
     * window of `window` hashes, keep each window's min; the distinct

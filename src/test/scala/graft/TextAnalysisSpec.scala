@@ -57,4 +57,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 == 1L)
     assert(got(4L) == (None, 0L))
   }
+
+  test("piiScrub redacts emails, IPs, and phones; counts on original text") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org or call 555-123-4567"),
+      (2L, "server 192.168.1.200 and backup 10.0.0.7"),
+      (3L, "nothing sensitive here")
+    ).toDF("id", "text")
+    val got = TextAnalysis.piiScrub(df, "text")
+      .select("id", "n_pii", "text_clean")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L)._1 == 2)
+    assert(got(1L)._2 == "mail me at <EMAIL> or call <PHONE>")
+    assert(got(2L)._1 == 2)
+    assert(got(2L)._2 == "server <IP> and backup <IP>")
+    assert(got(3L) == ((0L, "nothing sensitive here")))
+  }
+
+  test("normalizeText lowercases, collapses whitespace, trims") {
+    val df = Seq(Tuple1("  Hello   WORLD\tfoo  ")).toDF("t")
+    val got = df.select(TextAnalysis.normalizeText(col("t"))).as[String].head()
+    assert(got == "hello world foo")
+  }
 }
