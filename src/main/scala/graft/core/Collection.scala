@@ -305,4 +305,34 @@ object Collection {
 
   private def q(s: String): String =
     "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+
+  // ---- collection registry (the reference server's collection
+  // directory, rest.go:67 handleCollections / :176 DELETE) ----
+
+  /** All collections under `rootDir`, by their persisted options
+    * files. Returns (name, path) pairs, name-sorted. */
+  def list(spark: SparkSession, rootDir: String): Seq[(String, String)] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".options.json"))
+      .map { p =>
+        val dataPath = p.toString.stripSuffix(".options.json")
+        val name = spark.read.option("multiLine", "true").json(p.toString)
+          .collect().head.getAs[String]("name")
+        (name, dataPath)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Drop a collection: delete its log and options file
+    * (rest.go:176 DELETE /api/v1/collections/{name}). */
+  def drop(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val data = fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val meta = fs.delete(new org.apache.hadoop.fs.Path(metaPath(path)), false)
+    data || meta
+  }
 }

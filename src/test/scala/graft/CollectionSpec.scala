@@ -83,6 +83,18 @@ class CollectionSpec extends SparkSpec {
     assert(listing.percentSearched == 100.0)
   }
 
+  test("registry: list finds created collections, drop removes them (rest.go:67)") {
+    val root = Files.createTempDirectory("graft-registry").toFile.getAbsolutePath
+    val c1 = Collection.create(spark, CollectionOptions("alpha", 4), s"$root/alpha")
+    Collection.create(spark, CollectionOptions("beta", 4), s"$root/beta")
+    c1.addDocuments(docs3)
+    assert(Collection.list(spark, root).map(_._1) == Seq("alpha", "beta"))
+    assert(Collection.drop(spark, s"$root/alpha"))
+    assert(Collection.list(spark, root).map(_._1) == Seq("beta"))
+    // dropped collection's data is gone, not just unlisted
+    assert(Collection.open(spark, s"$root/beta").documentCount() == 0)
+  }
+
   test("open() restores a created collection from persisted options") {
     val dir = Files.createTempDirectory("graft-open").toFile
     dir.delete()

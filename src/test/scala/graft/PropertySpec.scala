@@ -84,4 +84,57 @@ class PropertySpec extends SparkSpec {
     }.toSet
     assert(viaAgg == viaSort)
   }
+
+  test("packing conserves tokens and docs; windows respect the running offset") {
+    val toks = Gen.listOfN(120, Gen.chooseNum(1, 700)).sample.get
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, s"g${i % 3}", t) }
+      .toDF("id", "grp", "n_tok")
+    val stats = graft.operators.Sampling
+      .packStats(df, "id", col("n_tok"), col("grp"), 512)
+      .as[(String, Long, Long, Long)].collect()
+    // conservation: every doc and every token lands in exactly one window
+    assert(stats.map(_._3).sum == 120L)
+    assert(stats.map(_._4).sum == toks.map(_.toLong).sum)
+    // window ids start at 0 and never exceed the group's token mass /
+    // window size (docs longer than a window may skip ids, so exact
+    // contiguity is not an invariant)
+    stats.groupBy(_._1).foreach { case (_, rows) =>
+      val ids = rows.map(_._2)
+      assert(ids.min == 0L)
+      assert(ids.max <= rows.map(_._4).sum / 512 + 1)
+    }
+  }
+
+  test("stratified sample is a deterministic subset; rate 1 keeps all, 0 none") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
+    val all = graft.operators.Sampling.stratified(df, "id", col("src"),
+      Map("s0" -> 1.0, "s1" -> 1.0)).count()
+    val none = graft.operators.Sampling.stratified(df, "id", col("src"),
+      Map("s0" -> 0.0, "s1" -> 0.0)).count()
+    assert(all == 300L && none == 0L)
+    // monotone: raising a rate only adds rows, never swaps them
+    val lo = graft.operators.Sampling.stratified(df, "id", col("src"),
+      Map("s0" -> 0.2, "s1" -> 0.2)).select("id").as[Long].collect().toSet
+    val hi = graft.operators.Sampling.stratified(df, "id", col("src"),
+      Map("s0" -> 0.6, "s1" -> 0.6)).select("id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("cluster labels are component minima: label <= id, label is a member") {
+    val edges = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L))).sample.get
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val df = edges.toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(df).as[(Long, Long)].collect().toMap
+    labels.foreach { case (id, label) =>
+      assert(label <= id)
+      assert(labels.contains(label) && labels(label) == label,
+        s"label $label of $id is not a cluster root")
+    }
+    // every edge's endpoints agree on their cluster
+    edges.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+  }
 }
