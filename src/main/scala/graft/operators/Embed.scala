@@ -40,4 +40,43 @@ object Embed {
           coalesce(
             element_at(map_from_entries(col("bw")), i.cast("long")),
             lit(0.0))).as("embedding"))
+
+  /** Embedding cache — the scale twin of the reference's in-process
+    * LRU (embedding_cache.go): a parquet table keyed by md5(text)
+    * holding previously computed embeddings. Texts present in the
+    * cache are served from it; only misses run the embedder, and
+    * their results are APPENDED so the next run reuses them. An
+    * embedding service is the expensive stage of a real pipeline —
+    * this join-compute-append shape is how a 100 TB corpus avoids
+    * re-embedding its unchanged majority. Returns (idCol, embedding,
+    * cached boolean). */
+  def embedWithCache(spark: org.apache.spark.sql.SparkSession, df: DataFrame,
+                     textCol: String, idCol: String, dim: Int,
+                     cachePath: String): DataFrame = {
+    val keyed = df.select(col(idCol), col(textCol),
+      md5(col(textCol)).as("_tkey"))
+    val cache: DataFrame =
+      try spark.read.parquet(cachePath).select(col("tkey"), col("embedding"))
+      catch { case _: Throwable =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("tkey",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("embedding",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType)))))
+      }
+    val joined = keyed.join(cache.withColumnRenamed("tkey", "_tkey"), Seq("_tkey"), "left")
+    val hits = joined.filter(col("embedding").isNotNull)
+      .select(col(idCol), col("embedding"), lit(true).as("cached"))
+    val misses = joined.filter(col("embedding").isNull)
+      .select(col(idCol), col(textCol), col("_tkey"))
+    val computed = embedDense(misses, textCol, idCol, dim)
+      .join(misses.select(col(idCol), col("_tkey")), Seq(idCol))
+    // one text can appear under many ids; the cache stores each key once
+    computed.select(col("_tkey").as("tkey"), col("embedding")).distinct()
+      .write.mode("append").parquet(cachePath)
+    hits.unionByName(
+      computed.select(col(idCol), col("embedding"), lit(false).as("cached")))
+  }
 }

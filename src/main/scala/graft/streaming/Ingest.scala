@@ -34,6 +34,28 @@ object Ingest {
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Continuous ANN index build: a record stream (id, vector, ...)
+    * gets its LSH bucket assigned in-flight and lands in
+    * bucket-partitioned parquet — the SAME layout AnnLsh.writeIndexed
+    * produces, so AnnLsh.knnIndexed probes a live, growing index with
+    * partition pruning. Bucketing is a stateless projection: no state
+    * store, no shuffle, every micro-batch appends its own files.
+    * Returns the started query (caller owns lifecycle). */
+  def indexStream(records: DataFrame, vecCol: String, numPlanes: Int, dim: Int,
+                  path: String, checkpoint: String)
+                 : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.AnnLsh
+    records
+      .withColumn("bucket", AnnLsh.bucketCol(col(vecCol), numPlanes, dim))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("bucket")
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

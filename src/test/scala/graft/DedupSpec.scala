@@ -100,6 +100,24 @@ class DedupSpec extends SparkSpec {
     assert(capped(4L) == 2L)
   }
 
+  test("embedWithCache serves repeats from the cache and matches embedDense") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ecache").toFile.getAbsolutePath
+    val batch1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val r1 = Embed.embedWithCache(spark, batch1, "text", "doc_id", 8, s"$dir/cache")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getBoolean(2)))).toMap
+    assert(r1.values.forall(!_._2)) // cold cache: all computed
+    // second batch: one repeat text (new id), one new text
+    val batch2 = Seq((3L, "alpha beta gamma"), (4L, "zeta eta")).toDF("doc_id", "text")
+    val r2 = Embed.embedWithCache(spark, batch2, "text", "doc_id", 8, s"$dir/cache")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getBoolean(2)))).toMap
+    assert(r2(3L)._2 && !r2(4L)._2)
+    // cached result is bit-identical to a fresh embedDense
+    val fresh = Embed.embedDense(batch2, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(r2(3L)._1 == fresh(3L) && r2(4L)._1 == fresh(4L))
+    assert(r1(1L)._1 == r2(3L)._1) // same text, same vector across runs
+  }
+
   test("embedDense produces L2-normalized vectors of the right dim") {
     val dense = Embed.embedDense(docs, "text", "doc_id", 8)
     val row = dense.filter(col("doc_id") === 1).select("embedding")
