@@ -67,6 +67,29 @@ object Multimodal {
       }.toDF()
   }
 
+  /** REAL (non-stub) container parsing: PNG and GIF dimensions live at
+    * fixed byte offsets in the header, so width/height extraction is a
+    * pure codegen'd expression over the binary column — no codec, no
+    * UDF, full scan speed. (PNG: IHDR width/height big-endian at
+    * offsets 17/21; GIF: logical-screen size little-endian at 7/9.)
+    * Formats needing a real decoder fall through to "unknown"/null —
+    * that's where [[extractFeatures]]'s per-partition decoder takes
+    * over. */
+  def mediaDims(df: DataFrame, binCol: String): DataFrame = {
+    val b = col(binCol)
+    val isPng = hex(substring(b, 1, 8)) === lit("89504E470D0A1A0A")
+    val isGif = substring(b, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    def be4(off: Int) = conv(hex(substring(b, off, 4)), 16, 10).cast("int")
+    def le2(off: Int) = (conv(hex(substring(b, off + 1, 1)), 16, 10) * 256 +
+      conv(hex(substring(b, off, 1)), 16, 10)).cast("int")
+    df.withColumn("media_format",
+        when(isPng, lit("png")).when(isGif, lit("gif")).otherwise(lit("unknown")))
+      .withColumn("media_width",
+        when(isPng, be4(17)).when(isGif, le2(7)).otherwise(lit(null).cast("int")))
+      .withColumn("media_height",
+        when(isPng, be4(21)).when(isGif, le2(9)).otherwise(lit(null).cast("int")))
+  }
+
   /** Frame sampling on a payload: every `stride`-th byte of the
     * (utf8) payload becomes part of the "sampled" stream — the video
     * frame-subsampling access pattern, in declarative built-ins. */

@@ -39,4 +39,22 @@ class MultimodalSpec extends SparkSpec {
       .select("sample").as[String].head()
     assert(got == "adgj")
   }
+
+  test("mediaDims parses real PNG and GIF headers declaratively") {
+    // minimal real headers: PNG signature + IHDR(640x480), GIF89a 320x200
+    def be4(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++ be4(640) ++ be4(480) ++ Array[Byte](8, 2, 0, 0, 0)
+    val gif = "GIF89a".getBytes ++ Array[Byte]((320 & 0xFF).toByte, (320 >> 8).toByte,
+      (200 & 0xFF).toByte, (200 >> 8).toByte, 0, 0, 0)
+    val junk = "not an image at all".getBytes
+    val df = Seq((1L, png), (2L, gif), (3L, junk)).toDF("id", "payload")
+    val got = Multimodal.mediaDims(df, "payload")
+      .select("id", "media_format", "media_width", "media_height")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(got(1L) == (("png", Some(640), Some(480))))
+    assert(got(2L) == (("gif", Some(320), Some(200))))
+    assert(got(3L) == (("unknown", None, None)))
+  }
 }
