@@ -180,7 +180,13 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
             options.dimensionCount, options.distanceMethod, "id")
       case (Some(q), _, r) =>
         val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
-        Knn.radius(filtered, "vector", qdf, r, options.distanceMethod)
+        if (args.precision == "exact")
+          Knn.radius(filtered, "vector", qdf, r, options.distanceMethod)
+        else
+          // medium: radius through the LSH probe, like the reference's
+          // index.search with a radius (collection.go:690)
+          AnnLsh.radius(filtered, "vector", qdf, r, options.lshPlanes,
+            options.dimensionCount, options.distanceMethod)
     }
   }
 
@@ -191,16 +197,21 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     * corpus. */
   def searchWithStats(args: SearchArgs): SearchResults = {
     val results = search(args)
+    def probedPct(q: Seq[Double], multiprobe: Boolean): Double = {
+      val base = current()
+      val filtered = args.filter match {
+        case Some(f) => base.filter(FilterCompiler.compileJson(f, col("metadata")))
+        case None => base
+      }
+      val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
+      AnnLsh.percentSearched(filtered, "vector", qdf,
+        options.lshPlanes, options.dimensionCount, multiprobe)
+    }
     val pct = (args.vector, args.k, args.radius) match {
       case (Some(q), k, 0.0) if k > 0 && args.precision != "exact" =>
-        val base = current()
-        val filtered = args.filter match {
-          case Some(f) => base.filter(FilterCompiler.compileJson(f, col("metadata")))
-          case None => base
-        }
-        val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
-        AnnLsh.percentSearched(filtered, "vector", qdf,
-          options.lshPlanes, options.dimensionCount)
+        probedPct(q, multiprobe = false)
+      case (Some(q), _, r) if r > 0.0 && args.precision != "exact" =>
+        probedPct(q, multiprobe = true) // radius probes Hamming-1 too
       case _ => if (documentCount() == 0L) 0.0 else 100.0
     }
     SearchResults(results, pct)

@@ -135,6 +135,28 @@ object AnnLsh {
       .drop("qvec", "probe")
   }
 
+  /** Bucket-probed radius search — the reference's radius mode under
+    * precision "medium" (collection.go:690 index.search with radius):
+    * candidates come from the query's bucket plus its Hamming-1
+    * neighbors, exact distance filter within. Returns a subset of the
+    * exact radius result (bucketing can miss), touching only the
+    * probed fraction of the corpus. */
+  def radius(df: DataFrame, vecCol: String, query: DataFrame, r: Double,
+             numPlanes: Int, dim: Int, metric: Knn.Metric): DataFrame = {
+    val pow = typedlit((0 until numPlanes).map(h => 1L << h))
+    val indexed = index(df, vecCol, numPlanes, dim)
+    val probes = query
+      .withColumn("qbucket", bucketCol(col("qvec"), numPlanes, dim))
+      .select(col("qvec"), explode(concat(
+        array(col("qbucket")),
+        transform(sequence(lit(0), lit(numPlanes - 1)),
+          h => col("qbucket").bitwiseXOR(get(pow, h))))).as("probe"))
+    indexed.join(broadcast(probes), col("bucket") === col("probe"))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .filter(col("dist") <= r)
+      .drop("qvec", "probe", "bucket")
+  }
+
   /** The probe-bucket list for a query: its own bucket, plus all
     * Hamming-distance-1 neighbors when `multiprobe`. */
   def probeBuckets(query: DataFrame, numPlanes: Int, dim: Int,

@@ -57,9 +57,15 @@ class CollectionSpec extends SparkSpec {
   test("radius search and exhaustive listing with pagination") {
     val c = newCollection()
     c.addDocuments(docs3)
-    val near = c.search(SearchArgs(vector = Some(Seq(0.0, 0.0, 0.0, 0.0)), radius = 2.0))
+    val near = c.search(SearchArgs(vector = Some(Seq(0.0, 0.0, 0.0, 0.0)),
+        radius = 2.0, precision = "exact"))
       .select("id").as[Long].collect().toSeq.sorted
     assert(near == Seq(1L, 2L))
+    // default (medium) radius probes LSH buckets: a SUBSET of exact,
+    // every hit within the radius (reference collection.go:690)
+    val medium = c.search(SearchArgs(vector = Some(Seq(0.0, 0.0, 0.0, 0.0)), radius = 2.0))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(medium.toSet.subsetOf(near.toSet))
     val page = c.search(SearchArgs(limit = 2, offset = 1))
       .select("id").as[Long].collect().toSeq
     assert(page == Seq(2L, 3L))
