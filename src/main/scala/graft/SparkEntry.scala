@@ -216,6 +216,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "dedup_canonical" -> ((s, dir) => {
+      val (_, pairs) = Dedup.canonicalNearDup(dedupCorpus(s, dir), "text", "doc_id")(
+        canon => Dedup.ngramJaccardPairs(canon, "text", "doc_id",
+          n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005))
+      pairs.select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val vd = col("embedding").cast("array<double>")
@@ -623,6 +630,30 @@ object SparkEntry {
          |sh AS (SELECT doc_id, unnest(hs) AS sh FROM shl),
          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
          |         WHERE c <= greatest(20, ceil((SELECT count(*) FROM corpus) * 0.005))),
+         |f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM f a JOIN f b USING (sh) WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(i * 1.0 / (na + nb - i), 5) AS jaccard FROM (
+         |  SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+         |         len(a.hs) AS na, len(b.hs) AS nb
+         |  FROM cand c JOIN shl a ON a.doc_id = c.id_a
+         |              JOIN shl b ON b.doc_id = c.id_b)
+         |WHERE i * 1.0 / (na + nb - i) >= 0.6""".stripMargin,
+
+    "dedup_canonical" ->
+      // exact-first composition: near-dup runs over one canonical doc
+      // per distinct text (min doc_id), not the raw corpus
+      s"""WITH $corpusSql,
+         |canon AS (SELECT min(doc_id) AS doc_id, min(text) AS text
+         |          FROM corpus GROUP BY md5(text)),
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM canon),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |          list_transform(range(1, greatest(len(w)-1, 1)),
+         |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+         |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM wt),
+         |sh AS (SELECT doc_id, unnest(hs) AS sh FROM shl),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+         |         WHERE c <= greatest(20, ceil((SELECT count(*) FROM canon) * 0.005))),
          |f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM f a JOIN f b USING (sh) WHERE a.doc_id < b.doc_id)

@@ -279,6 +279,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---------- canonical composition (exact-first near-dup) ----------
+
+  /** The production near-dup composition for heavy-duplication
+    * corpora: collapse exact duplicates FIRST (one hash groupBy), run
+    * the expensive near-dup stage on canonical texts only, and report
+    * both layers — (doc_id, canonical_id) exact membership plus
+    * near-dup pairs BETWEEN canonicals. On a corpus that is 90%
+    * exact copies this cuts the near-dup stage's input 10× and its
+    * pair output ~100×, with zero information loss (copies of a
+    * canonical inherit its near-dup relations by definition).
+    *
+    * `pairFn` is any canonical-pair generator over (doc_id, textCol) —
+    * e.g. `ngramJaccardPairs(_, textCol, "doc_id", ...)`. */
+  def canonicalNearDup(df: DataFrame, textCol: String, idCol: String)
+                      (pairFn: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val membership = df
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("_h"))
+      .withColumn("canonical_id", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("_h"))))
+      .select(col("doc_id"), col("canonical_id"))
+    val canonicals = df
+      .groupBy(md5(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as("doc_id"), first(col(textCol)).as(textCol))
+      .drop("_h")
+    (membership, pairFn(canonicals))
+  }
+
   // ---------- benchmark decontamination ----------
 
   /** Flag training docs that overlap an evaluation/benchmark set — the

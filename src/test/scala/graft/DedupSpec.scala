@@ -63,6 +63,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("canonicalNearDup collapses exact copies before the near-dup stage") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),  // exact copy of 1
+      (5L, "the quick brown fox jumps over the lazy dog"),  // exact copy of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 1
+      (4L, "completely unrelated text goes right here now")
+    ).toDF("doc_id", "text")
+    val (membership, pairs) = Dedup.canonicalNearDup(corpus, "text", "doc_id")(
+      canon => Dedup.ngramJaccardPairs(canon, "text", "doc_id", n = 3, threshold = 0.5))
+    val m = membership.as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 3L -> 3L, 4L -> 4L))
+    val p = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ONE canonical pair, not the 3x3 copy blowup
+    assert(p == Set((1L, 3L)))
+  }
+
   test("decontaminate flags docs sharing >= minHits shingles with the benchmark") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // heavy overlap
