@@ -163,6 +163,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "text_clean" -> ((s, dir) => {
+      // deterministic HTML wrapping per doc, then the full cleanup
+      // chain: strip tags -> decode entities -> normalize -> truncate
+      val docs = Tables.documents(s, dir)
+        .withColumn("html", concat(lit("<html><body><p class=\"x\">"),
+          col("text"), lit("</p><br/>&amp; more &lt;here&gt;</body></html>")))
+      docs.select(col("doc_id"),
+        TextAnalysis.truncateTokens(
+          TextAnalysis.normalizeText(TextAnalysis.stripHtml(col("html"))), 32
+        ).as("clean"))
+        .withColumn("n_tok", size(split(col("clean"), " ")).cast("long"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"), col("n_tok"))
+    }),
+
     "pii_scrub" -> ((s, dir) => {
       // the synthetic corpus carries no PII, so the query plants a
       // deterministic email/phone/IP per doc, scrubs, and fingerprints
@@ -543,6 +557,23 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, round(jaccard, 5) AS jaccard FROM mh_pairs""".stripMargin,
+
+    "text_clean" ->
+      """WITH d AS (SELECT doc_id,
+        |  '<html><body><p class="x">' || text || '</p><br/>&amp; more &lt;here&gt;</body></html>' AS html
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        |    '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        |    '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' ') AS stripped
+        |  FROM d),
+        |n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(stripped), '\s+', ' ', 'g')) AS norm FROM s),
+        |t AS (SELECT doc_id,
+        |  array_to_string(string_split(norm, ' ')[1:32], ' ') AS clean FROM n)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |       CAST(len(string_split(clean, ' ')) AS BIGINT) AS n_tok FROM t""".stripMargin,
 
     "pii_scrub" ->
       """WITH d AS (SELECT doc_id,

@@ -104,6 +104,21 @@ object TextAnalysis {
   def normalizeText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
+  /** Strip HTML: drop tags, decode the common entities — the
+    * web-crawl boilerplate cleanup, as map-side regex passes (a real
+    * pipeline's readability extraction slots in where this runs). */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val ents = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    ents.foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+  }
+
+  /** Truncate to the first `maxTokens` whitespace tokens — the
+    * context-window clamp before packing/training. */
+  def truncateTokens(c: Column, maxTokens: Int): Column =
+    concat_ws(" ", slice(split(c, " "), 1, maxTokens))
+
   /** Winnowing fingerprint (Schleimer et al. 2003, "local algorithms
     * for document fingerprinting"): hash every word 3-gram, slide a
     * window of `window` hashes, keep each window's min; the distinct

@@ -79,4 +79,18 @@ class TextAnalysisSpec extends SparkSpec {
     val got = df.select(TextAnalysis.normalizeText(col("t"))).as[String].head()
     assert(got == "hello world foo")
   }
+
+  test("stripHtml drops tags and decodes common entities") {
+    val df = Seq(Tuple1("<p>Tom &amp; Jerry say &quot;hi&quot;</p><br/>")).toDF("t")
+    val got = df.select(TextAnalysis.normalizeText(TextAnalysis.stripHtml(col("t"))))
+      .as[String].head()
+    assert(got == "tom & jerry say \"hi\"")
+  }
+
+  test("truncateTokens keeps the first N whitespace tokens") {
+    val df = Seq(Tuple1("a b c d e f")).toDF("t")
+    assert(df.select(TextAnalysis.truncateTokens(col("t"), 3)).as[String].head() == "a b c")
+    // shorter text passes through unchanged
+    assert(df.select(TextAnalysis.truncateTokens(col("t"), 99)).as[String].head() == "a b c d e f")
+  }
 }
