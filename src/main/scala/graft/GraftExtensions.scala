@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{ArrayJoin, Cast, Conv, Expression, ExpressionInfo, Literal, Lower, Md5, RegExpReplace, Slice, StringSplit, StringTrim, Substring}
 import graft.functions.{DotProduct, L2DistanceSq, MinHashSig, SimHashAgg}
 import graft.operators.Dedup
 
@@ -15,6 +15,10 @@ import graft.operators.Dedup
   *   graft_l2sq(a, b)         codegen'd squared L2 distance
   *   graft_simhash(hashes)    60-bit SimHash of an array<long>
   *   graft_minhash(hashes)    16-hash MinHash signature (default family)
+  *   graft_normalize(s)       lower/collapse-whitespace/trim
+  *   graft_strip_html(s)      drop tags, decode common entities
+  *   graft_truncate(s, n)     first n whitespace tokens
+  *   graft_hash64(s)          the engine's md5-derived 60-bit hash
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -37,7 +41,38 @@ object GraftExtensions {
     ("graft_simhash", info("graft_simhash", "simhash"),
       (args: Seq[Expression]) => SimHashAgg(args.head)),
     ("graft_minhash", info("graft_minhash", "minhash signature"),
-      (args: Seq[Expression]) => MinHashSig(args.head, defaultAs, defaultBs, Dedup.MINHASH_M)))
+      (args: Seq[Expression]) => MinHashSig(args.head, defaultAs, defaultBs, Dedup.MINHASH_M)),
+    // composition functions: the same trees TextAnalysis builds via
+    // Columns, constructed directly as Catalyst expressions (Column
+    // nodes can't cross the FunctionRegistry boundary)
+    ("graft_normalize", info("graft_normalize", "normalize text"),
+      (args: Seq[Expression]) => normalizeExpr(args(0))),
+    ("graft_strip_html", info("graft_strip_html", "strip html"),
+      (args: Seq[Expression]) => stripHtmlExpr(args(0))),
+    ("graft_truncate", info("graft_truncate", "truncate tokens"),
+      (args: Seq[Expression]) =>
+        ArrayJoin(Slice(StringSplit(args(0), str(" "), Literal(-1)),
+          Literal(1), args(1)), str(" "), None)),
+    ("graft_hash64", info("graft_hash64", "md5-derived 60-bit hash"),
+      (args: Seq[Expression]) =>
+        Cast(Conv(Substring(Md5(Cast(args(0),
+            org.apache.spark.sql.types.BinaryType)),
+          Literal(1), Literal(15)), Literal(16), Literal(10)),
+          org.apache.spark.sql.types.LongType)))
+
+  private def str(s: String) = Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+    org.apache.spark.sql.types.StringType)
+
+  private def normalizeExpr(e: Expression): Expression =
+    StringTrim(RegExpReplace(Lower(e), str("\\s+"), str(" ")))
+
+  private def stripHtmlExpr(e: Expression): Expression = {
+    val ents = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    ents.foldLeft(RegExpReplace(e, str("<[^>]*>"), str(" ")): Expression) {
+      case (acc, (k, v)) => RegExpReplace(acc, str(k), str(v))
+    }
+  }
 
   /** Imperative registration on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -20,6 +20,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getInt(3) == 16)
   }
 
+  test("text-cleanup SQL functions match the Column API") {
+    GraftExtensions.register(spark)
+    Seq(Tuple1("<p>Tom &amp;  JERRY</p> one two three four")).toDF("t")
+      .createOrReplaceTempView("texts")
+    val r = spark.sql(
+      """SELECT graft_normalize(graft_strip_html(t)) AS clean,
+        |       graft_truncate(graft_normalize(graft_strip_html(t)), 3) AS clipped,
+        |       graft_hash64('abc') AS h
+        |FROM texts""".stripMargin).head()
+    assert(r.getString(0) == "tom & jerry one two three four")
+    assert(r.getString(1) == "tom & jerry")
+    assert(r.getLong(2) == graft.operators.AnnLsh.hash64Local("abc"))
+  }
+
   test("session_window stats agree with lag/cumsum sessionization") {
     val events = Seq(
       (1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
