@@ -10,11 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Execute the query's OWN physical plan (toRdd), not count() on
+    // top of it: count() lets the optimizer drop every projection, so
+    // map-heavy queries (regex scrubbing, hashing) would clock as a
+    // bare parquet row-count.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).queryExecution.toRdd.count()
     // JIT/codegen warm-up: run every query once at the tiny sf so the
     // timed runs measure steady-state throughput, not first-run
     // interpreter/compile cost (measured 4-5x on string-heavy paths)
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try run(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => }
     }
     // two timed runs, report the min — the first full-size run still
@@ -22,7 +29,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try run(fn, sfDir) catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

@@ -26,6 +26,17 @@ object Dedup {
   /** Single-space tokenization (the corpus is space-joined words). */
   def words(text: Column): Column = split(text, " ")
 
+  /** As [[shingles]] but over an ALREADY-MATERIALIZED words array
+    * column (an attribute, not an expression): inside a higher-order
+    * lambda, Catalyst re-evaluates inlined expressions per element, so
+    * passing `split(...)` directly costs n re-splits of the raw text
+    * per shingle position. Callers that shingle in bulk should
+    * project the words array first and pass its column here. */
+  def shinglesFromWords(w: Column, n: Int): Column =
+    when(size(w) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+
   /** Word n-gram shingles as strings; empty array when the text is
     * shorter than n words. */
   def shingles(text: Column, n: Int): Column = {
@@ -107,10 +118,15 @@ object Dedup {
 
   /** Per-doc distinct shingle-hash sets: (sid, shs array<long>). The
     * shared input of candidate generation AND verification — compute it
-    * once and persist so neither stage re-shingles the raw text. */
+    * once and persist so neither stage re-shingles the raw text.
+    * Words materialize in their own projection first, so the shingle
+    * lambda reads an attribute instead of re-splitting per position
+    * (CollapseProject keeps expensive multi-referenced aliases). */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol).as("sid"),
-      array_distinct(transform(shingles(col(textCol), shingleN), s => hash64(s))).as("shs"))
+    df.select(col(idCol).as("sid"), words(col(textCol)).as("_w"))
+      .select(col("sid"),
+        array_distinct(transform(shinglesFromWords(col("_w"), shingleN),
+          s => hash64(s))).as("shs"))
 
   /** Exact Jaccard over pre-computed shingle-hash sets (see
     * [[shingleSets]]), computed only for the given candidate pairs:
@@ -324,12 +340,14 @@ object Dedup {
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 3, minHits: Int = 1): DataFrame = {
     val benchShingles = benchmark
+      .select(words(col(benchTextCol)).as("_w"))
       .select(explode(array_distinct(
-        transform(shingles(col(benchTextCol), n), s => hash64(s)))).as("sh"))
+        transform(shinglesFromWords(col("_w"), n), s => hash64(s)))).as("sh"))
       .distinct()
-    val corpusShingles = corpus.select(col(idCol).as("doc_id"),
-      explode(array_distinct(
-        transform(shingles(col(textCol), n), s => hash64(s)))).as("sh"))
+    val corpusShingles = corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("_w"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(shinglesFromWords(col("_w"), n), s => hash64(s)))).as("sh"))
     val hits = corpusShingles.join(benchShingles, "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("bench_hits"))
     corpus.select(col(idCol).as("doc_id"))
