@@ -107,6 +107,69 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd single-pass L2 normalization. The HOF formulation
+  * `transform(v, x => x / norm)` INLINES the norm expression into the
+  * lambda, so Catalyst recomputes the full dot product per element —
+  * O(d²) per row. This expression computes the norm once and emits
+  * the scaled array in one pass; zero vectors pass through unchanged
+  * (reference: lshtree.go:10-28 normalizeVector). */
+case class L2Normalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) { val v = x.getDouble(i); acc += v * v }
+      i += 1
+    }
+    val nrm = math.sqrt(acc)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val v = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
+      out(i) = if (nrm == 0.0) v else v / nrm
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val nrm = ctx.freshName("nrm")
+      val out = ctx.freshName("out")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    double $v = $a.getDouble($i);
+         |    $acc += $v * $v;
+         |  }
+         |}
+         |double $nrm = java.lang.Math.sqrt($acc);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
+         |  $out[$i] = ($nrm == 0.0) ? $v : $v / $nrm;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object DotProduct {
   /** Column API: codegen'd dot product of two vector columns (cast to
     * array<double> by the caller or implicitly here). */
@@ -119,4 +182,8 @@ object DotProduct {
     GraftBridge.toColumn(L2DistanceSq(
       GraftBridge.toExpression(a.cast("array<double>")),
       GraftBridge.toExpression(b.cast("array<double>"))))
+
+  def l2normalize(a: Column): Column =
+    GraftBridge.toColumn(L2Normalize(
+      GraftBridge.toExpression(a.cast("array<double>"))))
 }

@@ -46,9 +46,8 @@ object Vectors {
     sqrt(DotProduct.l2Sq(a, b))
 
   /** L2-normalize a vector; zero vectors pass through unchanged
-    * (reference: lshtree.go:10-28 normalizeVector). */
-  def normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n === 0.0, asD(a)).otherwise(transform(asD(a), x => x / n))
-  }
+    * (reference: lshtree.go:10-28 normalizeVector). Native single-pass
+    * expression — the HOF `transform(v, x => x / norm(v))` recomputes
+    * the norm per element (inlined lambda), O(d²) per row. */
+  def normalize(a: Column): Column = DotProduct.l2normalize(a)
 }

@@ -30,16 +30,18 @@ object Embed {
       .select(col(idCol), col("bucket"), (col("c") / col("nrm")).as("weight"))
   }
 
-  /** Dense representation: (idCol, embedding array<double>[dim]). */
+  /** Dense representation: (idCol, embedding array<double>[dim]). The
+    * bucket→weight map materializes IN the aggregate, so the assembly
+    * lambda reads an attribute (map_from_entries inside the lambda
+    * would rebuild the map per dimension). */
   def embedDense(df: DataFrame, textCol: String, idCol: String, dim: Int): DataFrame =
     embedSparse(df, textCol, idCol, dim)
       .groupBy(col(idCol))
-      .agg(collect_list(struct(col("bucket"), col("weight"))).as("bw"))
+      .agg(map_from_entries(
+        collect_list(struct(col("bucket"), col("weight")))).as("bwm"))
       .select(col(idCol),
         transform(sequence(lit(0), lit(dim - 1)), i =>
-          coalesce(
-            element_at(map_from_entries(col("bw")), i.cast("long")),
-            lit(0.0))).as("embedding"))
+          coalesce(element_at(col("bwm"), i.cast("long")), lit(0.0))).as("embedding"))
 
   /** Embedding cache — the scale twin of the reference's in-process
     * LRU (embedding_cache.go): a parquet table keyed by md5(text)

@@ -92,12 +92,12 @@ object Multimodal {
 
   /** Frame sampling on a payload: every `stride`-th byte of the
     * (utf8) payload becomes part of the "sampled" stream — the video
-    * frame-subsampling access pattern, in declarative built-ins. */
-  def frameSample(df: DataFrame, binCol: String, stride: Int): DataFrame = {
-    val text = col(binCol).cast("string")
+    * frame-subsampling access pattern. One regex pass (each match
+    * consumes `stride` chars, keeps the first); the per-position
+    * `substr` lambda it replaces re-cast the whole payload per
+    * element. */
+  def frameSample(df: DataFrame, binCol: String, stride: Int): DataFrame =
     df.withColumn("sample",
-      concat_ws("", transform(
-        sequence(lit(1), length(text), lit(stride)),
-        i => text.substr(i, lit(1)))))
-  }
+      regexp_replace(col(binCol).cast("string"),
+        s"(?s)(.)(.{0,${stride - 1}})", "$1"))
 }
