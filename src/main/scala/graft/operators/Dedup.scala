@@ -88,11 +88,12 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int, shingleN: Int): DataFrame = {
     val (as, bs) = minhashConsts(numHashes)
-    val hs = transform(array_distinct(shingles(col(textCol), shingleN)),
-      s => hash64(s) % MINHASH_M)
     df.filter(size(words(col(textCol))) >= shingleN)
+      .select(col(idCol), words(col(textCol)).as("_w"))
       .select(col(idCol),
-        graft.functions.SketchExprs.minhashSig(hs, as, bs, MINHASH_M).as("sig"))
+        graft.functions.SketchExprs.minhashSig(
+          transform(array_distinct(shinglesFromWords(col("_w"), shingleN)),
+            s => hash64(s) % MINHASH_M), as, bs, MINHASH_M).as("sig"))
   }
 
   /** LSH candidate pairs: ids sharing at least one band of the
