@@ -163,6 +163,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "tfidf_terms" -> ((s, dir) => {
+      TextAnalysis.tfidf(Tables.documents(s, dir), "text", "doc_id", 3)
+        .select(col("doc_id"), col("term"), round(col("score"), 5).as("score"),
+          col("rank").cast("long").as("rank"))
+    }),
+
     "text_clean" -> ((s, dir) => {
       // deterministic HTML wrapping per doc, then the full cleanup
       // chain: strip tags -> decode entities -> normalize -> truncate
@@ -557,6 +563,19 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, round(jaccard, 5) AS jaccard FROM mh_pairs""".stripMargin,
+
+    "tfidf_terms" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |idf AS (SELECT term,
+        |          ln(((SELECT count(*) FROM documents) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+        |        FROM tf GROUP BY term),
+        |scored AS (SELECT doc_id, tf.term, tf * idf AS score FROM tf JOIN idf USING (term)),
+        |ranked AS (SELECT doc_id, term, score,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |           FROM scored)
+        |SELECT doc_id, term, round(score, 5) AS score, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "text_clean" ->
       """WITH d AS (SELECT doc_id,

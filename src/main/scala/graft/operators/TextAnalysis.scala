@@ -73,6 +73,32 @@ object TextAnalysis {
       .withColumn("n_chars_actual", length(text).cast("bigint"))
   }
 
+  /** Top-k characteristic terms per document by tf-idf. One explode +
+    * two keyed aggregations (term frequency per doc, document
+    * frequency per term) + a doc-partitioned window for the top-k —
+    * every stage is keyed by doc or term, so the plan scales with the
+    * corpus and never sees a global window. idf uses the smoothed
+    * ln((N+1)/(df+1))+1 so unseen/ubiquitous terms stay finite. */
+  def tfidf(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val n = df.agg(count(lit(1)).as("_n_docs"))
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(w(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_count"))
+      .crossJoin(broadcast(n))
+      .select(col("term"),
+        (log((col("_n_docs") + 1.0) / (col("df_count") + 1.0)) + 1.0).as("idf"))
+    val scored = tf.join(idf, "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("score"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= k)
+  }
+
   /** PII patterns, written to the common subset of RE2 (the
     * reference's dialect) and java.util.regex: plain classes and
     * bounded repeats only, so Spark and any RE2 engine redact

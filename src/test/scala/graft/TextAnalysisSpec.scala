@@ -87,6 +87,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == "tom & jerry say \"hi\"")
   }
 
+  test("tfidf ranks distinctive terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "duck duck common"),
+      (3L, "goose common")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(df, "text", "doc_id", 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "common" appears in every doc -> low idf; each doc's own term wins
+    assert(got == Map(1L -> "spark", 2L -> "duck", 3L -> "goose"))
+    val k2 = TextAnalysis.tfidf(df, "text", "doc_id", 2)
+    assert(k2.filter(col("doc_id") === 1L).count() == 2)
+    // ranks are dense per doc, scores non-increasing
+    val r = k2.filter(col("doc_id") === 1L).orderBy("rank")
+      .select("rank", "score").as[(Int, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(1, 2) && r(0)._2 >= r(1)._2)
+  }
+
   test("truncateTokens keeps the first N whitespace tokens") {
     val df = Seq(Tuple1("a b c d e f")).toDF("t")
     assert(df.select(TextAnalysis.truncateTokens(col("t"), 3)).as[String].head() == "a b c")
