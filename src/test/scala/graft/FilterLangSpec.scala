@@ -178,6 +178,51 @@ class FilterLangSpec extends SparkSpec {
       FilterCompiler.compile("ANY(age > 10)", people))
   }
 
+  test("parser produces the reference's AST shapes (query/parser_test.go)") {
+    import FilterLang._
+    def ref(names: Any*): Ref = Ref(names.toList.map {
+      case s: String => Field(s)
+      case i: Int => Index(i)
+      case p: PathSeg => p
+    })
+    val cases: Seq[(String, Node)] = Seq(
+      "age >= 18 AND status == 'active'" ->
+        And(Cmp(">=", ref("age"), Lit(18.0)), Cmp("==", ref("status"), Lit("active"))),
+      "name STARTS_WITH 'J' OR name ENDS_WITH 'son'" ->
+        Or(StrOp("STARTS_WITH", ref("name"), Lit("J")),
+          StrOp("ENDS_WITH", ref("name"), Lit("son"))),
+      "tags CONTAINS 'urgent' AND priority > 5" ->
+        And(StrOp("CONTAINS", ref("tags"), Lit("urgent")),
+          Cmp(">", ref("priority"), Lit(5.0))),
+      "NOT (status == 'inactive' OR lastLogin < '2023-01-01')" ->
+        Not(Or(Cmp("==", ref("status"), Lit("inactive")),
+          Cmp("<", ref("lastLogin"), Lit("2023-01-01")))),
+      "age IN [18, 21, 25] AND country NOT IN ['US', 'CA']" ->
+        And(In(ref("age"), ArrayLit(List(Lit(18.0), Lit(21.0), Lit(25.0))), negated = false),
+          In(ref("country"), ArrayLit(List(Lit("US"), Lit("CA"))), negated = true)),
+      "middleName EXISTS AND nickname DOES NOT EXIST" ->
+        And(Exists(ref("middleName"), negated = false),
+          Exists(ref("nickname"), negated = true)),
+      // the upstream table has this one commented out; graft parses it
+      "ANY(orders[*] > 1000) AND ALL(ratings[*] >= 4)" ->
+        And(Quant("ANY", Cmp(">", ref("orders", StarSeg), Lit(1000.0))),
+          Quant("ALL", Cmp(">=", ref("ratings", StarSeg), Lit(4.0)))),
+      "items.length > 0 AND items[0].price < 100" ->
+        And(Cmp(">", ref("items", LengthSeg), Lit(0.0)),
+          Cmp("<", ref("items", 0, "price"), Lit(100.0))),
+      "user.profile.completed == true AND user.age >= :minAge" ->
+        And(Cmp("==", ref("user", "profile", "completed"), Lit(true)),
+          Cmp(">=", ref("user", "age"), Param("minAge"))),
+      "(status == 'active' AND age >= 18) OR role == 'admin'" ->
+        Or(And(Cmp("==", ref("status"), Lit("active")),
+          Cmp(">=", ref("age"), Lit(18.0))),
+          Cmp("==", ref("role"), Lit("admin")))
+    )
+    cases.foreach { case (input, want) =>
+      assert(FilterLang.parse(input) == want, s"input [$input]")
+    }
+  }
+
   test("parser rejects malformed input") {
     intercept[IllegalArgumentException](FilterLang.parse("age >="))
     intercept[IllegalArgumentException](FilterLang.parse("age > 18 AND"))
