@@ -74,18 +74,80 @@ object AnnIvf {
     c
   }
 
+  /** Driver-side distance — same sequential double fold as the
+    * codegen'd [[graft.functions.Vectors]] columns, used only on the
+    * tiny (nlist x dim) centroid table to rank cells without a Spark
+    * job per query. */
+  private def distLocal(metric: Knn.Metric, a: Array[Double], b: Array[Double]): Double =
+    metric match {
+      case Knn.Cosine =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        val c = math.min(1.0, math.max(-1.0, dot / (math.sqrt(na) * math.sqrt(nb))))
+        math.acos(c) / math.Pi
+      case Knn.Euclidean =>
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+        math.sqrt(s)
+    }
+
+  /** The `nprobe` cells nearest the query, ranked by query-to-centroid
+    * distance (ties by cell id). Centroids are nlist rows — collected
+    * and ranked on the driver, so probing costs zero Spark jobs. */
+  def rankCells(centroids: DataFrame, query: DataFrame, nprobe: Int,
+                metric: Knn.Metric): Seq[Long] = {
+    val cents = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val qv = query.select(col("qvec").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    cents.map { case (cell, cv) => (distLocal(metric, qv, cv), cell) }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
   /** Approximate top-k: rank cells by query-to-centroid distance,
-    * scan the nprobe nearest cells, exact distance within. */
+    * scan the nprobe nearest cells, exact distance within.
+    *
+    * This in-memory path re-assigns the corpus per call — fine for
+    * ad-hoc exploration, wrong for repeated search at scale. Build
+    * once with [[writeIndexed]] and probe with [[knnIndexed]] so each
+    * query reads only its nprobe cell partitions. */
   def knn(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
           centroids: DataFrame, nprobe: Int, metric: Knn.Metric,
           idCol: String): DataFrame = {
-    val probeCells = centroids.crossJoin(broadcast(query))
-      .withColumn("_qd", Knn.distCol(metric, col("centroid"), col("qvec")))
-      .orderBy(col("_qd").asc, col("cell").asc)
-      .limit(nprobe)
-      .select(col("cell"))
+    val probeCells = rankCells(centroids, query, nprobe, metric)
     val assigned = assign(df, vecCol, idCol, centroids, metric)
-    assigned.join(broadcast(probeCells), "cell")
+    assigned.filter(col("cell").isin(probeCells: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec")
+  }
+
+  /** Persist the IVF index: assignment happens ONCE here, and the
+    * table lands partitioned by cell — the reference's contract of a
+    * search structure built at index time and reused across queries
+    * (lshtree.go forest persisted via spanfile.go). At 100 TB each
+    * cell is a parquet partition directory, so a probe reads
+    * nprobe/nlist of the data instead of re-assigning the corpus. */
+  def writeIndexed(df: DataFrame, vecCol: String, idCol: String,
+                   centroids: DataFrame, metric: Knn.Metric,
+                   path: String): Unit =
+    assign(df, vecCol, idCol, centroids, metric)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Approximate top-k against a [[writeIndexed]] table: the
+    * `cell isin (...)` predicate prunes partitions at planning time
+    * (check PartitionFilters in the probe plan) — only the nprobe
+    * nearest cells are ever read. */
+  def knnIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                 vecCol: String, query: DataFrame, k: Int,
+                 centroids: DataFrame, nprobe: Int, metric: Knn.Metric,
+                 idCol: String): DataFrame = {
+    val probeCells = rankCells(centroids, query, nprobe, metric)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
       .crossJoin(broadcast(query))
       .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
       .orderBy(col("dist").asc, col(idCol).asc)

@@ -137,6 +137,34 @@ class AnnSpec extends SparkSpec {
     assert(cost(trained) <= cost(seeds) * 1.05)
   }
 
+  test("ivf indexed probe prunes cell partitions and matches in-memory knn") {
+    val cent = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toFile
+    dir.delete()
+    AnnIvf.writeIndexed(emb, "embedding", "vec_id", cent, Knn.Cosine, dir.getAbsolutePath)
+    val res = AnnIvf.knnIndexed(spark, dir.getAbsolutePath, "embedding",
+      q, 10, cent, 2, Knn.Cosine, "vec_id")
+    // the probe must be partition-pruned: assignment happened ONCE at
+    // writeIndexed time, a query reads only its nprobe cell directories
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      s"expected cell partition pruning in:\n$plan")
+    val mem = AnnIvf.knn(emb, "embedding", q, 10, cent, 2, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val disk = res.select("vec_id").as[Long].collect().toSeq
+    assert(mem == disk)
+  }
+
+  test("ivf rankCells matches a Spark-side centroid ranking") {
+    val cent = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+    val local = AnnIvf.rankCells(cent, q, 3, Knn.Cosine)
+    val viaSpark = cent.crossJoin(broadcast(q))
+      .withColumn("_qd", Knn.distCol(Knn.Cosine, col("centroid").cast("array<double>"), col("qvec")))
+      .orderBy(col("_qd").asc, col("cell").asc)
+      .limit(3).select(col("cell").cast("long")).as[Long].collect().toSeq
+    assert(local == viaSpark)
+  }
+
   test("ivf knn probes nprobe cells and returns ordered results") {
     val cent = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
     val res = AnnIvf.knn(emb, "embedding", q, 10, cent, 2, Knn.Cosine, "vec_id")
