@@ -298,6 +298,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_lsh_multitable" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // forest of 100 independent 8-plane tables: candidates are the
+      // union of the query's 100 buckets (any-table agreement), exact
+      // distance within — recall@10 >= 0.8 on worst-case uniform
+      // embeddings where the single-table probe floors at 0.35
+      // (AnnSpec pins the frontier)
+      AnnLsh.knnForest(emb, "embedding", queryVec(s, dir), 10,
+          numTables = 100, bitsPerTable = 8, dim = 64, Knn.Cosine, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -460,6 +472,26 @@ object SparkEntry {
          |SELECT vec_id, label, round(d, 5) AS dist FROM (
          |  SELECT bb.vec_id, bb.label, ${angSql("bb.v", "q.qvec")} AS d
          |  FROM bb, q WHERE bb.bucket = q.qbucket)
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "ann_lsh_multitable" ->
+      s"""WITH planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(800) t(h)),
+         |b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |q AS (SELECT tbl, key FROM keys WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT k.vec_id FROM keys k JOIN q USING (tbl, key)),
+         |qv AS (SELECT v AS qvec FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM (
+         |  SELECT b.vec_id, b.label, ${angSql("b.v", "qv.qvec")} AS d
+         |  FROM b JOIN cand USING (vec_id), qv)
          |ORDER BY d, vec_id LIMIT 10""".stripMargin,
 
     "ann_batch" ->

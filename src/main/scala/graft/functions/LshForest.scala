@@ -1,0 +1,204 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Per-table LSH bucket keys for a forest of L independent
+  * random-hyperplane tables — the scan-native analogue of the
+  * reference's LSH forest (lshtree.go:88 `numTrees` trees; each tree
+  * adapts its splits, each of our tables draws an independent plane
+  * set; both answer a query from the union of per-tree candidates,
+  * lshtree.go:283-336).
+  *
+  * Table `t` uses planes with global indices `g = t*bits + j`,
+  * `j < bits`, drawn from the same deterministic md5 scheme as the
+  * single-table index (`AnnLsh.planes`): plane g, dim d is
+  * `(hash64(g + "_" + d) mod 1000)/1000 - 0.5`. The emitted key packs
+  * the table id above the bucket bits — `(t << bits) | bucket` — so
+  * one `array<long>` column carries the whole forest membership and a
+  * probe is "does the row's key array hit any of the query's L keys".
+  *
+  * Why a native expression: L*bits plane dots per row (e.g. 60 tables
+  * x 8 planes = 480 64-dim dots) as HOF combinations would run
+  * interpreted and re-evaluate aliases per element (the alias-inline
+  * trap); this codegens to one tight triple loop over a referenced
+  * plane matrix — no allocation beyond the L-long output.
+  */
+case class MultiLshBuckets(child: Expression, numTables: Int,
+                           bitsPerTable: Int, dim: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** Flattened plane matrix, row-major: plane g spans
+    * [g*dim, (g+1)*dim). Recomputed per JVM (deterministic). */
+  @transient private lazy val flatPlanes: Array[Double] = {
+    val ps = graft.operators.AnnLsh.planes(numTables * bitsPerTable, dim)
+    val out = new Array[Double](numTables * bitsPerTable * dim)
+    var g = 0
+    while (g < ps.length) {
+      System.arraycopy(ps(g), 0, out, g * dim, dim)
+      g += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        val base = (t * bitsPerTable + j) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!x.isNullAt(i)) acc += x.getDouble(i) * flatPlanes(base + i)
+          i += 1
+        }
+        if (acc > 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << bitsPerTable) | bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planes = ctx.addReferenceObj("flatPlanes", flatPlanes, "double[]")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long[] $out = new long[$numTables];
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bitsPerTable; $j++) {
+         |    int $base = ($t * $bitsPerTable + $j) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$a.isNullAt($i)) $acc += $a.getDouble($i) * $planes[$base + $i];
+         |    }
+         |    if ($acc > 0.0) $bucket |= (1L << $j);
+         |  }
+         |  $out[$t] = ((long) $t << $bitsPerTable) | $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MultiLshBuckets {
+  /** Column API: array<long> of `(t << bits) | bucket_t` keys. */
+  def keys(vec: Column, numTables: Int, bitsPerTable: Int, dim: Int): Column =
+    GraftBridge.toColumn(MultiLshBuckets(
+      GraftBridge.toExpression(vec.cast("array<double>")),
+      numTables, bitsPerTable, dim))
+}
+
+/** Boolean probe: does this vector land in ANY of the query's L
+  * forest buckets? Computes table t's bucket and compares it to the
+  * query's key for t, returning on the first hit — a candidate row
+  * typically agrees early, so the scan does far fewer than L*bits
+  * plane dots on hits. A single self-contained predicate (one child
+  * reference) so predicate pushdown can move it without duplicating
+  * an expensive aliased signature column. */
+case class LshForestHit(child: Expression, queryKeys: Array[Long],
+                        bitsPerTable: Int, dim: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  @transient private lazy val flatPlanes: Array[Double] = {
+    val ps = graft.operators.AnnLsh.planes(queryKeys.length * bitsPerTable, dim)
+    val out = new Array[Double](queryKeys.length * bitsPerTable * dim)
+    var g = 0
+    while (g < ps.length) {
+      System.arraycopy(ps(g), 0, out, g * dim, dim)
+      g += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    var t = 0
+    while (t < queryKeys.length) {
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        val base = (t * bitsPerTable + j) * dim
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          if (!x.isNullAt(i)) acc += x.getDouble(i) * flatPlanes(base + i)
+          i += 1
+        }
+        if (acc > 0.0) bucket |= (1L << j)
+        j += 1
+      }
+      if (((t.toLong << bitsPerTable) | bucket) == queryKeys(t)) return true
+      t += 1
+    }
+    false
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val planes = ctx.addReferenceObj("flatPlanes", flatPlanes, "double[]")
+      val qk = ctx.addReferenceObj("queryKeys", queryKeys, "long[]")
+      val n = ctx.freshName("n")
+      val hit = ctx.freshName("hit")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |boolean $hit = false;
+         |for (int $t = 0; $t < ${queryKeys.length} && !$hit; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $bitsPerTable; $j++) {
+         |    int $base = ($t * $bitsPerTable + $j) * $dim;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      if (!$a.isNullAt($i)) $acc += $a.getDouble($i) * $planes[$base + $i];
+         |    }
+         |    if ($acc > 0.0) $bucket |= (1L << $j);
+         |  }
+         |  $hit = (((long) $t << $bitsPerTable) | $bucket) == $qk[$t];
+         |}
+         |${ev.value} = $hit;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshForestHit {
+  def hit(vec: Column, queryKeys: Seq[Long], bitsPerTable: Int, dim: Int): Column =
+    GraftBridge.toColumn(LshForestHit(
+      GraftBridge.toExpression(vec.cast("array<double>")),
+      queryKeys.toArray, bitsPerTable, dim))
+}

@@ -185,6 +185,63 @@ object AnnLsh {
     if (total == 0L) 0.0 else row.getLong(1).toDouble / total * 100.0
   }
 
+  // ---- LSH forest: L independent tables ----
+  //
+  // The single-table probe above reads 1/2^planes of the corpus but
+  // misses any neighbor that crosses one of the 4 planes — on
+  // cluster-free data that floors recall near 0.35. The reference
+  // solves this with a forest of `numTrees` adaptive trees and
+  // answers from the union of per-tree candidates (lshtree.go:88,
+  // :283-336 priority-queue descent). The scan-native analogue: L
+  // independent plane sets ("tables"), each hashing every row to a
+  // `(table << bits) | bucket` key; a query probes the union of its L
+  // buckets. Recall compounds as 1-(1-p^bits)^L while the probed mass
+  // stays ~L/2^bits, so bits trades precision and L buys recall.
+
+  /** Assign every row its L forest keys (one codegen'd pass over the
+    * plane matrix — see [[graft.functions.MultiLshBuckets]]). */
+  def indexForest(df: DataFrame, vecCol: String, numTables: Int,
+                  bitsPerTable: Int, dim: Int): DataFrame =
+    df.withColumn("fkeys",
+      graft.functions.MultiLshBuckets.keys(col(vecCol), numTables, bitsPerTable, dim))
+
+  /** The query's L forest keys (driver-side; one 1-row job — the same
+    * shape as [[probeBuckets]]). */
+  def forestKeys(query: DataFrame, numTables: Int, bitsPerTable: Int,
+                 dim: Int): Seq[Long] = {
+    val Array(row) = query.select(graft.functions.MultiLshBuckets
+      .keys(col("qvec"), numTables, bitsPerTable, dim).as("k")).collect()
+    row.getSeq[Long](0)
+  }
+
+  /** Forest approximate top-k: candidates are the union of the
+    * query's L buckets (any-table agreement), exact distance within.
+    * The probe predicate is a single early-exit expression on the
+    * scan — no join, no signature column to duplicate. */
+  def knnForest(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
+                numTables: Int, bitsPerTable: Int, dim: Int,
+                metric: Knn.Metric, idCol: String): DataFrame = {
+    val keys = forestKeys(query, numTables, bitsPerTable, dim)
+    df.filter(graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim))
+      .crossJoin(broadcast(query))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec")
+  }
+
+  /** PercentSearched for a forest probe: union-candidate mass over
+    * corpus size, one aggregate pass. */
+  def percentSearchedForest(df: DataFrame, vecCol: String, query: DataFrame,
+                            numTables: Int, bitsPerTable: Int, dim: Int): Double = {
+    val keys = forestKeys(query, numTables, bitsPerTable, dim)
+    val hit = graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim)
+    val row = df.agg(count(lit(1)).as("total"),
+      sum(when(hit, 1L).otherwise(0L)).as("probed")).head()
+    val total = row.getLong(0)
+    if (total == 0L) 0.0 else row.getLong(1).toDouble / total * 100.0
+  }
+
   /** Recall@k of the approximate result vs exact brute force. */
   def recallAtK(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
                 numPlanes: Int, dim: Int, metric: Knn.Metric, idCol: String): Double = {

@@ -127,6 +127,61 @@ class AnnSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("forest raises recall@10 to >=0.8 on worst-case sf0.01 embeddings") {
+    val e = Tables.embeddings(spark, sf001).cache()
+    val k = 10
+    val (bits, tables) = (8, 100)
+    val stats = (1L to 5L).map { qid =>
+      val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val exact = Knn.knn(e, "embedding", qv, k, Knn.Cosine, "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val forest = AnnLsh.knnForest(e, "embedding", qv, k, tables, bits, 64,
+          Knn.Cosine, "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val mass = AnnLsh.percentSearchedForest(e, "embedding", qv, tables, bits, 64)
+      (forest.intersect(exact).size.toDouble / k, mass)
+    }
+    val recall = stats.map(_._1).sum / stats.size
+    val mass = stats.map(_._2).sum / stats.size
+    info(f"forest(bits=$bits, tables=$tables): recall@10=$recall%.3f pctSearched=$mass%.1f")
+    // the reference's forest answers precision:"medium" near-exactly by
+    // unioning per-tree candidates (lshtree.go:88,283-336); the
+    // scan-native forest must hold >=0.8 on UNIFORM embeddings (LSH's
+    // worst case — no cluster structure) while probing a strict
+    // minority of the corpus. Measured frontier on this data:
+    // (8,80)=0.80@27%, (8,100)=0.86@32% — recall-margin point chosen.
+    assert(recall >= 0.8, s"forest mean recall@10 = $recall < 0.8")
+    assert(mass <= 35.0, s"forest probed mass = $mass% > 35%")
+    // single-table multiprobe on the same data floors at 0.35 — the
+    // forest must clearly dominate it, not just the floor
+    e.unpersist()
+  }
+
+  test("forest knn: distances ascending, query in own bucket, fewer rows than corpus probed") {
+    val res = AnnLsh.knnForest(emb, "embedding", q, 5, 20, 6, 64, Knn.Cosine, "vec_id")
+      .select("dist").as[Double].collect().toSeq
+    assert(res.size == 5 && res == res.sorted)
+    assert(res.head < 1e-6)
+    val pct = AnnLsh.percentSearchedForest(emb, "embedding", q, 20, 6, 64)
+    assert(pct > 0.0 && pct < 100.0)
+  }
+
+  test("forest keys: table id packed above bucket bits, deterministic") {
+    val k1 = AnnLsh.forestKeys(q, 10, 8, 64)
+    val k2 = AnnLsh.forestKeys(q, 10, 8, 64)
+    assert(k1 == k2)
+    assert(k1.size == 10)
+    k1.zipWithIndex.foreach { case (key, t) =>
+      assert((key >> 8) == t, s"table bits wrong for $key at $t")
+      assert((key & 255L) >= 0L)
+    }
+    // first table of the forest uses planes 0..bits-1 — the same
+    // planes as the single-table index, so its bucket matches
+    val single = AnnLsh.probeBuckets(q, 4, 64, multiprobe = false).head
+    val forest4 = AnnLsh.forestKeys(q, 1, 4, 64).head
+    assert((forest4 & 15L) == single)
+  }
+
   test("ivf trained centroids improve or match seed assignment cost") {
     val seeds = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 3L)
     val trained = AnnIvf.train(emb, "embedding", "vec_id", 0L to 3L, iters = 2, Knn.Cosine)
