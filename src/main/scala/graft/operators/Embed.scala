@@ -58,8 +58,11 @@ object Embed {
     val keyed = df.select(col(idCol), col(textCol),
       md5(col(textCol)).as("_tkey"))
     val cache: DataFrame =
+      // "cache absent" is only a missing path (AnalysisException); any
+      // other failure — e.g. a corrupted cache file — must surface,
+      // not silently become "empty cache, recompute everything"
       try spark.read.parquet(cachePath).select(col("tkey"), col("embedding"))
-      catch { case _: Throwable =>
+      catch { case _: org.apache.spark.sql.AnalysisException =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("tkey",
@@ -78,7 +81,18 @@ object Embed {
     // one text can appear under many ids; the cache stores each key once
     computed.select(col("_tkey").as("tkey"), col("embedding")).distinct()
       .write.mode("append").parquet(cachePath)
+    // serve the misses from the rows the append just wrote: the
+    // embedder ran exactly once (inside the write job); returning
+    // `computed` directly would re-run the whole embed plan when the
+    // caller consumes the result — doubling the one stage this
+    // operator exists to avoid. `cache` above holds the pre-append
+    // file listing, so the miss/hit split stays consistent.
+    val served = spark.read.parquet(cachePath)
+      .select(col("tkey").as("_tkey"), col("embedding"))
+      .dropDuplicates("_tkey") // concurrent appenders may duplicate a
+                               // key; values are identical (deterministic embedder)
     hits.unionByName(
-      computed.select(col(idCol), col("embedding"), lit(false).as("cached")))
+      misses.select(col(idCol), col("_tkey")).join(served, Seq("_tkey"))
+        .select(col(idCol), col("embedding"), lit(false).as("cached")))
   }
 }

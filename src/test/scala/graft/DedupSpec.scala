@@ -135,6 +135,40 @@ class DedupSpec extends SparkSpec {
     assert(r1(1L)._1 == r2(3L)._1) // same text, same vector across runs
   }
 
+  test("embedWithCache runs the embedder once: serve path reads cache, no re-embed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ecache1").toFile.getAbsolutePath
+    val batch = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
+    val res = Embed.embedWithCache(spark, batch, "text", "doc_id", 8, s"$dir/cache")
+    // the embedder plan contains a Generate (explode over words); the
+    // RETURNED plan must not — misses are joined back from the parquet
+    // rows the append wrote, so consuming the result cannot re-run the
+    // expensive embed stage (the operator's whole reason to exist)
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate"), s"embedder re-runs on the serve path:\n$plan")
+    assert(plan.toLowerCase.contains("parquet"), s"serve path does not read the cache:\n$plan")
+    // and the served values are still bit-identical to a fresh embed
+    val got = res.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val fresh = Embed.embedDense(batch, "text", "doc_id", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(got == fresh)
+  }
+
+  test("corrupted cache file surfaces an error, not a silent full recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ecache2").toFile
+    val cacheDir = new java.io.File(dir, "cache")
+    cacheDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(cacheDir, "part-00000.parquet").toPath,
+      "this is not a parquet file".getBytes("UTF-8"))
+    val batch = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    // only a MISSING path means "empty cache"; a present-but-unreadable
+    // cache is corruption and must fail loudly
+    intercept[Exception] {
+      Embed.embedWithCache(spark, batch, "text", "doc_id", 8,
+        cacheDir.getAbsolutePath).collect()
+    }
+  }
+
   test("embedDense produces L2-normalized vectors of the right dim") {
     val dense = Embed.embedDense(docs, "text", "doc_id", 8)
     val row = dense.filter(col("doc_id") === 1).select("embedding")
