@@ -24,15 +24,22 @@ object Bench {
       try run(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => }
     }
-    // two timed runs, report the min — the first full-size run still
-    // absorbs tail JIT compilation of the hottest loops
+    // median of 3 timed runs per query. Round 4 was an A/A control on
+    // a byte-identical binary and min-of-2 still moved single queries
+    // by ±2-4 s (GC / page-cache contention between queries sharing
+    // cached inputs) — below that noise floor a 2x per-query change is
+    // invisible. The median tolerates one bad run out of three; one
+    // full-size warm pass first absorbs tail JIT of the hottest loops.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try run(fn, sfDir) catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try run(fn, sfDir) catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      }.sorted
+      name -> times(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
