@@ -121,6 +121,19 @@ object SparkEntry {
         round(aggregate(err, lit(0.0), (a, x) => a + x) / size(col("embedding")), 7).as("mean_err"))
     }),
 
+    "knn_quantized" -> ((s, dir) => {
+      // the reference's storage contract: vectors live QUANTIZED (8-bit
+      // codes, 4x narrower than floats on the scan) and search runs on
+      // dequantized values (quantization.go, collection.go:569) — top-k
+      // over the lossy store, full-precision query
+      val emb = Tables.embeddings(s, dir)
+      val stored = emb.select(col("vec_id"), col("label"),
+        Quantization.quantize(col("embedding"), 8).as("codes"))
+      val deq = stored.withColumn("vec", Quantization.dequantize(col("codes"), 8))
+      Knn.knn(deq, "vec", queryVec(s, dir), 10, Knn.Cosine, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
     "upsert_crud" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val base = docs.select(col("doc_id"), col("source"), col("n_chars"),
@@ -567,6 +580,16 @@ object SparkEntry {
         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> abs(x - (round((least(greatest(x, -1.0), 1.0) + 1.0) / 2.0 * 255.0) / 255.0 * 2.0 - 1.0))) AS err
         |  FROM embeddings)""".stripMargin,
+
+    "knn_quantized" ->
+      s"""WITH b AS (SELECT vec_id, label,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> round((least(greatest(x, -1.0), 1.0) + 1.0) / 2.0 * 255.0) / 255.0 * 2.0 - 1.0) AS v
+         |  FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM (
+         |  SELECT vec_id, label, ${angSql("b.v", "q.qvec")} AS d FROM b, q)
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
 
     "upsert_crud" ->
       """WITH base AS (SELECT doc_id, source, n_chars, 0 AS version FROM documents),

@@ -53,6 +53,35 @@ class KnnSpec extends SparkSpec {
     assert(afterDelete.select("id").as[Long].collect().toSorted == Seq(1L, 3L))
   }
 
+  test("knn over 8-bit quantized storage: near-exact neighbors, narrower scan") {
+    import graft.functions.Quantization
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val exact = Knn.knn(emb, "embedding", qv, 10, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    // search on dequantized 8-bit codes — the reference's stored-
+    // quantized / search-dequantized contract (quantization.go,
+    // collection.go:569); max per-element error 1/255 barely moves
+    // angular distances, so top-10 stays essentially exact
+    val stored = emb.select(col("vec_id"),
+      Quantization.quantize(col("embedding"), 8).as("codes"))
+    val deq = stored.withColumn("vec", Quantization.dequantize(col("codes"), 8))
+    val approx = Knn.knn(deq, "vec", qv, 10, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSet
+    assert(approx.intersect(exact).size >= 9, s"quantized knn drifted: $approx vs $exact")
+    // the storage win that justifies the contract: 8-bit codes scan
+    // materially narrower than the raw float vectors
+    def dirSize(d: java.io.File): Long =
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quant").toFile
+    emb.select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$tmp/raw")
+    stored.write.mode("overwrite").parquet(s"$tmp/codes")
+    val (raw, codes) = (dirSize(new java.io.File(tmp, "raw")), dirSize(new java.io.File(tmp, "codes")))
+    info(s"raw=$raw bytes codes=$codes bytes ratio=${codes.toDouble / raw}")
+    assert(codes < raw * 0.7, s"quantized parquet not narrower: $codes vs $raw")
+  }
+
   implicit class SortedSeq(s: Seq[Long]) { def toSorted: Seq[Long] = s.sorted }
   implicit class SortedArr(s: Array[Long]) { def toSorted: Seq[Long] = s.toSeq.sorted }
 }
