@@ -58,9 +58,42 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         StructField("deleted", BooleanType))))
   }
 
-  private def log(): DataFrame =
-    try spark.read.parquet(path)
-    catch { case _: Throwable => emptyBatch() }
+  private def fs() = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  /** Generation dirs produced by [[compact]]: `path.genN`. A
+    * generation is only real once its `_SUCCESS` marker exists (the
+    * last file Spark's committer writes), so "which data is current"
+    * flips atomically with that marker — a crash at ANY point of a
+    * compaction leaves the previous generation fully readable. */
+  private def completeGens(): Seq[Int] = {
+    val f = fs()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val parent = p.getParent
+    if (parent == null || !f.exists(parent)) return Seq.empty
+    val prefix = p.getName + ".gen"
+    f.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .flatMap(g => g.getName.stripPrefix(prefix).toIntOption.map(n => (n, g)))
+      .filter { case (_, g) =>
+        f.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS")) }
+      .map(_._1)
+  }
+
+  /** Where the live log lives: the highest COMPLETE generation, or the
+    * original `path` before any compaction. */
+  private def dataPath(): String =
+    completeGens().maxOption.map(n => s"$path.gen$n").getOrElse(path)
+
+  private def log(): DataFrame = {
+    val p = dataPath()
+    // "log absent" is only a missing path; corruption must surface,
+    // not silently read as an empty collection
+    try spark.read.parquet(p)
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      emptyBatch()
+    }
+  }
 
   /** Max version from parquet FOOTER statistics — O(files) metadata
     * reads, zero row data: the scale answer to a monotonic version
@@ -71,7 +104,7 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   private def nextVersion(): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-    val dir = new org.apache.hadoop.fs.Path(path)
+    val dir = new org.apache.hadoop.fs.Path(dataPath())
     if (!fs.exists(dir)) return 0L
     val files = fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
@@ -102,7 +135,7 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   }
 
   private def append(batch: DataFrame): Unit =
-    batch.write.mode("append").parquet(path)
+    batch.write.mode("append").parquet(dataPath())
 
   /** AddDocument upsert (collection.go:427): vectors are stored
     * quantized per options (lossy below 32 bits, like the
@@ -254,19 +287,31 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   /** Compact the versioned log: collapse to the current view at
     * version 0 and drop superseded rows and tombstones. The log's
     * read cost is O(total mutations) until compacted; run this
-    * periodically like any LSM/merge-on-read store. */
+    * periodically like any LSM/merge-on-read store.
+    *
+    * Crash-safe by construction (single writer): the compacted view
+    * is written to a NEW generation dir `path.genN+1`; it only
+    * becomes current when its `_SUCCESS` marker lands (the last write
+    * of the job), and the superseded data is deleted strictly after.
+    * A crash at any step leaves the previous generation complete and
+    * served — there is no delete-before-rename window (the old
+    * implementation destroyed the only copy if it died between
+    * `delete(dst)` and `rename(tmp, dst)`). */
   def compact(): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
-    val dst = new org.apache.hadoop.fs.Path(path)
+    val f = fs()
+    val old = dataPath()
+    val next = completeGens().maxOption.getOrElse(0) + 1
+    // mode=overwrite clears any partial dir a crashed attempt left
     current()
       .select(col("id"), col("vector"), col("metadata"),
         lit(0L).as("version"), lit(false).as("deleted"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(s"compaction rename failed for $path")
+      .write.mode("overwrite").parquet(s"$path.gen$next")
+    // the new generation is complete (readers already resolve to it);
+    // now — and only now — retire everything older
+    f.delete(new org.apache.hadoop.fs.Path(old), true)
+    completeGens().filter(_ < next).foreach { n =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path.gen$n"), true)
+    }
   }
 }
 
@@ -338,12 +383,19 @@ object Collection {
       .sortBy(_._1)
   }
 
-  /** Drop a collection: delete its log and options file
-    * (rest.go:176 DELETE /api/v1/collections/{name}). */
+  /** Drop a collection: delete its log (all generations) and options
+    * file (rest.go:176 DELETE /api/v1/collections/{name}). */
   def drop(spark: SparkSession, path: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val data = fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val gens =
+      if (p.getParent != null && fs.exists(p.getParent))
+        fs.listStatus(p.getParent).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith(p.getName + ".gen"))
+      else Seq.empty
+    val genDeleted = gens.map(g => fs.delete(g, true)).exists(identity)
+    val data = fs.delete(p, true)
     val meta = fs.delete(new org.apache.hadoop.fs.Path(metaPath(path)), false)
-    data || meta
+    data || meta || genDeleted
   }
 }

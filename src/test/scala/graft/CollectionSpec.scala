@@ -134,6 +134,50 @@ class CollectionSpec extends SparkSpec {
     assert(c.getAllIds() == Seq(1L, 3L, 9L))
   }
 
+  test("compact is crash-safe: no step leaves current() without data") {
+    val dir = Files.createTempDirectory("graft-coll-crash").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    val c = Collection.create(spark,
+      CollectionOptions("cr", dimensionCount = 4, distanceMethod = Knn.Euclidean), path)
+    c.addDocuments(docs3)
+    c.removeDocuments(Seq(2L))
+    assert(c.getAllIds() == Seq(1L, 3L))
+
+    // crash A: a compaction died mid-write — a partial generation dir
+    // exists without _SUCCESS. Readers must keep serving the old log.
+    val partial = new java.io.File(path + ".gen1")
+    partial.mkdirs()
+    Files.write(new java.io.File(partial, "part-00000.parquet").toPath,
+      "not a parquet file".getBytes("UTF-8"))
+    assert(c.getAllIds() == Seq(1L, 3L), "partial generation leaked into reads")
+
+    // retrying over the leftover partial dir succeeds and retires the
+    // original log only after gen1 is complete
+    c.compact()
+    assert(c.getAllIds() == Seq(1L, 3L))
+    assert(new java.io.File(path + ".gen1/_SUCCESS").exists())
+    assert(!new java.io.File(path).exists(), "superseded log not retired")
+
+    // crash B: a later compaction completed a new generation but died
+    // before deleting the old one — both complete, readers take newest
+    c.addDocuments(Seq((9L, Seq(1.0, 1.0, 1.0, 1.0), "{}")).toDF("id", "vector", "metadata"))
+    c.compact() // -> gen2, retires gen1
+    assert(c.getAllIds() == Seq(1L, 3L, 9L))
+    // resurrect a STALE but complete gen1 (simulates delete-not-run)
+    Seq((111L, Seq(0.0, 0.0, 0.0, 0.0), "{}", 0L, false))
+      .toDF("id", "vector", "metadata", "version", "deleted")
+      .write.mode("overwrite").parquet(path + ".gen1")
+    assert(c.getAllIds() == Seq(1L, 3L, 9L), "stale lower generation shadowed the newest")
+    // the next compaction cleans up every older generation
+    c.compact() // -> gen3
+    assert(c.getAllIds() == Seq(1L, 3L, 9L))
+    assert(!new java.io.File(path + ".gen1").exists())
+    assert(!new java.io.File(path + ".gen2").exists())
+    assert(Collection.drop(spark, path))
+    assert(!new java.io.File(path + ".gen3").exists(), "drop must delete generations")
+  }
+
   test("lossy quantization stores dequantized grid values (ref quantization.go)") {
     val c = newCollection(quantization = 8)
     c.addDocuments(Seq((1L, Seq(0.5, -0.25, 0.1, 0.77), "{}")).toDF("id", "vector", "metadata"))
