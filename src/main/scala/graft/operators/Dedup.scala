@@ -378,19 +378,29 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every doc appearing in >= 1
     * pair; singletons are their own implicit cluster and are omitted,
     * like the pair frames omit them. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // localCheckpoint (not persist): an iterative plan re-OPTIMIZES its
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    // Checkpoint (not persist): an iterative plan re-OPTIMIZES its
     // whole lineage on every action, so after a few rounds Catalyst
     // spends seconds re-planning the upstream pair pipeline per round.
     // Checkpointing truncates the logical plan to the materialized
     // blocks — each round then plans only its own two joins.
+    //
+    // Mode: localCheckpoint() stores blocks UNREPLICATED on executors
+    // — fastest, but one lost executor kills the job. Pass
+    // `checkpointDir` (HDFS/S3-visible) on a real cluster to use
+    // reliable checkpoints that survive executor loss; identical
+    // results, one extra write per round.
+    checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
+    def snap(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .localCheckpoint()
+      .transform(snap)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .transform(snap)
     // labels only ever decrease, so sum(label) strictly decreases until
     // the fixpoint — convergence detection is one tiny aggregate, no
     // old-vs-new join
@@ -413,7 +423,7 @@ object Dedup {
           stepped("label") === col("_pid"), "left")
         .select(stepped("id"),
           least(stepped("label"), coalesce(col("_plabel"), stepped("label"))).as("label"))
-        .localCheckpoint()
+        .transform(snap)
       val s = labelSum(next)
       done = s == prevSum
       prevSum = s

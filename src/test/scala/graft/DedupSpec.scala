@@ -117,6 +117,21 @@ class DedupSpec extends SparkSpec {
     assert(capped(4L) == 2L)
   }
 
+  test("connectedComponents reliable-checkpoint mode matches local mode") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toFile.getAbsolutePath
+    // reliable checkpoints (df.checkpoint to a shared dir) survive
+    // executor loss on a real cluster; results must be identical
+    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(ckDir))
+      .as[(Long, Long)].collect().toMap
+    assert(local == reliable)
+    assert(new java.io.File(ckDir).listFiles().nonEmpty,
+      "reliable mode wrote no checkpoint data")
+  }
+
   test("embedWithCache serves repeats from the cache and matches embedDense") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ecache").toFile.getAbsolutePath
     val batch1 = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text")
