@@ -45,10 +45,17 @@ object SparkEntry {
   }
 
   /** Per-JVM scratch root for indexes a declared query builds once and
-    * probes repeatedly (UUID-suffixed: no stale reuse across runs). */
+    * probes repeatedly (UUID-suffixed: no stale reuse across runs).
+    * Cleaned up RECURSIVELY on JVM exit — File.deleteOnExit only
+    * removes empty dirs, which would leak the parquet underneath. */
   private lazy val indexRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-index-").toFile
-    d.deleteOnExit()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }))
     d.getAbsolutePath
   }
 
@@ -58,10 +65,14 @@ object SparkEntry {
   /** The IVF index for a corpus dir: built on first use (the reference
     * builds its search structure once at index time, spanfile.go),
     * partition-pruned probes afterwards. computeIfAbsent blocks
-    * concurrent callers until the one build finishes. */
+    * concurrent callers until the one build finishes. Keyed by an md5
+    * of the FULL dir path — sanitized-name keying collided for paths
+    * differing only in stripped characters. */
   private def ivfIndexPath(s: SparkSession, dir: String,
                            centroids: DataFrame): String = {
-    val path = s"$indexRoot/ivf-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val path = s"$indexRoot/ivf-$key"
     builtIndexes.computeIfAbsent(path, { p =>
       AnnIvf.writeIndexed(Tables.embeddings(s, dir), "embedding", "vec_id",
         centroids, Knn.Cosine, p)
@@ -365,7 +376,7 @@ object SparkEntry {
         length(col("payload")).cast("bigint").as("n_bytes"),
         sha2(col("payload"), 256).as("checksum"),
         length(col("sample")).cast("bigint").as("sample_len"),
-        sha2(col("sample").cast("binary"), 256).as("sample_checksum"))
+        sha2(col("sample"), 256).as("sample_checksum"))
     }),
 
     "lang_id" -> ((s, dir) => {

@@ -90,14 +90,13 @@ object Multimodal {
         when(isPng, be4(21)).when(isGif, le2(9)).otherwise(lit(null).cast("int")))
   }
 
-  /** Frame sampling on a payload: every `stride`-th byte of the
-    * (utf8) payload becomes part of the "sampled" stream — the video
-    * frame-subsampling access pattern. One regex pass (each match
-    * consumes `stride` chars, keeps the first); the per-position
-    * `substr` lambda it replaces re-cast the whole payload per
-    * element. */
+  /** Frame sampling on a payload: every `stride`-th BYTE of the
+    * payload becomes part of the "sampled" stream — the video
+    * frame-subsampling access pattern. Byte-safe: a codegen'd
+    * expression over the raw binary ([[graft.functions.ByteStride]]);
+    * the regex-over-string formulation it replaces round-tripped
+    * through UTF-8 and corrupted real (non-text) media bytes. */
   def frameSample(df: DataFrame, binCol: String, stride: Int): DataFrame =
     df.withColumn("sample",
-      regexp_replace(col(binCol).cast("string"),
-        s"(?s)(.)(.{0,${stride - 1}})", "$1"))
+      graft.functions.BinaryExprs.byteStride(col(binCol), stride))
 }

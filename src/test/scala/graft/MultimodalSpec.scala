@@ -36,8 +36,19 @@ class MultimodalSpec extends SparkSpec {
   test("frameSample takes every Nth byte") {
     val df = Seq((1L, "abcdefghij".getBytes("UTF-8"))).toDF("id", "payload")
     val got = Multimodal.frameSample(df, "payload", 3)
-      .select("sample").as[String].head()
-    assert(got == "adgj")
+      .select("sample").as[Array[Byte]].head()
+    assert(new String(got, "UTF-8") == "adgj")
+  }
+
+  test("frameSample is byte-safe on non-UTF-8 media bytes") {
+    // real media payloads are NOT valid UTF-8 — every byte value 0-255,
+    // including lone continuation bytes, must survive the stride
+    val raw = Array.tabulate[Byte](256)(i => i.toByte)
+    val df = Seq((1L, raw)).toDF("id", "payload")
+    val got = Multimodal.frameSample(df, "payload", 4)
+      .select("sample").as[Array[Byte]].head()
+    assert(got.toSeq == raw.grouped(4).map(_.head).toSeq,
+      "stride over raw bytes corrupted the payload")
   }
 
   test("mediaDims parses real PNG and GIF headers declaratively") {
