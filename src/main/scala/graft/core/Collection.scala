@@ -7,13 +7,18 @@ import graft.operators.{AnnLsh, Crud, Knn}
 import graft.query.FilterCompiler
 
 /** Options mirroring the reference's CollectionOptions
-  * (collection.go:30-52). */
+  * (collection.go:30-52). `lshTables` > 1 switches precision="medium"
+  * searches to the LSH forest (the analogue of the reference's
+  * `numTrees` forest, lshtree.go:88): L independent `lshPlanes`-plane
+  * tables, candidates from the union of the query's L buckets —
+  * recall compounds with L while each table's probe stays narrow. */
 final case class CollectionOptions(
     name: String,
     dimensionCount: Int,
     distanceMethod: Knn.Metric = Knn.Cosine,
     quantization: Int = 64,
-    lshPlanes: Int = 4)
+    lshPlanes: Int = 4,
+    lshTables: Int = 1)
 
 /** Search arguments mirroring the reference's SearchArgs
   * (collection.go:160-183): k-NN, radius, exhaustive listing with
@@ -208,6 +213,9 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
         if (args.precision == "exact")
           Knn.knn(filtered, "vector", qdf, k, options.distanceMethod, "id")
+        else if (options.lshTables > 1)
+          AnnLsh.knnForest(filtered, "vector", qdf, k, options.lshTables,
+            options.lshPlanes, options.dimensionCount, options.distanceMethod, "id")
         else
           AnnLsh.knn(filtered, "vector", qdf, k, options.lshPlanes,
             options.dimensionCount, options.distanceMethod, "id")
@@ -237,8 +245,12 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         case None => base
       }
       val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
-      AnnLsh.percentSearched(filtered, "vector", qdf,
-        options.lshPlanes, options.dimensionCount, multiprobe)
+      if (options.lshTables > 1)
+        AnnLsh.percentSearchedForest(filtered, "vector", qdf,
+          options.lshTables, options.lshPlanes, options.dimensionCount)
+      else
+        AnnLsh.percentSearched(filtered, "vector", qdf,
+          options.lshPlanes, options.dimensionCount, multiprobe)
     }
     val pct = (args.vector, args.k, args.radius) match {
       case (Some(q), k, 0.0) if k > 0 && args.precision != "exact" =>
@@ -327,7 +339,8 @@ object Collection {
       s"""{"name": ${q(options.name)}, "dimensionCount": ${options.dimensionCount},
          | "distanceMethod": ${q(options.distanceMethod match {
              case Knn.Cosine => "cosine"; case Knn.Euclidean => "euclidean" })},
-         | "quantization": ${options.quantization}, "lshPlanes": ${options.lshPlanes}}""".stripMargin
+         | "quantization": ${options.quantization}, "lshPlanes": ${options.lshPlanes},
+         | "lshTables": ${options.lshTables}}""".stripMargin
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(metaPath(path)), true)
     out.write(json.getBytes("UTF-8"))
@@ -354,9 +367,12 @@ object Collection {
       case "euclidean" => Knn.Euclidean
       case _ => Knn.Cosine
     }
+    // older collections predate lshTables; absent -> single-table
+    val tables =
+      if (df.columns.contains("lshTables")) get[Long]("lshTables").toInt else 1
     new Collection(spark, CollectionOptions(
       get[String]("name"), get[Long]("dimensionCount").toInt, metric,
-      get[Long]("quantization").toInt, get[Long]("lshPlanes").toInt), path)
+      get[Long]("quantization").toInt, get[Long]("lshPlanes").toInt, tables), path)
   }
 
   private def q(s: String): String =

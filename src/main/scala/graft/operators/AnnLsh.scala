@@ -230,6 +230,41 @@ object AnnLsh {
       .drop("qvec")
   }
 
+  /** Persist the forest as an ID index: one (id, fkey) row per table
+    * per vector, partitioned by fkey — each forest bucket becomes a
+    * parquet partition of IDS ONLY. Vectors stay in the base table,
+    * stored once; the index costs L longs per vector, the same shape
+    * as the reference's per-tree leaf id lists (lshtree.go). This is
+    * the 100 TB layout: a probe is L partition-pruned directory reads,
+    * not a corpus scan. */
+  def writeForestIndex(df: DataFrame, vecCol: String, idCol: String,
+                       numTables: Int, bitsPerTable: Int, dim: Int,
+                       path: String): Unit =
+    indexForest(df, vecCol, numTables, bitsPerTable, dim)
+      .select(col(idCol), explode(col("fkeys")).as("fkey"))
+      .write.mode("overwrite").partitionBy("fkey").parquet(path)
+
+  /** Forest top-k against a [[writeForestIndex]] table: read the
+    * query's L key partitions (pruned at planning time), dedup the
+    * candidate ids, join the base table for exact scoring. Touches
+    * candidate-mass vectors instead of hashing the whole corpus —
+    * the probe cost a 1000-executor deployment needs. */
+  def knnForestIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       df: DataFrame, vecCol: String, query: DataFrame, k: Int,
+                       numTables: Int, bitsPerTable: Int, dim: Int,
+                       metric: Knn.Metric, idCol: String): DataFrame = {
+    val keys = forestKeys(query, numTables, bitsPerTable, dim)
+    val cand = spark.read.parquet(indexPath)
+      .filter(col("fkey").isin(keys: _*))
+      .select(col(idCol)).distinct()
+    df.join(cand, idCol)
+      .crossJoin(broadcast(query))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec")
+  }
+
   /** PercentSearched for a forest probe: union-candidate mass over
     * corpus size, one aggregate pass. */
   def percentSearchedForest(df: DataFrame, vecCol: String, query: DataFrame,

@@ -166,6 +166,25 @@ class AnnSpec extends SparkSpec {
     assert(pct > 0.0 && pct < 100.0)
   }
 
+  test("forest index probe prunes key partitions and matches in-memory forest") {
+    val (tables, bits) = (6, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-forest").toFile
+    dir.delete()
+    AnnLsh.writeForestIndex(emb, "embedding", "vec_id", tables, bits, 64,
+      dir.getAbsolutePath)
+    val res = AnnLsh.knnForestIndexed(spark, dir.getAbsolutePath, emb,
+      "embedding", q, 5, tables, bits, 64, Knn.Cosine, "vec_id")
+    // the index read must be partition-pruned to the query's L keys
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("fkey"),
+      s"expected fkey partition pruning in:\n$plan")
+    val viaIndex = res.select("vec_id").as[Long].collect().toSeq
+    val inMem = AnnLsh.knnForest(emb, "embedding", q, 5, tables, bits, 64,
+        Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex == inMem)
+  }
+
   test("forest keys: table id packed above bucket bits, deterministic") {
     val k1 = AnnLsh.forestKeys(q, 10, 8, 64)
     val k2 = AnnLsh.forestKeys(q, 10, 8, 64)

@@ -134,6 +134,33 @@ class CollectionSpec extends SparkSpec {
     assert(c.getAllIds() == Seq(1L, 3L, 9L))
   }
 
+  test("precision medium searches the LSH forest when lshTables > 1") {
+    val dir = Files.createTempDirectory("graft-coll-forest").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    val c = Collection.create(spark,
+      CollectionOptions("forest", dimensionCount = 4, distanceMethod = Knn.Cosine,
+        lshPlanes = 3, lshTables = 6), path)
+    // 40 deterministic unit-ish vectors around 4 directions
+    val bases = Seq(Seq(1.0, 0.1, 0.0, 0.0), Seq(0.0, 1.0, 0.1, 0.0),
+      Seq(0.0, 0.1, 1.0, 0.0), Seq(0.1, 0.0, 0.0, 1.0))
+    val docs = (0L until 40L).map { i =>
+      val base = bases(i.toInt % 4)
+      (i, base.zipWithIndex.map { case (v, d) => v + 0.01 * ((i + d) % 5).toDouble },
+        "{}")
+    }.toDF("id", "vector", "metadata")
+    c.addDocuments(docs)
+    val q = docs.filter(col("id") === 0).select(col("vector"))
+      .as[Seq[Double]].head()
+    val res = c.searchWithStats(SearchArgs(vector = Some(q), k = 5))
+    val ids = res.results.select("id").as[Long].collect().toSeq
+    assert(ids.size == 5 && ids.head == 0L, s"self vector not nearest: $ids")
+    assert(res.percentSearched > 0.0 && res.percentSearched <= 100.0)
+    // persisted options round-trip the forest config
+    val reopened = Collection.open(spark, path)
+    assert(reopened.options.lshTables == 6 && reopened.options.lshPlanes == 3)
+  }
+
   test("compact is crash-safe: no step leaves current() without data") {
     val dir = Files.createTempDirectory("graft-coll-crash").toFile
     dir.delete()
