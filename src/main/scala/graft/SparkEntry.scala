@@ -334,6 +334,19 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_forest_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      // batch twin of ann_lsh_multitable: (id, fkey) pairs equi-join
+      // broadcast query keys — vectors never duplicated, candidates
+      // deduped before scoring, TopKAgg bounds the final shuffle
+      AnnLsh.knnForestBatch(emb, "embedding", qs, 5, numTables = 100,
+          bitsPerTable = 8, dim = 64, Knn.Cosine, "vec_id")
+        .select(col("qid"), col("vec_id"), col("rank"),
+          round(col("dist"), 5).as("dist"))
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -517,6 +530,28 @@ object SparkEntry {
          |  SELECT b.vec_id, b.label, ${angSql("b.v", "qv.qvec")} AS d
          |  FROM b JOIN cand USING (vec_id), qv)
          |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "ann_forest_batch" ->
+      s"""WITH planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(800) t(h)),
+         |b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM b WHERE vec_id < 5),
+         |qk AS (SELECT vec_id AS qid, tbl, key FROM keys WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT qk.qid, k.vec_id
+         |         FROM keys k JOIN qk ON k.tbl = qk.tbl AND k.key = qk.key),
+         |d AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.qvec")} AS d
+         |      FROM cand c JOIN b ON b.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+         |r AS (SELECT qid, vec_id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
+         |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
 
     "ann_batch" ->
       s"""WITH planes AS (

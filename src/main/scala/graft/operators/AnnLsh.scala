@@ -265,6 +265,36 @@ object AnnLsh {
       .drop("qvec")
   }
 
+  /** Batch forest top-k — the many-query twin of [[knnForest]] and
+    * the scale path for query fan-in. Corpus rows explode to (id,
+    * fkey) pairs ONLY (L longs per row — vectors are never
+    * duplicated); queries explode their own L keys and broadcast; the
+    * equi-join on fkey yields (qid, id) candidates, deduped BEFORE
+    * any vector is touched, then one id-join attaches vectors for
+    * exact scoring and a bounded TopKAgg keeps the shuffle at
+    * O(queries x k). `queries` carries (qid, qvec). */
+  def knnForestBatch(df: DataFrame, vecCol: String, queries: DataFrame, k: Int,
+                     numTables: Int, bitsPerTable: Int, dim: Int,
+                     metric: Knn.Metric, idCol: String): DataFrame = {
+    import graft.functions.{MultiLshBuckets, TopKAgg}
+    val corpusKeys = indexForest(df, vecCol, numTables, bitsPerTable, dim)
+      .select(col(idCol), explode(col("fkeys")).as("fkey"))
+    val queryKeys = queries.select(col("qid"),
+      explode(MultiLshBuckets.keys(col("qvec"), numTables, bitsPerTable, dim)).as("fkey"))
+    val cand = corpusKeys.join(broadcast(queryKeys), "fkey")
+      .select(col("qid"), col(idCol)).distinct()
+    val scored = cand
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), Knn.distCol(metric, col(vecCol), col("qvec")).as("dist"),
+        col(idCol))
+    scored.groupBy(col("qid"))
+      .agg(TopKAgg.topk(col("dist"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        (col("_pos") + 1).as("rank"), col("_t.dist").as("dist"))
+  }
+
   /** PercentSearched for a forest probe: union-candidate mass over
     * corpus size, one aggregate pass. */
   def percentSearchedForest(df: DataFrame, vecCol: String, query: DataFrame,

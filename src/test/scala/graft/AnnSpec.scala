@@ -185,6 +185,26 @@ class AnnSpec extends SparkSpec {
     assert(viaIndex == inMem)
   }
 
+  test("batch forest ANN matches per-query forest knn, no cartesian") {
+    val (tables, bits) = (10, 4)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batchDf = AnnLsh.knnForestBatch(emb, "embedding", qs, 5, tables, bits, 64,
+      Knn.Cosine, "vec_id")
+    val batch = batchDf
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    (0L until 3L).foreach { qid =>
+      val single = AnnLsh.knnForest(emb, "embedding",
+          emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec")),
+          5, tables, bits, 64, Knn.Cosine, "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(qid) == single, s"qid=$qid")
+    }
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"unexpected cross join in:\n$plan")
+  }
+
   test("forest keys: table id packed above bucket bits, deterministic") {
     val k1 = AnnLsh.forestKeys(q, 10, 8, 64)
     val k2 = AnnLsh.forestKeys(q, 10, 8, 64)
