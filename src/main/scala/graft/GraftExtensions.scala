@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayJoin, Cast, Conv, Expression, ExpressionInfo, Literal, Lower, Md5, RegExpReplace, Slice, StringSplit, StringTrim, Substring}
-import graft.functions.{DotProduct, L2DistanceSq, MinHashSig, SimHashAgg}
+import graft.functions.{ByteStride, DotProduct, L2DistanceSq, MinHashSig, MultiLshBuckets, SimHashAgg}
 import graft.operators.Dedup
 
 /** SQL surface for graft's native expressions, registered through
@@ -58,7 +58,30 @@ object GraftExtensions {
         Cast(Conv(Substring(Md5(Cast(args(0),
             org.apache.spark.sql.types.BinaryType)),
           Literal(1), Literal(15)), Literal(16), Literal(10)),
-          org.apache.spark.sql.types.LongType)))
+          org.apache.spark.sql.types.LongType)),
+    ("graft_forest_keys", info("graft_forest_keys",
+        "LSH forest bucket keys: (vec, numTables, bitsPerTable, dim)"),
+      (args: Seq[Expression]) => MultiLshBuckets(
+        Cast(args(0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+        litInt(args(1)), litInt(args(2)), litInt(args(3)))),
+    ("graft_byte_stride", info("graft_byte_stride",
+        "every Nth byte of a binary: (bin, stride)"),
+      (args: Seq[Expression]) => ByteStride(args(0), litInt(args(1)))))
+
+  /** Constant int argument of a SQL function call (e.g. the table
+    * count of graft_forest_keys) — must fold at plan time. */
+  private def litInt(e: Expression): Int = {
+    require(e.foldable, s"expected a literal int argument, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"expected an int literal, got $other")
+    }
+  }
 
   private def str(s: String) = Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
     org.apache.spark.sql.types.StringType)

@@ -56,6 +56,28 @@ object Ingest {
       .start()
   }
 
+  /** Continuous FOREST index build — the streaming twin of
+    * AnnLsh.writeForestIndex: each arriving record fans out to its L
+    * (id, fkey) index rows in-flight (stateless projection + explode,
+    * no state store) and lands fkey-partitioned, so
+    * AnnLsh.knnForestIndexed probes a live, growing forest index with
+    * partition pruning. Vectors are NOT duplicated into the index —
+    * pair the query with a plain record sink for the base table. */
+  def forestIndexStream(records: DataFrame, vecCol: String, idCol: String,
+                        numTables: Int, bitsPerTable: Int, dim: Int,
+                        path: String, checkpoint: String)
+                       : org.apache.spark.sql.streaming.StreamingQuery =
+    records
+      .select(col(idCol), explode(graft.functions.MultiLshBuckets
+        .keys(col(vecCol), numTables, bitsPerTable, dim)).as("fkey"))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("fkey")
+      .outputMode(OutputMode.Append())
+      .start()
+
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

@@ -34,6 +34,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(2) == graft.operators.AnnLsh.hash64Local("abc"))
   }
 
+  test("graft_forest_keys and graft_byte_stride work from SQL") {
+    Seq((Seq.fill(64)(0.25), "abcdefgh".getBytes("UTF-8")))
+      .toDF("v", "b").createOrReplaceTempView("fx")
+    val r = spark.sql(
+      """SELECT graft_forest_keys(v, 3, 4, 64) AS keys,
+        |       cast(graft_byte_stride(b, 3) AS STRING) AS s
+        |FROM fx""".stripMargin).head()
+    val keys = r.getSeq[Long](0)
+    assert(keys.size == 3)
+    // must equal the Column-API forest keys for the same vector
+    val expected = graft.operators.AnnLsh.forestKeys(
+      Seq(Tuple1(Seq.fill(64)(0.25))).toDF("qvec"), 3, 4, 64)
+    assert(keys == expected)
+    assert(r.getString(1) == "adg")
+  }
+
   test("session_window stats agree with lag/cumsum sessionization") {
     val events = Seq(
       (1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),

@@ -92,6 +92,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("forestIndexStream builds an fkey-partitioned forest index a probe can prune") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AnnLsh, Knn}
+    val (tables, bits) = (6, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsidx").toFile.getAbsolutePath
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val rows = emb.as[(Long, Seq[Double])].collect().toSeq
+    val q = Ingest.forestIndexStream(mem.toDF().toDF("vec_id", "embedding"),
+      "embedding", "vec_id", tables, bits, 64, s"$dir/data", s"$dir/ckpt")
+    try {
+      mem.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val dirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("fkey="))
+    assert(dirs.length > tables, s"expected > $tables fkey partitions, got ${dirs.length}")
+    // probing the streamed index matches the in-memory forest
+    val qdf = emb.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    val streamed = AnnLsh.knnForestIndexed(spark, s"$dir/data", emb, "embedding",
+        qdf, 5, tables, bits, 64, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val direct = AnnLsh.knnForest(emb, "embedding", qdf, 5, tables, bits, 64,
+        Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(streamed == direct)
+  }
+
   test("stateful sessionize emits closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
