@@ -283,6 +283,37 @@ object AnnLsh {
       explode(MultiLshBuckets.keys(col("qvec"), numTables, bitsPerTable, dim)).as("fkey"))
     val cand = corpusKeys.join(broadcast(queryKeys), "fkey")
       .select(col("qid"), col(idCol)).distinct()
+    scoreCandidates(cand, df, vecCol, queries, k, metric, idCol)
+  }
+
+  /** Batch forest top-k against a [[writeForestIndex]] table: the
+    * corpus was hashed ONCE at index time; a batch probe filters the
+    * id index to the union of all queries' keys (static partition
+    * pruning — the key list is queries x L longs, driver-sized), maps
+    * ids to qids via the broadcast key set, and scores exactly. */
+  def knnForestBatchIndexed(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, df: DataFrame, vecCol: String,
+                            queries: DataFrame, k: Int, numTables: Int,
+                            bitsPerTable: Int, dim: Int, metric: Knn.Metric,
+                            idCol: String): DataFrame = {
+    import graft.functions.MultiLshBuckets
+    val queryKeys = queries.select(col("qid"),
+      explode(MultiLshBuckets.keys(col("qvec"), numTables, bitsPerTable, dim)).as("fkey"))
+    val allKeys = queryKeys.select(col("fkey")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cand = spark.read.parquet(indexPath)
+      .filter(col("fkey").isin(allKeys: _*))
+      .join(broadcast(queryKeys), "fkey")
+      .select(col("qid"), col(idCol)).distinct()
+    scoreCandidates(cand, df, vecCol, queries, k, metric, idCol)
+  }
+
+  /** Shared batch tail: attach vectors to (qid, id) candidates, exact
+    * distance, bounded per-query top-k. */
+  private def scoreCandidates(cand: DataFrame, df: DataFrame, vecCol: String,
+                              queries: DataFrame, k: Int, metric: Knn.Metric,
+                              idCol: String): DataFrame = {
+    import graft.functions.TopKAgg
     val scored = cand
       .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
       .join(broadcast(queries), Seq("qid"))

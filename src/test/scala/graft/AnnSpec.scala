@@ -205,6 +205,28 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"unexpected cross join in:\n$plan")
   }
 
+  test("indexed batch forest probe matches the in-memory batch") {
+    val (tables, bits) = (6, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbatch").toFile
+    dir.delete()
+    AnnLsh.writeForestIndex(emb, "embedding", "vec_id", tables, bits, 64,
+      dir.getAbsolutePath)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def collectRanked(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+        .sortBy(t => (t._1, t._3)).toSeq
+    val viaIndex = AnnLsh.knnForestBatchIndexed(spark, dir.getAbsolutePath, emb,
+      "embedding", qs, 5, tables, bits, 64, Knn.Cosine, "vec_id")
+    val inMem = AnnLsh.knnForestBatch(emb, "embedding", qs, 5, tables, bits, 64,
+      Knn.Cosine, "vec_id")
+    assert(collectRanked(viaIndex) == collectRanked(inMem))
+    // the index read prunes to the union of the queries' keys
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("fkey"),
+      s"expected fkey partition pruning in:\n$plan")
+  }
+
   test("forest keys: table id packed above bucket bits, deterministic") {
     val k1 = AnnLsh.forestKeys(q, 10, 8, 64)
     val k2 = AnnLsh.forestKeys(q, 10, 8, 64)

@@ -120,6 +120,48 @@ class PropertySpec extends SparkSpec {
     assert(lo.subsetOf(hi))
   }
 
+  test("forest expressions: interpreted eval equals codegen'd execution") {
+    import graft.functions.{ByteStride, LshForestHit, MultiLshBuckets}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType}
+    val (tables, bits, dim) = (5, 4, 16)
+    val vecs = Gen.listOfN(25,
+      Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0))).sample.get
+    // codegen'd path: through a real projection
+    val viaSpark = vecs.map(Tuple1(_)).toDF("v")
+      .select(graft.functions.MultiLshBuckets.keys(col("v"), tables, bits, dim).as("k"))
+      .as[Seq[Long]].collect().toSeq
+    // interpreted path: direct eval on the expression
+    val expr = MultiLshBuckets(
+      BoundReference(0, ArrayType(DoubleType), nullable = false), tables, bits, dim)
+    val viaEval = vecs.map { v =>
+      expr.eval(InternalRow(new GenericArrayData(v.toArray)))
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+    }
+    assert(viaSpark == viaEval)
+    // LshForestHit agrees with key equality against any query's keys
+    val qKeys = viaEval.head.toArray
+    val hitExpr = LshForestHit(
+      BoundReference(0, ArrayType(DoubleType), nullable = false), qKeys, bits, dim)
+    vecs.zip(viaEval).foreach { case (v, keys) =>
+      val hit = hitExpr.eval(InternalRow(new GenericArrayData(v.toArray)))
+        .asInstanceOf[Boolean]
+      assert(hit == keys.zip(qKeys).exists { case (a, b) => a == b }, s"v=$v")
+    }
+    // ByteStride: eval equals codegen for arbitrary bytes
+    val payloads = Gen.listOfN(10, Gen.listOfN(37, Gen.chooseNum(-128, 127)))
+      .sample.get.map(_.map(_.toByte).toArray)
+    val strideSpark = payloads.map(Tuple1(_)).toDF("b")
+      .select(graft.functions.BinaryExprs.byteStride(col("b"), 5).as("s"))
+      .as[Array[Byte]].collect().toSeq.map(_.toSeq)
+    val strideExpr = ByteStride(BoundReference(0, BinaryType, nullable = false), 5)
+    val strideEval = payloads.map(p =>
+      strideExpr.eval(InternalRow(p)).asInstanceOf[Array[Byte]].toSeq)
+    assert(strideSpark == strideEval)
+  }
+
   test("cluster labels are component minima: label <= id, label is a member") {
     val edges = Gen.listOfN(60,
       Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L))).sample.get
