@@ -45,7 +45,152 @@ case class ByteStride(child: Expression, stride: Int)
     copy(child = newChild)
 }
 
+/** Pack quantized integer codes into the reference's byte layout
+  * (collection.go:715-745 encodeDocument): 4-bit — two codes per
+  * byte, EVEN index in the high nibble, odd in the low; 8-bit — one
+  * byte per code; 16-bit — big-endian uint16. The packed form is the
+  * storage the reference mmaps; here it is a binary column 2-16x
+  * narrower than `array<int>` codes on the scan. */
+case class PackCodes(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  require(Seq(4, 8, 16).contains(bits), s"packable bits are 4/8/16, got $bits")
+
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = codes.numElements()
+    bits match {
+      case 4 =>
+        val out = new Array[Byte]((n + 1) / 2)
+        var i = 0
+        while (i < n) {
+          val c = codes.getInt(i)
+          if (i % 2 == 0) out(i / 2) = (c << 4).toByte
+          else out(i / 2) = (out(i / 2) | (c & 0x0F)).toByte
+          i += 1
+        }
+        out
+      case 8 =>
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) { out(i) = codes.getInt(i).toByte; i += 1 }
+        out
+      case 16 =>
+        val out = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val c = codes.getInt(i)
+          out(i * 2) = ((c >> 8) & 0xFF).toByte
+          out(i * 2 + 1) = (c & 0xFF).toByte
+          i += 1
+        }
+        out
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val body = bits match {
+        case 4 =>
+          s"""
+             |byte[] $out = new byte[($n + 1) / 2];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  int $c = $a.getInt($i);
+             |  if ($i % 2 == 0) $out[$i / 2] = (byte) ($c << 4);
+             |  else $out[$i / 2] = (byte) ($out[$i / 2] | ($c & 0x0F));
+             |}
+           """.stripMargin
+        case 8 =>
+          s"""
+             |byte[] $out = new byte[$n];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $out[$i] = (byte) $a.getInt($i);
+             |}
+           """.stripMargin
+        case 16 =>
+          s"""
+             |byte[] $out = new byte[$n * 2];
+             |for (int $i = 0; $i < $n; $i++) {
+             |  int $c = $a.getInt($i);
+             |  $out[$i * 2] = (byte) (($c >> 8) & 0xFF);
+             |  $out[$i * 2 + 1] = (byte) ($c & 0xFF);
+             |}
+           """.stripMargin
+      }
+      s"""
+         |int $n = $a.numElements();
+         |$body
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Inverse of [[PackCodes]] — mirror of the reference's decodeVector
+  * (collection.go:768-797): binary storage back to `dims` integer
+  * codes, ready for [[Quantization.dequantize]]. */
+case class UnpackCodes(child: Expression, bits: Int, dims: Int)
+  extends UnaryExpression {
+
+  require(Seq(4, 8, 16).contains(bits), s"packable bits are 4/8/16, got $bits")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val data = a.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](dims)
+    var i = 0
+    while (i < dims) {
+      out(i) = bits match {
+        case 4 => if (i % 2 == 0) (data(i / 2) & 0xFF) >>> 4 else data(i / 2) & 0x0F
+        case 8 => data(i) & 0xFF
+        case 16 => ((data(i * 2) & 0xFF) << 8) | (data(i * 2 + 1) & 0xFF)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val get = bits match {
+        case 4 => s"($i % 2 == 0) ? (($a[$i / 2] & 0xFF) >>> 4) : ($a[$i / 2] & 0x0F)"
+        case 8 => s"$a[$i] & 0xFF"
+        case 16 => s"(($a[$i * 2] & 0xFF) << 8) | ($a[$i * 2 + 1] & 0xFF)"
+      }
+      s"""
+         |int[] $out = new int[$dims];
+         |for (int $i = 0; $i < $dims; $i++) {
+         |  $out[$i] = $get;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinaryExprs {
   def byteStride(bin: Column, stride: Int): Column =
     GraftBridge.toColumn(ByteStride(GraftBridge.toExpression(bin), stride))
+
+  def packCodes(codes: Column, bits: Int): Column =
+    GraftBridge.toColumn(PackCodes(
+      GraftBridge.toExpression(codes.cast("array<int>")), bits))
+
+  def unpackCodes(bin: Column, bits: Int, dims: Int): Column =
+    GraftBridge.toColumn(UnpackCodes(GraftBridge.toExpression(bin), bits, dims))
 }

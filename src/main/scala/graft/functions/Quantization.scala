@@ -31,6 +31,18 @@ object Quantization {
     transform(codes, q => q.cast("double") / maxInt * 2.0 - 1.0)
   }
 
+  /** Pack a float vector into the reference's byte STORAGE layout
+    * (collection.go:715: 4-bit = two codes/byte even-high, 8-bit =
+    * byte/code, 16-bit = big-endian): quantize then [[PackCodes]].
+    * The binary column is 2-16x narrower than `array<int>` codes. */
+  def packVector(vec: Column, bits: Int): Column =
+    BinaryExprs.packCodes(quantize(vec, bits), bits)
+
+  /** Inverse of [[packVector]] — decode `dims` values back to
+    * dequantized doubles (collection.go:768 decodeVector). */
+  def unpackVector(bin: Column, bits: Int, dims: Int): Column =
+    dequantize(BinaryExprs.unpackCodes(bin, bits, dims), bits)
+
   /** Per-element absolute reconstruction error of a quantize round-trip. */
   def reconstructionError(vec: Column, bits: Int): Column = {
     val maxInt = (1 << bits) - 1

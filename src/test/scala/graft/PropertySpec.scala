@@ -120,6 +120,33 @@ class PropertySpec extends SparkSpec {
     assert(lo.subsetOf(hi))
   }
 
+  test("packed codes use the reference byte layout and round-trip all widths") {
+    import graft.functions.BinaryExprs
+    // layout pins (collection.go:726-731): 4-bit even index -> HIGH
+    // nibble; odd count leaves the last low nibble zero; 16-bit is BE
+    val codes4 = Seq(Tuple1(Seq(0xA, 0x3, 0xF))).toDF("c")
+      .select(BinaryExprs.packCodes(col("c"), 4).as("b"))
+      .as[Array[Byte]].head()
+    assert(codes4.toSeq == Seq(0xA3.toByte, 0xF0.toByte))
+    val codes16 = Seq(Tuple1(Seq(0x1234, 0x00FF))).toDF("c")
+      .select(BinaryExprs.packCodes(col("c"), 16).as("b"))
+      .as[Array[Byte]].head()
+    assert(codes16.toSeq == Seq(0x12.toByte, 0x34.toByte, 0x00.toByte, 0xFF.toByte))
+    // pack -> unpack round-trips the quantized grid exactly, including
+    // odd dimension counts for the nibble case
+    for (bits <- Seq(4, 8, 16); dims <- Seq(7, 8)) {
+      val xs = Gen.listOfN(dims, Gen.chooseNum(-1.0, 1.0)).sample.get
+      val df = Seq(Tuple1(xs)).toDF("v")
+      val direct = df.select(Quantization.dequantize(
+          Quantization.quantize(col("v"), bits), bits).as("d"))
+        .as[Seq[Double]].head()
+      val packed = df.select(Quantization.unpackVector(
+          Quantization.packVector(col("v"), bits), bits, dims).as("d"))
+        .as[Seq[Double]].head()
+      assert(packed == direct, s"bits=$bits dims=$dims")
+    }
+  }
+
   test("forest expressions: interpreted eval equals codegen'd execution") {
     import graft.functions.{ByteStride, LshForestHit, MultiLshBuckets}
     import org.apache.spark.sql.catalyst.InternalRow
