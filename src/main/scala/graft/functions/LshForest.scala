@@ -6,6 +6,27 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
+/** JVM-wide memo of flattened plane matrices: expressions
+  * deserialize once per task, and recomputing numPlanes x dim md5
+  * derivations (51 k strings for the default forest) per task is
+  * avoidable constant work. Keyed by (numPlanes, dim); values are
+  * deterministic, so racing writers are idempotent. */
+private[functions] object LshPlanes {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  def flat(numPlanes: Int, dim: Int): Array[Double] =
+    cache.computeIfAbsent((numPlanes, dim), { case (np, d) =>
+      val ps = graft.operators.AnnLsh.planes(np, d)
+      val out = new Array[Double](np * d)
+      var g = 0
+      while (g < ps.length) {
+        System.arraycopy(ps(g), 0, out, g * d, d)
+        g += 1
+      }
+      out
+    })
+}
+
 /** Per-table LSH bucket keys for a forest of L independent
   * random-hyperplane tables — the scan-native analogue of the
   * reference's LSH forest (lshtree.go:88 `numTrees` trees; each tree
@@ -34,17 +55,9 @@ case class MultiLshBuckets(child: Expression, numTables: Int,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   /** Flattened plane matrix, row-major: plane g spans
-    * [g*dim, (g+1)*dim). Recomputed per JVM (deterministic). */
-  @transient private lazy val flatPlanes: Array[Double] = {
-    val ps = graft.operators.AnnLsh.planes(numTables * bitsPerTable, dim)
-    val out = new Array[Double](numTables * bitsPerTable * dim)
-    var g = 0
-    while (g < ps.length) {
-      System.arraycopy(ps(g), 0, out, g * dim, dim)
-      g += 1
-    }
-    out
-  }
+    * [g*dim, (g+1)*dim). Memoized JVM-wide (deterministic). */
+  @transient private lazy val flatPlanes: Array[Double] =
+    LshPlanes.flat(numTables * bitsPerTable, dim)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -135,16 +148,8 @@ case class LshForestHit(child: Expression, queryKeys: Array[Long],
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
-  @transient private lazy val flatPlanes: Array[Double] = {
-    val ps = graft.operators.AnnLsh.planes(queryKeys.length * bitsPerTable, dim)
-    val out = new Array[Double](queryKeys.length * bitsPerTable * dim)
-    var g = 0
-    while (g < ps.length) {
-      System.arraycopy(ps(g), 0, out, g * dim, dim)
-      g += 1
-    }
-    out
-  }
+  @transient private lazy val flatPlanes: Array[Double] =
+    LshPlanes.flat(queryKeys.length * bitsPerTable, dim)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
