@@ -223,6 +223,9 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
         if (args.precision == "exact")
           Knn.radius(filtered, "vector", qdf, r, options.distanceMethod)
+        else if (options.lshTables > 1)
+          AnnLsh.radiusForest(filtered, "vector", qdf, r, options.lshTables,
+            options.lshPlanes, options.dimensionCount, options.distanceMethod)
         else
           // medium: radius through the LSH probe, like the reference's
           // index.search with a radius (collection.go:690)

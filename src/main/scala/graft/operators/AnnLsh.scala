@@ -230,6 +230,22 @@ object AnnLsh {
       .drop("qvec")
   }
 
+  /** Forest radius search: union-of-buckets candidates, exact
+    * distance filter within — the forest twin of [[radius]], used by
+    * Collection's precision="medium" radius mode when lshTables > 1.
+    * Returns a subset of the exact radius result (bucketing can
+    * miss), touching only the probed fraction of the corpus. */
+  def radiusForest(df: DataFrame, vecCol: String, query: DataFrame, r: Double,
+                   numTables: Int, bitsPerTable: Int, dim: Int,
+                   metric: Knn.Metric): DataFrame = {
+    val keys = forestKeys(query, numTables, bitsPerTable, dim)
+    df.filter(graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim))
+      .crossJoin(broadcast(query))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .filter(col("dist") <= r)
+      .drop("qvec")
+  }
+
   /** Persist the forest as an ID index: one (id, fkey) row per table
     * per vector, partitioned by fkey — each forest bucket becomes a
     * parquet partition of IDS ONLY. Vectors stay in the base table,

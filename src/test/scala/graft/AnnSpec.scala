@@ -227,6 +227,18 @@ class AnnSpec extends SparkSpec {
       s"expected fkey partition pruning in:\n$plan")
   }
 
+  test("forest radius: subset of exact radius, includes self, never beyond r") {
+    val r = 0.45
+    val exact = Knn.radius(emb, "embedding", q, r, Knn.Cosine)
+      .select("vec_id").as[Long].collect().toSet
+    val forest = AnnLsh.radiusForest(emb, "embedding", q, r, 20, 6, 64, Knn.Cosine)
+    val got = forest.select("vec_id").as[Long].collect().toSet
+    assert(got.subsetOf(exact), s"forest radius returned non-members: ${got -- exact}")
+    assert(got.contains(1L), "query's own vector missing from its radius")
+    val dists = forest.select("dist").as[Double].collect()
+    assert(dists.forall(_ <= r))
+  }
+
   test("forest keys: table id packed above bucket bits, deterministic") {
     val k1 = AnnLsh.forestKeys(q, 10, 8, 64)
     val k2 = AnnLsh.forestKeys(q, 10, 8, 64)
