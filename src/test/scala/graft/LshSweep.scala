@@ -19,7 +19,7 @@ object LshSweep {
       qid -> Knn.knn(e, "embedding", qv, k, Knn.Cosine, "vec_id")
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }.toMap
-    for ((bits, nt) <- Seq((6, 20), (6, 30), (8, 40), (8, 60), (8, 80), (8, 100), (10, 100), (10, 150))) {
+    for ((bits, nt) <- Seq((9, 120), (9, 150), (9, 180), (10, 200), (10, 260), (10, 320))) {
       val stats = qids.map { qid =>
         val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
         val approx = AnnLsh.knnForest(e, "embedding", qv, k, nt, bits, 64, Knn.Cosine, "vec_id")
