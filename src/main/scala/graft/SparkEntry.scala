@@ -310,6 +310,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
     }),
 
+    "dedup_embedding_forest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val vd = col("embedding").cast("array<double>")
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"),
+          col("label"))
+      val corpus = emb.select(col("vec_id"), vd.as("embedding"), col("label"))
+        .unionByName(perturbed)
+      // forest blocking closes the single bucket's blind spot: a true
+      // near-dup pair straddling one hyperplane still collides in
+      // another of the 4 tables (pairs dedup across tables before
+      // cosine verification)
+      Dedup.embeddingPairsForest(corpus, "embedding", "vec_id",
+          numTables = 4, bitsPerTable = 4, dim = 64, tau = 0.99)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 5).as("cos"))
+    }),
+
     "embed_text" -> ((s, dir) => {
       Embed.embedSparse(Tables.documents(s, dir), "text", "doc_id", 16)
         .select(col("doc_id"), col("bucket"), round(col("weight"), 5).as("weight"))
@@ -865,6 +883,32 @@ object SparkEntry {
         |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |            least(greatest(list_dot_product(a.nv, b.nv), -1.0), 1.0) AS cos
         |          FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 5) AS cos FROM pairs WHERE cos >= 0.99""".stripMargin,
+
+    "dedup_embedding_forest" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v, label FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_concat([v[1] + 0.1], v[2:len(v)]), label
+        |  FROM base WHERE vec_id % 10 = 0),
+        |planes AS (
+        |  SELECT h, h // 4 AS tbl, h % 4 AS bit, list_transform(range(64), d ->
+        |    (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+        |  FROM range(16) t(h)),
+        |keys AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS key
+        |  FROM corpus, planes GROUP BY vec_id, tbl),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM keys a JOIN keys b
+        |           ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id),
+        |nrm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |        FROM corpus),
+        |pairs AS (SELECT c.id_a, c.id_b,
+        |            least(greatest(list_dot_product(a.nv, b.nv), -1.0), 1.0) AS cos
+        |          FROM cand c JOIN nrm a ON a.vec_id = c.id_a
+        |                      JOIN nrm b ON b.vec_id = c.id_b)
         |SELECT id_a, id_b, round(cos, 5) AS cos FROM pairs WHERE cos >= 0.99""".stripMargin,
 
     "embed_text" ->

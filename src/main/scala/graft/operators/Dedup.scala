@@ -454,4 +454,33 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Forest-blocked embedding near-dup — [[embeddingPairs]] with the
+    * single bucket's blind spot fixed: one LSH bucket misses any true
+    * pair straddling a hyperplane (at 4 planes ~17% of cos=0.99
+    * pairs); with L independent tables a pair is a candidate when it
+    * agrees in ANY table, so recall compounds to 1-(1-p^bits)^L while
+    * every self-join stays per-(table, bucket). Candidates are
+    * (id_a, id_b) pairs deduped ACROSS tables before vectors attach —
+    * a pair colliding in several tables is verified once. */
+  def embeddingPairsForest(df: DataFrame, vecCol: String, idCol: String,
+                           numTables: Int, bitsPerTable: Int, dim: Int,
+                           tau: Double): DataFrame = {
+    import graft.functions.Vectors
+    val keys = df.select(col(idCol),
+      explode(graft.functions.MultiLshBuckets.keys(col(vecCol),
+        numTables, bitsPerTable, dim)).as("fkey"))
+    val cand = keys.select(col("fkey"), col(idCol).as("id_a"))
+      .join(keys.select(col("fkey"), col(idCol).as("id_b")), Seq("fkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val nv = df.select(col(idCol), Vectors.normalize(col(vecCol)).as("_nv"))
+    cand
+      .join(nv.select(col(idCol).as("id_a"), col("_nv").as("na")), Seq("id_a"))
+      .join(nv.select(col(idCol).as("id_b"), col("_nv").as("nb")), Seq("id_b"))
+      .withColumn("cos",
+        least(greatest(Vectors.dot(col("na"), col("nb")), lit(-1.0)), lit(1.0)))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

@@ -117,6 +117,32 @@ class DedupSpec extends SparkSpec {
     assert(capped(4L) == 2L)
   }
 
+  test("forest-blocked embedding pairs recover single-bucket misses") {
+    import graft.operators.AnnLsh
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val vd = col("embedding").cast("array<double>")
+    val perturbed = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"))
+    val corpus = emb.select(col("vec_id"), vd.as("embedding")).unionByName(perturbed)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = pairsOf(Dedup.embeddingPairs(corpus, "embedding", "vec_id",
+      AnnLsh.bucketCol(col("embedding"), numPlanes = 4, dim = 64), 0.99))
+    val forest = pairsOf(Dedup.embeddingPairsForest(corpus, "embedding", "vec_id",
+      numTables = 4, bitsPerTable = 4, dim = 64, tau = 0.99))
+    // table 0 of the forest IS the single-table blocking (same planes),
+    // so the forest can only add candidates — and on this corpus the
+    // single bucket demonstrably drops true pairs that straddle a plane
+    assert(single.subsetOf(forest), s"forest lost pairs: ${single -- forest}")
+    assert(forest.size > single.size,
+      s"forest found no extra pairs (single=${single.size}, forest=${forest.size})")
+    // every forest pair really is a near-dup
+    val cosines = Dedup.embeddingPairsForest(corpus, "embedding", "vec_id",
+        4, 4, 64, 0.99).select("cos").as[Double].collect()
+    assert(cosines.forall(_ >= 0.99))
+  }
+
   test("connectedComponents reliable-checkpoint mode matches local mode") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
