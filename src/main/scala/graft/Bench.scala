@@ -30,17 +30,26 @@ object Bench {
     // cached inputs) — below that noise floor a 2x per-query change is
     // invisible. The median tolerates one bad run out of three; one
     // full-size warm pass first absorbs tail JIT of the hottest loops.
+    //
+    // The 3 samples are INTERLEAVED (3 round-robin passes over all
+    // queries), not back-to-back: the round-5 driver run showed a
+    // multi-minute host-contention era can cover one query's entire
+    // back-to-back triple (doc_fingerprint 0.7 -> 13 s median on an
+    // identical binary), while spread samples put at most one bad era
+    // in any query's triple and the median discards it.
     SparkEntry.queries.foreach { case (_, fn) =>
       try run(fn, sfDir) catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    for (_ <- 1 to 3) {
+      SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try run(fn, sfDir) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(1)
+        val t = (System.nanoTime() - t0) / 1e9
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+      }
     }
+    val results = samples.map { case (name, ts) => name -> ts.sorted.apply(1) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -403,11 +403,14 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
         .withColumn("payload", col("text").cast("binary"))
       val sampled = graft.operators.Multimodal.frameSample(docs, "payload", 32)
+      // the sample is compared by HEX, not by a string round-trip or a
+      // hash-of-string: the oracle strides the same UTF-8 bytes via
+      // hex(encode(text)), so parity holds for multi-byte text too
       sampled.select(col("doc_id"),
         length(col("payload")).cast("bigint").as("n_bytes"),
         sha2(col("payload"), 256).as("checksum"),
         length(col("sample")).cast("bigint").as("sample_len"),
-        sha2(col("sample"), 256).as("sample_checksum"))
+        upper(hex(col("sample"))).as("sample_hex"))
     }),
 
     "lang_id" -> ((s, dir) => {
@@ -938,16 +941,19 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
 
     "mm_features" ->
+      // byte-based, like the Spark side: stride over the UTF-8 BYTES
+      // of text (2 hex chars per byte), not over characters — the two
+      // only coincide on pure-ASCII corpora
       """WITH s AS (
-        |  SELECT doc_id, text,
-        |    array_to_string(list_transform(range(1, length(text) + 1, 32),
-        |      i -> substr(text, i::INT, 1)), '') AS sample
+        |  SELECT doc_id, text, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS nb
         |  FROM documents)
         |SELECT doc_id,
-        |  length(text) AS n_bytes,
+        |  nb AS n_bytes,
         |  sha256(text) AS checksum,
-        |  length(sample) AS sample_len,
-        |  sha256(sample) AS sample_checksum
+        |  len(range(0, nb, 32)) AS sample_len,
+        |  coalesce(list_aggregate(list_transform(range(0, nb, 32),
+        |    i -> substr(hx, (2*i+1)::INT, 2)), 'string_agg', ''), '') AS sample_hex
         |FROM s""".stripMargin,
 
     "lang_id" -> {

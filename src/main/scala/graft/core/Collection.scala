@@ -63,8 +63,11 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         StructField("deleted", BooleanType))))
   }
 
-  private def fs() = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  // resolve the filesystem FROM the collection path, not the default
+  // scheme: a collection on s3a://... must list/delete on that store,
+  // not on whatever fs.defaultFS points at
+  private def fs() = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Generation dirs produced by [[compact]]: `path.genN`. A
     * generation is only real once its `_SUCCESS` marker exists (the
@@ -108,8 +111,8 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     * stats for the column. */
   private def nextVersion(): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val dir = new org.apache.hadoop.fs.Path(dataPath())
+    val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return 0L
     val files = fs.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
@@ -322,8 +325,13 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         lit(0L).as("version"), lit(false).as("deleted"))
       .write.mode("overwrite").parquet(s"$path.gen$next")
     // the new generation is complete (readers already resolve to it);
-    // now — and only now — retire everything older
+    // now — and only now — retire everything older. The bare `path`
+    // dir is retired explicitly too: if a previous compaction crashed
+    // after its _SUCCESS but before this delete, `old` is already a
+    // generation dir and the original log would otherwise stay
+    // orphaned forever (no .genN cleanup ever targets it).
     f.delete(new org.apache.hadoop.fs.Path(old), true)
+    if (old != path) f.delete(new org.apache.hadoop.fs.Path(path), true)
     completeGens().filter(_ < next).foreach { n =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path.gen$n"), true)
     }
@@ -344,8 +352,9 @@ object Collection {
              case Knn.Cosine => "cosine"; case Knn.Euclidean => "euclidean" })},
          | "quantization": ${options.quantization}, "lshPlanes": ${options.lshPlanes},
          | "lshTables": ${options.lshTables}}""".stripMargin
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(metaPath(path)), true)
+    val mp = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
     out.write(json.getBytes("UTF-8"))
     out.close()
     new Collection(spark, options, path)
@@ -387,8 +396,8 @@ object Collection {
   /** All collections under `rootDir`, by their persisted options
     * files. Returns (name, path) pairs, name-sorted. */
   def list(spark: SparkSession, rootDir: String): Seq[(String, String)] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq
       .map(_.getPath)
@@ -405,8 +414,8 @@ object Collection {
   /** Drop a collection: delete its log (all generations) and options
     * file (rest.go:176 DELETE /api/v1/collections/{name}). */
   def drop(spark: SparkSession, path: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val gens =
       if (p.getParent != null && fs.exists(p.getParent))
         fs.listStatus(p.getParent).toSeq.map(_.getPath)

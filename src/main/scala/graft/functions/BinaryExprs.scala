@@ -17,6 +17,18 @@ case class ByteStride(child: Expression, stride: Int)
 
   override def dataType: DataType = BinaryType
 
+  // surface a wrong-typed argument (e.g. a string column through the
+  // SQL surface) as a clean analysis error, not a codegen
+  // ClassCastException at execution time
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_byte_stride requires a binary argument, got ${other.catalogString}")
+    }
+
   override def nullSafeEval(a: Any): Any = {
     val in = a.asInstanceOf[Array[Byte]]
     val out = new Array[Byte]((in.length + stride - 1) / stride)

@@ -142,11 +142,17 @@ object MultiLshBuckets {
   * plane dots on hits. A single self-contained predicate (one child
   * reference) so predicate pushdown can move it without duplicating
   * an expensive aliased signature column. */
-case class LshForestHit(child: Expression, queryKeys: Array[Long],
+case class LshForestHit(child: Expression, queryKeys: Seq[Long],
                         bitsPerTable: Int, dim: Int)
   extends UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  // Seq, not Array, in the case-class fields: Array equality is
+  // reference-based, so two structurally identical predicates would
+  // never compare equal — defeating semanticEquals-driven reuse
+  // (subexpression elimination, exchange/plan reuse)
+  @transient private lazy val qk: Array[Long] = queryKeys.toArray
 
   @transient private lazy val flatPlanes: Array[Double] =
     LshPlanes.flat(queryKeys.length * bitsPerTable, dim)
@@ -155,7 +161,7 @@ case class LshForestHit(child: Expression, queryKeys: Array[Long],
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
     var t = 0
-    while (t < queryKeys.length) {
+    while (t < qk.length) {
       var bucket = 0L
       var j = 0
       while (j < bitsPerTable) {
@@ -169,7 +175,7 @@ case class LshForestHit(child: Expression, queryKeys: Array[Long],
         if (acc > 0.0) bucket |= (1L << j)
         j += 1
       }
-      if (((t.toLong << bitsPerTable) | bucket) == queryKeys(t)) return true
+      if (((t.toLong << bitsPerTable) | bucket) == qk(t)) return true
       t += 1
     }
     false
@@ -178,7 +184,7 @@ case class LshForestHit(child: Expression, queryKeys: Array[Long],
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val planes = ctx.addReferenceObj("flatPlanes", flatPlanes, "double[]")
-      val qk = ctx.addReferenceObj("queryKeys", queryKeys, "long[]")
+      val qkRef = ctx.addReferenceObj("queryKeys", qk, "long[]")
       val n = ctx.freshName("n")
       val v = ctx.freshName("v")
       val hit = ctx.freshName("hit")
@@ -207,7 +213,7 @@ case class LshForestHit(child: Expression, queryKeys: Array[Long],
          |    }
          |    if ($acc > 0.0) $bucket |= (1L << $j);
          |  }
-         |  $hit = (((long) $t << $bitsPerTable) | $bucket) == $qk[$t];
+         |  $hit = (((long) $t << $bitsPerTable) | $bucket) == $qkRef[$t];
          |}
          |${ev.value} = $hit;
        """.stripMargin
@@ -221,5 +227,5 @@ object LshForestHit {
   def hit(vec: Column, queryKeys: Seq[Long], bitsPerTable: Int, dim: Int): Column =
     GraftBridge.toColumn(LshForestHit(
       GraftBridge.toExpression(vec.cast("array<double>")),
-      queryKeys.toArray, bitsPerTable, dim))
+      queryKeys.toList, bitsPerTable, dim))
 }
