@@ -352,6 +352,21 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_forest_multiprobe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // query-directed multiprobe (Lv et al. 2007): 50 tables probed
+      // twice each — the exact bucket plus the lowest-|margin| bit
+      // flip. Sweep-measured same frontier point as 100 single-probe
+      // tables (recall@10 0.84 vs 0.86 at ~32% mass on worst-case
+      // uniform embeddings) with HALF the persisted index (L longs
+      // per row) and half the index-build hashing — the scan analogue
+      // of the reference's boundary backtracking (lshtree.go:283-336)
+      AnnLsh.knnForest(emb, "embedding", queryVec(s, dir), 10,
+          numTables = 50, bitsPerTable = 8, dim = 64, Knn.Cosine, "vec_id",
+          probes = 2)
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
     "ann_forest_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -546,6 +561,38 @@ object SparkEntry {
          |  FROM b, planes GROUP BY vec_id, tbl),
          |q AS (SELECT tbl, key FROM keys WHERE vec_id = 0),
          |cand AS (SELECT DISTINCT k.vec_id FROM keys k JOIN q USING (tbl, key)),
+         |qv AS (SELECT v AS qvec FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM (
+         |  SELECT b.vec_id, b.label, ${angSql("b.v", "qv.qvec")} AS d
+         |  FROM b JOIN cand USING (vec_id), qv)
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "ann_forest_multiprobe" ->
+      // 50 tables x 8 bits; per table probe the exact bucket AND the
+      // bucket with the lowest-|margin| bit flipped (ties by bit — the
+      // Scala side's stable sortBy breaks ties the same way)
+      s"""WITH planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(400) t(h)),
+         |b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |qm AS (SELECT tbl, bit, list_dot_product(b.v, planes.p) AS m
+         |       FROM b, planes WHERE b.vec_id = 0),
+         |qkey AS (SELECT tbl, key FROM keys WHERE vec_id = 0),
+         |qflip AS (SELECT tbl, bit FROM qm
+         |          QUALIFY row_number() OVER (PARTITION BY tbl ORDER BY abs(m), bit) = 1),
+         |qprobes AS (
+         |  SELECT tbl, key FROM qkey
+         |  UNION
+         |  SELECT q.tbl, xor(q.key, 1::BIGINT << f.bit) AS key
+         |  FROM qkey q JOIN qflip f USING (tbl)),
+         |cand AS (SELECT DISTINCT k.vec_id FROM keys k JOIN qprobes USING (tbl, key)),
          |qv AS (SELECT v AS qvec FROM b WHERE vec_id = 0)
          |SELECT vec_id, label, round(d, 5) AS dist FROM (
          |  SELECT b.vec_id, b.label, ${angSql("b.v", "qv.qvec")} AS d

@@ -11,14 +11,20 @@ import graft.query.FilterCompiler
   * searches to the LSH forest (the analogue of the reference's
   * `numTrees` forest, lshtree.go:88): L independent `lshPlanes`-plane
   * tables, candidates from the union of the query's L buckets —
-  * recall compounds with L while each table's probe stays narrow. */
+  * recall compounds with L while each table's probe stays narrow.
+  * `lshProbes` > 1 adds query-directed multiprobe (Lv et al. 2007):
+  * each table also probes its lowest-|margin| bit flips — the
+  * analogue of the reference's boundary backtracking
+  * (lshtree.go:283-336). Same recall/mass frontier with ~probes-x
+  * fewer tables, so a persisted forest index shrinks accordingly. */
 final case class CollectionOptions(
     name: String,
     dimensionCount: Int,
     distanceMethod: Knn.Metric = Knn.Cosine,
     quantization: Int = 64,
     lshPlanes: Int = 4,
-    lshTables: Int = 1)
+    lshTables: Int = 1,
+    lshProbes: Int = 1)
 
 /** Search arguments mirroring the reference's SearchArgs
   * (collection.go:160-183): k-NN, radius, exhaustive listing with
@@ -218,7 +224,8 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
           Knn.knn(filtered, "vector", qdf, k, options.distanceMethod, "id")
         else if (options.lshTables > 1)
           AnnLsh.knnForest(filtered, "vector", qdf, k, options.lshTables,
-            options.lshPlanes, options.dimensionCount, options.distanceMethod, "id")
+            options.lshPlanes, options.dimensionCount, options.distanceMethod, "id",
+            options.lshProbes)
         else
           AnnLsh.knn(filtered, "vector", qdf, k, options.lshPlanes,
             options.dimensionCount, options.distanceMethod, "id")
@@ -228,7 +235,8 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
           Knn.radius(filtered, "vector", qdf, r, options.distanceMethod)
         else if (options.lshTables > 1)
           AnnLsh.radiusForest(filtered, "vector", qdf, r, options.lshTables,
-            options.lshPlanes, options.dimensionCount, options.distanceMethod)
+            options.lshPlanes, options.dimensionCount, options.distanceMethod,
+            options.lshProbes)
         else
           // medium: radius through the LSH probe, like the reference's
           // index.search with a radius (collection.go:690)
@@ -253,7 +261,8 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
       val qdf = spark.createDataFrame(Seq(Tuple1(q))).toDF("qvec")
       if (options.lshTables > 1)
         AnnLsh.percentSearchedForest(filtered, "vector", qdf,
-          options.lshTables, options.lshPlanes, options.dimensionCount)
+          options.lshTables, options.lshPlanes, options.dimensionCount,
+          options.lshProbes)
       else
         AnnLsh.percentSearched(filtered, "vector", qdf,
           options.lshPlanes, options.dimensionCount, multiprobe)
@@ -351,7 +360,7 @@ object Collection {
          | "distanceMethod": ${q(options.distanceMethod match {
              case Knn.Cosine => "cosine"; case Knn.Euclidean => "euclidean" })},
          | "quantization": ${options.quantization}, "lshPlanes": ${options.lshPlanes},
-         | "lshTables": ${options.lshTables}}""".stripMargin
+         | "lshTables": ${options.lshTables}, "lshProbes": ${options.lshProbes}}""".stripMargin
     val mp = new org.apache.hadoop.fs.Path(metaPath(path))
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mp, true)
@@ -379,12 +388,16 @@ object Collection {
       case "euclidean" => Knn.Euclidean
       case _ => Knn.Cosine
     }
-    // older collections predate lshTables; absent -> single-table
+    // older collections predate lshTables/lshProbes; absent ->
+    // single-table, single-probe
     val tables =
       if (df.columns.contains("lshTables")) get[Long]("lshTables").toInt else 1
+    val probes =
+      if (df.columns.contains("lshProbes")) get[Long]("lshProbes").toInt else 1
     new Collection(spark, CollectionOptions(
       get[String]("name"), get[Long]("dimensionCount").toInt, metric,
-      get[Long]("quantization").toInt, get[Long]("lshPlanes").toInt, tables), path)
+      get[Long]("quantization").toInt, get[Long]("lshPlanes").toInt, tables,
+      probes), path)
   }
 
   private def q(s: String): String =

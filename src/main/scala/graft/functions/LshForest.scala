@@ -135,16 +135,30 @@ object MultiLshBuckets {
       numTables, bitsPerTable, dim))
 }
 
-/** Boolean probe: does this vector land in ANY of the query's L
-  * forest buckets? Computes table t's bucket and compares it to the
-  * query's key for t, returning on the first hit — a candidate row
-  * typically agrees early, so the scan does far fewer than L*bits
-  * plane dots on hits. A single self-contained predicate (one child
-  * reference) so predicate pushdown can move it without duplicating
-  * an expensive aliased signature column. */
+/** Boolean probe: does this vector land in ANY of the query's probe
+  * buckets? Computes table t's bucket and compares it to the query's
+  * `keysPerTable` probe keys for t, returning on the first hit — a
+  * candidate row typically agrees early, so the scan does far fewer
+  * than L*bits plane dots on hits. A single self-contained predicate
+  * (one child reference) so predicate pushdown can move it without
+  * duplicating an expensive aliased signature column.
+  *
+  * `keysPerTable` = 1 is the plain forest probe (the query's own
+  * bucket per table); > 1 is query-directed multiprobe (Lv et al.
+  * 2007): the extra keys are the query's bucket with its
+  * lowest-|margin| bits flipped — the scan analogue of the
+  * reference's boundary backtracking (lshtree.go:283-336, the
+  * `|dist-to-hyperplane| > radius` early-stop). queryKeys is grouped
+  * per table: table t's probes are
+  * queryKeys[t*keysPerTable, (t+1)*keysPerTable). */
 case class LshForestHit(child: Expression, queryKeys: Seq[Long],
-                        bitsPerTable: Int, dim: Int)
+                        bitsPerTable: Int, dim: Int, keysPerTable: Int = 1)
   extends UnaryExpression {
+
+  require(keysPerTable >= 1 && queryKeys.length % keysPerTable == 0,
+    s"queryKeys (${queryKeys.length}) must be numTables x keysPerTable ($keysPerTable)")
+
+  private def numTables: Int = queryKeys.length / keysPerTable
 
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
 
@@ -155,13 +169,13 @@ case class LshForestHit(child: Expression, queryKeys: Seq[Long],
   @transient private lazy val qk: Array[Long] = queryKeys.toArray
 
   @transient private lazy val flatPlanes: Array[Double] =
-    LshPlanes.flat(queryKeys.length * bitsPerTable, dim)
+    LshPlanes.flat(numTables * bitsPerTable, dim)
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
     var t = 0
-    while (t < qk.length) {
+    while (t < numTables) {
       var bucket = 0L
       var j = 0
       while (j < bitsPerTable) {
@@ -175,7 +189,13 @@ case class LshForestHit(child: Expression, queryKeys: Seq[Long],
         if (acc > 0.0) bucket |= (1L << j)
         j += 1
       }
-      if (((t.toLong << bitsPerTable) | bucket) == qk(t)) return true
+      val key = (t.toLong << bitsPerTable) | bucket
+      var p = t * keysPerTable
+      val end = p + keysPerTable
+      while (p < end) {
+        if (key == qk(p)) return true
+        p += 1
+      }
       t += 1
     }
     false
@@ -191,9 +211,11 @@ case class LshForestHit(child: Expression, queryKeys: Seq[Long],
       val t = ctx.freshName("t")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
       val base = ctx.freshName("base")
       val acc = ctx.freshName("acc")
       val bucket = ctx.freshName("bucket")
+      val key = ctx.freshName("key")
       // same local-copy fast path as MultiLshBuckets: one null-safe
       // copy, then branch-free flat-array loops (JIT-vectorizable)
       s"""
@@ -203,7 +225,7 @@ case class LshForestHit(child: Expression, queryKeys: Seq[Long],
          |  $v[$i] = $a.isNullAt($i) ? 0.0 : $a.getDouble($i);
          |}
          |boolean $hit = false;
-         |for (int $t = 0; $t < ${queryKeys.length} && !$hit; $t++) {
+         |for (int $t = 0; $t < $numTables && !$hit; $t++) {
          |  long $bucket = 0L;
          |  for (int $j = 0; $j < $bitsPerTable; $j++) {
          |    int $base = ($t * $bitsPerTable + $j) * $dim;
@@ -213,7 +235,10 @@ case class LshForestHit(child: Expression, queryKeys: Seq[Long],
          |    }
          |    if ($acc > 0.0) $bucket |= (1L << $j);
          |  }
-         |  $hit = (((long) $t << $bitsPerTable) | $bucket) == $qkRef[$t];
+         |  long $key = ((long) $t << $bitsPerTable) | $bucket;
+         |  for (int $p = $t * $keysPerTable; $p < ($t + 1) * $keysPerTable; $p++) {
+         |    if ($key == $qkRef[$p]) { $hit = true; break; }
+         |  }
          |}
          |${ev.value} = $hit;
        """.stripMargin
@@ -224,8 +249,9 @@ case class LshForestHit(child: Expression, queryKeys: Seq[Long],
 }
 
 object LshForestHit {
-  def hit(vec: Column, queryKeys: Seq[Long], bitsPerTable: Int, dim: Int): Column =
+  def hit(vec: Column, queryKeys: Seq[Long], bitsPerTable: Int, dim: Int,
+          keysPerTable: Int = 1): Column =
     GraftBridge.toColumn(LshForestHit(
       GraftBridge.toExpression(vec.cast("array<double>")),
-      queryKeys.toList, bitsPerTable, dim))
+      queryKeys.toList, bitsPerTable, dim, keysPerTable))
 }

@@ -214,15 +214,93 @@ object AnnLsh {
     row.getSeq[Long](0)
   }
 
+  /** Query-directed multiprobe keys (Lv et al. 2007, "Multi-Probe
+    * LSH"): table t's probe list is its exact bucket followed by
+    * `probes-1` perturbed buckets in increasing sum-of-|margin|
+    * order, where a perturbation flips the sign bits whose hyperplane
+    * margins are smallest — exactly the buckets a near-boundary
+    * neighbor most likely fell into. This is the scan-native analogue
+    * of the reference's tree backtracking (lshtree.go:283-336: descend
+    * the other side of a split when `|dist-to-hyperplane|` is within
+    * the candidate radius). Computed locally from the in-memory query
+    * vector — zero extra Spark jobs. Returns numTables*probes keys
+    * grouped per table (the layout [[graft.functions.LshForestHit]]
+    * expects). */
+  def forestProbeKeysLocal(qv: Array[Double], numTables: Int, bitsPerTable: Int,
+                           dim: Int, probes: Int): Seq[Long] = {
+    val ps = planes(numTables * bitsPerTable, dim)
+    val n = math.min(qv.length, dim)
+    val out = Seq.newBuilder[Long]
+    var t = 0
+    while (t < numTables) {
+      val margins = Array.tabulate(bitsPerTable) { j =>
+        val p = ps(t * bitsPerTable + j)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += qv(i) * p(i); i += 1 }
+        acc
+      }
+      var bucket = 0L
+      var j = 0
+      while (j < bitsPerTable) {
+        if (margins(j) > 0.0) bucket |= 1L << j
+        j += 1
+      }
+      val base = (t.toLong << bitsPerTable) | bucket
+      out += base
+      if (probes > 1) {
+        // enumerate perturbation sets in increasing total |margin|
+        // via the standard add/shift heap expansion over the
+        // ascending-|margin| bit order; sets are kept as
+        // descending-position lists so head = max position
+        val order = margins.indices.sortBy(j => math.abs(margins(j)))
+        val score = order.map(j => math.abs(margins(j)))
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Double, List[Int])](Ordering.by[(Double, List[Int]), Double](_._1).reverse)
+        pq.enqueue((score(0), List(0)))
+        var emitted = 1
+        while (emitted < probes && pq.nonEmpty) {
+          val (s, set) = pq.dequeue()
+          var key = base
+          set.foreach(pos => key ^= 1L << order(pos))
+          out += key
+          emitted += 1
+          val mx = set.head
+          if (mx + 1 < bitsPerTable) {
+            pq.enqueue((s + score(mx + 1), (mx + 1) :: set))
+            pq.enqueue((s - score(mx) + score(mx + 1), (mx + 1) :: set.tail))
+          }
+        }
+        // bucket space exhausted (tiny bitsPerTable): repeat the base
+        // key so the per-table grouping stays rectangular
+        while (emitted < probes) { out += base; emitted += 1 }
+      }
+      t += 1
+    }
+    out.result()
+  }
+
+  /** [[forestProbeKeysLocal]] over a 1-row (qvec) frame. */
+  def forestProbeKeys(query: DataFrame, numTables: Int, bitsPerTable: Int,
+                      dim: Int, probes: Int): Seq[Long] = {
+    val Array(row) = query.select(col("qvec").cast("array<double>")).collect()
+    forestProbeKeysLocal(row.getSeq[Double](0).toArray,
+      numTables, bitsPerTable, dim, probes)
+  }
+
   /** Forest approximate top-k: candidates are the union of the
     * query's L buckets (any-table agreement), exact distance within.
     * The probe predicate is a single early-exit expression on the
-    * scan — no join, no signature column to duplicate. */
+    * scan — no join, no signature column to duplicate. `probes` > 1
+    * adds query-directed multiprobe: each table also probes the
+    * `probes-1` lowest-|margin| bit flips, buying recall at
+    * ~probes/2^bits extra mass per table — the sweep-measured frontier
+    * beats adding tables at equal mass (see SURVEY §4). */
   def knnForest(df: DataFrame, vecCol: String, query: DataFrame, k: Int,
                 numTables: Int, bitsPerTable: Int, dim: Int,
-                metric: Knn.Metric, idCol: String): DataFrame = {
-    val keys = forestKeys(query, numTables, bitsPerTable, dim)
-    df.filter(graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim))
+                metric: Knn.Metric, idCol: String, probes: Int = 1): DataFrame = {
+    val keys = forestProbeKeys(query, numTables, bitsPerTable, dim, probes)
+    df.filter(graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim, probes))
       .crossJoin(broadcast(query))
       .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
       .orderBy(col("dist").asc, col(idCol).asc)
@@ -237,9 +315,9 @@ object AnnLsh {
     * miss), touching only the probed fraction of the corpus. */
   def radiusForest(df: DataFrame, vecCol: String, query: DataFrame, r: Double,
                    numTables: Int, bitsPerTable: Int, dim: Int,
-                   metric: Knn.Metric): DataFrame = {
-    val keys = forestKeys(query, numTables, bitsPerTable, dim)
-    df.filter(graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim))
+                   metric: Knn.Metric, probes: Int = 1): DataFrame = {
+    val keys = forestProbeKeys(query, numTables, bitsPerTable, dim, probes)
+    df.filter(graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim, probes))
       .crossJoin(broadcast(query))
       .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
       .filter(col("dist") <= r)
@@ -268,8 +346,13 @@ object AnnLsh {
   def knnForestIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        df: DataFrame, vecCol: String, query: DataFrame, k: Int,
                        numTables: Int, bitsPerTable: Int, dim: Int,
-                       metric: Knn.Metric, idCol: String): DataFrame = {
-    val keys = forestKeys(query, numTables, bitsPerTable, dim)
+                       metric: Knn.Metric, idCol: String, probes: Int = 1): DataFrame = {
+    // multiprobe against the same persisted index: the extra keys are
+    // just more pruned partitions to read — the index (L longs/row)
+    // does not grow with probes, which is the multiprobe win: the
+    // sweep-measured (8 bits, 50 tables, 2 probes) point sits on the
+    // (8, 100, 1) recall/mass frontier with HALF the index
+    val keys = forestProbeKeys(query, numTables, bitsPerTable, dim, probes)
     val cand = spark.read.parquet(indexPath)
       .filter(col("fkey").isin(keys: _*))
       .select(col(idCol)).distinct()
@@ -311,10 +394,24 @@ object AnnLsh {
                             indexPath: String, df: DataFrame, vecCol: String,
                             queries: DataFrame, k: Int, numTables: Int,
                             bitsPerTable: Int, dim: Int, metric: Knn.Metric,
-                            idCol: String): DataFrame = {
+                            idCol: String, probes: Int = 1): DataFrame = {
     import graft.functions.MultiLshBuckets
-    val queryKeys = queries.select(col("qid"),
-      explode(MultiLshBuckets.keys(col("qvec"), numTables, bitsPerTable, dim)).as("fkey"))
+    val queryKeys =
+      if (probes == 1)
+        queries.select(col("qid"),
+          explode(MultiLshBuckets.keys(col("qvec"), numTables, bitsPerTable, dim)).as("fkey"))
+      else {
+        // queries are driver-sized (they get broadcast below);
+        // compute the multiprobe key sets locally and re-parallelize
+        val rows = queries.select(col("qid"),
+          col("qvec").cast("array<double>")).collect()
+        val pairs = rows.toSeq.flatMap { r =>
+          val qid = r.getLong(0)
+          forestProbeKeysLocal(r.getSeq[Double](1).toArray,
+            numTables, bitsPerTable, dim, probes).map(kk => (qid, kk))
+        }
+        spark.createDataFrame(pairs).toDF("qid", "fkey")
+      }
     val allKeys = queryKeys.select(col("fkey")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val cand = spark.read.parquet(indexPath)
@@ -345,9 +442,10 @@ object AnnLsh {
   /** PercentSearched for a forest probe: union-candidate mass over
     * corpus size, one aggregate pass. */
   def percentSearchedForest(df: DataFrame, vecCol: String, query: DataFrame,
-                            numTables: Int, bitsPerTable: Int, dim: Int): Double = {
-    val keys = forestKeys(query, numTables, bitsPerTable, dim)
-    val hit = graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim)
+                            numTables: Int, bitsPerTable: Int, dim: Int,
+                            probes: Int = 1): Double = {
+    val keys = forestProbeKeys(query, numTables, bitsPerTable, dim, probes)
+    val hit = graft.functions.LshForestHit.hit(col(vecCol), keys, bitsPerTable, dim, probes)
     val row = df.agg(count(lit(1)).as("total"),
       sum(when(hit, 1L).otherwise(0L)).as("probed")).head()
     val total = row.getLong(0)

@@ -19,18 +19,25 @@ object LshSweep {
       qid -> Knn.knn(e, "embedding", qv, k, Knn.Cosine, "vec_id")
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }.toMap
-    for ((bits, nt) <- Seq((9, 120), (9, 150), (9, 180), (10, 200), (10, 260), (10, 320))) {
+    // (bits, tables, probes): probes > 1 = query-directed multiprobe
+    val combos =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        val Array(b, t, p) = a.split(",").map(_.trim.toInt); (b, t, p) }
+      else Seq((8, 100, 1), (9, 60, 2), (10, 60, 2), (10, 80, 2),
+        (11, 80, 2), (11, 100, 2), (10, 40, 3), (11, 60, 3), (12, 80, 3))
+    for ((bits, nt, probes) <- combos) {
       val stats = qids.map { qid =>
         val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
-        val approx = AnnLsh.knnForest(e, "embedding", qv, k, nt, bits, 64, Knn.Cosine, "vec_id")
+        val approx = AnnLsh.knnForest(e, "embedding", qv, k, nt, bits, 64,
+            Knn.Cosine, "vec_id", probes)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val rec = approx.intersect(exact(qid)).size.toDouble / k
-        val mass = AnnLsh.percentSearchedForest(e, "embedding", qv, nt, bits, 64)
+        val mass = AnnLsh.percentSearchedForest(e, "embedding", qv, nt, bits, 64, probes)
         (rec, mass)
       }
       val mr = stats.map(_._1).sum / stats.size
       val mm = stats.map(_._2).sum / stats.size
-      println(f"bits=$bits%2d tables=$nt%3d  recall@10=$mr%.3f  pctSearched=$mm%.1f")
+      println(f"bits=$bits%2d tables=$nt%3d probes=$probes%d  recall@10=$mr%.3f  pctSearched=$mm%.1f")
     }
     spark.stop()
   }
