@@ -999,8 +999,9 @@ object SparkEntry {
         |  nb AS n_bytes,
         |  sha256(text) AS checksum,
         |  len(range(0, nb, 32)) AS sample_len,
-        |  coalesce(list_aggregate(list_transform(range(0, nb, 32),
-        |    i -> substr(hx, (2*i+1)::INT, 2)), 'string_agg', ''), '') AS sample_hex
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE coalesce(list_aggregate(list_transform(range(0, nb, 32),
+        |         i -> substr(hx, (2*i+1)::INT, 2)), 'string_agg', ''), '') END AS sample_hex
         |FROM s""".stripMargin,
 
     "lang_id" -> {

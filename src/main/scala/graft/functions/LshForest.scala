@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * derivations (51 k strings for the default forest) per task is
   * avoidable constant work. Keyed by (numPlanes, dim); values are
   * deterministic, so racing writers are idempotent. */
-private[functions] object LshPlanes {
+private[graft] object LshPlanes {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
   def flat(numPlanes: Int, dim: Int): Array[Double] =

@@ -228,16 +228,19 @@ object AnnLsh {
     * expects). */
   def forestProbeKeysLocal(qv: Array[Double], numTables: Int, bitsPerTable: Int,
                            dim: Int, probes: Int): Seq[Long] = {
-    val ps = planes(numTables * bitsPerTable, dim)
+    // same JVM-wide memoized flat matrix the expressions use —
+    // re-deriving numTables*bits*dim md5 strings per query is
+    // avoidable constant work (~25k derivations for the 50x8 config)
+    val flat = graft.functions.LshPlanes.flat(numTables * bitsPerTable, dim)
     val n = math.min(qv.length, dim)
     val out = Seq.newBuilder[Long]
     var t = 0
     while (t < numTables) {
       val margins = Array.tabulate(bitsPerTable) { j =>
-        val p = ps(t * bitsPerTable + j)
+        val base = (t * bitsPerTable + j) * dim
         var acc = 0.0
         var i = 0
-        while (i < n) { acc += qv(i) * p(i); i += 1 }
+        while (i < n) { acc += qv(i) * flat(base + i); i += 1 }
         acc
       }
       var bucket = 0L
@@ -255,8 +258,14 @@ object AnnLsh {
         // descending-position lists so head = max position
         val order = margins.indices.sortBy(j => math.abs(margins(j)))
         val score = order.map(j => math.abs(margins(j)))
+        // tie-break equal-score sets lexicographically on their
+        // (descending) position lists so emission order for
+        // probes >= 3 is fully specified, not heap-order-dependent —
+        // the probes = 2 analogue is the ascending-bit sort above
         val pq = scala.collection.mutable.PriorityQueue
-          .empty[(Double, List[Int])](Ordering.by[(Double, List[Int]), Double](_._1).reverse)
+          .empty[(Double, List[Int])](Ordering.Tuple2(
+            Ordering.Double.TotalOrdering,
+            Ordering.Implicits.seqOrdering[List, Int]).reverse)
         pq.enqueue((score(0), List(0)))
         var emitted = 1
         while (emitted < probes && pq.nonEmpty) {
@@ -402,15 +411,31 @@ object AnnLsh {
           explode(MultiLshBuckets.keys(col("qvec"), numTables, bitsPerTable, dim)).as("fkey"))
       else {
         // queries are driver-sized (they get broadcast below);
-        // compute the multiprobe key sets locally and re-parallelize
+        // compute the multiprobe key sets locally and re-parallelize.
+        // qid is read generically and its original type carried into
+        // the built frame, so any qid type works in both paths; a
+        // null qvec yields no keys (mirrors explode dropping the
+        // expression's null output) and null elements count as 0.0
+        // (mirrors MultiLshBuckets.nullSafeEval skipping them)
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        import scala.jdk.CollectionConverters._
         val rows = queries.select(col("qid"),
           col("qvec").cast("array<double>")).collect()
-        val pairs = rows.toSeq.flatMap { r =>
-          val qid = r.getLong(0)
-          forestProbeKeysLocal(r.getSeq[Double](1).toArray,
-            numTables, bitsPerTable, dim, probes).map(kk => (qid, kk))
+        val pairRows = rows.toSeq.flatMap { r =>
+          if (r.isNullAt(1)) Seq.empty[Row]
+          else {
+            val qv = r.getSeq[Any](1).map {
+              case null => 0.0
+              case d: java.lang.Double => d.doubleValue()
+            }.toArray
+            forestProbeKeysLocal(qv, numTables, bitsPerTable, dim, probes)
+              .map(kk => Row(r.get(0), kk))
+          }
         }
-        spark.createDataFrame(pairs).toDF("qid", "fkey")
+        spark.createDataFrame(pairRows.asJava, StructType(Seq(
+          queries.schema("qid").copy(name = "qid"),
+          StructField("fkey", LongType, nullable = false))))
       }
     val allKeys = queryKeys.select(col("fkey")).distinct()
       .collect().map(_.getLong(0)).toSeq

@@ -259,6 +259,56 @@ class AnnSpec extends SparkSpec {
     assert((forest4 & 15L) == single)
   }
 
+  test("indexed batch forest multiprobe preserves non-Long qids and skips null qvecs") {
+    val (tables, bits) = (6, 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbatch-mp").toFile
+    dir.delete()
+    AnnLsh.writeForestIndex(emb, "embedding", "vec_id", tables, bits, 64,
+      dir.getAbsolutePath)
+    // string qids + one null-qvec row: the multiprobe path must read
+    // qid generically (not getLong) and drop the null vector the same
+    // way explode drops the expression's null output in probes=1
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("qvec"))
+      .unionByName(emb.limit(1).select(lit("qnull").as("qid"),
+        lit(null).cast("array<double>").as("qvec")))
+    val batch = AnnLsh.knnForestBatchIndexed(spark, dir.getAbsolutePath, emb,
+      "embedding", qs, 5, tables, bits, 64, Knn.Cosine, "vec_id", probes = 2)
+      .select("qid", "vec_id", "rank").as[(String, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(!batch.contains("qnull"))
+    (0L until 3L).foreach { v =>
+      val single = AnnLsh.knnForestIndexed(spark, dir.getAbsolutePath, emb,
+          "embedding",
+          emb.filter(col("vec_id") === v).select(col("embedding").as("qvec")),
+          5, tables, bits, 64, Knn.Cosine, "vec_id", probes = 2)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(batch(s"q$v") == single, s"qid=q$v")
+    }
+  }
+
+  test("multiprobe key order is deterministic under margin ties") {
+    // an all-zero query makes every margin 0.0 — the worst tie case:
+    // with only a score ordering the heap's dequeue order is
+    // unspecified; the lexicographic tie-break pins it to ascending
+    // flip-set order (base, flip{b0}, flip{b1}, flip{b0,b1}, ...)
+    val zero = Array.fill(8)(0.0)
+    val keys = AnnLsh.forestProbeKeysLocal(zero, 2, 4, 8, 4)
+    assert(keys == AnnLsh.forestProbeKeysLocal(zero, 2, 4, 8, 4))
+    (0 until 2).foreach { t =>
+      val base = t.toLong << 4
+      assert(keys.slice(t * 4, t * 4 + 4) ==
+        Seq(base, base | 1L, base | 2L, base | 3L), s"table $t")
+    }
+    // and the local path agrees with the codegen'd expression on the
+    // base (probes=1) keys for a real vector
+    val qv = (0 until 64).map(i => math.sin(i + 1).abs).toArray
+    val local = AnnLsh.forestProbeKeysLocal(qv, 10, 8, 64, 1)
+    val viaExpr = AnnLsh.forestKeys(
+      spark.createDataFrame(Seq(Tuple1(qv.toSeq))).toDF("qvec"), 10, 8, 64)
+    assert(local == viaExpr)
+  }
+
   test("ivf trained centroids improve or match seed assignment cost") {
     val seeds = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 3L)
     val trained = AnnIvf.train(emb, "embedding", "vec_id", 0L to 3L, iters = 2, Knn.Cosine)
