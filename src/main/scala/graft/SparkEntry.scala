@@ -461,6 +461,37 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
 
+    "events_asof" -> ((s, dir) => {
+      Events.asofJoin(Tables.events(s, dir), "ts", "user_id", "event_type",
+          "event_id", "value", "click", "view")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value"), 4).as("value"), col("prior_id"), col("prior_ts"),
+          round(col("prior_value"), 4).as("prior_value"), col("gap_us"))
+    }),
+
+    "corpus_ngrams" -> ((s, dir) => {
+      TextAnalysis.corpusNgrams(Tables.documents(s, dir), "text", "doc_id", 3, 50)
+        .select(col("gram"), col("total_count"), col("doc_count"))
+    }),
+
+    "remove_boilerplate" -> ((s, dir) => {
+      TextAnalysis.removeBoilerplate(Tables.documents(s, dir), "text", "doc_id",
+          chunkWords = 8, maxDf = 1)
+        .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    "shuffle_shards" -> ((s, dir) => {
+      Sampling.shuffleShards(Tables.documents(s, dir), "doc_id", "seed7", 16)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"), col("shard_pos"))
+    }),
+
+    "filter_funnel" -> ((s, dir) => {
+      TextAnalysis.filterFunnel(Tables.documents(s, dir), "text",
+          minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
+        .select(col("doc_id"), col("n_tokens"), col("lang_pred"), col("verdict"))
+    }),
+
     "q3_join" -> ((s, dir) => {
       val cutoff = lit("1998-06-01").cast("timestamp")
       val cust = Tables.customer(s, dir)
@@ -1063,6 +1094,96 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_base,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "events_asof" ->
+      // the same union-window formulation as the Spark side (NOT
+      // DuckDB's ASOF JOIN, whose equal-ts tie choice is unspecified):
+      // identical ordering + identical frame = identical pick
+      """WITH f AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |             event_type, value
+        |           FROM events WHERE event_type IN ('click', 'view')),
+        |c AS (SELECT *,
+        |  last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |    OVER w AS prior_id,
+        |  last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+        |    OVER w AS prior_ts,
+        |  last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |    OVER w AS prior_value
+        |  FROM f
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, ts, user_id, round(value, 4) AS value,
+        |  prior_id, prior_ts, round(prior_value, 4) AS prior_value,
+        |  epoch_us(ts) - epoch_us(prior_ts) AS gap_us
+        |FROM c WHERE event_type = 'click'""".stripMargin,
+
+    "corpus_ngrams" ->
+      // df via (gram, doc) pre-aggregation like the Spark plan; the
+      // (doc_count, total_count, gram) ordering is a total order, so
+      // the LIMIT boundary picks the same set in both engines
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |        i -> array_to_string(w[i::INT:(i+2)::INT], ' '))) AS gram FROM f),
+        |d AS (SELECT gram, doc_id, count(*) AS tf FROM g GROUP BY 1, 2)
+        |SELECT gram, CAST(sum(tf) AS BIGINT) AS total_count,
+        |  count(*) AS doc_count
+        |FROM d GROUP BY gram
+        |ORDER BY doc_count DESC, total_count DESC, gram LIMIT 50""".stripMargin,
+
+    "remove_boilerplate" ->
+      // 0-based chunk grid: chunk b = words[b*8+1 .. b*8+8] (1-based
+      // inclusive slice ≙ Spark slice(w, b*8+1, 8)); string_agg
+      // skips the NULLed-out boilerplate chunks, ORDER BY pos keeps
+      // document order, all-boilerplate docs coalesce to ''
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos, w
+        |      FROM w),
+        |c AS (SELECT doc_id, pos,
+        |        array_to_string(w[(pos*8+1)::INT:(pos*8+8)::INT], ' ') AS chunk
+        |      FROM b),
+        |d AS (SELECT chunk, count(DISTINCT doc_id) AS chunk_df FROM c GROUP BY 1),
+        |j AS (SELECT c.doc_id, c.pos, c.chunk, d.chunk_df FROM c JOIN d USING (chunk))
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN chunk_df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN chunk_df <= 1 THEN chunk END, ' '
+        |    ORDER BY pos), '')) AS clean_md5
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    "shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5('seed7_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key, CAST(shuffle_key % 16 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY shuffle_key % 16
+        |                     ORDER BY shuffle_key, doc_id) AS shard_pos
+        |FROM h""".stripMargin,
+
+    "filter_funnel" -> {
+      def sqlList(l: Seq[String]) = l.map(s => s"'$s'").mkString("[", ", ", "]")
+      val scoreCols = TextAnalysis.langProfiles.map { case (lang, list) =>
+        s"len(list_filter(w, t -> list_contains(${sqlList(list)}, t))) AS score_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val best = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString(" ")
+      val en = sqlList(TextAnalysis.enStopwords)
+      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, len(w) AS n,
+         |  len(list_filter(w, t -> list_contains($en, t)))::DOUBLE / len(w) AS stop,
+         |  $scoreCols
+         |FROM f),
+         |v AS (SELECT doc_id, n, stop,
+         |  CASE WHEN $best = 0 THEN 'und' $caseChain END AS lang_pred
+         |FROM g)
+         |SELECT doc_id, n AS n_tokens, lang_pred,
+         |  CASE WHEN n < 20 THEN 'too_short'
+         |       WHEN n > 90 THEN 'too_long'
+         |       WHEN lang_pred NOT IN ('en') THEN 'wrong_lang'
+         |       WHEN stop < 0.02 THEN 'low_stopword'
+         |       ELSE 'kept' END AS verdict
+         |FROM v""".stripMargin
+    },
 
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, round(rev, 2) AS revenue FROM (

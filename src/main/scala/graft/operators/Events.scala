@@ -46,6 +46,39 @@ object Events {
       .select(col(userCol), col("session_start"), col("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** As-of join: attach to every `leftType` event the most recent
+    * `rightType` event of the same user at or before it (ties on ts
+    * broken by event id, so the result is fully deterministic).
+    *
+    * The textbook formulation is a range join — quadratic blowup on
+    * hot users and no equi-key for the pairing. This is the
+    * union-window form: filter to the two event types, ONE shuffle on
+    * the user key, and a single ordered pass per user carries the
+    * last-seen right event forward (`last(_, ignoreNulls)` over
+    * rows unbounded-preceding..current). Partition-parallel across
+    * users like [[sessionize]]; no per-pair join ever materializes,
+    * which is what survives a 100 TB event log with skewed users.
+    *
+    * Output: the left events with `prior_id`/`prior_ts`/`prior_value`
+    * (null when no prior right event exists) and `gap_us` (exact long
+    * microseconds — no float rounding in the oracle compare). */
+  def asofJoin(df: DataFrame, tsCol: String, userCol: String, typeCol: String,
+               idCol: String, valueCol: String,
+               leftType: String, rightType: String): DataFrame = {
+    val byUser = W.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val right = when(col(typeCol) === rightType,
+      struct(col(idCol).as("id"), col(tsCol).as("ts"), col(valueCol).as("value")))
+    df.filter(col(typeCol).isin(leftType, rightType))
+      .withColumn("_r", last(right, ignoreNulls = true).over(byUser))
+      .filter(col(typeCol) === leftType)
+      .select(col(idCol), col(tsCol), col(userCol), col(valueCol),
+        col("_r.id").as("prior_id"), col("_r.ts").as("prior_ts"),
+        col("_r.value").as("prior_value"),
+        (unix_micros(col(tsCol)) - unix_micros(col("_r.ts"))).as("gap_us"))
+  }
+
   /** Per-session rollup on top of [[sessionize]]. */
   def sessionStats(df: DataFrame, tsCol: String, userCol: String,
                    idCol: String, valueCol: String, gapMinutes: Int): DataFrame =

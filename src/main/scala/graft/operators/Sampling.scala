@@ -66,6 +66,29 @@ object Sampling {
       .withColumnRenamed("_tok", "pack_tokens")
   }
 
+  /** Deterministic global shuffle + sharding for training export:
+    * every row gets a `shuffle_key` (md5 hash of seed + id — change
+    * the seed, get an independent permutation), a `shard` (key mod
+    * numShards), and `shard_pos` (its rank within the shard). Writing
+    * `partitionBy(shard) sortBy(shard_pos)` yields the randomized,
+    * evenly-sized shards a training loader streams.
+    *
+    * Scale shape: key and shard are map-side; the only shuffle is the
+    * per-shard rank window, partitioned by shard — so parallelism =
+    * numShards, and a 100 TB export picks numShards >> executors
+    * (which it wants anyway for loader-side parallelism). No global
+    * orderBy anywhere; reproducible across runs, engines, and
+    * partitionings. */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+                    numShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key").asc, col(idCol).asc)
+    df.withColumn("shuffle_key",
+        Dedup.hash64(concat(lit(seed), lit("_"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(numShards.toLong)).cast("int"))
+      .withColumn("shard_pos", row_number().over(w).cast("bigint"))
+  }
+
   /** Per-window packing stats: docs and token mass per (group,
     * window) — the frame a packing loader consumes. */
   def packStats(df: DataFrame, idCol: String, tokensCol: Column,

@@ -172,4 +172,89 @@ object TextAnalysis {
         .when(m < window, lit(1L))
         .otherwise(size(array_distinct(winnowed)).cast("bigint")).as("n_fp"))
   }
+
+  /** Corpus-wide top-k word n-grams by document frequency — the
+    * boilerplate / contamination profile of a corpus (the aggregate
+    * view a pipeline inspects before choosing dedup thresholds).
+    *
+    * Two keyed aggregations, both with map-side partial combine: the
+    * first collapses per-(gram, doc) repeats so document frequency is
+    * a plain count (never a count-distinct shuffle), the second sums
+    * to corpus totals. Top-k is `orderBy.limit` = TakeOrdered —
+    * O(k) rows per partition to the driver, no global sort. Ordering
+    * is fully tie-broken (df, tf, gram) so the k-boundary is
+    * deterministic and oracle-stable. */
+  def corpusNgrams(df: DataFrame, textCol: String, idCol: String,
+                   n: Int, k: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("_id"), Dedup.words(col(textCol)).as("_w"))
+      .select(col("_id"), explode(Dedup.shinglesFromWords(col("_w"), n)).as("gram"))
+    grams.groupBy(col("gram"), col("_id"))
+      .agg(count(lit(1)).as("_tf"))
+      .groupBy(col("gram"))
+      .agg(sum(col("_tf")).as("total_count"), count(lit(1)).as("doc_count"))
+      .orderBy(col("doc_count").desc, col("total_count").desc, col("gram").asc)
+      .limit(k)
+  }
+
+  /** Remove boilerplate: cut every document into non-overlapping
+    * `chunkWords`-word chunks, count each chunk's document frequency
+    * corpus-wide, and rebuild the text keeping only chunks seen in at
+    * most `maxDf` documents — the standard repeated-passage scrub
+    * (headers, footers, license blocks) run before training.
+    *
+    * Scale shape: the chunk grid is arithmetic (`transform` over a
+    * `sequence`, chunks materialized as attributes — never re-split
+    * per element), df is the same two-level keyed agg as
+    * [[corpusNgrams]], and the rebuild groups by doc — every stage is
+    * keyed by chunk or doc, bounded fanout, no self-join. Documents
+    * whose chunks are ALL boilerplate survive with empty
+    * `clean_text`, so the operator never drops rows. */
+  def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
+                        chunkWords: Int, maxDf: Int): DataFrame = {
+    val c = chunkWords
+    val chunks = df
+      .select(col(idCol), Dedup.words(col(textCol)).as("_w"))
+      .select(col(idCol),
+        transform(
+          sequence(lit(0), (ceil(size(col("_w")) / lit(c.toDouble))).cast("int") - 1),
+          b => concat_ws(" ", slice(col("_w"), b * c + 1, lit(c)))).as("_chunks"))
+      .select(col(idCol), posexplode(col("_chunks")).as(Seq("pos", "chunk")))
+    val dfCounts = chunks.groupBy(col("chunk"), col(idCol))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("chunk_df"))
+    chunks.join(dfCounts, "chunk")
+      .withColumn("_drop", col("chunk_df") > maxDf)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("_drop"),
+              struct(col("pos"), col("chunk"))))),
+            s => s("chunk")), " ").as("clean_text"))
+  }
+
+  /** First-fail quality funnel — the keep/drop gate a training
+    * pipeline runs over a raw crawl, with the drop REASON per doc so
+    * the funnel is auditable (stage counts = one groupBy on top).
+    * Stages in fixed order: `too_short` (< minTokens), `too_long`
+    * (> maxTokens), `wrong_lang` (lang_pred not in keepLangs —
+    * catches 'und' too), `low_stopword` (stop_ratio < minStop),
+    * else `kept`. Pure map-side on top of [[quality]] + [[langId]] —
+    * one scan, zero shuffles, composes with [[Sampling.stratified]]
+    * downstream. */
+  def filterFunnel(df: DataFrame, textCol: String, minTokens: Int,
+                   maxTokens: Int, keepLangs: Seq[String],
+                   minStop: Double): DataFrame = {
+    val scored = langId(quality(df, textCol), textCol)
+    scored.withColumn("verdict",
+      when(col("n_tokens") < minTokens, "too_short")
+        .when(col("n_tokens") > maxTokens, "too_long")
+        .when(!col("lang_pred").isin(keepLangs.map(lit): _*), "wrong_lang")
+        .when(col("stop_ratio") < minStop, "low_stopword")
+        .otherwise("kept"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("asofJoin attaches the most recent prior right event per user") {
+    val events = Seq(
+      // user 1: view(10) < click(20) < view(11) < click(21)
+      (10L, ts(1), 1L, "view", 1.0),
+      (20L, ts(2), 1L, "click", 2.0),
+      (11L, ts(3), 1L, "view", 3.0),
+      (21L, ts(4), 1L, "click", 4.0),
+      // user 2: click with no prior view
+      (30L, ts(1), 2L, "click", 5.0),
+      // an unrelated type that must not participate on either side
+      (40L, ts(1), 1L, "purchase", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.asofJoin(events, "ts", "user_id", "event_type",
+        "event_id", "value", "click", "view")
+      .select("event_id", "prior_id", "gap_us")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(20L) == ((Some(10L), Some(60L * 1000000L))))
+    assert(out(21L) == ((Some(11L), Some(60L * 1000000L))))
+    assert(out(30L) == ((None, None)))
+    assert(out.size == 3) // purchases never appear as left rows
+  }
+
+  test("asofJoin equals the brute-force range join on real events") {
+    val ev = Tables.events(spark, sf0001)
+    val out = Events.asofJoin(ev, "ts", "user_id", "event_type",
+        "event_id", "value", "click", "view")
+      .select("event_id", "prior_id")
+      .as[(Long, Option[Long])].collect().toMap
+    // brute force: every (click, earlier-or-equal view) pair, keep the
+    // latest view (ties by id) — the quadratic plan asofJoin avoids
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("ts").as("cts"), col("user_id").as("cu"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("ts").as("vts"), col("user_id").as("vu"))
+    val brute = clicks.join(views,
+        col("cu") === col("vu") && col("vts") <= col("cts"), "left")
+      .groupBy(col("cid"))
+      .agg(max_by(col("vid"), struct(col("vts"), col("vid"))).as("prior_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == brute)
+    assert(out.valuesIterator.count(_.isDefined) > 0)
+  }
+
+  test("asofJoin plans one user-partitioned window, no range join") {
+    val ev = Tables.events(spark, sf0001)
+    val plan = Events.asofJoin(ev, "ts", "user_id", "event_type",
+      "event_id", "value", "click", "view").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+}

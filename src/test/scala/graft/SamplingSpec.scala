@@ -66,6 +66,28 @@ class SamplingSpec extends SparkSpec {
       !plan.contains("No Partition Defined"))
   }
 
+  test("shuffleShards: deterministic dense per-shard ranks; seed changes the permutation") {
+    val a = Sampling.shuffleShards(corpus, "doc_id", "s1", 8)
+      .select("doc_id", "shuffle_key", "shard", "shard_pos")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    val b = Sampling.shuffleShards(corpus, "doc_id", "s1", 8)
+      .select("doc_id", "shuffle_key", "shard", "shard_pos")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // reproducible across runs
+    assert(a.length == 1000)   // no row lost or duplicated
+    a.foreach { case (_, key, shard, _) =>
+      assert(shard == (key % 8).toInt && shard >= 0)
+    }
+    // positions within each shard are exactly 1..n (dense, no gaps)
+    a.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq, s"shard $shard")
+    }
+    // a different seed yields a genuinely different permutation
+    val c = Sampling.shuffleShards(corpus, "doc_id", "s2", 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(c.map(r => (r._2, r._3)).toSeq != a.map(r => (r._3, r._4)).toSeq)
+  }
+
   test("stratified hash agrees with the dedup hash64 (oracle parity)") {
     val h = corpus.limit(5).select(col("doc_id"),
       (Dedup.hash64(col("doc_id").cast("string")) % 1000000L).as("h"))

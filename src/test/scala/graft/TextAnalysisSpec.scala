@@ -105,6 +105,51 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.map(_._1).toSeq == Seq(1, 2) && r(0)._2 >= r(1)._2)
   }
 
+  test("corpusNgrams ranks by document frequency with a total tie-break order") {
+    val corpus = Seq(
+      (1L, "a b c a b c"), // grams: "a b c" x2, "b c a", "c a b"
+      (2L, "a b c d"),     // grams: "a b c", "b c d"
+      (3L, "x y")          // shorter than n -> no grams
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.corpusNgrams(corpus, "text", "doc_id", 3, 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(top.head == (("a b c", 3L, 2L)))
+    // remaining grams all have (tf, df) = (1, 1): gram order decides
+    assert(top(1) == (("b c a", 1L, 1L)))
+  }
+
+  test("removeBoilerplate drops high-df chunks, keeps order, never drops rows") {
+    val boiler = "b1 b2 b3 b4"
+    val corpus = Seq(
+      (1L, s"$boiler u1 u2 u3 u4"),
+      (2L, s"$boiler o1 o2 o3 o4"),
+      (3L, "m1 m2 m3 m4 " + boiler + " t1 t2 t3 t4"), // boiler mid-doc
+      (4L, boiler)                                    // all boilerplate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.removeBoilerplate(corpus, "text", "doc_id", 4, 1)
+      .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, "u1 u2 u3 u4")))
+    assert(out(2L) == ((2L, 1L, "o1 o2 o3 o4")))
+    assert(out(3L) == ((3L, 1L, "m1 m2 m3 m4 t1 t2 t3 t4")))
+    assert(out(4L) == ((1L, 1L, ""))) // row survives with empty text
+  }
+
+  test("filterFunnel applies stages in first-fail order") {
+    val corpus = Seq(
+      (1L, "too short"),                                    // 2 tokens
+      (2L, Seq.fill(200)("the").mkString(" ")),             // 200 tokens
+      (3L, Seq.fill(30)("der").mkString(" ")),              // German -> wrong_lang
+      (4L, ("the " + Seq.fill(60)("zz").mkString(" "))),    // en but 1/61 stopwords
+      (5L, Seq.fill(30)("the cat sat").mkString(" "))       // healthy en
+    ).toDF("doc_id", "text")
+    val v = TextAnalysis.filterFunnel(corpus, "text", 20, 90, Seq("en"), 0.02)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v == Map(1L -> "too_short", 2L -> "too_long", 3L -> "wrong_lang",
+      4L -> "low_stopword", 5L -> "kept"))
+  }
+
   test("truncateTokens keeps the first N whitespace tokens") {
     val df = Seq(Tuple1("a b c d e f")).toDF("t")
     assert(df.select(TextAnalysis.truncateTokens(col("t"), 3)).as[String].head() == "a b c")
