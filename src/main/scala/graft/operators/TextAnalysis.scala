@@ -220,12 +220,18 @@ object TextAnalysis {
           sequence(lit(0), (ceil(size(col("_w")) / lit(c.toDouble))).cast("int") - 1),
           b => concat_ws(" ", slice(col("_w"), b * c + 1, lit(c)))).as("_chunks"))
       .select(col(idCol), posexplode(col("_chunks")).as(Seq("pos", "chunk")))
-    val dfCounts = chunks.groupBy(col("chunk"), col(idCol))
+    // only the OFFENDERS leave the aggregation: the boilerplate set
+    // (chunks in > maxDf docs) is small by construction, so the probe
+    // side joins against it broadcast-style (AQE) instead of
+    // shuffling every chunk's text through a full df join
+    val boiler = chunks.groupBy(col("chunk"), col(idCol))
       .agg(count(lit(1)).as("_n"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("chunk_df"))
-    chunks.join(dfCounts, "chunk")
-      .withColumn("_drop", col("chunk_df") > maxDf)
+      .filter(col("chunk_df") > maxDf)
+      .select(col("chunk"), lit(true).as("_drop"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .withColumn("_drop", coalesce(col("_drop"), lit(false)))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_chunks"),
