@@ -461,6 +461,30 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
     }),
 
+    "decontaminate_near" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+      // "leaked" rows: benchmark docs with the last 4 words cut — the
+      // lightly-edited copies vocabulary-hit decontamination underrates
+      val w = split(col("text"), " ")
+      val leaked = bench.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), greatest(size(w) - 4, lit(1)))).as("text"))
+      val corpus = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text")).unionByName(leaked)
+      Dedup.decontaminateNear(corpus, "text", "doc_id", bench, "text", "doc_id",
+          numHashes = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
+        .select(col("doc_id"), col("bench_id"), col("n_matches"),
+          round(col("jaccard"), 5).as("jaccard"))
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), round(col("rep_2"), 5).as("rep_2"),
+          round(col("rep_3"), 5).as("rep_3"))
+    }),
+
     "events_asof" -> ((s, dir) => {
       Events.asofJoin(Tables.events(s, dir), "ts", "user_id", "event_type",
           "event_id", "value", "click", "view")
@@ -1094,6 +1118,69 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_base,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "decontaminate_near" -> {
+      val (as, bs) = Dedup.minhashConsts(16)
+      val aLit = as.mkString("[", ", ", "]")
+      val bLit = bs.mkString("[", ", ", "]")
+      // the same md5-minhash family as dedup_minhash, applied to two
+      // tables; sh/sig/band CTEs are macro'd per table via t AS alias
+      def chain(src: String, p: String) =
+        s"""wt$p AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+           |shl$p AS (SELECT doc_id, list_distinct(list_transform(
+           |          range(1, greatest(len(w)-1, 1)),
+           |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM wt$p),
+           |sig$p AS (SELECT doc_id, list_transform(range(16), j ->
+           |          list_min(list_transform(
+           |            list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647),
+           |            h -> ($aLit[j+1] * h + $bLit[j+1]) % 2147483647))) AS sig
+           |        FROM shl$p WHERE len(shs) > 0),
+           |bk$p AS (SELECT doc_id, b.b AS band,
+           |              array_to_string(sig[(4*b.b+1):(4*b.b+4)], ',') AS key
+           |            FROM sig$p, range(4) b(b)),
+           |hsh$p AS (SELECT doc_id, list_distinct(list_transform(shs,
+           |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM shl$p)""".stripMargin
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |leaked AS (SELECT doc_id + 300000 AS doc_id,
+         |  array_to_string(string_split(text, ' ')[1:greatest(len(string_split(text, ' ')) - 4, 1)], ' ') AS text
+         |  FROM bench WHERE doc_id % 3 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'
+         |           UNION ALL SELECT * FROM leaked),
+         |${chain("corpus", "c")},
+         |${chain("bench", "b")},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bkc a JOIN bkb b USING (band, key)),
+         |ver AS (
+         |  SELECT id_a, id_b, i * 1.0 / (na + nb - i) AS jaccard FROM (
+         |    SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+         |           len(a.hs) AS na, len(b.hs) AS nb
+         |    FROM cand c JOIN hshc a ON a.doc_id = c.id_a
+         |                JOIN hshb b ON b.doc_id = c.id_b)
+         |  WHERE i * 1.0 / (na + nb - i) >= 0.5),
+         |ranked AS (SELECT id_a, id_b, jaccard,
+         |             row_number() OVER (PARTITION BY id_a
+         |               ORDER BY jaccard DESC, id_b DESC) AS rk,
+         |             count(*) OVER (PARTITION BY id_a) AS n_matches
+         |           FROM ver)
+         |SELECT id_a AS doc_id, id_b AS bench_id, n_matches,
+         |  round(jaccard, 5) AS jaccard
+         |FROM ranked WHERE rk = 1""".stripMargin
+    },
+
+    "text_repetition" ->
+      """WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(w), 1)),
+        |    i -> w[i] || ' ' || w[i+1]) AS g2,
+        |  list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        |FROM f)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(g2) = 0 THEN 0.0
+        |    ELSE (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) END, 5) AS rep_2,
+        |  round(CASE WHEN len(g3) = 0 THEN 0.0
+        |    ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END, 5) AS rep_3
+        |FROM g""".stripMargin,
 
     "events_asof" ->
       // the same union-window formulation as the Spark side (NOT

@@ -358,6 +358,53 @@ object Dedup {
         (coalesce(col("bench_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** NEAR-duplicate decontamination — the fuzzy complement of
+    * [[decontaminate]]: a benchmark document lightly edited before it
+    * leaked into the corpus keeps high whole-document Jaccard even
+    * where exact vocabulary hits thin out. Both tables sign with the
+    * SAME seeded minhash family, so band keys equi-join corpus x
+    * benchmark (bounded fanout per band bucket — never an all-pairs
+    * corpus x benchmark join), and every band collision is verified by
+    * exact shingle Jaccard with the size-ratio prefilter. Returns one
+    * row per flagged corpus doc: its match count and best-matching
+    * benchmark doc (ties on jaccard broken by max bench id). */
+  def decontaminateNear(corpus: DataFrame, textCol: String, idCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        benchIdCol: String, numHashes: Int = 16,
+                        bands: Int = 4, shingleN: Int = 3,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    def banded(sigs: DataFrame, inId: String, outId: String) = sigs
+      .select(col(inId).as(outId), col("sig"),
+        explode(typedlit((0 until bands).toList)).as("band"))
+      .select(col(outId), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rows + 1,
+          lit(rows)).cast("array<string>")).as("key"))
+    val cand = banded(
+        minhashSignatures(corpus, textCol, idCol, numHashes, shingleN),
+        idCol, "id_a")
+      .join(banded(
+        minhashSignatures(benchmark, benchTextCol, benchIdCol, numHashes, shingleN),
+        benchIdCol, "id_b"), Seq("band", "key"))
+      .select("id_a", "id_b").distinct()
+    val verified = cand
+      .join(shingleSets(corpus, textCol, idCol, shingleN)
+        .select(col("sid").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(shingleSets(benchmark, benchTextCol, benchIdCol, shingleN)
+        .select(col("sid").as("id_b"), col("shs").as("sb")), "id_b")
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double") /
+        greatest(size(col("sa")), size(col("sb"))) >= minJaccard)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+    verified.groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("jaccard"), col("id_b"))).as("_best"))
+      .select(col("doc_id"), col("n_matches"),
+        col("_best.id_b").as("bench_id"), col("_best.jaccard").as("jaccard"))
+  }
+
   // ---------- near-dup clustering (connected components) ----------
 
   /** Group near-dup PAIRS into duplicate CLUSTERS: connected

@@ -243,6 +243,26 @@ object TextAnalysis {
             s => s("chunk")), " ").as("clean_text"))
   }
 
+  /** Intra-document repetition ratios — the Gopher-style quality
+    * signal: for each n in `ns`, the fraction of the document's word
+    * n-gram occurrences that are repeats of an earlier occurrence
+    * WITHIN the same document (0 = no repetition, → 1 = the document
+    * is a loop). Pure map-side: words and gram arrays materialize as
+    * attributes (never re-split per element), no shuffle anywhere. */
+  def repetition(df: DataFrame, textCol: String, idCol: String,
+                 ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val withW = df.select(col(idCol), Dedup.words(col(textCol)).as("_w"))
+    val withG = ns.foldLeft(withW) { (acc, n) =>
+      acc.withColumn(s"_g$n", Dedup.shinglesFromWords(col("_w"), n))
+    }
+    ns.foldLeft(withG) { (acc, n) =>
+      val g = col(s"_g$n")
+      acc.withColumn(s"rep_$n",
+        when(size(g) === 0, lit(0.0)).otherwise(
+          (size(g) - size(array_distinct(g))).cast("double") / size(g)))
+    }.drop(ns.map(n => s"_g$n") :+ "_w": _*)
+  }
+
   /** First-fail quality funnel — the keep/drop gate a training
     * pipeline runs over a raw crawl, with the drop REASON per doc so
     * the funnel is auditable (stage counts = one groupBy on top).

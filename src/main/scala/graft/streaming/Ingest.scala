@@ -78,6 +78,49 @@ object Ingest {
       .outputMode(OutputMode.Append())
       .start()
 
+  case class TypedEv(event_id: Long, ts: Timestamp, user_id: Long,
+                     event_type: String, value: Double)
+  case class AsofState(id: Long, ts: Long, value: Double)
+  case class AsofOut(event_id: Long, ts: Timestamp, user_id: Long, value: Double,
+                     prior_id: Option[Long], prior_ts: Option[Timestamp],
+                     prior_value: Option[Double])
+
+  /** Streaming as-of join — the continuous twin of
+    * [[graft.operators.Events.asofJoin]]: every arriving `leftType`
+    * event is emitted with the latest `rightType` event of the same
+    * user seen so far. State per user is O(1) (just the newest right
+    * event); within a micro-batch events apply in (ts, id) order, and
+    * a stale right event arriving late (older than the state) never
+    * regresses the state. Exact equivalence with the batch operator
+    * holds when right events arrive in event-time order per user —
+    * the usual CDC/enrichment contract for streaming as-of. */
+  def asofStream(events: DataFrame, leftType: String, rightType: String)
+                (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.as[TypedEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[AsofState]) =>
+          val out = scala.collection.mutable.ListBuffer[AsofOut]()
+          var cur = state.getOption
+          evs.toSeq
+            .filter(e => e.event_type == leftType || e.event_type == rightType)
+            .sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach { e =>
+              if (e.event_type == leftType)
+                out += AsofOut(e.event_id, e.ts, e.user_id, e.value,
+                  cur.map(_.id), cur.map(s => new Timestamp(s.ts)), cur.map(_.value))
+              if (e.event_type == rightType &&
+                  cur.forall(s => e.ts.getTime > s.ts ||
+                    (e.ts.getTime == s.ts && e.event_id >= s.id)))
+                cur = Some(AsofState(e.event_id, e.ts.getTime, e.value))
+            }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp,

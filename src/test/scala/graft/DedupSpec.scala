@@ -99,6 +99,27 @@ class DedupSpec extends SparkSpec {
     assert(byId.size == 3) // every corpus doc present, clean ones included
   }
 
+  test("decontaminateNear flags edited benchmark copies, skips unrelated docs") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val bench = Seq((100L, base),
+      (101L, "one two three four five six seven eight nine ten")).toDF("bid", "btext")
+    val corpus = Seq(
+      (1L, base + " extra"),                        // edited copy -> flagged
+      (2L, "completely different words here okay"), // unrelated
+      (3L, base)                                    // verbatim copy -> flagged
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateNear(corpus, "text", "doc_id",
+        bench, "btext", "bid", numHashes = 16, bands = 4, shingleN = 3,
+        minJaccard = 0.5)
+      .select("doc_id", "bench_id", "jaccard")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L)._1 == 100L && got(1L)._2 > 0.8 && got(1L)._2 < 1.0)
+    assert(got(3L) == ((100L, 1.0)))
+  }
+
   test("connectedComponents clusters pairs by min id, converges on chains") {
     // chain 1-2-3-4 (diameter 3), clique 20-21-22, isolated pair 10-11
     val pairs = Seq(

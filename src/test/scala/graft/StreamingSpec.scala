@@ -123,6 +123,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("asofStream matches the batch asofJoin once drained") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Ingest.asofStream(df, "click", "view")
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    val batch1 = Seq(
+      (10L, ts(1), 1L, "view", 1.0),
+      (20L, ts(2), 1L, "click", 2.0),
+      (30L, ts(1), 2L, "click", 5.0),   // no prior view for user 2
+      (40L, ts(1), 1L, "purchase", 9.0) // ignored type
+    )
+    val batch2 = Seq(
+      (11L, ts(3), 1L, "view", 3.0),
+      (21L, ts(4), 1L, "click", 4.0)    // prior view crosses the batch boundary
+    )
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("asof")
+        .select("event_id", "prior_id").as[(Long, Option[Long])].collect().toMap
+      assert(got == Map(20L -> Some(10L), 30L -> None, 21L -> Some(11L)))
+      // the streaming result equals the batch operator over the union
+      val all = (batch1 ++ batch2)
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.operators.Events.asofJoin(all, "ts", "user_id",
+          "event_type", "event_id", "value", "click", "view")
+        .select("event_id", "prior_id").as[(Long, Option[Long])].collect().toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

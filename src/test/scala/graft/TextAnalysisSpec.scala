@@ -136,6 +136,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(4L) == ((1L, 1L, ""))) // row survives with empty text
   }
 
+  test("repetition measures intra-doc duplicate n-gram fractions") {
+    val corpus = Seq(
+      (1L, "a b a b a b"),  // g2: [ab, ba, ab, ba, ab] -> 3/5 dup; g3: [aba, bab, aba, bab] -> 2/4
+      (2L, "x y z w"),      // no repeats
+      (3L, "solo")          // shorter than n -> 0.0, not null
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(corpus, "text", "doc_id")
+      .select("doc_id", "rep_2", "rep_3").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0.6, 0.5)))
+    assert(got(2L) == ((0.0, 0.0)))
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
   test("filterFunnel applies stages in first-fail order") {
     val corpus = Seq(
       (1L, "too short"),                                    // 2 tokens
