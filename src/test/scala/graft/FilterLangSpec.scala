@@ -178,6 +178,28 @@ class FilterLangSpec extends SparkSpec {
       FilterCompiler.compile("ANY(age > 10)", people))
   }
 
+  test("lexer produces the reference's token streams (query/lexer_test.go)") {
+    import FilterLang._
+    // TestNextToken (lexer_test.go:7)
+    assert(lex("""age >= 18 AND status == "active"""") == List(
+      TIdent("age"), TOp(">="), TNum(18.0), TKw("AND"),
+      TIdent("status"), TOp("=="), TStr("active"), TEof))
+    // TestLexerAdditionalCases (lexer_test.go:39) — incl. [*] as ONE token
+    assert(lex("""name != "John" AND (age < 30 OR status IN ("active", "pending")) AND items[*].price > 100""") == List(
+      TIdent("name"), TOp("!="), TStr("John"), TKw("AND"), TLParen,
+      TIdent("age"), TOp("<"), TNum(30.0), TKw("OR"),
+      TIdent("status"), TKw("IN"), TLParen, TStr("active"), TComma,
+      TStr("pending"), TRParen, TRParen, TKw("AND"),
+      TIdent("items"), TArrayStar, TDot, TIdent("price"), TOp(">"),
+      TNum(100.0), TEof))
+    // TestLexerExistsAndDoesNotExist (lexer_test.go:88) — the
+    // three-word keyword merges to one token, as in the Go lexer
+    assert(lex("""field1 EXISTS AND field2 DOES NOT EXIST OR field3 == "value"""") == List(
+      TIdent("field1"), TKw("EXISTS"), TKw("AND"),
+      TIdent("field2"), TKw("DOES_NOT_EXIST"), TKw("OR"),
+      TIdent("field3"), TOp("=="), TStr("value"), TEof))
+  }
+
   test("parser produces the reference's AST shapes (query/parser_test.go)") {
     import FilterLang._
     def ref(names: Any*): Ref = Ref(names.toList.map {

