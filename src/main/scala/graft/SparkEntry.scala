@@ -485,6 +485,15 @@ object SparkEntry {
           round(col("rep_3"), 5).as("rep_3"))
     }),
 
+    "similarity_join" -> ((s, dir) => {
+      // corpus-wide k-NN graph: every vector's top-3 nearest others,
+      // forest-blocked (20 tables x 8 planes), no broadcasts anywhere
+      AnnLsh.similarityJoin(Tables.embeddings(s, dir), "embedding", "vec_id",
+          k = 3, numTables = 20, bitsPerTable = 8, dim = 64, Knn.Cosine)
+        .select(col("qid"), col("vec_id"), col("rank"),
+          round(col("dist"), 5).as("dist"))
+    }),
+
     "events_asof" -> ((s, dir) => {
       Events.asofJoin(Tables.events(s, dir), "ts", "user_id", "event_type",
           "event_id", "value", "click", "view")
@@ -1118,6 +1127,28 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS sum_base,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "similarity_join" ->
+      s"""WITH planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(160) t(h)),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, k.vec_id
+         |         FROM keys k JOIN keys q ON k.tbl = q.tbl AND k.key = q.key
+         |         WHERE k.vec_id <> q.vec_id),
+         |d AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.v")} AS d
+         |      FROM cand c JOIN b ON b.vec_id = c.vec_id
+         |                  JOIN b q ON q.vec_id = c.qid),
+         |r AS (SELECT qid, vec_id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
+         |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 3""".stripMargin,
 
     "decontaminate_near" -> {
       val (as, bs) = Dedup.minhashConsts(16)

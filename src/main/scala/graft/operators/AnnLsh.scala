@@ -446,6 +446,39 @@ object AnnLsh {
     scoreCandidates(cand, df, vecCol, queries, k, metric, idCol)
   }
 
+  /** Self-similarity graph: every row's top-k nearest OTHER rows —
+    * the neighbor graph semantic-dedup clustering and k-NN-graph
+    * pipelines build over a whole corpus. Candidates come from the
+    * forest bucket SELF-join on (id, fkey) pairs (bounded fanout per
+    * bucket, the same blocking shape as the forest near-dup pass);
+    * self-pairs are excluded before any vector attaches, and a
+    * bounded [[graft.functions.TopKAgg]] keeps the final shuffle at
+    * O(rows x k). Unlike [[knnForestBatch]] the query side IS the
+    * corpus, so nothing is broadcast — both joins are key-partitioned
+    * shuffles, which is the only shape that survives when "queries"
+    * means every row of a 100 TB table. */
+  def similarityJoin(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                     numTables: Int, bitsPerTable: Int, dim: Int,
+                     metric: Knn.Metric): DataFrame = {
+    import graft.functions.TopKAgg
+    val corpusKeys = indexForest(df, vecCol, numTables, bitsPerTable, dim)
+      .select(col(idCol), explode(col("fkeys")).as("fkey"))
+    val cand = corpusKeys
+      .join(corpusKeys.select(col(idCol).as("qid"), col("fkey")), "fkey")
+      .filter(col(idCol) =!= col("qid"))
+      .select(col("qid"), col(idCol)).distinct()
+    val scored = cand
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(df.select(col(idCol).as("qid"), col(vecCol).as("qvec")), Seq("qid"))
+      .select(col("qid"), Knn.distCol(metric, col(vecCol), col("qvec")).as("dist"),
+        col(idCol))
+    scored.groupBy(col("qid"))
+      .agg(TopKAgg.topk(col("dist"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        (col("_pos") + 1).as("rank"), col("_t.dist").as("dist"))
+  }
+
   /** Shared batch tail: attach vectors to (qid, id) candidates, exact
     * distance, bounded per-query top-k. */
   private def scoreCandidates(cand: DataFrame, df: DataFrame, vecCol: String,

@@ -287,6 +287,38 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("similarityJoin builds a self-excluding kNN graph, no broadcasts") {
+    // plant an exact duplicate: its nearest neighbor must be the
+    // original at distance 0 (and vice versa)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(99999L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(dup)
+    val g = AnnLsh.similarityJoin(corpus, "embedding", "vec_id", k = 3,
+      numTables = 20, bitsPerTable = 8, dim = 64, Knn.Cosine)
+    val rows = g.select("qid", "vec_id", "rank", "dist")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.forall(r => r._1 != r._2), "self-pair leaked into the graph")
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.values.forall(_.length <= 3))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_._3).map(_._4)
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+    }
+    assert(byQ(99999L).minBy(_._3)._2 == 0L && byQ(99999L).minBy(_._3)._4 == 0.0)
+    assert(byQ(0L).minBy(_._3)._2 == 99999L)
+    // the corpus is its own query side: no broadcast may be FORCED —
+    // with auto-broadcast off (the big-corpus situation) every join
+    // must plan as a shuffle join. (On tiny local data the optimizer
+    // broadcasting by size estimate is correct and allowed.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = AnnLsh.similarityJoin(corpus, "embedding", "vec_id", 3,
+        20, 8, 64, Knn.Cosine).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), s"forced broadcast in:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multiprobe key order is deterministic under margin ties") {
     // an all-zero query makes every margin 0.0 — the worst tie case:
     // with only a score ordering the heap's dequeue order is
