@@ -456,7 +456,18 @@ object AnnLsh {
     * O(rows x k). Unlike [[knnForestBatch]] the query side IS the
     * corpus, so nothing is broadcast — both joins are key-partitioned
     * shuffles, which is the only shape that survives when "queries"
-    * means every row of a 100 TB table. */
+    * means every row of a 100 TB table.
+    *
+    * Duplicate caveat (measured, TextScaleProbe): d exact copies of a
+    * vector share every bucket, so candidate pairs grow O(d^2) — a
+    * corpus where every vector has 10 copies runs ~240x slower, not
+    * 10x. The production composition mirrors `Dedup.canonicalNearDup`:
+    * collapse exact-duplicate vectors (hash groupBy), graph the
+    * canonicals (10x corpus back to ~1x cost), copies inherit their
+    * canonical's neighbors. The reference's adaptive tree handles this
+    * by splitting overfull leaves (lshtree.go) — fixed planes cannot
+    * split identical vectors, so dedup-first IS the scan-native
+    * answer. */
   def similarityJoin(df: DataFrame, vecCol: String, idCol: String, k: Int,
                      numTables: Int, bitsPerTable: Int, dim: Int,
                      metric: Knn.Metric): DataFrame = {

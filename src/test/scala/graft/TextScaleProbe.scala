@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{AnnLsh, Dedup, Knn, TextAnalysis}
+
+/** 10x scale probe for the round-7 operators: sf0.1 documents (5k)
+  * unioned as 10 id-shifted copies (50k docs) — a worst-case
+  * heavy-duplication corpus where every chunk/gram recurs 10x, so
+  * boilerplate detection and the n-gram profile see maximum join
+  * fanout. Embeddings replicate 10x for the kNN graph. Measures wall
+  * time at 1x and 10x. Run: sbt "Test/runMain graft.TextScaleProbe" */
+object TextScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSpec.session
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select(col("doc_id"), col("text"), col("source"))
+    val big = (0 until 10).map(s =>
+        base.select((col("doc_id") + s * 1000000L).as("doc_id"), col("text"),
+          col("source")))
+      .reduce(_ unionByName _).repartition(32).cache()
+    println(s"[probe] docs big=${big.count()}")
+    val one = base.repartition(32).cache(); one.count()
+
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val bigEmb = (0 until 10).map(s =>
+        emb.select((col("vec_id") + s * 1000000L).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _).repartition(32).cache()
+    println(s"[probe] vecs big=${bigEmb.count()}")
+    val oneEmb = emb.repartition(32).cache(); oneEmb.count()
+
+    def time(mk: () => org.apache.spark.sql.DataFrame, label: String): Unit = {
+      mk().queryExecution.toRdd.count() // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk().queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[probe] $label median=${ts(1)}%.2f s")
+    }
+
+    for ((df, tag) <- Seq((one, "1x"), (big, "10x"))) {
+      time(() => TextAnalysis.removeBoilerplate(df, "text", "doc_id", 8, 1),
+        s"remove_boilerplate $tag")
+      time(() => TextAnalysis.corpusNgrams(df, "text", "doc_id", 3, 50),
+        s"corpus_ngrams $tag")
+      val bench = df.filter(col("source") === "src0")
+        .select(col("doc_id").as("bid"), col("text").as("btext"))
+      time(() => Dedup.decontaminateNear(
+        df.filter(col("source") =!= "src0"), "text", "doc_id",
+        bench, "btext", "bid"), s"decontaminate_near $tag")
+    }
+    for ((df, tag) <- Seq((oneEmb, "1x"), (bigEmb, "10x"))) {
+      if (sys.env.contains("PROBE_RAW_GRAPH") || tag == "1x")
+        time(() => AnnLsh.similarityJoin(df, "embedding", "vec_id", 3,
+          20, 8, 64, Knn.Cosine), s"similarity_join $tag")
+      // duplicate-heavy corpora (here EVERY vector has 10 copies)
+      // square the per-bucket candidate count — the raw graph is
+      // O(dup^2). The production composition mirrors dedup_canonical:
+      // collapse exact-duplicate vectors first, graph the canonicals,
+      // and the copies inherit their canonical's neighbors.
+      time(() => {
+        val canon = df.groupBy(md5(concat_ws(",", col("embedding"))).as("_h"))
+          .agg(min(col("vec_id")).as("vec_id"),
+            first(col("embedding")).as("embedding"))
+          .drop("_h")
+        AnnLsh.similarityJoin(canon, "embedding", "vec_id", 3,
+          20, 8, 64, Knn.Cosine)
+      }, s"similarity_join canonical-first $tag")
+    }
+    spark.stop()
+  }
+}
