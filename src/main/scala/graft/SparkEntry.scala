@@ -1253,7 +1253,7 @@ object SparkEntry {
       // inclusive slice ≙ Spark slice(w, b*8+1, 8)); string_agg
       // skips the NULLed-out boilerplate chunks, ORDER BY pos keeps
       // document order, all-boilerplate docs coalesce to ''
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
         |b AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos, w
         |      FROM w),
         |c AS (SELECT doc_id, pos,
@@ -1295,7 +1295,8 @@ object SparkEntry {
          |  CASE WHEN $best = 0 THEN 'und' $caseChain END AS lang_pred
          |FROM g)
          |SELECT doc_id, n AS n_tokens, lang_pred,
-         |  CASE WHEN n < 20 THEN 'too_short'
+         |  CASE WHEN n IS NULL THEN 'empty'
+         |       WHEN n < 20 THEN 'too_short'
          |       WHEN n > 90 THEN 'too_long'
          |       WHEN lang_pred NOT IN ('en') THEN 'wrong_lang'
          |       WHEN stop < 0.02 THEN 'low_stopword'

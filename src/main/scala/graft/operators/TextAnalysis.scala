@@ -213,8 +213,10 @@ object TextAnalysis {
   def removeBoilerplate(df: DataFrame, textCol: String, idCol: String,
                         chunkWords: Int, maxDf: Int): DataFrame = {
     val c = chunkWords
+    // NULL text coalesces to '' so the row still yields one (empty)
+    // chunk and survives to the output — the operator never drops rows
     val chunks = df
-      .select(col(idCol), Dedup.words(col(textCol)).as("_w"))
+      .select(col(idCol), Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
       .select(col(idCol),
         transform(
           sequence(lit(0), (ceil(size(col("_w")) / lit(c.toDouble))).cast("int") - 1),
@@ -266,10 +268,10 @@ object TextAnalysis {
   /** First-fail quality funnel — the keep/drop gate a training
     * pipeline runs over a raw crawl, with the drop REASON per doc so
     * the funnel is auditable (stage counts = one groupBy on top).
-    * Stages in fixed order: `too_short` (< minTokens), `too_long`
-    * (> maxTokens), `wrong_lang` (lang_pred not in keepLangs —
-    * catches 'und' too), `low_stopword` (stop_ratio < minStop),
-    * else `kept`. Pure map-side on top of [[quality]] + [[langId]] —
+    * Stages in fixed order: `empty` (NULL text — no signals at all),
+    * `too_short` (< minTokens), `too_long` (> maxTokens),
+    * `wrong_lang` (lang_pred not in keepLangs — catches 'und' too),
+    * `low_stopword` (stop_ratio < minStop), else `kept`. Pure map-side on top of [[quality]] + [[langId]] —
     * one scan, zero shuffles, composes with [[Sampling.stratified]]
     * downstream. */
   def filterFunnel(df: DataFrame, textCol: String, minTokens: Int,
@@ -277,7 +279,8 @@ object TextAnalysis {
                    minStop: Double): DataFrame = {
     val scored = langId(quality(df, textCol), textCol)
     scored.withColumn("verdict",
-      when(col("n_tokens") < minTokens, "too_short")
+      when(col("n_tokens").isNull, "empty") // NULL text: no signals at all
+        .when(col("n_tokens") < minTokens, "too_short")
         .when(col("n_tokens") > maxTokens, "too_long")
         .when(!col("lang_pred").isin(keepLangs.map(lit): _*), "wrong_lang")
         .when(col("stop_ratio") < minStop, "low_stopword")

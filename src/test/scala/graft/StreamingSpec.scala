@@ -123,6 +123,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == direct)
   }
 
+  test("map-side operators run unchanged over readStream (filterFunnel)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    // zero-shuffle operators need no watermark/state: the SAME code
+    // path serves batch and stream, which is the streaming contract
+    // for the whole text family (quality, lang_id, scrub, funnel)
+    val q = graft.operators.TextAnalysis
+      .filterFunnel(df, "text", 20, 90, Seq("en"), 0.02)
+      .select(col("doc_id"), col("verdict"))
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "too short"), (2L, Seq.fill(30)("the cat sat").mkString(" ")))
+      q.processAllAvailable()
+      val got = spark.table("funnel").as[(Long, String)].collect().toMap
+      assert(got == Map(1L -> "too_short", 2L -> "kept"))
+    } finally q.stop()
+  }
+
   test("asofStream matches the batch asofJoin once drained") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

@@ -134,6 +134,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, "o1 o2 o3 o4")))
     assert(out(3L) == ((3L, 1L, "m1 m2 m3 m4 t1 t2 t3 t4")))
     assert(out(4L) == ((1L, 1L, ""))) // row survives with empty text
+    // NULL text coalesces to '' — the row is kept, not dropped
+    val withNull = corpus.unionByName(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"))
+    val out2 = TextAnalysis.removeBoilerplate(withNull, "text", "doc_id", 4, 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(1L, 2L, 3L, 4L, 9L))
   }
 
   test("repetition measures intra-doc duplicate n-gram fractions") {
@@ -157,11 +163,12 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, Seq.fill(30)("der").mkString(" ")),              // German -> wrong_lang
       (4L, ("the " + Seq.fill(60)("zz").mkString(" "))),    // en but 1/61 stopwords
       (5L, Seq.fill(30)("the cat sat").mkString(" "))       // healthy en
-    ).toDF("doc_id", "text")
+    ).toDF("doc_id", "text").unionByName(
+      Seq((6L, Option.empty[String])).toDF("doc_id", "text")) // NULL text
     val v = TextAnalysis.filterFunnel(corpus, "text", 20, 90, Seq("en"), 0.02)
       .select("doc_id", "verdict").as[(Long, String)].collect().toMap
     assert(v == Map(1L -> "too_short", 2L -> "too_long", 3L -> "wrong_lang",
-      4L -> "low_stopword", 5L -> "kept"))
+      4L -> "low_stopword", 5L -> "kept", 6L -> "empty"))
   }
 
   test("truncateTokens keeps the first N whitespace tokens") {
