@@ -70,8 +70,18 @@ object SparkEntry {
     * differing only in stripped characters. */
   private def ivfIndexPath(s: SparkSession, dir: String,
                            centroids: DataFrame): String = {
+    // key on dir AND the centroid values: seeded and trained variants
+    // of the same corpus must not share an index (cell assignment
+    // depends on the centroids; nlist x dim rows, driver-tiny)
+    val centKey = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => r.getLong(0) + ":" +
+        r.getSeq[Double](1).map(d => f"$d%.9f").mkString(","))
+      .mkString(";")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      .digest(s"$dir|$centKey".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
     val path = s"$indexRoot/ivf-$key"
     builtIndexes.computeIfAbsent(path, { p =>
       AnnIvf.writeIndexed(Tables.embeddings(s, dir), "embedding", "vec_id",
@@ -396,6 +406,21 @@ object SparkEntry {
       // index built ONCE per corpus (assignment rides that one scan),
       // then every query is a cell-partition-pruned probe reading
       // nprobe/nlist of the data — never a full-corpus re-assign
+      val idx = ivfIndexPath(s, dir, centroids)
+      AnnIvf.knnIndexed(s, idx, "embedding", queryVec(s, dir), 10,
+          centroids, nprobe = 2, Knn.Cosine, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
+    "ann_ivf_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // Lloyd-trained centroids (2 iterations, amortized at index-
+      // build time like writeIndexed). Float averaging is summation-
+      // order-dependent across engines, so this query has NO SQL
+      // oracle (rows-only check); the seeded twin ann_ivf carries the
+      // hash-checked oracle for the probe machinery.
+      val centroids = AnnIvf.train(emb, "embedding", "vec_id", 0L to 7L,
+        iters = 2, Knn.Cosine)
       val idx = ivfIndexPath(s, dir, centroids)
       AnnIvf.knnIndexed(s, idx, "embedding", queryVec(s, dir), 10,
           centroids, nprobe = 2, Knn.Cosine, "vec_id")

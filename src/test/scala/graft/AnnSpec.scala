@@ -341,6 +341,21 @@ class AnnSpec extends SparkSpec {
     assert(local == viaExpr)
   }
 
+  test("declared ivf queries: seeded and trained variants probe DISTINCT cached indexes") {
+    // ann_ivf and ann_ivf_trained share SparkEntry's index cache; the
+    // cache key must include the centroid values or whichever runs
+    // first poisons the other with a foreign cell assignment
+    val seeded = SparkEntry.queries("ann_ivf")(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSeq
+    val trained = SparkEntry.queries("ann_ivf_trained")(spark, sf0001)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(seeded.size == 10 && trained.size == 10)
+    // the exact top-1 must be found by both (self-match of the query
+    // vector survives any centroid assignment as long as the probe
+    // reads the cell the query lands in)
+    assert(seeded.head == trained.head)
+  }
+
   test("ivf trained centroids improve or match seed assignment cost") {
     val seeds = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 3L)
     val trained = AnnIvf.train(emb, "embedding", "vec_id", 0L to 3L, iters = 2, Knn.Cosine)
