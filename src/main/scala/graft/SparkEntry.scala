@@ -607,6 +607,22 @@ object SparkEntry {
        |  WHERE i * 1.0 / (na + nb - i) >= 0.5)""".stripMargin
   }
 
+  /** Shared DuckDB fragments for the stopword-profile language
+    * scoring — the lang_id and filter_funnel oracles must stay
+    * byte-identical on this logic or they silently diverge. */
+  private object LangSql {
+    def sqlList(l: Seq[String]): String =
+      l.map(s => s"'$s'").mkString("[", ", ", "]")
+    val scoreCols: String = TextAnalysis.langProfiles.map { case (lang, list) =>
+      s"len(list_filter(w, t -> list_contains(${sqlList(list)}, t))) AS score_$lang"
+    }.mkString(",\n  ")
+    private val langs = TextAnalysis.langProfiles.map(_._1)
+    val best: String = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+    val caseChain: String =
+      langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString(" ")
+    val en: String = sqlList(TextAnalysis.enStopwords)
+  }
+
   private val cosDistSql =
     """acos(least(greatest(
       |  list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
@@ -1093,26 +1109,18 @@ object SparkEntry {
         |         i -> substr(hx, (2*i+1)::INT, 2)), 'string_agg', ''), '') END AS sample_hex
         |FROM s""".stripMargin,
 
-    "lang_id" -> {
-      def sqlList(l: Seq[String]) = l.map(s => s"'$s'").mkString("[", ", ", "]")
-      val scoreCols = TextAnalysis.langProfiles.map { case (lang, list) =>
-        s"len(list_filter(w, t -> list_contains(${sqlList(list)}, t))) AS score_$lang"
-      }.mkString(",\n  ")
-      val langs = TextAnalysis.langProfiles.map(_._1)
-      val best = s"greatest(${langs.map("score_" + _).mkString(", ")})"
-      val caseChain = langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString(" ")
+    "lang_id" ->
       s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id,
-         |  $scoreCols
+         |  ${LangSql.scoreCols}
          |FROM f)
          |SELECT doc_id,
-         |  CASE WHEN $best = 0 THEN 'und' $caseChain END AS lang_pred,
-         |  $best AS lang_score
-         |FROM g""".stripMargin
-    },
+         |  CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred,
+         |  ${LangSql.best} AS lang_score
+         |FROM g""".stripMargin,
 
     "text_quality" -> {
-      val en = TextAnalysis.enStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+      val en = LangSql.en
       s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM documents),
          |g AS (SELECT doc_id, len(w) AS n,
          |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))::DOUBLE / length(text) AS punct,
@@ -1303,21 +1311,13 @@ object SparkEntry {
         |FROM h""".stripMargin,
 
     "filter_funnel" -> {
-      def sqlList(l: Seq[String]) = l.map(s => s"'$s'").mkString("[", ", ", "]")
-      val scoreCols = TextAnalysis.langProfiles.map { case (lang, list) =>
-        s"len(list_filter(w, t -> list_contains(${sqlList(list)}, t))) AS score_$lang"
-      }.mkString(",\n  ")
-      val langs = TextAnalysis.langProfiles.map(_._1)
-      val best = s"greatest(${langs.map("score_" + _).mkString(", ")})"
-      val caseChain = langs.map(l => s"WHEN score_$l = $best THEN '$l'").mkString(" ")
-      val en = sqlList(TextAnalysis.enStopwords)
       s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |g AS (SELECT doc_id, len(w) AS n,
-         |  len(list_filter(w, t -> list_contains($en, t)))::DOUBLE / len(w) AS stop,
-         |  $scoreCols
+         |  len(list_filter(w, t -> list_contains(${LangSql.en}, t)))::DOUBLE / len(w) AS stop,
+         |  ${LangSql.scoreCols}
          |FROM f),
          |v AS (SELECT doc_id, n, stop,
-         |  CASE WHEN $best = 0 THEN 'und' $caseChain END AS lang_pred
+         |  CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred
          |FROM g)
          |SELECT doc_id, n AS n_tokens, lang_pred,
          |  CASE WHEN n IS NULL THEN 'empty'

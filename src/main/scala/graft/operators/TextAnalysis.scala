@@ -253,7 +253,10 @@ object TextAnalysis {
     * attributes (never re-split per element), no shuffle anywhere. */
   def repetition(df: DataFrame, textCol: String, idCol: String,
                  ns: Seq[Int] = Seq(2, 3)): DataFrame = {
-    val withW = df.select(col(idCol), Dedup.words(col(textCol)).as("_w"))
+    // NULL text coalesces to '' -> no grams -> ratio 0.0, matching
+    // the oracle (greatest(len(NULL),1) -> empty range -> 0.0 there)
+    val withW = df.select(col(idCol),
+      Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
     val withG = ns.foldLeft(withW) { (acc, n) =>
       acc.withColumn(s"_g$n", Dedup.shinglesFromWords(col("_w"), n))
     }

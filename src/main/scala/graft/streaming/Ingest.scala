@@ -88,35 +88,60 @@ object Ingest {
   /** Streaming as-of join — the continuous twin of
     * [[graft.operators.Events.asofJoin]]: every arriving `leftType`
     * event is emitted with the latest `rightType` event of the same
-    * user seen so far. State per user is O(1) (just the newest right
-    * event); within a micro-batch events apply in (ts, id) order, and
-    * a stale right event arriving late (older than the state) never
+    * user AT OR BEFORE it ((ts, id) order — a prior is attached only
+    * when it does not lie in the left event's future, so the as-of
+    * invariant `prior_ts <= ts` always holds). State per user is O(1)
+    * (just the newest right event); within a micro-batch events apply
+    * in (ts, id) order, and a stale right event arriving late never
     * regresses the state. Exact equivalence with the batch operator
-    * holds when right events arrive in event-time order per user —
-    * the usual CDC/enrichment contract for streaming as-of. */
-  def asofStream(events: DataFrame, leftType: String, rightType: String)
+    * holds when events arrive in event-time order per user — a left
+    * event arriving late (behind an already-seen newer right event)
+    * gets NO prior rather than a wrong future one, because O(1) state
+    * cannot retain the older right events.
+    *
+    * Unlike the watermark operators above, per-user state here never
+    * expires on its own — pass `idleTimeout` to evict users idle
+    * longer than the TTL (their next left event then sees no prior:
+    * bounded staleness buys a bounded state store on open-ended user
+    * spaces). The default NoTimeout keeps tests deterministic. */
+  def asofStream(events: DataFrame, leftType: String, rightType: String,
+                 idleTimeout: Option[java.time.Duration] = None)
                 (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    events.as[TypedEv]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    // filter BEFORE the stateful shuffle: only the two participating
+    // types pay for serialization + per-user iteration (the batch
+    // twin filters before its window shuffle the same way)
+    events.filter(col("event_type").isin(leftType, rightType)).as[TypedEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofState, AsofOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[AsofState]) if state.hasTimedOut =>
+          state.remove()
+          Iterator.empty
         case (_, evs, state: GroupState[AsofState]) =>
           val out = scala.collection.mutable.ListBuffer[AsofOut]()
           var cur = state.getOption
+          def notAfter(s: AsofState, e: TypedEv): Boolean =
+            s.ts < e.ts.getTime || (s.ts == e.ts.getTime && s.id <= e.event_id)
           evs.toSeq
-            .filter(e => e.event_type == leftType || e.event_type == rightType)
             .sortBy(e => (e.ts.getTime, e.event_id))
             .foreach { e =>
-              if (e.event_type == leftType)
+              if (e.event_type == leftType) {
+                val prior = cur.filter(notAfter(_, e))
                 out += AsofOut(e.event_id, e.ts, e.user_id, e.value,
-                  cur.map(_.id), cur.map(s => new Timestamp(s.ts)), cur.map(_.value))
+                  prior.map(_.id), prior.map(s => new Timestamp(s.ts)),
+                  prior.map(_.value))
+              }
               if (e.event_type == rightType &&
                   cur.forall(s => e.ts.getTime > s.ts ||
                     (e.ts.getTime == s.ts && e.event_id >= s.id)))
                 cur = Some(AsofState(e.event_id, e.ts.getTime, e.value))
             }
           cur.foreach(state.update)
+          idleTimeout.foreach(d => state.setTimeoutDuration(d.toMillis))
           out.iterator
       }.toDF()
   }

@@ -40,14 +40,17 @@ class EventsSpec extends SparkSpec {
         "event_id", "value", "click", "view")
       .select("event_id", "prior_id")
       .as[(Long, Option[Long])].collect().toMap
-    // brute force: every (click, earlier-or-equal view) pair, keep the
-    // latest view (ties by id) — the quadratic plan asofJoin avoids
+    // brute force: every (click, earlier view) pair, keep the latest
+    // view — the quadratic plan asofJoin avoids. The (ts, id) lex
+    // condition mirrors asofJoin's window sort exactly: a view at the
+    // SAME ts counts only when its id sorts before the click's
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("cid"), col("ts").as("cts"), col("user_id").as("cu"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("vid"), col("ts").as("vts"), col("user_id").as("vu"))
     val brute = clicks.join(views,
-        col("cu") === col("vu") && col("vts") <= col("cts"), "left")
+        col("cu") === col("vu") && (col("vts") < col("cts") ||
+          (col("vts") === col("cts") && col("vid") < col("cid"))), "left")
       .groupBy(col("cid"))
       .agg(max_by(col("vid"), struct(col("vts"), col("vid"))).as("prior_id"))
       .as[(Long, Option[Long])].collect().toMap

@@ -177,6 +177,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofStream never attaches a FUTURE prior to a late left event") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Ingest.asofStream(df, "click", "view")
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode("append").start()
+    try {
+      // rights arrive in order; a LEFT event then arrives late, with
+      // event-time before the newest right. O(1) state has dropped
+      // the older right, so the click must get NO prior — never the
+      // future view at ts(20)
+      mem.addData((10L, ts(10), 1L, "view", 1.0)); q.processAllAvailable()
+      mem.addData((11L, ts(20), 1L, "view", 2.0)); q.processAllAvailable()
+      mem.addData((20L, ts(15), 1L, "click", 3.0)); q.processAllAvailable()
+      val got = spark.table("asof_late")
+        .select("event_id", "prior_id", "prior_ts")
+        .as[(Long, Option[Long], Option[Timestamp])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(20L) == ((None, None)),
+        s"late click must not see the future view: ${got(20L)}")
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

@@ -148,12 +148,15 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "x y z w"),      // no repeats
       (3L, "solo")          // shorter than n -> 0.0, not null
     ).toDF("doc_id", "text")
-    val got = TextAnalysis.repetition(corpus, "text", "doc_id")
+    val withNull = corpus.unionByName(
+      Seq((4L, Option.empty[String])).toDF("doc_id", "text"))
+    val got = TextAnalysis.repetition(withNull, "text", "doc_id")
       .select("doc_id", "rep_2", "rep_3").as[(Long, Double, Double)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(1L) == ((0.6, 0.5)))
     assert(got(2L) == ((0.0, 0.0)))
     assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0))) // NULL text -> 0.0, like the oracle
   }
 
   test("filterFunnel applies stages in first-fail order") {
