@@ -544,6 +544,17 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_key"), col("shard"), col("shard_pos"))
     }),
 
+    "sample_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // domain mixing end-to-end: derive per-source rates that hit the
+      // target weights at a 60-doc budget (one count job), then the
+      // zero-shuffle deterministic Bernoulli filter
+      val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+      val rates = Sampling.mixRates(docs, col("source"), weights, budgetDocs = 60)
+      Sampling.stratified(docs, "doc_id", col("source"), rates)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "filter_funnel" -> ((s, dir) => {
       TextAnalysis.filterFunnel(Tables.documents(s, dir), "text",
           minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
@@ -1309,6 +1320,22 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY shuffle_key % 16
         |                     ORDER BY shuffle_key, doc_id) AS shard_pos
         |FROM h""".stripMargin,
+
+    "sample_mix" ->
+      // identical IEEE arithmetic on both sides: rate = least(1, w *
+      // budget / n) from the same integer counts, keep iff
+      // hash64(id) % 1e6 < rate * 1e6
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |r AS (SELECT source,
+        |        least(1.0, CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+        |                               WHEN 'src2' THEN 0.2 ELSE 0.0 END * 60 / n) AS rate
+        |      FROM counts),
+        |h AS (SELECT doc_id, source,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |          % 1000000 AS hv
+        |      FROM documents)
+        |SELECT doc_id, h.source FROM h JOIN r USING (source)
+        |WHERE hv < rate * 1000000""".stripMargin,
 
     "filter_funnel" -> {
       s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
