@@ -426,7 +426,17 @@ object Dedup {
     * pair; singletons are their own implicit cluster and are omitted,
     * like the pair frames omit them. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          localThreshold: Long = 1L << 20): DataFrame = {
+    // Fast path: the PAIR graph is decoupled from corpus size — a
+    // 100 TB corpus with a sane dup rate still yields a driver-sized
+    // edge list (pairs ≪ corpus). When the materialized edge count is
+    // under `localThreshold` (default 1M pairs = 16 MB of longs), a
+    // driver union-find with min-root labels replaces ~4 iterative
+    // rounds x 2 jobs each with ONE collect — identical output (the
+    // min-label semantics are the same fixpoint). The distributed
+    // pointer-jumping loop below remains for genuinely huge graphs;
+    // pass localThreshold = 0 to force it.
     // Checkpoint (not persist): an iterative plan re-OPTIMIZES its
     // whole lineage on every action, so after a few rounds Catalyst
     // spends seconds re-planning the upstream pair pipeline per round.
@@ -445,6 +455,29 @@ object Dedup {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .transform(snap)
+    if (localThreshold > 0 && edges.count() <= localThreshold) {
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins -> labels are component minima
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return out.toDF("doc_id", "cluster_id").repartition(
+        spark.sparkContext.defaultParallelism)
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .transform(snap)

@@ -131,9 +131,15 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // maxIters caps the propagation: one round = one neighbor-min hop
-    // plus one pointer jump, so node 4 of the chain reaches 2, not 1
-    val capped = Dedup.connectedComponents(pairs, maxIters = 1)
+    // the distributed loop (forced via localThreshold = 0) reaches the
+    // same fixpoint as the driver union-find fast path
+    val dist = Dedup.connectedComponents(pairs, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == got)
+    // maxIters caps the distributed propagation: one round = one
+    // neighbor-min hop plus one pointer jump, so node 4 of the chain
+    // reaches 2, not 1 (the fast path always converges fully)
+    val capped = Dedup.connectedComponents(pairs, maxIters = 1, localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(capped(4L) == 2L)
   }
@@ -171,8 +177,11 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toFile.getAbsolutePath
     // reliable checkpoints (df.checkpoint to a shared dir) survive
-    // executor loss on a real cluster; results must be identical
-    val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(ckDir))
+    // executor loss on a real cluster; results must be identical.
+    // localThreshold = 0 forces the distributed loop — the fast path
+    // never checkpoints
+    val reliable = Dedup.connectedComponents(pairs,
+        checkpointDir = Some(ckDir), localThreshold = 0)
       .as[(Long, Long)].collect().toMap
     assert(local == reliable)
     assert(new java.io.File(ckDir).listFiles().nonEmpty,
