@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{AnnIvf, AnnLsh, Crud, Dedup, Embed, Events, Knn, Sampling, TextAnalysis}
+import graft.operators.{AnnIvf, AnnLsh, Crud, Dedup, Embed, Events, Knn, Sampling, Search, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -522,6 +522,59 @@ object SparkEntry {
           round(col("dist"), 5).as("dist"))
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // end-to-end semantic dedup over the same perturbed corpus the
+      // forest near-dup query uses: pairs -> components -> keeper
+      val emb = Tables.embeddings(s, dir)
+      val vd = col("embedding").cast("array<double>")
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"))
+      val corpus = emb.select(col("vec_id"), vd.as("embedding"))
+        .unionByName(perturbed)
+      Dedup.semanticDedup(corpus, "embedding", "vec_id",
+        numTables = 4, bitsPerTable = 4, dim = 64, tau = 0.99)
+    }),
+
+    "split_safe" -> ((s, dir) => {
+      // leakage-safe split over the dedup corpus: near-dup clusters
+      // (minhash pairs) land wholly in train or wholly in eval
+      val corpus = dedupCorpus(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      Sampling.leakageSafeSplit(corpus.select(col("doc_id")), "doc_id",
+        pairs, evalFrac = 0.1, seed = "split0")
+    }),
+
+    "doc_chunks" -> ((s, dir) => {
+      TextAnalysis.chunkDocs(Tables.documents(s, dir), "text", "doc_id",
+          chunkTokens = 40, strideTokens = 20)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_chunks").cast("long").as("n_chunks"), col("chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+    }),
+
+    "corpus_profile" -> ((s, dir) => {
+      TextAnalysis.corpusProfile(Tables.documents(s, dir), "text",
+          bucketWidth = 20, maxBucket = 10)
+        .select(col("lang"), col("len_bucket"), col("n_docs"),
+          col("total_tokens"), round(col("share"), 6).as("share"))
+    }),
+
+    "bm25_search" -> ((s, dir) => {
+      Search.bm25(Tables.documents(s, dir), "text", "doc_id",
+          terms = Seq("join", "scan", "merge"), k = 20)
+        .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
+    }),
+
+    "hybrid_search" -> ((s, dir) => {
+      Search.hybridSearch(Tables.documents(s, dir), "text", "doc_id",
+          terms = Seq("join", "scan", "merge"), queryText = "join scan merge",
+          k = 10, dim = 16, poolK = 20, fusionK = 60)
+        .select(col("doc_id"), col("rank"), round(col("rrf_score"), 6).as("rrf_score"),
+          col("rank_text"), col("rank_vec"))
+    }),
+
     "events_asof" -> ((s, dir) => {
       Events.asofJoin(Tables.events(s, dir), "ts", "user_id", "event_type",
           "event_id", "value", "click", "view")
@@ -651,6 +704,40 @@ object SparkEntry {
   private def angSql(a: String, b: String): String =
     s"acos(least(greatest(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), -1.0), 1.0)) / pi()"
+
+  /** Shared DuckDB CTE chain for Okapi BM25 over `documents` with
+    * query terms (join, scan, merge), k1 = 1.2, b = 0.75 — the
+    * bm25_search and hybrid_search oracles must score identically.
+    * Mirrors [[graft.operators.Search.bm25Scored]]: integer dl/df
+    * sums, per-term contributions added in fixed term order, ranks
+    * tie-broken by doc_id. */
+  private val bm25Ctes: String = {
+    val terms = Seq("join", "scan", "merge")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(w, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n         ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n              ")
+    val termSum = terms.indices.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * (1.2 + 1.0)) / " +
+        s"(tf$i + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))")
+      .mkString(" +\n    ")
+    s"""bmw AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+       |bmtf AS (SELECT doc_id,
+       |         $tfCols,
+       |         len(w) AS dl
+       |       FROM bmw),
+       |bmst AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |              $dfCols
+       |       FROM bmtf),
+       |bmsc AS (SELECT doc_id,
+       |    $termSum AS score
+       |  FROM bmtf, bmst),
+       |bm25r AS (SELECT doc_id, score,
+       |            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |          FROM bmsc WHERE score > 0)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" ->
@@ -1200,6 +1287,137 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, d,
          |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 3""".stripMargin,
+
+    "dedup_semantic" ->
+      // forest near-dup pairs (same chain as dedup_embedding_forest,
+      // labels dropped) -> recursive-CTE components -> keeper = the
+      // component's min id; singletons keep themselves
+      """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_concat([v[1] + 0.1], v[2:len(v)])
+        |  FROM base WHERE vec_id % 10 = 0),
+        |planes AS (
+        |  SELECT h, h // 4 AS tbl, h % 4 AS bit, list_transform(range(64), d ->
+        |    (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+        |  FROM range(16) t(h)),
+        |keys AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(sum(CASE WHEN list_dot_product(v, p) > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS key
+        |  FROM corpus, planes GROUP BY vec_id, tbl),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM keys a JOIN keys b
+        |           ON a.tbl = b.tbl AND a.key = b.key AND a.vec_id < b.vec_id),
+        |nrm AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        |        FROM corpus),
+        |prs AS (SELECT c.id_a, c.id_b
+        |        FROM cand c JOIN nrm a ON a.vec_id = c.id_a
+        |                    JOIN nrm b ON b.vec_id = c.id_b
+        |        WHERE least(greatest(list_dot_product(a.nv, b.nv), -1.0), 1.0) >= 0.99),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+        |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (SELECT id, id AS r FROM cnodes
+        |          UNION
+        |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+        |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT c.vec_id, CAST(coalesce(l.cluster_id, c.vec_id) AS BIGINT) AS cluster_id,
+        |       c.vec_id = coalesce(l.cluster_id, c.vec_id) AS keep
+        |FROM corpus c LEFT JOIN lab l ON l.id = c.vec_id""".stripMargin,
+
+    "split_safe" ->
+      // near-dup clusters (minhash pair graph closure) share a
+      // split_key; the whole cluster lands on one side via the same
+      // md5-Bernoulli rule sample_stratified uses
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |keyed AS (SELECT c.doc_id,
+         |            CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS split_key
+         |          FROM (SELECT doc_id FROM corpus) c LEFT JOIN lab l ON l.id = c.doc_id)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN CAST('0x' || substr(md5('split0_' || CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT)
+         |         % 1000000 < 0.1 * 1000000
+         |       THEN 'eval' ELSE 'train' END AS split
+         |FROM keyed""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH wt AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |ch AS (SELECT doc_id,
+        |         list_transform(range(0, CAST(floor((len(w) - 1) / 20.0) AS INT) + 1),
+        |           i -> array_to_string(w[CAST(i * 20 + 1 AS INT) : CAST(i * 20 + 40 AS INT)], ' ')) AS chunks
+        |       FROM wt),
+        |ex AS (SELECT doc_id, len(chunks) AS n_chunks,
+        |         unnest(range(len(chunks))) AS chunk_id, chunks
+        |       FROM ch)
+        |SELECT doc_id, chunk_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(len(string_split(chunks[CAST(chunk_id AS INT) + 1], ' ')) AS BIGINT) AS chunk_tokens,
+        |  md5(chunks[CAST(chunk_id AS INT) + 1]) AS chunk_md5
+        |FROM ex""".stripMargin,
+
+    "corpus_profile" ->
+      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, len(w) AS n,
+         |  ${LangSql.scoreCols}
+         |FROM f),
+         |lp AS (SELECT doc_id, n,
+         |         CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang
+         |       FROM g),
+         |cells AS (SELECT lang, CAST(least(n // 20, 10) AS INT) AS len_bucket,
+         |                 count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+         |          FROM lp GROUP BY 1, 2)
+         |SELECT lang, len_bucket, n_docs, total_tokens,
+         |  round(CAST(n_docs AS DOUBLE) / (SELECT CAST(sum(n_docs) AS DOUBLE) FROM cells), 6) AS share
+         |FROM cells""".stripMargin,
+
+    "bm25_search" ->
+      s"""WITH $bm25Ctes
+         |SELECT doc_id, rank, round(score, 5) AS score FROM bm25r WHERE rank <= 20""".stripMargin,
+
+    "hybrid_search" ->
+      // RRF fusion: bm25 arm (same CTEs as bm25_search, pool 20) +
+      // embedding-cosine arm over the hash-ngram dense embedding
+      // (same sparse chain as embed_text, assembled dense)
+      s"""WITH $bm25Ctes,
+         |tr AS (SELECT doc_id, rank AS rank_text FROM bm25r WHERE rank <= 20),
+         |tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),
+         |bc AS (SELECT doc_id,
+         |         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16 AS bucket,
+         |         count(*) AS c
+         |       FROM tok GROUP BY 1, 2),
+         |nm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM bc GROUP BY doc_id),
+         |sp AS (SELECT doc_id, bucket, c / nrm AS weight FROM bc JOIN nm USING (doc_id)),
+         |lw AS (SELECT doc_id, list(bucket ORDER BY bucket) AS bs,
+         |              list(weight ORDER BY bucket) AS ws
+         |       FROM sp GROUP BY doc_id),
+         |dn AS (SELECT doc_id, list_transform(range(16), i ->
+         |         coalesce(ws[list_position(bs, i)], 0.0)) AS v FROM lw),
+         |qtok AS (SELECT unnest(string_split('join scan merge', ' ')) AS t),
+         |qbc AS (SELECT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16 AS bucket,
+         |          count(*) AS c FROM qtok GROUP BY 1),
+         |qnm AS (SELECT sqrt(sum(c * c)) AS nrm FROM qbc),
+         |qlw AS (SELECT list(bucket ORDER BY bucket) AS bs, list(weight ORDER BY bucket) AS ws
+         |        FROM (SELECT bucket, c / (SELECT nrm FROM qnm) AS weight FROM qbc)),
+         |qdn AS (SELECT list_transform(range(16), i ->
+         |          coalesce(ws[list_position(bs, i)], 0.0)) AS qv FROM qlw),
+         |vd AS (SELECT doc_id, ${angSql("v", "qv")} AS d FROM dn, qdn),
+         |vr AS (SELECT doc_id, rank_vec FROM (
+         |         SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS rank_vec FROM vd)
+         |       WHERE rank_vec <= 20),
+         |fs AS (SELECT coalesce(t.doc_id, v.doc_id) AS doc_id, t.rank_text, v.rank_vec,
+         |         coalesce(CAST(1.0 AS DOUBLE) / (60 + t.rank_text), CAST(0.0 AS DOUBLE)) +
+         |         coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank_vec), CAST(0.0 AS DOUBLE)) AS rrf
+         |       FROM tr t FULL OUTER JOIN vr v ON t.doc_id = v.doc_id)
+         |SELECT doc_id, rank, round(rrf, 6) AS rrf_score, rank_text, rank_vec FROM (
+         |  SELECT doc_id, rrf, rank_text, rank_vec,
+         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank FROM fs)
+         |WHERE rank <= 10""".stripMargin,
 
     "decontaminate_near" -> {
       val (as, bs) = Dedup.minhashConsts(16)

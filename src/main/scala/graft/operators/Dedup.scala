@@ -582,4 +582,31 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** End-to-end semantic dedup: forest-blocked cosine near-dup pairs
+    * ([[embeddingPairsForest]]) → connected components → one canonical
+    * keeper per cluster (the cluster's min id — the same label the
+    * component fixpoint already carries, so "pick the keeper" costs
+    * nothing extra). Every corpus row comes back labeled:
+    * `(id, cluster_id, keep)`, singletons being their own cluster with
+    * `keep = true`.
+    *
+    * Scale shape: the pair graph is decoupled from corpus size (near
+    * dups ≪ corpus at a sane dup rate), so the cluster frame is small;
+    * the label join back onto the corpus is a corpus-sized equi-join
+    * against a frame AQE will broadcast. No stage touches all-pairs,
+    * no global window anywhere. */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+                    numTables: Int, bitsPerTable: Int, dim: Int, tau: Double,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = embeddingPairsForest(df, vecCol, idCol,
+      numTables, bitsPerTable, dim, tau)
+    val clusters = connectedComponents(
+      pairs.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
+    val cid = coalesce(col("cluster_id"), col(idCol).cast("long"))
+    df.select(col(idCol))
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), cid.as("cluster_id"),
+        (col(idCol).cast("long") === cid).as("keep"))
+  }
 }

@@ -96,4 +96,33 @@ object Sampling {
     packSequences(df, idCol, tokensCol, groupCol, windowTokens)
       .groupBy(col("pack_group"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("pack_tokens")).as("tokens"))
+
+  /** Leakage-safe train/eval split: near-duplicate documents must
+    * never straddle the boundary (a doc whose near-copy sits in the
+    * training set leaks into eval), so the split unit is the near-dup
+    * CLUSTER, not the doc. `pairs` is any near-dup pair frame
+    * (`id_a`, `id_b` — minhash, simhash, embedding, …); docs in the
+    * same connected component share a `split_key` (the component's
+    * min id), singletons key on themselves, and the whole cluster
+    * lands on one side via the same md5-Bernoulli rule [[stratified]]
+    * uses — deterministic, seed-keyed, engine-reproducible.
+    *
+    * Scale shape: the cluster frame is pair-graph-sized (≪ corpus),
+    * the label join back is broadcast-able, and the split decision is
+    * pure map-side arithmetic — no shuffle beyond the one label join,
+    * and the eval fraction holds in expectation regardless of
+    * partitioning. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       evalFrac: Double, seed: String,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
+    val key = coalesce(col("cluster_id"), col(idCol).cast("long"))
+    val h = Dedup.hash64(concat(lit(seed), lit("_"), key.cast("string"))) % M
+    df.join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("split_key", key)
+      .withColumn("split",
+        when(h < lit(evalFrac) * M, lit("eval")).otherwise(lit("train")))
+      .drop("cluster_id")
+  }
 }

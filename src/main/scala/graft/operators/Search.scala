@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+
+/** Full-text and hybrid retrieval over a document corpus.
+  *
+  * The reference serves pure vector search (collection.go); a user
+  * replacing it with a corpus engine also needs the keyword side —
+  * BM25 scoring and the BM25+vector fusion ("hybrid search") every
+  * retrieval stack runs. Both are expressed as plain aggregates over
+  * the scan:
+  *
+  *   - term frequencies are per-row array ops (map-side, codegen'd);
+  *   - corpus statistics (N, Σdl, df per term) are ONE global
+  *     aggregate producing a single row that broadcasts back;
+  *   - top-k is a bounded [[graft.functions.TopKAgg]] — partial
+  *     aggregation keeps ≤ k rows per partition map-side, so the
+  *     only shuffle moves O(partitions × k) rows and there is no
+  *     global sort or unpartitioned window anywhere.
+  *
+  * Determinism: document-length and df sums are integer sums
+  * (order-independent); every float derives from those integers in a
+  * fixed per-term evaluation order, so scores are reproducible across
+  * runs, partitionings, and engines (ties break by id in [[TopKAgg]]).
+  */
+object Search {
+
+  /** BM25 relevance score per document for a bag of query `terms`
+    * (standard Okapi BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    * saturation k1, length normalization b). Returns (idCol, score);
+    * docs matching no term score 0. Term contributions are summed in
+    * the given fixed term order. */
+  def bm25Scored(df: DataFrame, textCol: String, idCol: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val withW = df.select(col(idCol),
+      Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
+    val withTf = terms.zipWithIndex.foldLeft(withW) { case (acc, (t, i)) =>
+      acc.withColumn(s"_tf$i", size(filter(col("_w"), x => x === lit(t))).cast("double"))
+    }.withColumn("_dl", size(col("_w")).cast("long")).drop("_w")
+    // corpus stats: one single-row aggregate; dl and df are INTEGER
+    // sums, so the stats row is bit-identical however the scan is
+    // partitioned
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("_n"),
+      sum(col("_dl")).as("_sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"_df$i")): _*)
+    val dl = col("_dl").cast("double")
+    val avgdl = col("_sumdl").cast("double") / col("_n")
+    val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val idf = log(lit(1.0) + (col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5))
+      val tf = col(s"_tf$i")
+      acc + idf * (tf * lit(k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .select(col(idCol), score.as("score"))
+  }
+
+  /** Top-k BM25 search: (idCol, rank, score), rank 1 = best, zero
+    * scores excluded, score ties broken by id. Global top-k is a
+    * bounded aggregate (TopKAgg on negated score), never a global
+    * sort. idCol must be integral (long ids). */
+  def bm25(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(df, textCol, idCol, terms, k1, b)
+      .filter(col("score") > 0)
+      .agg(TopKAgg.topk(-col("score"), col(idCol).cast("long"), k).as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
+        (-col("_t.dist")).as("score"))
+
+  /** Hybrid search: reciprocal-rank fusion of BM25 (keyword) and
+    * embedding-cosine (semantic) retrieval —
+    * rrf = 1/(fusionK + rank_text) + 1/(fusionK + rank_vec), missing
+    * ranks contribute 0. Both arms retrieve `poolK` candidates; the
+    * fused top-k returns (idCol, rank, rrf_score, rank_text,
+    * rank_vec). RRF works on RANKS (integers), so fusion is exactly
+    * reproducible even though the two arms' scores live on different
+    * scales — the reason every production hybrid stack fuses this way.
+    *
+    * The semantic arm embeds the corpus with the deterministic
+    * hash-ngram embedder ([[Embed.embedDense]] — the documented stand
+    * -in for a model endpoint) and scores cosine distance against the
+    * embedded `queryText`; swap in a real embedding column and the
+    * plan shape is unchanged. Both arms end in bounded TopKAgg pools
+    * of `poolK` rows, so the fusion join touches two k-row frames —
+    * driver-safe at any corpus size. */
+  def hybridSearch(df: DataFrame, textCol: String, idCol: String,
+                   terms: Seq[String], queryText: String, k: Int,
+                   dim: Int = 16, poolK: Int = 20, fusionK: Int = 60): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val textRanks = bm25(df, textCol, idCol, terms, poolK)
+      .select(col(idCol), col("rank").as("rank_text"))
+    // embed the one-row query with the SAME embedder/dim as the corpus
+    val qdf = Seq((0L, queryText)).toDF(idCol, textCol)
+    val qvec = Embed.embedDense(qdf, textCol, idCol, dim)
+      .select(col("embedding")).head().getSeq[Double](0)
+    val vecRanks = Embed.embedDense(df, textCol, idCol, dim)
+      .select(col(idCol),
+        Knn.distCol(Knn.Cosine, col("embedding"), array(qvec.map(lit): _*)).as("_d"))
+      .agg(TopKAgg.topk(col("_d"), col(idCol).cast("long"), poolK).as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank_vec"))
+    val fused = textRanks.join(vecRanks, Seq(idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(fusionK) + col("rank_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(fusionK) + col("rank_vec")), lit(0.0)))
+    fused
+      .agg(TopKAgg.topk(-col("rrf_score"), col(idCol).cast("long"), k).as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
+        (-col("_t.dist")).as("rrf_score"))
+      .join(fused.select(col(idCol), col("rank_text"), col("rank_vec")), Seq(idCol), "left")
+  }
+}

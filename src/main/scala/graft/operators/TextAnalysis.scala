@@ -268,6 +268,63 @@ object TextAnalysis {
     }.drop(ns.map(n => s"_g$n") :+ "_w": _*)
   }
 
+  /** Chunk documents into fixed-size overlapping word windows — the
+    * passage-splitting step run before embedding long documents
+    * (window `chunkTokens` words, step `strideTokens` ≤ chunkTokens;
+    * the trailing chunk may be shorter). Chunk ids are deterministic
+    * (`doc_id`, position), so re-runs and downstream joins line up.
+    *
+    * Scale shape: an arithmetic grid over a materialized words array
+    * (`transform` over `sequence`, like [[removeBoilerplate]]) +
+    * one `posexplode` — pure map-side, zero shuffles, output rows ≈
+    * tokens/stride per doc. NULL text coalesces to '' (one empty
+    * chunk), so the operator never drops rows — the same no-drop
+    * contract as [[removeBoilerplate]]. */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(strideTokens > 0 && strideTokens <= chunkTokens,
+      s"stride must be in [1, chunkTokens], got $strideTokens")
+    val s = strideTokens
+    val chunks = transform(
+      // start offsets 0, s, 2s, … while start < n (n ≥ 1: split of
+      // '' is [''], so every doc yields ≥ 1 chunk)
+      sequence(lit(0), floor((size(col("_w")) - 1) / lit(s.toDouble)).cast("int")),
+      i => concat_ws(" ", slice(col("_w"), i * s + 1, lit(chunkTokens))))
+    df.select(col(idCol), Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
+      .select(col(idCol), chunks.as("_chunks"))
+      .select(col(idCol), size(col("_chunks")).as("n_chunks"),
+        posexplode(col("_chunks")).as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id"), col("n_chunks"), col("chunk_text"),
+        size(Dedup.words(col("chunk_text"))).cast("bigint").as("chunk_tokens"))
+  }
+
+  /** Corpus profile: doc counts, token mass, and corpus share per
+    * (language, length-bucket) cell — the first dashboard run over a
+    * new crawl. Buckets are fixed-width integer token bins
+    * (`n_tokens div bucketWidth`, capped at `maxBucket` so the tail
+    * is one cell) — integer arithmetic only, so the histogram is
+    * bit-reproducible across engines and partitionings.
+    *
+    * Scale shape: signals are map-side ([[langId]] + one `size`),
+    * then ONE keyed agg; the share denominator joins from a
+    * single-row agg (broadcast), never a global window over raw
+    * rows. Output cardinality is langs × buckets — driver-safe at
+    * any corpus size. */
+  def corpusProfile(df: DataFrame, textCol: String,
+                    bucketWidth: Int, maxBucket: Int): DataFrame = {
+    val scored = langId(df, textCol)
+      .withColumn("_n", size(Dedup.words(coalesce(col(textCol), lit("")))).cast("bigint"))
+    // integer division (div), never float division + floor: the
+    // bucket id must be bit-exact in every engine
+    val cells = scored.groupBy(col("lang_pred").as("lang"),
+        least(expr(s"_n div $bucketWidth"), lit(maxBucket.toLong)).cast("int").as("len_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
+    val total = cells.agg(sum(col("n_docs")).as("_total"))
+    cells.crossJoin(total)
+      .withColumn("share", col("n_docs").cast("double") / col("_total"))
+      .drop("_total")
+  }
+
   /** First-fail quality funnel — the keep/drop gate a training
     * pipeline runs over a raw crawl, with the drop REASON per doc so
     * the funnel is auditable (stage counts = one groupBy on top).

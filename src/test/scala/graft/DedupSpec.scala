@@ -247,4 +247,35 @@ class DedupSpec extends SparkSpec {
     assert(row.size == 8)
     assert(math.abs(math.sqrt(row.map(x => x * x).sum) - 1.0) < 1e-9)
   }
+
+  test("semanticDedup keeps one canonical per cluster, singletons keep themselves") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val vd = col("embedding").cast("array<double>")
+    val perturbed = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"))
+    val corpus = emb.select(col("vec_id"), vd.as("embedding")).unionByName(perturbed)
+    val labeled = Dedup.semanticDedup(corpus, "embedding", "vec_id",
+        numTables = 4, bitsPerTable = 4, dim = 64, tau = 0.99)
+      .as[(Long, Long, Boolean)].collect()
+    // the no-drop contract: every corpus row comes back exactly once
+    assert(labeled.length == corpus.count())
+    assert(labeled.map(_._1).distinct.length == labeled.length)
+    val byCluster = labeled.groupBy(_._2)
+    byCluster.foreach { case (cid, rows) =>
+      // exactly one keeper per cluster, and it is the min id = label
+      assert(rows.count(_._3) == 1, s"cluster $cid keepers != 1")
+      assert(rows.filter(_._3).head._1 == cid)
+      assert(rows.map(_._1).min == cid)
+    }
+    // ground truth: each perturbed copy (cos ~0.9998 to its source)
+    // must share a cluster with its source, and neither is kept twice
+    val lblMap = labeled.map(r => r._1 -> r._2).toMap
+    lblMap.keys.filter(_ >= 10000L).foreach { copy =>
+      assert(lblMap(copy) == lblMap(copy - 10000L), s"copy $copy split from source")
+    }
+    // kept set = clusters, i.e. dedup really shrank the corpus by the
+    // number of non-singleton members
+    assert(labeled.count(_._3) == byCluster.size)
+  }
 }

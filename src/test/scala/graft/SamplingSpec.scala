@@ -96,4 +96,34 @@ class SamplingSpec extends SparkSpec {
       assert(hv == graft.operators.AnnLsh.hash64Local(id.toString) % 1000000L)
     }
   }
+
+  test("leakageSafeSplit never lets a near-dup pair straddle the boundary") {
+    // clusters: chain 0-1-2, pair 10-11; everything else singleton
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(
+      corpus.select(col("doc_id")), "doc_id", pairs, evalFrac = 0.2, seed = "s0")
+      .as[(Long, Long, String)].collect()
+    assert(split.length == 1000 && split.map(_._1).distinct.length == 1000)
+    val bySide = split.map(r => r._1 -> r._3).toMap
+    // entire clusters land on ONE side — the leakage contract
+    assert(Set(bySide(0L), bySide(1L), bySide(2L)).size == 1)
+    assert(bySide(10L) == bySide(11L))
+    // cluster members share the split_key (= component min id)
+    val keys = split.map(r => r._1 -> r._2).toMap
+    assert(keys(0L) == 0L && keys(1L) == 0L && keys(2L) == 0L)
+    assert(keys(10L) == 10L && keys(11L) == 10L)
+    assert(keys(500L) == 500L) // singleton keys on itself
+    // realized eval fraction tracks the target (md5 uniformity)
+    val evalFrac = split.count(_._3 == "eval") / 1000.0
+    assert(math.abs(evalFrac - 0.2) < 0.08, s"eval frac $evalFrac")
+    // deterministic across runs; a different seed moves the boundary
+    val again = Sampling.leakageSafeSplit(
+      corpus.select(col("doc_id")), "doc_id", pairs, 0.2, "s0")
+      .as[(Long, Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq == split.sortBy(_._1).toSeq)
+    val other = Sampling.leakageSafeSplit(
+      corpus.select(col("doc_id")), "doc_id", pairs, 0.2, "s1")
+      .as[(Long, Long, String)].collect()
+    assert(other.map(r => r._1 -> r._3).toMap != bySide)
+  }
 }

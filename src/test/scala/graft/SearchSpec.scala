@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "spark shuffle join join join"),          // tf(join)=3, short
+    (2L, "join " + ("filler " * 50).trim),         // tf(join)=1, long
+    (3L, "scan scan broadcast"),                   // tf(scan)=2
+    (4L, "nothing relevant here at all"),          // no query terms
+    (5L, "join scan"),                             // both terms, shortest
+    (6L, null.asInstanceOf[String])                // NULL text
+  ).toDF("doc_id", "text")
+
+  test("bm25 ranks term-dense short docs first and excludes zero-score docs") {
+    val got = Search.bm25(docs, "text", "doc_id", Seq("join", "scan"), k = 10)
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    // docs 4 and 6 match no term -> excluded
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 5L))
+    // ranks are dense 1..n and scores non-increasing
+    assert(got.map(_._2).toSeq == (1 to got.length))
+    assert(got.sliding(2).forall(p => p.head._3 >= p.last._3))
+    // doc 5 (both terms, 2 tokens) outranks doc 2 (one hit in 51 tokens)
+    val rank = got.map(r => r._1 -> r._2).toMap
+    assert(rank(5L) < rank(2L))
+    // deterministic across runs
+    val again = Search.bm25(docs, "text", "doc_id", Seq("join", "scan"), k = 10)
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("bm25 idf weights rare terms above ubiquitous ones") {
+    // 'common' is in every doc, 'rare' in one; equal tf, equal dl
+    val corpus = (0L until 20L).map { i =>
+      (i, if (i == 0) "rare common pad" else "word common pad")
+    }.toDF("doc_id", "text")
+    val scored = Search.bm25Scored(corpus, "text", "doc_id", Seq("rare", "common"))
+      .as[(Long, Double)].collect().toMap
+    // doc 0 holds both terms; its rare contribution dominates: score(0)
+    // must far exceed any common-only doc
+    assert(scored(0L) > scored(1L) * 2)
+  }
+
+  test("hybridSearch fuses keyword and vector ranks by RRF") {
+    val corpus = graft.core.Tables.documents(spark, sf0001)
+    val got = Search.hybridSearch(corpus, "text", "doc_id",
+        terms = Seq("join", "scan", "merge"), queryText = "join scan merge",
+        k = 10, dim = 16, poolK = 20, fusionK = 60)
+      .as[(Long, Int, Double, Option[Int], Option[Int])].collect().sortBy(_._2)
+    assert(got.length == 10)
+    assert(got.map(_._2).toSeq == (1 to 10))
+    got.foreach { case (_, _, rrf, rt, rv) =>
+      // a fused doc appeared in at least one arm, and its score is
+      // exactly the RRF of its arm ranks
+      assert(rt.isDefined || rv.isDefined)
+      val expected = rt.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rv.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - expected) < 1e-12)
+    }
+    // fused order is non-increasing in rrf
+    assert(got.sliding(2).forall(p => p.head._3 >= p.last._3))
+    // a doc present in BOTH arms outranks one with only a worse single
+    // arm: top fused doc must beat the score of any single-arm doc
+    val single = got.filter(r => r._4.isEmpty || r._5.isEmpty).map(_._3)
+    if (single.nonEmpty) assert(got.head._3 >= single.max)
+  }
+}

@@ -180,4 +180,41 @@ class TextAnalysisSpec extends SparkSpec {
     // shorter text passes through unchanged
     assert(df.select(TextAnalysis.truncateTokens(col("t"), 99)).as[String].head() == "a b c d e f")
   }
+
+  test("chunkDocs strides overlapping windows, keeps the short tail, never drops rows") {
+    val docs = Seq(
+      (1L, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"), // 10 words
+      (2L, "a b"),                            // shorter than one chunk
+      (3L, null.asInstanceOf[String])         // NULL text
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "text", "doc_id",
+        chunkTokens = 4, strideTokens = 2)
+      .as[(Long, Int, Int, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0,2,4,6,8 -> 5 chunks, trailing chunk is short
+    val c1 = got(1L)
+    assert(c1.length == 5 && c1.forall(_._3 == 5))
+    assert(c1.map(_._4).toSeq == Seq(
+      "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9", "w8 w9"))
+    assert(c1.map(_._5).toSeq == Seq(4L, 4L, 4L, 4L, 2L))
+    // every token position is covered by >= 1 chunk and consecutive
+    // chunks overlap by chunk-stride tokens
+    assert(got(2L).map(_._4).toSeq == Seq("a b"))
+    // NULL text -> one empty chunk, row retained
+    assert(got(3L).map(_._4).toSeq == Seq(""))
+  }
+
+  test("corpusProfile cells partition the corpus and shares sum to 1") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val prof = TextAnalysis.corpusProfile(docs, "text", bucketWidth = 20, maxBucket = 10)
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(prof.map(_._3).sum == docs.count())  // cells partition the corpus
+    assert(math.abs(prof.map(_._5).sum - 1.0) < 1e-9)
+    assert(prof.forall(r => r._2 >= 0 && r._2 <= 10))
+    // bucket arithmetic: every doc of known length lands where expected
+    val one = Seq((1L, ("w " * 45).trim)).toDF("doc_id", "text") // 45 tokens
+    val cell = TextAnalysis.corpusProfile(one, "text", 20, 10)
+      .as[(String, Int, Long, Long, Double)].head()
+    assert(cell._2 == 2 && cell._4 == 45L) // 45 div 20 = 2
+  }
 }
