@@ -94,8 +94,13 @@ object Search {
                    dim: Int = 16, poolK: Int = 20, fusionK: Int = 60): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
+    // each arm is ≤ poolK rows but costs a corpus pass to produce;
+    // persist pins them so the fused top-k AND the rank attachment
+    // below reuse the materialized arm instead of re-running the
+    // corpus scoring / embedding chain (the plan is referenced twice)
     val textRanks = bm25(df, textCol, idCol, terms, poolK)
       .select(col(idCol), col("rank").as("rank_text"))
+      .persist()
     // embed the one-row query with the SAME embedder/dim as the corpus
     val qdf = Seq((0L, queryText)).toDF(idCol, textCol)
     val qvec = Embed.embedDense(qdf, textCol, idCol, dim)
@@ -106,6 +111,7 @@ object Search {
       .agg(TopKAgg.topk(col("_d"), col(idCol).cast("long"), poolK).as("_top"))
       .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
       .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank_vec"))
+      .persist()
     val fused = textRanks.join(vecRanks, Seq(idCol), "full_outer")
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(fusionK) + col("rank_text")), lit(0.0)) +
