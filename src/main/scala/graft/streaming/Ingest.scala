@@ -161,6 +161,18 @@ object Ingest {
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long, sum_value: Double)
 
+  /** Streaming quality funnel — the continuous twin of
+    * [[graft.operators.TextAnalysis.filterFunnel]] for a document
+    * ingest stream. The funnel is pure map-side (per-row signals,
+    * first-fail verdict), so it applies to an unbounded stream with
+    * ZERO state: no watermark, no store, nothing to evict — a crawl
+    * can gate documents at ingest rate on every executor. */
+  def funnelStream(docs: DataFrame, textCol: String, minTokens: Int,
+                   maxTokens: Int, keepLangs: Seq[String],
+                   minStop: Double): DataFrame =
+    graft.operators.TextAnalysis.filterFunnel(
+      docs, textCol, minTokens, maxTokens, keepLangs, minStop)
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState:
     * emits a session when no event arrives within the gap (processing-
     * time timeout). State per user is O(1). Pass

@@ -62,6 +62,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel gates documents statelessly with batch-identical verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the and is with that this from they have word like text here more"),
+      (2L, "tiny"),
+      (3L, "le la et les des un une dans pour ce il que sur se pas")
+    )
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = Ingest.funnelStream(df, "text", minTokens = 5, maxTokens = 100,
+        keepLangs = Seq("en"), minStop = 0.05)
+      .select("doc_id", "verdict")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[(Long, String)].collect().toMap
+      // identical to the batch funnel on the same rows — the twin contract
+      val batch = graft.operators.TextAnalysis.filterFunnel(
+          docs.toDF("doc_id", "text"), "text", 5, 100, Seq("en"), 0.05)
+        .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+      assert(got == batch)
+      assert(got(1L) == "kept" && got(2L) == "too_short" && got(3L) == "wrong_lang")
+    } finally q.stop()
+  }
+
   test("indexStream builds a bucket-partitioned ANN index a probe can prune") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{AnnLsh, Knn}
