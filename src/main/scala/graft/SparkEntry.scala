@@ -567,6 +567,26 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
     }),
 
+    "decontaminate_excerpt" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("source") === "src0")
+        .select(col("doc_id"), col("text"))
+      // leaked docs: 100 junk words + a verbatim 25-word benchmark
+      // excerpt — whole-doc Jaccard ~0.1 (below the near-dup decon
+      // threshold), so only the excerpt mode catches them
+      val junk = concat_ws(" ", transform(sequence(lit(0), lit(99)),
+        i => concat(lit("pad"), ((col("doc_id") * 100 + i) % 997).cast("string"))))
+      val excerpt = concat_ws(" ", slice(split(col("text"), " "), 1, 25))
+      val leaked = bench.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(junk, lit(" "), excerpt).as("text"))
+      val corpus = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), col("text"))
+        .unionByName(leaked)
+      Dedup.decontaminateExcerpt(corpus, "text", "doc_id", bench, "text", "doc_id",
+        shingleN = 3, window = 8, minWindows = 2)
+    }),
+
     "hybrid_search" -> ((s, dir) => {
       Search.hybridSearch(Tables.documents(s, dir), "text", "doc_id",
           terms = Seq("join", "scan", "merge"), queryText = "join scan merge",
@@ -1379,6 +1399,35 @@ object SparkEntry {
     "bm25_search" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, rank, round(score, 5) AS score FROM bm25r WHERE rank <= 20""".stripMargin,
+
+    "decontaminate_excerpt" -> {
+      // winnowed fingerprint chain per table (same shingle-hash +
+      // window-min machinery as the doc_fingerprint oracle)
+      def fpChain(src: String, p: String) =
+        s"""wt$p AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+           |hsl$p AS (SELECT doc_id, list_transform(range(1, greatest(len(w)-1, 1)),
+           |           i -> CAST('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT)) AS hs
+           |         FROM wt$p),
+           |fp$p AS (SELECT doc_id, unnest(
+           |           CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+           |                WHEN len(hs) < 8 THEN [list_min(hs)]
+           |                ELSE list_distinct(list_transform(range(1, len(hs)-6),
+           |                       i -> list_min(hs[i:i+7]))) END) AS fp
+           |         FROM hsl$p)""".stripMargin
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE source = 'src0'),
+         |leaked AS (SELECT doc_id + 300000 AS doc_id,
+         |    array_to_string(list_transform(range(0, 100),
+         |      i -> 'pad' || CAST((doc_id * 100 + i) % 997 AS VARCHAR)), ' ')
+         |    || ' ' || array_to_string(string_split(text, ' ')[1:25], ' ') AS text
+         |  FROM bench WHERE doc_id % 4 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'
+         |           UNION ALL SELECT * FROM leaked),
+         |${fpChain("corpus", "c")},
+         |${fpChain("bench", "b")}
+         |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_windows
+         |FROM fpc c JOIN fpb b USING (fp)
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+    },
 
     "hybrid_search" ->
       // RRF fusion: bm25 arm (same CTEs as bm25_search, pool 20) +

@@ -405,6 +405,62 @@ object Dedup {
         col("_best.id_b").as("bench_id"), col("_best.jaccard").as("jaccard"))
   }
 
+  /** Winnowed fingerprint windows per doc, exploded to (id, fp) —
+    * the per-window variant of [[TextAnalysis.fingerprint]]: every
+    * `window`-long run of shingle hashes contributes its minimum, so
+    * two documents sharing ANY ≥ (window + shingleN - 1)-word verbatim
+    * run share at least one fp (the winnowing guarantee). Docs shorter
+    * than one window contribute their whole-doc min; empty docs
+    * contribute nothing. Distinct per doc. */
+  private[operators] def winnowedFps(df: DataFrame, textCol: String,
+                                     idCol: String, shingleN: Int,
+                                     window: Int): DataFrame = {
+    val withH = df
+      .select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol),
+        transform(shinglesFromWords(col("_w"), shingleN), s => hash64(s)).as("_h"))
+    val h = col("_h")
+    val m = size(h)
+    val wins = when(m === 0, array().cast("array<long>"))
+      .when(m < window, array(array_min(h)))
+      .otherwise(array_distinct(transform(sequence(lit(1), m - (window - 1)),
+        i => array_min(slice(h, i, lit(window))))))
+    withH.select(col(idCol), explode(wins).as("fp"))
+  }
+
+  /** EXCERPT-level decontamination — the substring complement of
+    * [[decontaminate]] (vocabulary hits) and [[decontaminateNear]]
+    * (whole-document Jaccard): a benchmark passage quoted VERBATIM
+    * inside an otherwise-unrelated document keeps whole-doc Jaccard
+    * low and vocabulary hits diluted, but its winnowed fingerprints
+    * (per-window shingle-hash minima, the MOSS/winnowing scheme) are
+    * preserved exactly. Any shared run of ≥ window + shingleN - 1
+    * words yields ≥ 1 shared fingerprint; `minWindows` sets the
+    * shortest excerpt worth flagging.
+    *
+    * Scale shape: fingerprints are map-side per doc (arrays as
+    * attributes), the corpus × benchmark contact is an equi-join on
+    * the fp value (bounded fanout — a fingerprint is 60 bits of
+    * specific text), and the count is a keyed agg. Never all-pairs,
+    * same posture as [[decontaminate]]. */
+  def decontaminateExcerpt(corpus: DataFrame, textCol: String, idCol: String,
+                           benchmark: DataFrame, benchTextCol: String,
+                           benchIdCol: String, shingleN: Int = 3,
+                           window: Int = 8, minWindows: Int = 2): DataFrame = {
+    val cf = winnowedFps(corpus.select(col(idCol), col(textCol)),
+      textCol, idCol, shingleN, window)
+      .select(col(idCol).as("doc_id"), col("fp"))
+    val bf = winnowedFps(benchmark.select(col(benchIdCol), col(benchTextCol)),
+      benchTextCol, benchIdCol, shingleN, window)
+      .select(col(benchIdCol).as("bench_id"), col("fp"))
+    cf.join(bf, "fp")
+      // (doc, fp) and (bench, fp) are each distinct, so plain count =
+      // distinct shared windows — no count-distinct shuffle
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_windows"))
+      .filter(col("n_windows") >= minWindows)
+  }
+
   // ---------- near-dup clustering (connected components) ----------
 
   /** Group near-dup PAIRS into duplicate CLUSTERS: connected

@@ -63,4 +63,22 @@ object Sources {
     * (graft.streaming.Ingest consumes this). */
   def jsonRecordStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(recordSchema).json(path)
+
+  /** Write a training export: the deterministic shuffle + sharding of
+    * [[graft.operators.Sampling.shuffleShards]], laid out as parquet
+    * partitioned by `shard` with rows in `shard_pos` order inside
+    * each shard — the directory layout a training loader streams
+    * sequentially (`shard=N/` per loader worker, rows pre-shuffled).
+    *
+    * Scale shape: the only shuffle is the per-shard rank window
+    * shuffleShards already pays (parallelism = numShards, which a
+    * 100 TB export sets ≫ executors); the hash partitioning it leaves
+    * behind means each shard lands wholly in one task and the
+    * `partitionBy` write streams it straight out. Reproducible:
+    * same (seed, corpus) ⇒ byte-identical shard assignment. */
+  def writeTrainingShards(df: DataFrame, idCol: String, seed: String,
+                          numShards: Int, path: String): Unit =
+    graft.operators.Sampling.shuffleShards(df, idCol, seed, numShards)
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -248,6 +248,31 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(math.sqrt(row.map(x => x * x).sum) - 1.0) < 1e-9)
   }
 
+  test("decontaminateExcerpt flags verbatim quotes inside unrelated docs") {
+    val bench = Seq(
+      (1L, (1 to 40).map(i => s"bench$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val excerpt = (5 to 24).map(i => s"bench$i").mkString(" ") // 20 verbatim words
+    val corpus = Seq(
+      // unrelated body + a 20-word verbatim quote of bench doc 1
+      (100L, (1 to 80).map(i => s"body$i").mkString(" ") + " " + excerpt),
+      // vocabulary overlap without any verbatim RUN: every other word
+      (101L, (5 to 44).map(i => if (i % 2 == 0) s"bench$i" else s"x$i").mkString(" ")),
+      (102L, (1 to 60).map(i => s"clean$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminateExcerpt(corpus, "text", "doc_id",
+        bench, "text", "doc_id", shingleN = 3, window = 8, minWindows = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((100L, 1L)))
+    // the whole-doc near-dup decon does NOT see doc 100 (Jaccard of a
+    // 20-word quote in a 100-word doc is far below 0.5) — the excerpt
+    // mode is a genuinely different detector
+    val near = Dedup.decontaminateNear(corpus, "text", "doc_id",
+      bench, "text", "doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(!near.exists(_._1 == 100L))
+  }
+
   test("semanticDedup keeps one canonical per cluster, singletons keep themselves") {
     val emb = graft.core.Tables.embeddings(spark, sf0001)
     val vd = col("embedding").cast("array<double>")

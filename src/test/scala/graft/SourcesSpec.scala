@@ -72,4 +72,28 @@ class SourcesSpec extends SparkSpec {
     assert(snapshot(restored) == snapshot(c))
     assert(restored.getAllIds() == Seq(1L, 3L))
   }
+
+  test("writeTrainingShards lays out loader-ready shards in shuffle order") {
+    val docs = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-shards").toFile
+    dir.deleteOnExit()
+    Sources.writeTrainingShards(docs, "doc_id", "s1", 4, dir.getAbsolutePath)
+    // shard=N partition dirs exist
+    val shardDirs = dir.listFiles().filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == 400)
+    // assignment matches the deterministic shuffleShards contract
+    val expected = graft.operators.Sampling.shuffleShards(docs, "doc_id", "s1", 4)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .as[(Long, Int, Long)].collect().toSet
+    val got = back.select(col("doc_id"), col("shard"), col("shard_pos"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expected)
+    // within each shard the positions are dense 1..n — a loader can
+    // stream shard=N sequentially with no index
+    got.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq, s"shard $sh")
+    }
+  }
 }
