@@ -65,13 +65,23 @@ object AnnIvf {
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
       .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
 
-  /** Train centroids: seeds + `iters` Lloyd iterations. */
+  /** Train centroids: seeds + `iters` Lloyd iterations. The result is
+    * MATERIALIZED (nlist × dim — driver-tiny, the reference holds its
+    * centroids in memory too) and returned as a local-relation frame:
+    * every downstream consumer collects the centroid table (assign's
+    * expression unroll, index keying, cell ranking), and without the
+    * materialization each of those collects re-runs the final Lloyd
+    * job — training must cost exactly `iters` corpus passes, once. */
   def train(df: DataFrame, vecCol: String, idCol: String, seedIds: Seq[Long],
             iters: Int, metric: Knn.Metric): DataFrame = {
     var c = seedCentroids(df, vecCol, idCol, seedIds)
     for (_ <- 0 until iters)
       c = lloydStep(df, vecCol, idCol, c, metric)
-    c
+    val spark = df.sparkSession
+    val out = c.select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1))
+      .toDF("cell", "centroid")
   }
 
   /** Driver-side distance — same sequential double fold as the

@@ -89,4 +89,51 @@ object Events {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         sum(col(valueCol)).as("sum_value"))
+
+  /** Ordered funnel analysis: per user, the earliest time each step
+    * of `steps` was completed, where step i+1 must happen STRICTLY
+    * after the user's earliest completion of step i (the standard
+    * "view → click → purchase" product funnel). Returns one row per
+    * user who completed step 1: (user, ts_1 … ts_n nullable,
+    * steps_reached).
+    *
+    * Shape: one filtered min-agg per step, chained by an equi-join on
+    * the user key — n steps = n keyed aggs, no per-user event arrays,
+    * no windows, no state. Each stage's input is the events of ONE
+    * type (filter pushes to the scan), so cost is proportional to the
+    * funnel's own events even when the table holds everything. */
+  def funnel(df: DataFrame, tsCol: String, userCol: String, typeCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("ts_1"))
+    val reached = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (prev, (s, i)) =>
+        val next = df.filter(col(typeCol) === s)
+          .join(prev.select(col(userCol), col(s"ts_$i")), Seq(userCol))
+          .filter(col(tsCol) > col(s"ts_$i"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"ts_${i + 1}"))
+        prev.join(next, Seq(userCol), "left")
+    }
+    val stepsReached = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
+      acc + when(col(s"ts_${i + 1}").isNotNull, 1).otherwise(0)
+    }
+    // ts_{i+1} is null whenever ts_i is (each stage joins on the
+    // previous), so the sum counts a prefix — steps are ordered
+    reached.withColumn("steps_reached", stepsReached.cast("long"))
+  }
+
+  /** Funnel summary: users reaching step ≥ i, per step — the
+    * conversion curve [[funnel]]'s per-user frame rolls up to. */
+  def funnelCounts(df: DataFrame, tsCol: String, userCol: String,
+                   typeCol: String, steps: Seq[String]): DataFrame = {
+    val per = funnel(df, tsCol, userCol, typeCol, steps)
+    // explode idx 1..steps_reached (≤ n per user) and count per idx —
+    // map-side fanout bounded by the funnel length
+    per.select(explode(sequence(lit(1L), col("steps_reached"))).as("step_idx"))
+      .groupBy(col("step_idx")).agg(count(lit(1)).as("n_users"))
+      .withColumn("step",
+        element_at(typedlit(steps), col("step_idx").cast("int")))
+      .select(col("step_idx"), col("step"), col("n_users"))
+  }
 }

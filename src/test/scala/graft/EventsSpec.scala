@@ -58,6 +58,32 @@ class EventsSpec extends SparkSpec {
     assert(out.valuesIterator.count(_.isDefined) > 0)
   }
 
+  test("funnel requires steps strictly in order; counts roll up the curve") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      // user 2: click BEFORE the first view -> doesn't count; no later click
+      (2L, t(1), "click"), (2L, t(2), "view"), (2L, t(3), "purchase"),
+      // user 3: view only
+      (3L, t(1), "view"),
+      // user 4: never views -> absent from the per-user frame
+      (4L, t(1), "click"), (4L, t(2), "purchase"),
+      // user 5: click at the SAME ts as the view -> strictly-after excludes
+      (5L, t(1), "view"), (5L, t(1), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val per = Events.funnel(ev, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("user_id", "steps_reached").as[(Long, Long)].collect().toMap
+    assert(per == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 5L -> 1L))
+    val counts = Events.funnelCounts(ev, "ts", "user_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .select("step_idx", "step", "n_users")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(counts.toSeq == Seq((1L, "view", 4L), (2L, "click", 1L), (3L, "purchase", 1L)))
+  }
+
   test("asofJoin plans one user-partitioned window, no range join") {
     val ev = Tables.events(spark, sf0001)
     val plan = Events.asofJoin(ev, "ts", "user_id", "event_type",
