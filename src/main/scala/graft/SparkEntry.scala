@@ -446,6 +446,16 @@ object SparkEntry {
           col("steps_reached"))
     }),
 
+    "events_retention" -> ((s, dir) => {
+      Events.retention(Tables.events(s, dir), "ts", "user_id")
+    }),
+
+    "sample_topk" -> ((s, dir) => {
+      Sampling.exactSample(Tables.documents(s, dir), "doc_id",
+          col("source"), k = 20, seed = "sk0")
+        .select(col("stratum"), col("doc_id"), col("sample_rank"))
+    }),
+
     "events_window" -> ((s, dir) => {
       Events.windowedAgg(Tables.events(s, dir), "ts", "event_type", "value", "1 hour")
         .select(col("window_start"), col("event_type"), col("n_events"),
@@ -1546,6 +1556,26 @@ object SparkEntry {
         |  round(CASE WHEN len(g3) = 0 THEN 0.0
         |    ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END, 5) AS rep_3
         |FROM g""".stripMargin,
+
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1)
+        |SELECT c.cohort, CAST(a.d - c.cohort AS BIGINT) AS day_offset,
+        |       count(*) AS n_users
+        |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "sample_topk" ->
+      // rank by double-cast hash then id: the Spark side's TopKAgg
+      // orders (double, long) pairs, so the oracle must rank on the
+      // SAME double conversion of the 60-bit hash
+      """WITH h AS (SELECT source AS stratum, doc_id,
+        |             CAST(CAST('0x' || substr(md5('sk0_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS hv
+        |           FROM documents),
+        |r AS (SELECT stratum, doc_id,
+        |        row_number() OVER (PARTITION BY stratum ORDER BY hv, doc_id) AS sample_rank
+        |      FROM h)
+        |SELECT stratum, doc_id, sample_rank FROM r WHERE sample_rank <= 20""".stripMargin,
 
     "events_funnel" ->
       // one min-agg per step chained on the user key, step i+1

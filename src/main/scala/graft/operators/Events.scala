@@ -123,6 +123,24 @@ object Events {
     reached.withColumn("steps_reached", stepsReached.cast("long"))
   }
 
+  /** Cohort retention: users are cohorted by their FIRST active day;
+    * each (cohort, day-offset) cell counts cohort members active that
+    * many days later — the standard retention matrix.
+    *
+    * Shape: per-(user, day) activity is ONE distinct (keyed shuffle);
+    * cohorts are a keyed min; the contact is a user-key equi-join and
+    * a final keyed count. A user contributes at most one row per
+    * (cohort, offset) because activity is already day-distinct, so
+    * the count is plain — no count-distinct shuffle anywhere. */
+  def retention(df: DataFrame, tsCol: String, userCol: String): DataFrame = {
+    val activity = df.select(col(userCol), to_date(col(tsCol)).as("_d")).distinct()
+    val cohorts = activity.groupBy(col(userCol)).agg(min(col("_d")).as("cohort"))
+    activity.join(cohorts, Seq(userCol))
+      .select(col("cohort"), datediff(col("_d"), col("cohort")).cast("long").as("day_offset"))
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Funnel summary: users reaching step ≥ i, per step — the
     * conversion curve [[funnel]]'s per-user frame rolls up to. */
   def funnelCounts(df: DataFrame, tsCol: String, userCol: String,

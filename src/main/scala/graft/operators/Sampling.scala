@@ -97,6 +97,30 @@ object Sampling {
       .groupBy(col("pack_group"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("pack_tokens")).as("tokens"))
 
+  /** Exactly-k deterministic sample per stratum: rank rows by the
+    * md5 hash of (seed, id) and keep each stratum's k smallest — the
+    * complement of [[stratified]] (Bernoulli gives rate-exact-in-
+    * expectation; this gives COUNT-exact, the contract an eval-set
+    * builder needs). Same determinism properties: seed-keyed,
+    * engine-reproducible, independent of partitioning.
+    *
+    * Shape: the hash is map-side; per-stratum top-k is a bounded
+    * [[graft.functions.TopKAgg]] — ≤ k rows per partition per stratum
+    * survive the map side, so the one shuffle moves
+    * O(partitions × k × strata) rows, never a stratum's full
+    * population. No windows. idCol must be integral. */
+  def exactSample(df: DataFrame, idCol: String, stratumCol: Column, k: Int,
+                  seed: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val h = Dedup.hash64(concat(lit(seed), lit("_"), col(idCol).cast("string")))
+    df.select(stratumCol.as("stratum"), col(idCol), h.cast("double").as("_h"))
+      .groupBy(col("stratum"))
+      .agg(TopKAgg.topk(col("_h"), col(idCol).cast("long"), k).as("_top"))
+      .select(col("stratum"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("stratum"), col("_t.id").as(idCol),
+        (col("_pos") + 1).as("sample_rank"))
+  }
+
   /** Leakage-safe train/eval split: near-duplicate documents must
     * never straddle the boundary (a doc whose near-copy sits in the
     * training set leaks into eval), so the split unit is the near-dup

@@ -84,6 +84,30 @@ class EventsSpec extends SparkSpec {
     assert(counts.toSeq == Seq((1L, "view", 4L), (2L, "click", 1L), (3L, "purchase", 1L)))
   }
 
+  test("retention cohorts users by first active day and counts offsets once") {
+    import java.sql.Timestamp
+    def d(day: Int, h: Int = 9) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      // user 1: first seen day 1, active days 1, 2, 5 (two events day 2
+      // must count once)
+      (1L, d(1)), (1L, d(2)), (1L, d(2, 15)), (1L, d(5)),
+      // user 2: first seen day 2, active days 2, 5
+      (2L, d(2)), (2L, d(5)),
+      // user 3: day 1 only
+      (3L, d(1))
+    ).toDF("user_id", "ts")
+    val got = Events.retention(ev, "ts", "user_id")
+      .select(col("cohort").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), // users 1, 3
+      ("2024-01-01", 1L, 1L), // user 1 on day 2 (deduped within the day)
+      ("2024-01-01", 4L, 1L), // user 1 on day 5
+      ("2024-01-02", 0L, 1L), // user 2
+      ("2024-01-02", 3L, 1L)  // user 2 on day 5
+    ))
+  }
+
   test("asofJoin plans one user-partitioned window, no range join") {
     val ev = Tables.events(spark, sf0001)
     val plan = Events.asofJoin(ev, "ts", "user_id", "event_type",

@@ -97,6 +97,31 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("exactSample draws exactly k per stratum, deterministically") {
+    val got = Sampling.exactSample(corpus, "doc_id", col("source"), k = 30, seed = "s0")
+      .as[(String, Long, Int)].collect()
+    // exactly k per stratum (every stratum has 250 > k docs)
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.length == 30, s"stratum $s")
+      assert(rows.map(_._3).sorted.toSeq == (1 to 30)) // dense ranks
+    }
+    // membership = the k smallest hashes, independent of partitioning
+    val expected = (0L until 1000L).groupBy(i => s"src${i % 4}").map { case (s, ids) =>
+      s -> ids.sortBy(i =>
+        (graft.operators.AnnLsh.hash64Local(s"s0_$i").toDouble, i)).take(30).toSet
+    }
+    got.groupBy(_._1).foreach { case (s, rows) =>
+      assert(rows.map(_._2).toSet == expected(s), s"stratum $s")
+    }
+    // repeat run identical; different seed draws a different sample
+    val again = Sampling.exactSample(corpus, "doc_id", col("source"), 30, "s0")
+      .as[(String, Long, Int)].collect()
+    assert(again.sortBy(r => (r._1, r._3)).toSeq == got.sortBy(r => (r._1, r._3)).toSeq)
+    val other = Sampling.exactSample(corpus, "doc_id", col("source"), 30, "s1")
+      .as[(String, Long, Int)].collect()
+    assert(other.map(r => (r._1, r._2)).toSet != got.map(r => (r._1, r._2)).toSet)
+  }
+
   test("leakageSafeSplit never lets a near-dup pair straddle the boundary") {
     // clusters: chain 0-1-2, pair 10-11; everything else singleton
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
