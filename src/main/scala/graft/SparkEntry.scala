@@ -446,6 +446,31 @@ object SparkEntry {
           col("steps_reached"))
     }),
 
+    "pipeline_curate" -> ((s, dir) => {
+      // END-TO-END curation over the dedup corpus (originals + exact
+      // copies + truncated near-dups): quality gate -> exact dedup ->
+      // benchmark decontamination -> leakage-safe split. Every stage
+      // is the already-verified operator; this query proves the
+      // COMPOSITION matches the oracle end to end.
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(col("source") === "src0").select(col("text"))
+      val corpus = dedupCorpus(s, dir)
+      val kept = TextAnalysis.filterFunnel(corpus, "text",
+          minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
+        .filter(col("verdict") === "kept")
+        .select(col("doc_id"), col("text"))
+      val ded = Dedup.exactDedup(kept, "text", "doc_id")
+      val flags = Dedup.decontaminate(ded, "text", "doc_id", bench, "text",
+        n = 3, minHits = 3)
+      val clean = ded.join(
+        flags.filter(col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minhashPairs(clean, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      Sampling.leakageSafeSplit(clean.select(col("doc_id")), "doc_id",
+        pairs, evalFrac = 0.1, seed = "cur0")
+    }),
+
     "events_retention" -> ((s, dir) => {
       Events.retention(Tables.events(s, dir), "ts", "user_id")
     }),
@@ -693,12 +718,15 @@ object SparkEntry {
   /** Shared CTE chain ending in `mh_pairs` (id_a, id_b, jaccard >=
     * 0.5) — the DuckDB twin of Dedup.minhashPairs, reused by the
     * dedup_minhash and dedup_cluster oracles. */
-  private val minhashPairsCtes: String = {
+  /** The verified-minhash-pair CTE chain over an arbitrary source CTE
+    * `src(doc_id, text)` — emits wt/shl/sig/bandkey/cand/hsh/mh_pairs.
+    * [[minhashPairsCtes]] instantiates it over the dedup corpus; the
+    * pipeline composition reuses it over its survivor set. */
+  private def minhashPairChain(src: String): String = {
     val (as, bs) = Dedup.minhashConsts(16)
     val aLit = as.mkString("[", ", ", "]")
     val bLit = bs.mkString("[", ", ", "]")
-    s"""$corpusSql,
-       |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    s"""wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
        |shl AS (SELECT doc_id, list_distinct(list_transform(
        |          range(1, greatest(len(w)-1, 1)),
        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM wt),
@@ -723,6 +751,10 @@ object SparkEntry {
        |                JOIN hsh b ON b.doc_id = c.id_b)
        |  WHERE i * 1.0 / (na + nb - i) >= 0.5)""".stripMargin
   }
+
+  private val minhashPairsCtes: String =
+    s"""$corpusSql,
+       |${minhashPairChain("corpus")}""".stripMargin
 
   /** Shared DuckDB fragments for the stopword-profile language
     * scoring — the lang_id and filter_funnel oracles must stay
@@ -1556,6 +1588,52 @@ object SparkEntry {
         |  round(CASE WHEN len(g3) = 0 THEN 0.0
         |    ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END, 5) AS rep_3
         |FROM g""".stripMargin,
+
+    "pipeline_curate" ->
+      // the composition of the funnel, exact-dedup, decontaminate and
+      // split_safe oracle fragments, each stage reading the previous
+      s"""WITH RECURSIVE $corpusSql,
+         |fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |fg AS (SELECT doc_id, len(w) AS n,
+         |  len(list_filter(w, t -> list_contains(${LangSql.en}, t)))::DOUBLE / len(w) AS stop,
+         |  ${LangSql.scoreCols}
+         |FROM fw),
+         |fv AS (SELECT doc_id, n, stop,
+         |         CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred
+         |       FROM fg),
+         |kept AS (SELECT c.doc_id, c.text FROM corpus c JOIN fv USING (doc_id)
+         |         WHERE n IS NOT NULL AND n >= 20 AND n <= 90
+         |           AND lang_pred IN ('en') AND stop >= 0.02),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+         |ded AS (SELECT k.doc_id, k.text FROM kept k JOIN ex USING (doc_id)),
+         |ben AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |          range(1, greatest(len(w)-1, 1)),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM ben),
+         |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+         |csh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |          range(1, greatest(len(w)-1, 1)),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM dw),
+         |hits AS (SELECT doc_id, count(*) AS bench_hits
+         |         FROM csh JOIN bsh USING (sh) GROUP BY doc_id),
+         |clean AS (SELECT d.doc_id, d.text FROM ded d LEFT JOIN hits h USING (doc_id)
+         |          WHERE coalesce(h.bench_hits, 0) < 3),
+         |${minhashPairChain("clean")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |keyed AS (SELECT c.doc_id,
+         |            CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS split_key
+         |          FROM (SELECT doc_id FROM clean) c LEFT JOIN lab l ON l.id = c.doc_id)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN CAST('0x' || substr(md5('cur0_' || CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT)
+         |         % 1000000 < 0.1 * 1000000
+         |       THEN 'eval' ELSE 'train' END AS split
+         |FROM keyed""".stripMargin,
 
     "events_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,

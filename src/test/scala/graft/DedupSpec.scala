@@ -248,6 +248,38 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(math.sqrt(row.map(x => x * x).sum) - 1.0) < 1e-9)
   }
 
+  test("pipeline_curate composition holds every stage's invariant end to end") {
+    val out = SparkEntry.queries("pipeline_curate")(spark, sf0001)
+      .as[(Long, Long, String)].collect()
+    assert(out.nonEmpty)
+    // ids unique (nothing duplicated by the stage joins)
+    assert(out.map(_._1).distinct.length == out.length)
+    // survivors: no two share identical text (exact dedup held) and
+    // none is a verbatim src0 benchmark doc (decontamination held)
+    val ids = out.map(_._1).toSet
+    val corpusTexts = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)].collect()
+    val byId = corpusTexts.map(r => r._1 -> r._2).toMap
+    val srcTexts = ids.toSeq.flatMap(byId.get)
+    assert(srcTexts.distinct.length == srcTexts.length)
+    val benchIds = corpusTexts.filter(_._3 == "src0").map(_._1).toSet
+    assert(ids.intersect(benchIds).isEmpty, "verbatim benchmark docs survived")
+    // the split respects near-dup clusters among survivors: recompute
+    // pairs over the survivor texts, assert no pair straddles
+    val cleanDf = corpusTexts.filter(r => ids.contains(r._1))
+      .map(r => (r._1, r._2)).toSeq.toDF("doc_id", "text")
+    val side = out.map(r => r._1 -> r._3).toMap
+    Dedup.minhashPairs(cleanDf, "text", "doc_id", 16, 4, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        // pairs among ORIGINAL docs only (the synthetic +100k/+200k
+        // members aren't in `documents`, so this checks the subset)
+        if (side.contains(a) && side.contains(b))
+          assert(side(a) == side(b), s"pair ($a,$b) straddles the split")
+      }
+  }
+
   test("decontaminateExcerpt flags verbatim quotes inside unrelated docs") {
     val bench = Seq(
       (1L, (1 to 40).map(i => s"bench$i").mkString(" ")),
