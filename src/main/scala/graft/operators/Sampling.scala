@@ -111,6 +111,7 @@ object Sampling {
     * population. No windows. idCol must be integral. */
   def exactSample(df: DataFrame, idCol: String, stratumCol: Column, k: Int,
                   seed: String): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
     import graft.functions.TopKAgg
     val h = Dedup.hash64(concat(lit(seed), lit("_"), col(idCol).cast("string")))
     df.select(stratumCol.as("stratum"), col(idCol), h.cast("double").as("_h"))

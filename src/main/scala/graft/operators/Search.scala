@@ -36,6 +36,8 @@ object Search {
   def bm25Scored(df: DataFrame, textCol: String, idCol: String,
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct == terms,
+      "duplicate query terms would double-count their contribution")
     val withW = df.select(col(idCol),
       Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
     val withTf = terms.zipWithIndex.foldLeft(withW) { case (acc, (t, i)) =>

@@ -312,6 +312,8 @@ object TextAnalysis {
     * any corpus size. */
   def corpusProfile(df: DataFrame, textCol: String,
                     bucketWidth: Int, maxBucket: Int): DataFrame = {
+    require(bucketWidth > 0 && maxBucket >= 0,
+      s"need bucketWidth > 0 and maxBucket >= 0, got ($bucketWidth, $maxBucket)")
     val scored = langId(df, textCol)
       .withColumn("_n", size(Dedup.words(coalesce(col(textCol), lit("")))).cast("bigint"))
     // integer division (div), never float division + floor: the
