@@ -459,12 +459,17 @@ object SparkEntry {
           minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
         .filter(col("verdict") === "kept")
         .select(col("doc_id"), col("text"))
-      val ded = Dedup.exactDedup(kept, "text", "doc_id")
+      // ded feeds decontamination AND the survivor join; clean feeds
+      // the pair job (twice: signatures + shingle sets) and the split.
+      // Persisting both pins the upstream funnel/dedup/decon chain to
+      // one execution — exactly what a production pipeline does with
+      // its stage outputs (or writes them out)
+      val ded = Dedup.exactDedup(kept, "text", "doc_id").persist()
       val flags = Dedup.decontaminate(ded, "text", "doc_id", bench, "text",
         n = 3, minHits = 3)
       val clean = ded.join(
         flags.filter(col("contaminated")).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
+        Seq("doc_id"), "left_anti").persist()
       val pairs = Dedup.minhashPairs(clean, "text", "doc_id",
         numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
       Sampling.leakageSafeSplit(clean.select(col("doc_id")), "doc_id",

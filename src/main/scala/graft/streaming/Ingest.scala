@@ -23,6 +23,18 @@ object Ingest {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(Seq(idCol))
 
+  /** Streaming exact CONTENT dedup: keep the first arrival per
+    * distinct text within the watermark horizon — the ingest-time
+    * twin of [[graft.operators.Dedup.exactDedup]] (dedup by what the
+    * document SAYS, not which id carried it). State per distinct md5
+    * is bounded by the watermark. */
+  def contentDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                         watermark: String): DataFrame =
+    docs.withColumn("_thash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq("_thash"))
+      .drop("_thash")
+
   /** Streaming tumbling-window aggregation — same shape as
     * Events.windowedAgg, plus a watermark so state is evictable. */
   def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,

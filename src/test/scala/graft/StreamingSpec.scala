@@ -62,6 +62,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming content dedup keeps the first arrival per distinct text") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Ingest.contentDedupStream(df, "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName("cdedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, ts(0), "same body"), (2L, ts(1), "same body"), // dup CONTENT, new id
+        (3L, ts(2), "other body"))
+      q.processAllAvailable()
+      val got = spark.table("cdedup_stream").select("doc_id", "text")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "same body"), (3L, "other body")))
+    } finally q.stop()
+  }
+
   test("streaming funnel gates documents statelessly with batch-identical verdicts") {
     implicit val sqlCtx = spark.sqlContext
     val docs = Seq(
