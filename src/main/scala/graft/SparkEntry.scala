@@ -67,10 +67,13 @@ object SparkEntry {
 
   /** Lloyd-trained centroids per corpus dir: training is part of
     * index BUILD (train once, probe many — collection.go's contract),
-    * so repeat query invocations reuse the materialized nlist × dim
-    * table instead of re-paying the training passes. */
+    * so repeat query invocations reuse the trained nlist × dim table
+    * instead of re-paying the training passes. Stored SESSION-FREE
+    * (plain rows, like mixRatesCache's Map and builtIndexes' paths) —
+    * a cached DataFrame would bind to the SparkContext that created
+    * it and blow up when a later session reuses the entry. */
   private val trainedCentroidsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
 
   /** The IVF index for a corpus dir: built on first use (the reference
     * builds its search structure once at index time, spanfile.go),
@@ -79,26 +82,30 @@ object SparkEntry {
     * of the FULL dir path — sanitized-name keying collided for paths
     * differing only in stripped characters. */
   private def ivfIndexPath(s: SparkSession, dir: String,
-                           centroids: DataFrame): String = {
-    // key on dir AND the centroid values: seeded and trained variants
-    // of the same corpus must not share an index (cell assignment
-    // depends on the centroids; nlist x dim rows, driver-tiny)
-    val centKey = centroids
-      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
-      .collect().sortBy(_.getLong(0))
-      .map(r => r.getLong(0) + ":" +
-        r.getSeq[Double](1).map(d => f"$d%.9f").mkString(","))
-      .mkString(";")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$centKey".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val path = s"$indexRoot/ivf-$key"
-    builtIndexes.computeIfAbsent(path, { p =>
+                           centroids: DataFrame, variant: String): String =
+    // memoize per (dir, variant) FIRST: both centroid sources are
+    // deterministic functions of dir, so repeat query constructions
+    // must not re-collect the centroid frame (a Spark job) just to
+    // re-derive a key that cannot have changed
+    builtIndexes.computeIfAbsent(s"$dir|$variant", { _ =>
+      // key the PHYSICAL path on dir AND the centroid values: seeded
+      // and trained variants of the same corpus must not share an
+      // index (cell assignment depends on the centroids; nlist x dim
+      // rows, driver-tiny)
+      val centKey = centroids
+        .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+        .collect().sortBy(_.getLong(0))
+        .map(r => r.getLong(0) + ":" +
+          r.getSeq[Double](1).map(d => f"$d%.9f").mkString(","))
+        .mkString(";")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|$centKey".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/ivf-$key"
       AnnIvf.writeIndexed(Tables.embeddings(s, dir), "embedding", "vec_id",
-        centroids, Knn.Cosine, p)
-      p
+        centroids, Knn.Cosine, path)
+      path
     })
-  }
 
   private val corpusSql =
     """corpus AS (
@@ -416,7 +423,7 @@ object SparkEntry {
       // index built ONCE per corpus (assignment rides that one scan),
       // then every query is a cell-partition-pruned probe reading
       // nprobe/nlist of the data — never a full-corpus re-assign
-      val idx = ivfIndexPath(s, dir, centroids)
+      val idx = ivfIndexPath(s, dir, centroids, variant = "seed8")
       AnnIvf.knnIndexed(s, idx, "embedding", queryVec(s, dir), 10,
           centroids, nprobe = 2, Knn.Cosine, "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
@@ -429,11 +436,15 @@ object SparkEntry {
       // order-dependent across engines, so this query has NO SQL
       // oracle (rows-only check); the seeded twin ann_ivf carries the
       // hash-checked oracle for the probe machinery.
-      val centroids = trainedCentroidsCache.computeIfAbsent(dir, { _ =>
+      val cents = trainedCentroidsCache.computeIfAbsent(dir, { _ =>
         AnnIvf.train(emb, "embedding", "vec_id", 0L to 7L,
-          iters = 2, Knn.Cosine)
+            iters = 2, Knn.Cosine)
+          .select(col("cell").cast("long"), col("centroid"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       })
-      val idx = ivfIndexPath(s, dir, centroids)
+      val centroids = s.createDataFrame(s.sparkContext.parallelize(cents, 1))
+        .toDF("cell", "centroid")
+      val idx = ivfIndexPath(s, dir, centroids, variant = "lloyd8x2")
       AnnIvf.knnIndexed(s, idx, "embedding", queryVec(s, dir), 10,
           centroids, nprobe = 2, Knn.Cosine, "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
@@ -472,8 +483,14 @@ object SparkEntry {
         Seq("doc_id"), "left_anti").persist()
       val pairs = Dedup.minhashPairs(clean, "text", "doc_id",
         numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
-      Sampling.leakageSafeSplit(clean.select(col("doc_id")), "doc_id",
+      // leakageSafeSplit materializes the pair graph (its components
+      // run eagerly), which fills clean's cache — ded's blocks are no
+      // longer needed after that, so release them here; clean stays
+      // pinned for the returned plan's survivor join
+      val split = Sampling.leakageSafeSplit(clean.select(col("doc_id")), "doc_id",
         pairs, evalFrac = 0.1, seed = "cur0")
+      ded.unpersist(blocking = false)
+      split
     }),
 
     "events_retention" -> ((s, dir) => {
@@ -1445,7 +1462,10 @@ object SparkEntry {
         |FROM ex""".stripMargin,
 
     "corpus_profile" ->
-      s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      // coalesce NULL text to '' exactly like the Spark side, so a
+      // NULL-text doc lands in the same ('und', bucket 0) cell in
+      // both engines instead of (NULL, 10, NULL) here
+      s"""WITH f AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
          |g AS (SELECT doc_id, len(w) AS n,
          |  ${LangSql.scoreCols}
          |FROM f),

@@ -104,18 +104,26 @@ object Dedup {
     * it — a pre-explode array-of-structs formulation made the
     * optimizer inline the whole signature pipeline into every key. */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs
-      .select(col(idCol), col("sig"),
-        explode(typedlit((0 until bands).toList)).as("band"))
-      .select(col(idCol), col("band"),
-        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1,
-          lit(rowsPerBand)).cast("array<string>")).as("key"))
+    val banded = bandKeys(sigs, idCol, idCol, bands, rowsPerBand)
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Band-key projection shared by [[lshCandidates]] and
+    * [[decontaminateNear]] — the two MUST derive byte-identical keys
+    * or single-table and two-table band buckets stop colliding (and
+    * the oracles silently diverge). */
+  private def bandKeys(sigs: DataFrame, inId: String, outId: String,
+                       bands: Int, rowsPerBand: Int): DataFrame =
+    sigs
+      .select(col(inId).as(outId), col("sig"),
+        explode(typedlit((0 until bands).toList)).as("band"))
+      .select(col(outId), col("band"),
+        concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand)).cast("array<string>")).as("key"))
 
   /** Per-doc distinct shingle-hash sets: (sid, shs array<long>). The
     * shared input of candidate generation AND verification — compute it
@@ -374,18 +382,12 @@ object Dedup {
                         bands: Int = 4, shingleN: Int = 3,
                         minJaccard: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    def banded(sigs: DataFrame, inId: String, outId: String) = sigs
-      .select(col(inId).as(outId), col("sig"),
-        explode(typedlit((0 until bands).toList)).as("band"))
-      .select(col(outId), col("band"),
-        concat_ws(",", slice(col("sig"), col("band") * rows + 1,
-          lit(rows)).cast("array<string>")).as("key"))
-    val cand = banded(
+    val cand = bandKeys(
         minhashSignatures(corpus, textCol, idCol, numHashes, shingleN),
-        idCol, "id_a")
-      .join(banded(
+        idCol, "id_a", bands, rows)
+      .join(bandKeys(
         minhashSignatures(benchmark, benchTextCol, benchIdCol, numHashes, shingleN),
-        benchIdCol, "id_b"), Seq("band", "key"))
+        benchIdCol, "id_b", bands, rows), Seq("band", "key"))
       .select("id_a", "id_b").distinct()
     val verified = cand
       .join(shingleSets(corpus, textCol, idCol, shingleN)
@@ -412,19 +414,35 @@ object Dedup {
     * run share at least one fp (the winnowing guarantee). Docs shorter
     * than one window contribute their whole-doc min; empty docs
     * contribute nothing. Distinct per doc. */
+  /** (id, _h) shingle-hash array projection. Words materialize in
+    * their OWN projection, then hashes in theirs: a winnowing lambda
+    * downstream references `_h` per window position, and an inlined
+    * expression there re-shingles the raw text per position — O(m²)
+    * per doc, measured 1000× on the bench. As attributes, each is
+    * computed once per row. Shared by [[winnowedFps]] and
+    * [[TextAnalysis.fingerprint]] — the two MUST hash identically or
+    * excerpt decontamination and document fingerprints diverge. */
+  private[operators] def shingleHashArrays(df: DataFrame, textCol: String,
+                                           idCol: String, n: Int): DataFrame =
+    df.select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol),
+        transform(shinglesFromWords(col("_w"), n), s => hash64(s)).as("_h"))
+
+  /** Winnowing window minima over a MATERIALIZED hash-array column:
+    * element i = min(h[i .. i+window-1]), for every window position. */
+  private[operators] def winnowMinima(h: Column, window: Int): Column =
+    transform(sequence(lit(1), size(h) - (window - 1)),
+      i => array_min(slice(h, i, lit(window))))
+
   private[operators] def winnowedFps(df: DataFrame, textCol: String,
                                      idCol: String, shingleN: Int,
                                      window: Int): DataFrame = {
-    val withH = df
-      .select(col(idCol), words(col(textCol)).as("_w"))
-      .select(col(idCol),
-        transform(shinglesFromWords(col("_w"), shingleN), s => hash64(s)).as("_h"))
+    val withH = shingleHashArrays(df, textCol, idCol, shingleN)
     val h = col("_h")
     val m = size(h)
     val wins = when(m === 0, array().cast("array<long>"))
       .when(m < window, array(array_min(h)))
-      .otherwise(array_distinct(transform(sequence(lit(1), m - (window - 1)),
-        i => array_min(slice(h, i, lit(window))))))
+      .otherwise(array_distinct(winnowMinima(h, window)))
     withH.select(col(idCol), explode(wins).as("fp"))
   }
 

@@ -96,24 +96,35 @@ object Search {
                    dim: Int = 16, poolK: Int = 20, fusionK: Int = 60): DataFrame = {
     val sp = df.sparkSession
     import sp.implicits._
-    // each arm is ≤ poolK rows but costs a corpus pass to produce;
-    // persist pins them so the fused top-k AND the rank attachment
-    // below reuse the materialized arm instead of re-running the
-    // corpus scoring / embedding chain (the plan is referenced twice)
-    val textRanks = bm25(df, textCol, idCol, terms, poolK)
-      .select(col(idCol), col("rank").as("rank_text"))
-      .persist()
+    // NULL text scores like '' in BOTH arms: bm25Scored coalesces
+    // internally, but the embedder explodes words(text) and would
+    // silently DROP null-text rows from the vector pool
+    val docs = df.select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+    // each arm costs a corpus pass and is referenced twice (fused
+    // top-k + rank attachment below), but is ≤ poolK rows — so
+    // MATERIALIZE it as a local relation (one collect of k rows, the
+    // AnnIvf.train pattern) instead of persist(): no cache entry to
+    // leak, and re-references are free
+    def materialize(arm: DataFrame, rankName: String): DataFrame = {
+      val rows = arm.select(col(idCol).cast("long"), col(rankName).cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      sp.createDataFrame(sp.sparkContext.parallelize(rows, 1))
+        .toDF(idCol, rankName)
+    }
+    val textRanks = materialize(
+      bm25(docs, textCol, idCol, terms, poolK)
+        .select(col(idCol), col("rank").as("rank_text")), "rank_text")
     // embed the one-row query with the SAME embedder/dim as the corpus
     val qdf = Seq((0L, queryText)).toDF(idCol, textCol)
     val qvec = Embed.embedDense(qdf, textCol, idCol, dim)
       .select(col("embedding")).head().getSeq[Double](0)
-    val vecRanks = Embed.embedDense(df, textCol, idCol, dim)
-      .select(col(idCol),
-        Knn.distCol(Knn.Cosine, col("embedding"), array(qvec.map(lit): _*)).as("_d"))
-      .agg(TopKAgg.topk(col("_d"), col(idCol).cast("long"), poolK).as("_top"))
-      .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
-      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank_vec"))
-      .persist()
+    val vecRanks = materialize(
+      Embed.embedDense(docs, textCol, idCol, dim)
+        .select(col(idCol),
+          Knn.distCol(Knn.Cosine, col("embedding"), array(qvec.map(lit): _*)).as("_d"))
+        .agg(TopKAgg.topk(col("_d"), col(idCol).cast("long"), poolK).as("_top"))
+        .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
+        .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank_vec")), "rank_vec")
     val fused = textRanks.join(vecRanks, Seq(idCol), "full_outer")
       .withColumn("rrf_score",
         coalesce(lit(1.0) / (lit(fusionK) + col("rank_text")), lit(0.0)) +

@@ -152,20 +152,14 @@ object TextAnalysis {
     * the distinct-fingerprint count. */
   def fingerprint(df: DataFrame, textCol: String, idCol: String,
                   shingleN: Int = 3, window: Int = 8): DataFrame = {
-    // materialize words, then hashes, in their OWN projections: the
-    // winnowing lambda below references `_h` per window position, and
-    // an inlined expression there re-shingles the raw text per
-    // position — O(m^2) per doc, measured 1000x on the bench. As
-    // attributes, each is computed once per row.
-    val withH = df
-      .select(col(idCol), Dedup.words(col(textCol)).as("_w"))
-      .select(col(idCol),
-        transform(Dedup.shinglesFromWords(col("_w"), shingleN),
-          s => Dedup.hash64(s)).as("_h"))
+    // hash arrays + window minima come from the SHARED builders in
+    // Dedup (which carry the materialize-words-first performance
+    // contract) so fingerprints and excerpt decontamination
+    // (Dedup.winnowedFps) can never drift apart
+    val withH = Dedup.shingleHashArrays(df, textCol, idCol, shingleN)
     val h = col("_h")
     val m = size(h)
-    val winnowed = transform(sequence(lit(1), m - (window - 1)),
-      i => array_min(slice(h, i, lit(window))))
+    val winnowed = Dedup.winnowMinima(h, window)
     withH.select(col(idCol),
       when(m === 0, lit(null).cast("long")).otherwise(array_min(h)).as("fp_min"),
       when(m === 0, lit(0L))
@@ -318,9 +312,13 @@ object TextAnalysis {
       .withColumn("_n", size(Dedup.words(coalesce(col(textCol), lit("")))).cast("bigint"))
     // integer division (div), never float division + floor: the
     // bucket id must be bit-exact in every engine
+    // the cells frame (langs × buckets rows, driver-tiny) is
+    // referenced twice — once for the output, once for the share
+    // denominator; persisting it pins the corpus scan to ONE pass
     val cells = scored.groupBy(col("lang_pred").as("lang"),
         least(expr(s"_n div $bucketWidth"), lit(maxBucket.toLong)).cast("int").as("len_bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("total_tokens"))
+      .persist()
     val total = cells.agg(sum(col("n_docs")).as("_total"))
     cells.crossJoin(total)
       .withColumn("share", col("n_docs").cast("double") / col("_total"))
