@@ -429,6 +429,18 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_ivf_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      val idx = ivfIndexPath(s, dir, centroids, variant = "seed8")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      AnnIvf.knnBatch(s.read.parquet(idx), "embedding", qs, 5,
+          centroids, nprobe = 2, Knn.Cosine, "vec_id")
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+          round(col("dist"), 5).as("dist"))
+    }),
+
     "ann_ivf_trained" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // Lloyd-trained centroids (2 iterations, amortized at index-
@@ -714,6 +726,40 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("lang_pred"), col("verdict"))
     }),
 
+    "vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+          col("source"), vocabSize = 500)
+        .select(col("source"), col("total_tokens"), col("oov_tokens"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+    }),
+
+    "corpus_drift" -> ((s, dir) => {
+      TextAnalysis.corpusDrift(Tables.documents(s, dir), "text",
+          col("source"), sideA = "src1", sideB = "src2", k = 40)
+        .select(col("word"), col("cnt_a"), col("cnt_b"),
+          round(col("rate_a"), 6).as("rate_a"),
+          round(col("rate_b"), 6).as("rate_b"),
+          round(col("drift"), 6).as("drift"))
+    }),
+
+    "sample_weighted" -> ((s, dir) => {
+      // keep probability ramps with document length: a 2000-char doc
+      // always survives, a 200-char doc survives 10% of the time
+      Sampling.weighted(Tables.documents(s, dir), "doc_id",
+          col("n_chars") / lit(2000.0))
+        .select(col("doc_id"), col("source"),
+          round(col("sample_rate"), 6).as("sample_rate"))
+    }),
+
+    "cluster_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      AnnIvf.clusterProfile(emb, "embedding", "vec_id", "label",
+          centroids, Knn.Cosine)
+        .select(col("cell"), col("n_vectors"), col("rep_id"),
+          col("top_label"), col("top_label_n"))
+    }),
+
     "q3_join" -> ((s, dir) => {
       val cutoff = lit("1998-06-01").cast("timestamp")
       val cust = Tables.customer(s, dir)
@@ -947,6 +993,30 @@ object SparkEntry {
          |      FROM bb JOIN q ON bb.bucket = q.qbucket),
          |r AS (SELECT qid, vec_id, d,
          |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
+         |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
+
+    "ann_ivf_batch" ->
+      // per-query probe = same (dist, cell) ranking as the ann_ivf
+      // oracle's probe CTE, partitioned by qid; candidates need no
+      // dedup — a corpus row lives in exactly one cell
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, v AS c FROM b WHERE vec_id < 8),
+         |adist AS (SELECT b.vec_id, b.v, cent.cell, ${angSql("b.v", "cent.c")} AS cd
+         |          FROM b, cent),
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM adist) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM b WHERE vec_id < 5),
+         |probe AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, cent.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${angSql("cent.c", "q.qvec")}, cent.cell) AS rn
+         |    FROM cent, q) WHERE rn <= 2),
+         |d AS (SELECT p.qid, a.vec_id, ${angSql("a.v", "q.qvec")} AS d
+         |      FROM assigned a JOIN probe p USING (cell) JOIN q ON q.qid = p.qid),
+         |r AS (SELECT qid, vec_id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |      FROM d)
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
 
     "ann_ivf" ->
@@ -1794,6 +1864,75 @@ object SparkEntry {
          |       ELSE 'kept' END AS verdict
          |FROM v""".stripMargin
     },
+
+    "vocab_coverage" ->
+      // (count, word) vocab cutoff is a total order — the same top-500
+      // set falls out of both engines; counts are integer sums
+      """WITH wg AS (SELECT source AS grp,
+        |        unnest(string_split(coalesce(text, ''), ' ')) AS word FROM documents),
+        |wgc AS (SELECT word, grp, count(*) AS n FROM wg WHERE word <> '' GROUP BY 1, 2),
+        |vocab AS (SELECT word FROM (
+        |    SELECT word, CAST(sum(n) AS BIGINT) AS total FROM wgc GROUP BY 1
+        |    ORDER BY total DESC, word ASC LIMIT 500)),
+        |totals AS (SELECT grp, CAST(sum(n) AS BIGINT) AS total_tokens FROM wgc GROUP BY 1),
+        |cov AS (SELECT grp, CAST(sum(n) AS BIGINT) AS in_vocab
+        |        FROM wgc JOIN vocab USING (word) GROUP BY 1)
+        |SELECT totals.grp AS source, total_tokens,
+        |  total_tokens - coalesce(in_vocab, 0) AS oov_tokens,
+        |  round(CAST(total_tokens - coalesce(in_vocab, 0) AS DOUBLE) / total_tokens, 6)
+        |    AS oov_rate
+        |FROM totals LEFT JOIN cov USING (grp)""".stripMargin,
+
+    "corpus_drift" ->
+      // rates divide integer counts by integer totals — identical IEEE
+      // doubles both engines, so the (drift, word) top-40 cutoff agrees
+      """WITH sided AS (SELECT CASE WHEN source = 'src1' THEN 'a' ELSE 'b' END AS side, text
+        |               FROM documents WHERE source IN ('src1', 'src2')),
+        |wc AS (SELECT side, unnest(string_split(coalesce(text, ''), ' ')) AS word FROM sided),
+        |c AS (SELECT word, side, count(*) AS n FROM wc WHERE word <> '' GROUP BY 1, 2),
+        |per AS (SELECT word,
+        |          CAST(sum(CASE WHEN side = 'a' THEN n ELSE 0 END) AS BIGINT) AS cnt_a,
+        |          CAST(sum(CASE WHEN side = 'b' THEN n ELSE 0 END) AS BIGINT) AS cnt_b
+        |        FROM c GROUP BY 1),
+        |ta AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c WHERE side = 'a'),
+        |tb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c WHERE side = 'b'),
+        |rated AS (SELECT word, cnt_a, cnt_b,
+        |            CAST(cnt_a AS DOUBLE) / ta.t AS rate_a,
+        |            CAST(cnt_b AS DOUBLE) / tb.t AS rate_b
+        |          FROM per, ta, tb)
+        |SELECT word, cnt_a, cnt_b, round(rate_a, 6) AS rate_a,
+        |  round(rate_b, 6) AS rate_b, round(abs(rate_a - rate_b), 6) AS drift
+        |FROM rated ORDER BY abs(rate_a - rate_b) DESC, word ASC LIMIT 40""".stripMargin,
+
+    "sample_weighted" ->
+      // same md5-Bernoulli rule as sample_stratified, rate from the
+      // same n_chars/2000 clamp arithmetic
+      """WITH rated AS (SELECT doc_id, source,
+        |    least(greatest(CAST(n_chars AS DOUBLE) / 2000.0, 0.0), 1.0) AS sample_rate
+        |  FROM documents)
+        |SELECT doc_id, source, round(sample_rate, 6) AS sample_rate FROM rated
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |      < sample_rate * 1000000""".stripMargin,
+
+    "cluster_kmeans" ->
+      // same assigned CTE as the ann_ivf oracle; majority label picks
+      // (n DESC, label ASC) — the total order the Spark struct-max uses
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, v AS c FROM b WHERE vec_id < 8),
+         |adist AS (SELECT b.vec_id, b.label, cent.cell, ${angSql("b.v", "cent.c")} AS cd
+         |          FROM b, cent),
+         |assigned AS (SELECT vec_id, label, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM adist) WHERE rn = 1),
+         |cl AS (SELECT cell, label, count(*) AS n, min(vec_id) AS rep
+         |       FROM assigned GROUP BY 1, 2),
+         |tot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_vectors, min(rep) AS rep_id
+         |        FROM cl GROUP BY 1),
+         |top AS (SELECT cell, label AS top_label, n AS top_label_n FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rn
+         |    FROM cl) WHERE rn = 1)
+         |SELECT cell, n_vectors, rep_id, top_label, top_label_n
+         |FROM tot JOIN top USING (cell)""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, round(rev, 2) AS revenue FROM (

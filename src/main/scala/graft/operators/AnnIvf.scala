@@ -84,6 +84,92 @@ object AnnIvf {
       .toDF("cell", "centroid")
   }
 
+  /** Batch IVF probe: every query vector probes its own nprobe
+    * nearest cells in ONE pass over the indexed corpus (the IVF twin
+    * of [[AnnLsh.knnForestBatch]] — per-query [[knn]] calls would
+    * re-scan the index once per query).
+    *
+    * Cell ranking happens inside an expression on the query frame —
+    * the same centroid-unroll trick [[assign]] uses (array of
+    * (dist, cell) structs, sorted, sliced to nprobe), so ranking
+    * never shuffles and ties break (dist, cell) exactly like
+    * [[rankCells]]. The exploded (qid, cell) probe frame is
+    * query-sized; it BROADCASTS onto the cell-partitioned index, and
+    * because a corpus row lives in exactly one cell, (qid, id)
+    * candidates are already distinct — no dedup barrier (the forest
+    * batch needs one; IVF's partition property is the win here). The
+    * driver-computed union of probed cells prunes index partitions
+    * statically; per-query top-k is a bounded [[graft.functions.
+    * TopKAgg]], so the one shuffle moves O(partitions × queries × k)
+    * rows. `indexed` is [[assign]] output or a [[writeIndexed]]
+    * read; `queries` is (qid, qvec), driver-sized, any qid type. */
+  def knnBatch(indexed: DataFrame, vecCol: String, queries: DataFrame, k: Int,
+               centroids: DataFrame, nprobe: Int, metric: Knn.Metric,
+               idCol: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "knnBatch needs at least one centroid")
+    require(nprobe > 0 && nprobe <= cents.length,
+      s"nprobe must be in [1, ${cents.length}], got $nprobe")
+    val ranked = array_sort(array(cents.map { case (cell, cv) =>
+      struct(Knn.distCol(metric, col("qvec"), typedlit(cv)).as("d"),
+        lit(cell).as("c"))
+    }: _*))
+    val probed = queries
+      .select(col("qid"), col("qvec"),
+        explode(transform(slice(ranked, 1, nprobe), s => s.getField("c")))
+          .as("cell"))
+    // static partition pruning: the probed-cell union is ≤ queries ×
+    // nprobe values, collected from the driver-sized query frame
+    val cellUnion = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val scored = indexed.select(col("cell"), col(idCol), col(vecCol))
+      .filter(col("cell").isin(cellUnion: _*))
+      .join(broadcast(probed), Seq("cell"))
+      .select(col("qid"),
+        Knn.distCol(metric, col(vecCol), col("qvec")).as("dist"), col(idCol))
+    scored.groupBy(col("qid"))
+      .agg(TopKAgg.topk(col("dist"), col(idCol), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol),
+        (col("_pos") + 1).as("rank"), col("_t.dist").as("dist"))
+  }
+
+  /** Per-cluster profile of an embedding space: assign every vector
+    * to its nearest centroid (the zero-shuffle [[assign]] unroll) and
+    * roll each cell up to its population, representative (min id —
+    * the stable exemplar a UI links to), and majority `labelCol`
+    * value (ties to the smallest label). This is the "what is in this
+    * embedding space" dashboard a curation run reads before trusting
+    * semantic dedup or ANN recall numbers on a new corpus — a cell
+    * whose majority label owns most of the cell means the space
+    * separates; all-cells-uniform means the embeddings are noise.
+    *
+    * Scale shape: assignment rides the scan (no join — centroids are
+    * unrolled into one argmin expression), then ONE keyed agg to
+    * nlist × label cells and a label-majority roll-up over that
+    * driver-tiny frame. All outputs are integers (counts, min ids,
+    * label picks) — bit-reproducible in any engine. */
+  def clusterProfile(df: DataFrame, vecCol: String, idCol: String,
+                     labelCol: String, centroids: DataFrame,
+                     metric: Knn.Metric): DataFrame = {
+    val cellLabel = assign(df, vecCol, idCol, centroids, metric)
+      .groupBy(col("cell"), col(labelCol).as("_lbl"))
+      .agg(count(lit(1)).as("_n"), min(col(idCol)).as("_rep"))
+    // nlist × labels rows: majority label via one more keyed agg —
+    // max (count, -label) struct picks most-common, ties to smallest
+    cellLabel.groupBy(col("cell"))
+      .agg(sum(col("_n")).as("n_vectors"), min(col("_rep")).as("rep_id"),
+        max(struct(col("_n").as("n"), (-col("_lbl")).cast("long").as("nl")))
+          .as("_top"))
+      .select(col("cell"), col("n_vectors"), col("rep_id"),
+        (-col("_top.nl")).cast("int").as("top_label"),
+        col("_top.n").as("top_label_n"))
+  }
+
   /** Driver-side distance — same sequential double fold as the
     * codegen'd [[graft.functions.Vectors]] columns, used only on the
     * tiny (nlist x dim) centroid table to rank cells without a Spark

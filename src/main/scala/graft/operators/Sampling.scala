@@ -27,6 +27,27 @@ object Sampling {
     df.filter(h < rateCol * M)
   }
 
+  /** Quality-weighted deterministic sample: per-row keep probability
+    * from an arbitrary rate expression (a quality score, a length
+    * ramp, a source prior — any deterministic Column in [0, 1]),
+    * decided by the same md5-Bernoulli rule as [[stratified]]. This
+    * is importance sampling for corpus curation: instead of a hard
+    * quality cutoff, high-quality docs survive at high rates and the
+    * tail is thinned, not guillotined. Rates clamp to [0, 1]; NULL
+    * rates drop the row (an unscorable doc is not silently kept).
+    *
+    * Pure map-side — no shuffle, no RNG state; a doc's fate depends
+    * only on (id, its own rate), so the sample is reproducible
+    * across runs, engines, and partitionings. The emitted
+    * `sample_rate` column makes downstream reweighting (1/rate
+    * importance weights) possible. */
+  def weighted(df: DataFrame, idCol: String, rateCol: Column): DataFrame = {
+    val rate = least(greatest(rateCol.cast("double"), lit(0.0)), lit(1.0))
+    val h = Dedup.hash64(col(idCol).cast("string")) % M
+    df.withColumn("sample_rate", rate)
+      .filter(h < col("sample_rate") * M)
+  }
+
   /** Domain-mixing rates: per-stratum sampling rates that hit
     * `weights` (target fraction of the sampled corpus per stratum) at
     * a total budget of `budgetDocs`. One groupBy-count job over the

@@ -346,4 +346,87 @@ object TextAnalysis {
         .when(col("stop_ratio") < minStop, "low_stopword")
         .otherwise("kept"))
   }
+
+  /** Tokenizer-vocabulary build + coverage report: the top-`vocabSize`
+    * words across the corpus (by total count, ties by word) and, per
+    * `groupCol` slice, how much of that slice the vocabulary covers —
+    * total tokens, out-of-vocabulary tokens, and the OOV rate. This is
+    * the go/no-go report a tokenizer-training step produces before a
+    * vocab is frozen: a source with a high OOV rate is about to be
+    * tokenized into byte-fallback soup.
+    *
+    * Scale shape: ONE keyed agg over (word, group) carries all the
+    * information — the vocabulary (a groupBy(word) roll-up of that
+    * frame, top-k via TakeOrdered on a vocab-sized frame), the
+    * per-group totals, and the covered mass (broadcast-sized join
+    * of the roll-up against the vocab) all derive from it, so the
+    * corpus is scanned ONCE and everything downstream is
+    * word-cardinality-sized. Counts are integer sums; the
+    * (count, word) vocabulary cutoff is a total order — the same
+    * vocab set falls out of every engine. */
+  def vocabCoverage(df: DataFrame, textCol: String, groupCol: Column,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    // (word, group) counts: the one corpus-scan agg everything reuses;
+    // word-cardinality-sized, so persisting it is executor-cheap and
+    // pins the scan to one pass
+    val wg = df.select(groupCol.as("grp"),
+        explode(Dedup.words(coalesce(col(textCol), lit("")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("grp")).agg(count(lit(1)).as("n"))
+      .persist()
+    val vocab = wg.groupBy(col("word")).agg(sum(col("n")).as("total"))
+      .orderBy(col("total").desc, col("word").asc).limit(vocabSize)
+      .select(col("word"))
+    val totals = wg.groupBy(col("grp")).agg(sum(col("n")).as("total_tokens"))
+    val covered = wg.join(broadcast(vocab), Seq("word"))
+      .groupBy(col("grp")).agg(sum(col("n")).as("in_vocab"))
+    totals.join(covered, Seq("grp"), "left")
+      .select(col("grp").as("source"), col("total_tokens"),
+        (col("total_tokens") - coalesce(col("in_vocab"), lit(0L))).as("oov_tokens"),
+        ((col("total_tokens") - coalesce(col("in_vocab"), lit(0L))).cast("double")
+          / col("total_tokens")).as("oov_rate"))
+  }
+
+  /** Distribution drift between two corpus slices — the "did the new
+    * crawl change under us" check run before mixing a fresh snapshot
+    * into training data. Unigram relative frequencies in slice
+    * `sideA` vs slice `sideB` of `groupCol`; the top-`k` words by
+    * absolute rate difference, with both counts and rates. A stable
+    * corpus drifts ~0 everywhere; a topic/spam shift surfaces as a
+    * handful of words owning the mass change.
+    *
+    * Scale shape: one keyed agg over (word, side) — grams never leave
+    * their keyed partitions un-aggregated; per-side totals are a
+    * 2-row roll-up of that frame (broadcast); the final top-k is a
+    * TakeOrdered over word-cardinality rows. Rates divide integer
+    * counts by integer totals in one fixed expression, so the drift
+    * values (and the (drift, word) cutoff order) reproduce exactly
+    * in any engine. */
+  def corpusDrift(df: DataFrame, textCol: String, groupCol: Column,
+                  sideA: String, sideB: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(sideA != sideB, "drift needs two distinct sides")
+    val sided = df.withColumn("_side",
+        when(groupCol === sideA, "a").when(groupCol === sideB, "b"))
+      .filter(col("_side").isNotNull)
+    val wc = sided.select(col("_side"),
+        explode(Dedup.words(coalesce(col(textCol), lit("")))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"), col("_side")).agg(count(lit(1)).as("n"))
+      .persist()
+    val totals = wc.groupBy(col("_side")).agg(sum(col("n")).as("tot"))
+    val perWord = wc.groupBy(col("word")).agg(
+      sum(when(col("_side") === "a", col("n")).otherwise(0L)).as("cnt_a"),
+      sum(when(col("_side") === "b", col("n")).otherwise(0L)).as("cnt_b"))
+    val totA = totals.filter(col("_side") === "a").select(col("tot").as("_ta"))
+    val totB = totals.filter(col("_side") === "b").select(col("tot").as("_tb"))
+    perWord.crossJoin(broadcast(totA)).crossJoin(broadcast(totB))
+      .withColumn("rate_a", col("cnt_a").cast("double") / col("_ta"))
+      .withColumn("rate_b", col("cnt_b").cast("double") / col("_tb"))
+      .withColumn("drift", abs(col("rate_a") - col("rate_b")))
+      .orderBy(col("drift").desc, col("word").asc).limit(k)
+      .select(col("word"), col("cnt_a"), col("cnt_b"),
+        col("rate_a"), col("rate_b"), col("drift"))
+  }
 }

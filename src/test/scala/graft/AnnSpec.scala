@@ -400,4 +400,29 @@ class AnnSpec extends SparkSpec {
       .select("dist").as[Double].collect().toSeq
     assert(res.size == 10 && res == res.sorted)
   }
+
+  test("clusterProfile partitions the corpus; majority label matches a direct count") {
+    val cent = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+    val prof = AnnIvf.clusterProfile(emb, "embedding", "vec_id", "label",
+        cent, Knn.Cosine)
+      .as[(Long, Long, Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    // every vector lands in exactly one cell
+    assert(prof.values.map(_._2).sum == emb.count())
+    // cross-check one cell against a direct assignment group-count
+    val direct = AnnIvf.assign(emb, "embedding", "vec_id", cent, Knn.Cosine)
+      .groupBy(col("cell"), col("label")).count()
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (cell, rows) =>
+        cell -> rows.maxBy(r => (r._3, -r._2))
+      }
+    direct.foreach { case (cell, (_, lbl, n)) =>
+      assert(prof(cell)._4 == lbl && prof(cell)._5 == n,
+        s"cell $cell: got ${prof(cell)}, want label $lbl n $n")
+    }
+    // representative is the min member id
+    val repDirect = AnnIvf.assign(emb, "embedding", "vec_id", cent, Knn.Cosine)
+      .groupBy(col("cell")).agg(min(col("vec_id")).as("rep"))
+      .as[(Long, Long)].collect().toMap
+    repDirect.foreach { case (cell, rep) => assert(prof(cell)._3 == rep) }
+  }
 }

@@ -29,6 +29,28 @@ class SamplingSpec extends SparkSpec {
     assert(kept == expected)
   }
 
+  test("weighted sampling: rate clamps, NULL drops, membership matches the hash rule") {
+    val rated = corpus.withColumn("q",
+      when(col("doc_id") < 100, lit(null).cast("double")) // unscorable docs
+        .when(col("doc_id") < 200, -0.5)                  // clamps to 0 -> dropped
+        .when(col("doc_id") < 300, 2.0)                   // clamps to 1 -> always kept
+        .otherwise(col("doc_id") / 1000.0))
+    val s = Sampling.weighted(rated, "doc_id", col("q"))
+    val kept = s.select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ >= 200), "NULL and negative rates must drop")
+    assert((200L until 300L).forall(kept), "rate 1.0 keeps everything")
+    // ramp region follows the exact md5-Bernoulli rule
+    val expected = (300L until 1000L).filter(i =>
+      graft.operators.AnnLsh.hash64Local(i.toString) % 1000000L < (i / 1000.0) * 1000000L).toSet
+    assert(kept.filter(_ >= 300) == expected)
+    // emitted rate is the clamped value (reweighting contract)
+    val r250 = s.filter(col("doc_id") === 250).select("sample_rate").as[Double].head()
+    assert(r250 == 1.0)
+    // determinism across runs
+    assert(Sampling.weighted(rated, "doc_id", col("q"))
+      .select("doc_id").as[Long].collect().toSet == kept)
+  }
+
   test("mixRates caps at 1.0 and hits the doc budget when available") {
     val rates = Sampling.mixRates(corpus, col("source"),
       Map("src0" -> 0.8, "src1" -> 0.2), budgetDocs = 200)

@@ -217,4 +217,46 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Int, Long, Long, Double)].head()
     assert(cell._2 == 2 && cell._4 == 45L) // 45 div 20 = 2
   }
+
+  test("vocabCoverage: cutoff picks globally-common words, OOV counted per source") {
+    // "aa" appears 4x (both sources), "bb" 3x, "cc" 2x, rare words once
+    val corpus = Seq(
+      (1L, "s1", "aa aa bb cc rare1"),
+      (2L, "s1", "aa bb cc"),
+      (3L, "s2", "aa bb rare2 rare3"),
+      (4L, "s2", null.asInstanceOf[String]) // NULL text: zero tokens, no crash
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.vocabCoverage(corpus, "text", col("source"), vocabSize = 3)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // vocab = {aa, bb, cc} (counts 4, 3, 2); rare1-3 are OOV
+    assert(got("s1") == ((8L, 1L, 0.125)))
+    assert(got("s2") == ((4L, 2L, 0.5)))
+  }
+
+  test("vocabCoverage vocab tie-break is (count desc, word asc)") {
+    val corpus = Seq((1L, "x", "bb aa bb aa cc")).toDF("doc_id", "source", "text")
+    // aa and bb tie at 2; vocabSize 1 must pick aa
+    val got = TextAnalysis.vocabCoverage(corpus, "text", col("source"), vocabSize = 1)
+      .as[(String, Long, Long, Double)].head()
+    assert(got == (("x", 5L, 3L, 0.6)))
+  }
+
+  test("corpusDrift surfaces the words whose mass moved between slices") {
+    val corpus = Seq(
+      (1L, "old", "the cat sat on the mat"),
+      (2L, "old", "the dog sat"),
+      (3L, "new", "the spam spam spam offer"),
+      (4L, "other", "ignored entirely")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.corpusDrift(corpus, "text", col("source"), "old", "new", k = 3)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    // spam: 0/9 vs 3/5 -> drift 0.6, the top mover
+    assert(got.head._1 == "spam" && got.head._2 == 0L && got.head._3 == 3L)
+    assert(math.abs(got.head._6 - 0.6) < 1e-9)
+    // rows outside the two sides never contribute
+    assert(!got.map(_._1).contains("ignored"))
+    // drift ordering is descending
+    assert(got.map(_._6).toSeq == got.map(_._6).sortBy(-_).toSeq)
+  }
 }
