@@ -239,6 +239,33 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // delta = a synthetic "new crawl": exact corpus copies (%4),
+      // tail-truncated corpus copies (%6), and word-REVERSED docs
+      // (%5, twice — full + truncated) whose 3-shingles are disjoint
+      // from the corpus but overlap each other, so all three verdicts
+      // (dup_corpus / dup_delta / kept) are exercised
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val withW = docs.select(col("doc_id"), col("text"),
+        split(col("text"), " ").as("_w"))
+      val delta = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        .unionByName(withW.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            array_join(slice(col("_w"), lit(1),
+              greatest(size(col("_w")) - 5, lit(1))), " ").as("text")))
+        .unionByName(withW.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 700000).as("doc_id"),
+            array_join(reverse(col("_w")), " ").as("text")))
+        .unionByName(withW.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 800000).as("doc_id"),
+            array_join(slice(reverse(col("_w")), lit(1),
+              greatest(size(col("_w")) - 3, lit(1))), " ").as("text")))
+      Dedup.incrementalNearDup(docs, delta, "text", "doc_id")
+        .select(col("doc_id"), col("verdict"), col("canonical_id"),
+          round(col("jaccard"), 5).as("jaccard"))
+    }),
+
     "tfidf_terms" -> ((s, dir) => {
       TextAnalysis.tfidf(Tables.documents(s, dir), "text", "doc_id", 3)
         .select(col("doc_id"), col("term"), round(col("score"), 5).as("score"),
@@ -824,6 +851,32 @@ object SparkEntry {
     s"""$corpusSql,
        |${minhashPairChain("corpus")}""".stripMargin
 
+  /** Prefixed MinHash band-key + hash-set CTEs over a source CTE
+    * `src(doc_id, text)` — emits `{p}band` (doc_id, band, key) and
+    * `{p}hs` (doc_id, hs). Same signature arithmetic as
+    * [[minhashPairChain]] (and Dedup.minhashSignatures) so two
+    * instantiations collide exactly like the Spark band keys do; the
+    * dedup_incremental oracle needs one instance per side. */
+  private def mhBandChain(src: String, p: String): String = {
+    val (as, bs) = Dedup.minhashConsts(16)
+    val aLit = as.mkString("[", ", ", "]")
+    val bLit = bs.mkString("[", ", ", "]")
+    s"""${p}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${p}shl AS (SELECT doc_id, list_distinct(list_transform(
+       |          range(1, greatest(len(w)-1, 1)),
+       |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM ${p}w),
+       |${p}sig AS (SELECT doc_id, list_transform(range(16), j ->
+       |          list_min(list_transform(
+       |            list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647),
+       |            h -> ($aLit[j+1] * h + $bLit[j+1]) % 2147483647))) AS sig
+       |        FROM ${p}shl WHERE len(shs) > 0),
+       |${p}band AS (SELECT doc_id, b.b AS band,
+       |              array_to_string(sig[(4*b.b+1):(4*b.b+4)], ',') AS key
+       |            FROM ${p}sig, range(4) b(b)),
+       |${p}hs AS (SELECT doc_id, list_distinct(list_transform(shs,
+       |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM ${p}shl)""".stripMargin
+  }
+
   /** Shared DuckDB fragments for the stopword-profile language
     * scoring — the lang_id and filter_funnel oracles must stay
     * byte-identical on this logic or they silently diverge. */
@@ -1141,6 +1194,64 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH $minhashPairsCtes
          |SELECT id_a, id_b, round(jaccard, 5) AS jaccard FROM mh_pairs""".stripMargin,
+
+    "dedup_incremental" ->
+      // same delta construction as the Spark side; corpus matches take
+      // precedence (smallest cid via row_number), then a recursive
+      // closure over verified pairs among the corpus-UNMATCHED delta
+      s"""WITH RECURSIVE delta AS (
+         |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 600000, array_to_string(w[1:greatest(len(w)-5, 1)], ' ')
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 700000, array_to_string(list_reverse(w), ' ')
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 800000, array_to_string(list_reverse(w)[1:greatest(len(w)-3, 1)], ' ')
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE doc_id % 5 = 0),
+         |${mhBandChain("documents", "c")},
+         |${mhBandChain("delta", "d")},
+         |xc AS (SELECT DISTINCT d.doc_id AS did, c.doc_id AS cid
+         |       FROM dband d JOIN cband c USING (band, key)),
+         |xv AS (SELECT did, cid, i * 1.0 / (na + nb - i) AS j FROM (
+         |         SELECT x.did, x.cid, len(list_intersect(a.hs, b.hs)) AS i,
+         |                len(a.hs) AS na, len(b.hs) AS nb
+         |         FROM xc x JOIN chs a ON a.doc_id = x.cid
+         |                   JOIN dhs b ON b.doc_id = x.did)
+         |       WHERE i * 1.0 / (na + nb - i) >= 0.5),
+         |best AS (SELECT did, cid, j FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY did ORDER BY cid) AS rn
+         |           FROM xv) WHERE rn = 1),
+         |dd AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |       FROM dband a JOIN dband b USING (band, key)
+         |       WHERE a.doc_id < b.doc_id
+         |         AND a.doc_id NOT IN (SELECT did FROM best)
+         |         AND b.doc_id NOT IN (SELECT did FROM best)),
+         |ddv AS (SELECT id_a, id_b FROM (
+         |          SELECT p.id_a, p.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+         |                 len(a.hs) AS na, len(b.hs) AS nb
+         |          FROM dd p JOIN dhs a ON a.doc_id = p.id_a
+         |                    JOIN dhs b ON b.doc_id = p.id_b)
+         |        WHERE i * 1.0 / (na + nb - i) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM ddv
+         |          UNION ALL SELECT id_b, id_a FROM ddv),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  CASE WHEN best.cid IS NOT NULL THEN 'dup_corpus'
+         |       WHEN lab.lbl IS NOT NULL AND lab.lbl <> d.doc_id THEN 'dup_delta'
+         |       ELSE 'kept' END AS verdict,
+         |  coalesce(best.cid, lab.lbl, d.doc_id) AS canonical_id,
+         |  round(best.j, 5) AS jaccard
+         |FROM delta d LEFT JOIN best ON best.did = d.doc_id
+         |             LEFT JOIN lab ON lab.id = d.doc_id""".stripMargin,
 
     "tfidf_terms" ->
       """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

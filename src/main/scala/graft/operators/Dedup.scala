@@ -196,6 +196,150 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---------- incremental (delta-vs-corpus) ----------
+
+  /** Persist a MinHash probe index for [[incrementalNearDupIndexed]]:
+    * `path/bands` holds one (band, key, idCol) row per band per doc
+    * and `path/sets` the distinct shingle-hash arrays (sid, shs). The
+    * two files are everything a future delta probe needs — band keys
+    * for candidate generation, hash sets for exact-Jaccard
+    * verification — so the corpus TEXT is never read again. At 100 TB
+    * that is the difference between an incremental ingest that
+    * re-shingles the whole corpus per batch and one that reads a few
+    * longs per stored doc. Keys derive from the same
+    * [[minhashConsts]]/[[bandKeys]] machinery as [[minhashPairs]], so
+    * an index written once keeps colliding with any future delta. */
+  def writeMinhashIndex(df: DataFrame, textCol: String, idCol: String,
+                        path: String, numHashes: Int = 16, bands: Int = 4,
+                        shingleN: Int = 3): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val (as, bs) = minhashConsts(numHashes)
+    val sets = shingleSets(df, textCol, idCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sets.write.mode("overwrite").parquet(s"$path/sets")
+      val sigs = sets.filter(size(col("shs")) > 0)
+        .select(col("sid").as(idCol),
+          graft.functions.SketchExprs.minhashSig(
+            transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+      bandKeys(sigs, idCol, idCol, bands, numHashes / bands)
+        .write.mode("overwrite").parquet(s"$path/bands")
+    } finally sets.unpersist(blocking = false)
+  }
+
+  /** Incremental near-dedup: a new `delta` batch against an existing
+    * `corpus`, without ever pairing the corpus with itself — the
+    * operation a continuously-ingesting pipeline actually runs
+    * (re-deduping 100 TB per nightly crawl is not an option; deduping
+    * the crawl against it is).
+    *
+    * Verdict per delta doc:
+    *  - `dup_corpus`: a verified corpus near-dup exists (Jaccard ≥
+    *    `threshold`); `canonical_id` = smallest matching corpus id and
+    *    `jaccard` its similarity.
+    *  - `dup_delta`: no corpus match, but a verified near-dup of
+    *    another unmatched delta doc whose component label (min id over
+    *    the transitive closure) is not itself.
+    *  - `kept`: everything else — novel docs, and each delta
+    *    component's min-id keeper. `canonical_id` = the doc itself.
+    *
+    * Corpus matches take precedence; the delta-delta closure runs only
+    * over docs with no corpus match, so a chain novel→novel→corpus-dup
+    * does NOT drag earlier novel docs out of the kept set.
+    *
+    * Scale shape: the delta is the small side by construction, so its
+    * band keys and shingle sets BROADCAST; the corpus contributes one
+    * scan for band keys + sets (or zero scans via
+    * [[incrementalNearDupIndexed]]) and is never self-joined. Only
+    * candidate corpus docs' hash sets flow into verification, and the
+    * delta-delta closure is delta-sized. Same md5 machinery as
+    * [[minhashPairs]] — reproducible across runs, engines, and
+    * partitionings. */
+  def incrementalNearDup(corpus: DataFrame, delta: DataFrame, textCol: String,
+                         idCol: String, numHashes: Int = 16, bands: Int = 4,
+                         shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val (as, bs) = minhashConsts(numHashes)
+    val corpusSets = shingleSets(corpus, textCol, idCol, shingleN)
+    val corpusSigs = corpusSets.filter(size(col("shs")) > 0)
+      .select(col("sid").as("cid"),
+        graft.functions.SketchExprs.minhashSig(
+          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+    incrementalCore(bandKeys(corpusSigs, "cid", "cid", bands, numHashes / bands),
+      corpusSets, delta, textCol, idCol, numHashes, bands, shingleN, threshold)
+  }
+
+  /** [[incrementalNearDup]] against a [[writeMinhashIndex]] table: the
+    * corpus text is read ZERO times — candidates come from the stored
+    * band keys, verification from the stored hash sets. */
+  def incrementalNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
+                                indexPath: String, delta: DataFrame,
+                                textCol: String, idCol: String,
+                                numHashes: Int = 16, bands: Int = 4,
+                                shingleN: Int = 3,
+                                threshold: Double = 0.5): DataFrame =
+    incrementalCore(
+      spark.read.parquet(s"$indexPath/bands").withColumnRenamed(idCol, "cid"),
+      spark.read.parquet(s"$indexPath/sets"),
+      delta, textCol, idCol, numHashes, bands, shingleN, threshold)
+
+  /** Shared core over a corpus band frame (cid, band, key) + set frame
+    * (sid, shs), however obtained. */
+  private def incrementalCore(corpusBands: DataFrame, corpusSets: DataFrame,
+                              delta: DataFrame, textCol: String, idCol: String,
+                              numHashes: Int, bands: Int, shingleN: Int,
+                              threshold: Double): DataFrame = {
+    val (as, bs) = minhashConsts(numHashes)
+    val deltaSets = shingleSets(delta, textCol, idCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deltaSigs = deltaSets.filter(size(col("shs")) > 0)
+      .select(col("sid").as("did"),
+        graft.functions.SketchExprs.minhashSig(
+          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+    val deltaBands = bandKeys(deltaSigs, "did", "did", bands, numHashes / bands)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // corpus × delta candidates: the corpus frame is the big side,
+    // the delta band keys broadcast onto it
+    val xcand = corpusBands
+      .join(broadcast(deltaBands), Seq("band", "key"))
+      .select(col("did"), col("cid")).distinct()
+    // verify — only CANDIDATE corpus docs' hash sets are touched; the
+    // size-ratio prefilter skips intersections the bound rules out
+    val xver = xcand
+      .join(corpusSets.select(col("sid").as("cid"), col("shs").as("sa")), "cid")
+      .join(broadcast(deltaSets.select(col("sid").as("did"), col("shs").as("sb"))), "did")
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double") /
+        greatest(size(col("sa")), size(col("sb"))) >= threshold)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    // smallest matching corpus id wins (struct-min = ORDER BY cid)
+    val best = xver.groupBy(col("did"))
+      .agg(min(struct(col("cid"), col("jaccard"))).as("m"))
+      .select(col("did"), col("m.cid").as("cid"), col("m.jaccard").as("cjac"))
+    // delta-delta closure among corpus-unmatched docs only
+    val unmatched = deltaBands.join(best.select("did"), Seq("did"), "left_anti")
+    val dcand = unmatched.select(col("band"), col("key"), col("did").as("id_a"))
+      .join(unmatched.select(col("band"), col("key"), col("did").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val dver = verifyJaccardSets(deltaSets, dcand, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+    val lab = connectedComponents(dver.select("id_a", "id_b"))
+      .withColumnRenamed("doc_id", idCol).withColumnRenamed("cluster_id", "_lbl")
+    delta.select(col(idCol))
+      .join(best.withColumnRenamed("did", idCol), Seq(idCol), "left")
+      .join(lab, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("cid").isNotNull, lit("dup_corpus"))
+          .when(col("_lbl").isNotNull && col("_lbl") =!= col(idCol), lit("dup_delta"))
+          .otherwise(lit("kept")).as("verdict"),
+        coalesce(col("cid"), col("_lbl"), col(idCol)).as("canonical_id"),
+        col("cjac").as("jaccard"))
+  }
+
   // ---------- SimHash ----------
 
   /** 60-bit SimHash over tokens (with multiplicity): bit i is set when

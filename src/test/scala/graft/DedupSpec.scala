@@ -170,6 +170,53 @@ class DedupSpec extends SparkSpec {
     assert(cosines.forall(_ >= 0.99))
   }
 
+  test("incrementalNearDup: corpus match wins, delta closure labels the rest") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "completely different words appear in this one here today now"),
+      (3L, "short text")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight again"), // = corpus 1
+      (102L, "the quick brown fox jumps over the lazy dog tonight"),       // near-dup of 1
+      (103L, "violets are red roses are blue and this text is novel prose"),
+      (104L, "violets are red roses are blue and this text is novel"),     // near-dup of 103
+      (105L, "nothing here resembles anything else at all in any way")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(corpus, delta, "text", "doc_id")
+      .select("doc_id", "verdict", "canonical_id")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(101L) == (("dup_corpus", 1L)))
+    assert(got(102L) == (("dup_corpus", 1L)))
+    assert(got(103L) == (("kept", 103L)))      // component keeper = min id
+    assert(got(104L) == (("dup_delta", 103L)))
+    assert(got(105L) == (("kept", 105L)))
+    // emitted jaccard: exact copy of corpus doc -> 1.0; non-matches NULL
+    val jac = Dedup.incrementalNearDup(corpus, delta, "text", "doc_id")
+      .select("doc_id", "jaccard").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(jac(101L).contains(1.0) && jac(103L).isEmpty && jac(104L).isEmpty)
+  }
+
+  test("incrementalNearDupIndexed matches the in-memory path, corpus text unread") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "completely different words appear in this one here today now")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight"),
+      (102L, "violets are red roses are blue and this text is novel prose")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toFile.getAbsolutePath
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", s"$dir/idx")
+    val mem = Dedup.incrementalNearDup(corpus, delta, "text", "doc_id")
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    val idx = Dedup.incrementalNearDupIndexed(spark, s"$dir/idx", delta, "text", "doc_id")
+      .as[(Long, String, Long, Option[Double])].collect().toSet
+    assert(mem == idx)
+    assert(mem.map(_._1) == Set(101L, 102L))
+  }
+
   test("connectedComponents reliable-checkpoint mode matches local mode") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id_a", "id_b")
