@@ -434,6 +434,21 @@ object SparkEntry {
           round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_recall_eval" -> ((s, dir) => {
+      // the deploy-gate report: recall@10 of the production forest
+      // config against exact ground truth, per query — both arms are
+      // batch operators, the evaluator just joins their k-row outputs
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Knn.knnBatch(emb, "embedding", qs, 10, Knn.Cosine, "vec_id")
+      val approx = AnnLsh.knnForestBatch(emb, "embedding", qs, 10,
+        numTables = 100, bitsPerTable = 8, dim = 64, Knn.Cosine, "vec_id")
+      graft.operators.Eval.recallAtK(exact, approx)
+        .select(col("qid"), col("n_exact"), col("n_hit"),
+          round(col("recall"), 5).as("recall"))
+    }),
+
     "ann_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -1029,6 +1044,43 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, d,
          |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
+
+    "ann_recall_eval" ->
+      // exact arm = the knn_batch window formulation at k=10; approx
+      // arm = the ann_forest_batch union-of-buckets formulation at
+      // k=10; recall divides their integer intersection counts
+      s"""WITH planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(800) t(h)),
+         |b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM b WHERE vec_id < 5),
+         |ed AS (SELECT q.qid, b.vec_id, ${angSql("b.v", "q.qvec")} AS d FROM b, q),
+         |er AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |         FROM ed) WHERE rank <= 10),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |qk AS (SELECT vec_id AS qid, tbl, key FROM keys WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT qk.qid, k.vec_id
+         |         FROM keys k JOIN qk ON k.tbl = qk.tbl AND k.key = qk.key),
+         |ad AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.qvec")} AS d
+         |       FROM cand c JOIN b ON b.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+         |ar AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |         FROM ad) WHERE rank <= 10)
+         |SELECT er.qid, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN ar.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 5) AS recall
+         |FROM er LEFT JOIN ar ON er.qid = ar.qid AND er.vec_id = ar.vec_id
+         |GROUP BY er.qid""".stripMargin,
 
     "ann_batch" ->
       s"""WITH planes AS (

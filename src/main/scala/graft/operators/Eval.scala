@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation: the measurement harness that turns an
+  * ANN index from "seems to work" into a number an operator can gate a
+  * deploy on. The reference exposes its recall contract qualitatively
+  * (`precision: "exact" | "medium"`, collection.go:569-712); at 100 TB
+  * a user needs the quantitative version — run a query sample down
+  * BOTH the exact and approximate paths and report recall@k per query
+  * before trusting the index with production traffic.
+  */
+object Eval {
+
+  /** Recall@k of an approximate retrieval result against the exact
+    * one, per query: `n_exact` ground-truth rows, `n_hit` of them
+    * returned by the approximate arm, `recall` = n_hit / n_exact.
+    *
+    * Takes the two result FRAMES, not an index: any (qid, id) pair
+    * source works — LSH forest, IVF, quantized search, a competitor —
+    * so one evaluator covers every index family in the library.
+    *
+    * Scale shape: both arms are already k-bounded per query (queries ×
+    * k rows — driver-small even for a 10k-query sample), so the join
+    * and the keyed roll-up here are trivially cheap next to the arms
+    * themselves; the exact arm's one corpus pass is the unavoidable
+    * ground-truth cost, paid on a SAMPLE of queries, never per probe.
+    * All counts are integers; `recall` divides them in one fixed
+    * expression, so the report reproduces bit-exactly in any engine. */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                qidCol: String = "qid", idCol: String = "vec_id"): DataFrame = {
+    val e = exact.select(col(qidCol).as("qid"), col(idCol).as("_id"))
+    val a = approx.select(col(qidCol).as("qid"), col(idCol).as("_id"),
+      lit(1L).as("_hit"))
+    e.join(a, Seq("qid", "_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{AnnIvf, AnnLsh, Knn}
+import graft.operators.{AnnIvf, AnnLsh, Eval, Knn}
 
 class AnnSpec extends SparkSpec {
   import spark.implicits._
@@ -399,6 +399,38 @@ class AnnSpec extends SparkSpec {
     val res = AnnIvf.knn(emb, "embedding", q, 10, cent, 2, Knn.Cosine, "vec_id")
       .select("dist").as[Double].collect().toSeq
     assert(res.size == 10 && res == res.sorted)
+  }
+
+  test("recallAtK counts approximate hits per query against exact ground truth") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("qid", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 33L))
+      .toDF("qid", "vec_id")
+    val got = Eval.recallAtK(exact, approx)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 2L, 2.0 / 3)))
+    assert(got(2L) == ((2L, 2L, 0L, 0.0)))
+    // queries the approx arm missed entirely still report (recall 0),
+    // and spurious approx-only rows never inflate n_exact
+    assert(got.size == 2)
+  }
+
+  test("recallAtK on the production forest config reproduces the pinned recall") {
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Knn.knnBatch(emb, "embedding", qs, 10, Knn.Cosine, "vec_id")
+    val approx = AnnLsh.knnForestBatch(emb, "embedding", qs, 10,
+      numTables = 100, bitsPerTable = 8, dim = 64, Knn.Cosine, "vec_id")
+    val rep = Eval.recallAtK(exact, approx)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rep.length == 5 && rep.forall(_._2 == 10L))
+    // the forest returns <= 10 rows per query, so hits can't exceed k
+    assert(rep.forall(r => r._3 >= 0L && r._3 <= 10L))
+    // wiring check, not a recall pin (that lives in the sf0.01 floor
+    // test): 5 queries on the 60-row sf0.001 corpus is far below the
+    // contract's sample size, so only a loose sanity floor applies
+    val mean = rep.map(_._4).sum / rep.length
+    assert(mean >= 0.5, s"mean recall@10 $mean implausibly low for the forest")
   }
 
   test("clusterProfile partitions the corpus; majority label matches a direct count") {
