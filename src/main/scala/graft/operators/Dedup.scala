@@ -116,14 +116,17 @@ object Dedup {
     * [[decontaminateNear]] — the two MUST derive byte-identical keys
     * or single-table and two-table band buckets stop colliding (and
     * the oracles silently diverge). */
-  private def bandKeys(sigs: DataFrame, inId: String, outId: String,
-                       bands: Int, rowsPerBand: Int): DataFrame =
+  private[graft] def bandKeys(sigs: DataFrame, inId: String, outId: String,
+                              bands: Int, rowsPerBand: Int,
+                              carry: Seq[String] = Nil): DataFrame =
     sigs
-      .select(col(inId).as(outId), col("sig"),
-        explode(typedlit((0 until bands).toList)).as("band"))
-      .select(col(outId), col("band"),
+      .select(col(inId).as(outId) +: col("sig") +:
+        explode(typedlit((0 until bands).toList)).as("band") +:
+        carry.map(col): _*)
+      .select(col(outId) +: col("band") +:
         concat_ws(",", slice(col("sig"), col("band") * rowsPerBand + 1,
-          lit(rowsPerBand)).cast("array<string>")).as("key"))
+          lit(rowsPerBand)).cast("array<string>")).as("key") +:
+        carry.map(col): _*)
 
   /** Per-doc distinct shingle-hash sets: (sid, shs array<long>). The
     * shared input of candidate generation AND verification — compute it
@@ -131,11 +134,14 @@ object Dedup {
     * Words materialize in their own projection first, so the shingle
     * lambda reads an attribute instead of re-splitting per position
     * (CollapseProject keeps expensive multi-referenced aliases). */
-  def shingleSets(df: DataFrame, textCol: String, idCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol).as("sid"), words(col(textCol)).as("_w"))
-      .select(col("sid"),
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, shingleN: Int,
+                  carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("sid") +: words(col(textCol)).as("_w") +:
+        carry.map(col): _*)
+      .select(col("sid") +:
         array_distinct(transform(shinglesFromWords(col("_w"), shingleN),
-          s => hash64(s))).as("shs"))
+          s => hash64(s))).as("shs") +:
+        carry.map(col): _*)
 
   /** Exact Jaccard over pre-computed shingle-hash sets (see
     * [[shingleSets]]), computed only for the given candidate pairs:

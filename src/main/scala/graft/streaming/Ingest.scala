@@ -90,6 +90,58 @@ object Ingest {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Streaming delta-vs-corpus near-dup gate — the continuous twin of
+    * [[graft.operators.Dedup.incrementalNearDupIndexed]]: every
+    * arriving document probes a static
+    * [[graft.operators.Dedup.writeMinhashIndex]] table and the stream
+    * emits one row per VERIFIED corpus near-dup (doc id, event time,
+    * matched corpus id `cid`, exact `jaccard`) — the alert/drop feed
+    * an ingest pipeline subscribes to. A novel document emits
+    * nothing.
+    *
+    * Scale shape: signatures and band keys are stateless projections
+    * riding the stream; candidate generation and verification are
+    * stream-STATIC equi-joins against the index's band and set files
+    * (no stream-stream join, no watermark coupling); the only state
+    * store is the final per-(doc, cid) dedup, bounded by the
+    * watermark — a doc's band rows arrive in its own micro-batch, so
+    * the horizon only needs to cover late REPLAYS, not matching
+    * logic. Corpus text is read zero times, exactly like the batch
+    * indexed path. */
+  def nearDupStream(spark: SparkSession, docs: DataFrame, textCol: String,
+                    idCol: String, tsCol: String, watermark: String,
+                    indexPath: String, numHashes: Int = 16, bands: Int = 4,
+                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val (as, bs) = Dedup.minhashConsts(numHashes)
+    val corpusBands = spark.read.parquet(s"$indexPath/bands")
+      .withColumnRenamed(idCol, "cid")
+    val corpusSets = spark.read.parquet(s"$indexPath/sets")
+      .select(col("sid").as("cid"), col("shs").as("_ca"))
+    val sets = Dedup.shingleSets(docs, textCol, idCol, shingleN,
+      carry = Seq(tsCol))
+    val sigs = sets.filter(size(col("shs")) > 0)
+      .select(col("sid"), col(tsCol), col("shs"),
+        graft.functions.SketchExprs.minhashSig(
+          transform(col("shs"), h => h % Dedup.MINHASH_M),
+          as, bs, Dedup.MINHASH_M).as("sig"))
+    val streamBands = Dedup.bandKeys(sigs, "sid", "sid", bands,
+      numHashes / bands, carry = Seq(tsCol, "shs"))
+    streamBands
+      .join(corpusBands, Seq("band", "key"))
+      .join(corpusSets, Seq("cid"))
+      .filter(least(size(col("shs")), size(col("_ca"))).cast("double") /
+        greatest(size(col("shs")), size(col("_ca"))) >= threshold)
+      .withColumn("_i", size(array_intersect(col("shs"), col("_ca"))).cast("long"))
+      .withColumn("jaccard", col("_i").cast("double") /
+        (size(col("shs")) + size(col("_ca")) - col("_i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("sid").as(idCol), col(tsCol), col("cid"), col("jaccard"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq(idCol, "cid"))
+  }
+
   case class TypedEv(event_id: Long, ts: Timestamp, user_id: Long,
                      event_type: String, value: Double)
   case class AsofState(id: Long, ts: Long, value: Double)

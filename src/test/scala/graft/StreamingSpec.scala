@@ -107,6 +107,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupStream alerts on verified corpus near-dups, stays silent on novel docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "completely different words appear in this one here today now")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-smhidx").toFile.getAbsolutePath
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", s"$dir/idx")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF().toDF("doc_id", "ts", "text")
+    val q = Ingest.nearDupStream(spark, df, "text", "doc_id", "ts", "10 minutes",
+        s"$dir/idx")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      // NOT epoch 0: rows at/below Spark's initial watermark (0) are
+      // dropped as late by the stateful dedup
+      val t0 = ts(1)
+      mem.addData(
+        (101L, t0, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+        (102L, t0, "violets are red roses are blue and this text is novel prose"),
+        (103L, t0, "the quick brown fox jumps over the lazy dog tonight again")) // = 1
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream")
+        .select("doc_id", "cid", "jaccard")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == Set(101L, 103L), s"wrong alert set: $got")
+      assert(got(103L) == ((1L, 1.0)))
+      assert(got(101L)._1 == 1L && got(101L)._2 >= 0.5)
+      // jaccard agrees with the batch indexed path on the same inputs
+      val batch = Dedup.incrementalNearDupIndexed(spark, s"$dir/idx",
+          Seq((101L, "the quick brown fox jumps over the lazy dog tonight"))
+            .toDF("doc_id", "text"), "text", "doc_id")
+        .select("doc_id", "jaccard").as[(Long, Double)].collect().toMap
+      assert(got(101L)._2 == batch(101L))
+    } finally q.stop()
+  }
+
   test("indexStream builds a bucket-partitioned ANN index a probe can prune") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{AnnLsh, Knn}
