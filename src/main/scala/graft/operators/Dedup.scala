@@ -266,7 +266,12 @@ object Dedup {
                          shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val (as, bs) = minhashConsts(numHashes)
+    // computed ONCE, read by band-key derivation AND verification —
+    // unpersisted, the corpus text would be re-shingled per consumer
+    // (the [[minhashPairs]] pattern; the indexed variant reads parquet
+    // instead and needs no cache)
     val corpusSets = shingleSets(corpus, textCol, idCol, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val corpusSigs = corpusSets.filter(size(col("shs")) > 0)
       .select(col("sid").as("cid"),
         graft.functions.SketchExprs.minhashSig(
