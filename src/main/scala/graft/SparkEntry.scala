@@ -730,6 +730,24 @@ object SparkEntry {
           round(col("prior_value"), 4).as("prior_value"), col("gap_us"))
     }),
 
+    "events_range_join" -> ((s, dir) => {
+      // attribution windows: views within the 2 hours before each
+      // purchase, per user — the bucketized range join (7200 s buckets
+      // ≈ the window length: ~2 bucket rows per interval)
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts").cast("long") - 7200).cast("timestamp").as("w_start"),
+          col("ts").as("w_end"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      Events.rangeJoin(purchases, views, "user_id",
+          "w_start", "w_end", "view_ts", bucketSeconds = 7200)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view"))
+    }),
+
     "corpus_ngrams" -> ((s, dir) => {
       TextAnalysis.corpusNgrams(Tables.documents(s, dir), "text", "doc_id", 3, 50)
         .select(col("gram"), col("total_count"), col("doc_count"))
@@ -1928,6 +1946,22 @@ object SparkEntry {
         |  CAST(1 + CASE WHEN ts_2 IS NULL THEN 0 ELSE 1 END
         |         + CASE WHEN ts_3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS steps_reached
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    "events_range_join" ->
+      // DuckDB executes the plain non-equi formulation; the Spark
+      // side's bucketization is an execution strategy, not a
+      // semantics change, so the two must agree exactly (boundaries
+      // inclusive on both ends)
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |             CAST(ts AS TIMESTAMP) - INTERVAL 7200 SECOND AS w_start,
+        |             CAST(ts AS TIMESTAMP) AS w_end
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |      FROM events WHERE event_type = 'view')
+        |SELECT purchase_id, count(*) AS n_views, min(view_id) AS first_view
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |             AND v.view_ts >= p.w_start AND v.view_ts <= p.w_end
+        |GROUP BY 1""".stripMargin,
 
     "events_asof" ->
       // the same union-window formulation as the Spark side (NOT

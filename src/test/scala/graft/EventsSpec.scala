@@ -11,6 +11,37 @@ class EventsSpec extends SparkSpec {
 
   private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
 
+  test("rangeJoin pairs points with covering intervals, once each, boundaries inclusive") {
+    val intervals = Seq(
+      // user 1: a 4-minute window, which spans MANY 60 s buckets
+      (100L, 1L, ts(10), ts(14)),
+      // user 1: a second window overlapping the first
+      (101L, 1L, ts(13), ts(15)),
+      // user 2: same time range, different key
+      (102L, 2L, ts(10), ts(14))
+    ).toDF("interval_id", "user_id", "w_start", "w_end")
+    val points = Seq(
+      (1L, 1L, ts(10)),  // exactly on w_start -> inclusive
+      (2L, 1L, ts(12)),  // inside interval 100 only
+      (3L, 1L, ts(14)),  // on 100's end AND inside 101
+      (4L, 1L, ts(16)),  // outside both
+      (5L, 2L, ts(12))   // user 2: matches only 102
+    ).toDF("point_id", "user_id", "p_ts")
+    val got = Events.rangeJoin(intervals, points, "user_id",
+        "w_start", "w_end", "p_ts", bucketSeconds = 60)
+      .select("interval_id", "point_id").as[(Long, Long)].collect()
+    // multi-bucket intervals must NOT duplicate pairs
+    assert(got.length == got.distinct.length, "duplicate pairs from bucket explode")
+    assert(got.toSet == Set((100L, 1L), (100L, 2L), (100L, 3L),
+      (101L, 3L), (102L, 5L)))
+    // a much coarser bucket gives the identical answer (bucketSeconds
+    // is an execution knob, not a semantics knob)
+    val coarse = Events.rangeJoin(intervals, points, "user_id",
+        "w_start", "w_end", "p_ts", bucketSeconds = 3600)
+      .select("interval_id", "point_id").as[(Long, Long)].collect()
+    assert(coarse.toSet == got.toSet && coarse.length == got.length)
+  }
+
   test("asofJoin attaches the most recent prior right event per user") {
     val events = Seq(
       // user 1: view(10) < click(20) < view(11) < click(21)
