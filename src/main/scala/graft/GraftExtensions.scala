@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{ArrayJoin, Cast, Conv, Expression, ExpressionInfo, Literal, Lower, Md5, RegExpReplace, Slice, StringSplit, StringTrim, Substring}
-import graft.functions.{ByteStride, DotProduct, L2DistanceSq, MinHashSig, MultiLshBuckets, SimHashAgg}
+import graft.functions.{ByteStride, DotProduct, JpegDims, L2DistanceSq, MinHashSig, MultiLshBuckets, SimHashAgg}
 import graft.operators.Dedup
 
 /** SQL surface for graft's native expressions, registered through
@@ -67,7 +67,10 @@ object GraftExtensions {
         litInt(args(1)), litInt(args(2)), litInt(args(3)))),
     ("graft_byte_stride", info("graft_byte_stride",
         "every Nth byte of a binary: (bin, stride)"),
-      (args: Seq[Expression]) => ByteStride(args(0), litInt(args(1)))))
+      (args: Seq[Expression]) => ByteStride(args(0), litInt(args(1)))),
+    ("graft_jpeg_dims", info("graft_jpeg_dims",
+        "JPEG (width << 32) | height via the SOF marker walk, NULL if not JPEG"),
+      (args: Seq[Expression]) => JpegDims(args(0))))
 
   /** Constant int argument of a SQL function call (e.g. the table
     * count of graft_forest_keys) — must fold at plan time. */

@@ -195,9 +195,84 @@ case class UnpackCodes(child: Expression, bits: Int, dims: Int)
     copy(child = newChild)
 }
 
+/** JPEG dimensions via the SOF marker walk, packed as
+  * (width << 32) | height in one long (NULL when the payload is not a
+  * JPEG or carries no start-of-frame). JPEG headers are
+  * variable-length segment chains — APP0/EXIF/quantization tables of
+  * arbitrary size precede the SOF — so unlike PNG/GIF there is no
+  * fixed offset a `substring` column can read; the walk is a loop,
+  * and a loop belongs in a codegen'd expression (full scan speed, no
+  * UDF, no UTF-8 round-trip), the same tier as [[ByteStride]].
+  * Reads SOF0-SOF15 except the DHT/DAC/JPG pseudo-markers (C4/C8/CC),
+  * so baseline AND progressive JPEGs report. */
+case class JpegDims(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_jpeg_dims requires a binary argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = BinaryExprs.jpegScan(a.asInstanceOf[Array[Byte]])
+    if (r < 0) null else java.lang.Long.valueOf(r)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |long $r = graft.functions.BinaryExprs.jpegScan($a);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinaryExprs {
   def byteStride(bin: Column, stride: Int): Column =
     GraftBridge.toColumn(ByteStride(GraftBridge.toExpression(bin), stride))
+
+  def jpegDims(bin: Column): Column =
+    GraftBridge.toColumn(JpegDims(GraftBridge.toExpression(bin)))
+
+  /** The SOF walk both the interpreted and generated code call:
+    * returns (width << 32) | height, or -1 when not a JPEG / no SOF /
+    * truncated. Static and JVM-visible so `doGenCode` can emit a
+    * plain call instead of inlining the loop. */
+  def jpegScan(b: Array[Byte]): Long = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8) return -1L
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xFF) != 0xFF) return -1L // marker desync: corrupt
+      val m = b(i + 1) & 0xFF
+      if (m == 0xFF) { i += 1 } // fill byte
+      else if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) { i += 2 } // standalone
+      else {
+        val segLen = ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+        if (segLen < 2) return -1L
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+          // SOF: [len][precision][height hi lo][width hi lo]
+          if (i + 8 >= b.length) return -1L
+          val h = ((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)
+          val w = ((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)
+          return (w.toLong << 32) | h.toLong
+        }
+        if (m == 0xD9 || m == 0xDA) return -1L // EOI / scan data: no SOF seen
+        i += 2 + segLen
+      }
+    }
+    -1L
+  }
 
   def packCodes(codes: Column, bits: Int): Column =
     GraftBridge.toColumn(PackCodes(

@@ -79,15 +79,25 @@ object Multimodal {
     val b = col(binCol)
     val isPng = hex(substring(b, 1, 8)) === lit("89504E470D0A1A0A")
     val isGif = substring(b, 1, 6).cast("string").isin("GIF87a", "GIF89a")
+    // JPEG has no fixed-offset header (variable APP/EXIF/table
+    // segments precede the SOF), so dims come from the codegen'd
+    // marker walk, packed (w << 32) | h; non-JPEG yields NULL
+    val isJpeg = hex(substring(b, 1, 2)) === lit("FFD8")
+    val jd = graft.functions.BinaryExprs.jpegDims(b)
     def be4(off: Int) = conv(hex(substring(b, off, 4)), 16, 10).cast("int")
     def le2(off: Int) = (conv(hex(substring(b, off + 1, 1)), 16, 10) * 256 +
       conv(hex(substring(b, off, 1)), 16, 10)).cast("int")
     df.withColumn("media_format",
-        when(isPng, lit("png")).when(isGif, lit("gif")).otherwise(lit("unknown")))
+        when(isPng, lit("png")).when(isGif, lit("gif"))
+          .when(isJpeg, lit("jpeg")).otherwise(lit("unknown")))
       .withColumn("media_width",
-        when(isPng, be4(17)).when(isGif, le2(7)).otherwise(lit(null).cast("int")))
+        when(isPng, be4(17)).when(isGif, le2(7))
+          .when(isJpeg, shiftright(jd, 32).cast("int"))
+          .otherwise(lit(null).cast("int")))
       .withColumn("media_height",
-        when(isPng, be4(21)).when(isGif, le2(9)).otherwise(lit(null).cast("int")))
+        when(isPng, be4(21)).when(isGif, le2(9))
+          .when(isJpeg, (jd.bitwiseAND(lit(0xFFFFFFFFL))).cast("int"))
+          .otherwise(lit(null).cast("int")))
   }
 
   /** Frame sampling on a payload: every `stride`-th BYTE of the
