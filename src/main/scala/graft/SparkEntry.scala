@@ -583,6 +583,40 @@ object SparkEntry {
         upper(hex(col("sample"))).as("sample_hex"))
     }),
 
+    "mm_dims" -> ((s, dir) => {
+      // Deterministic container payloads built FROM doc_id formulas
+      // (PNG / GIF / JPEG-with-variable-APP0 / prefixed text), parsed
+      // back by mediaDims. Only Spark parses — the oracle asserts the
+      // embedded dimensions directly, so a wrong header offset, a
+      // flipped GIF endianness, or a broken JPEG marker walk all
+      // surface as value mismatches.
+      val d = col("doc_id")
+      val w = (pmod(d, lit(1021)) + 1).cast("int")
+      val h = (pmod(d * 3, lit(769)) + 1).cast("int")
+      val wBe4 = lpad(hex(w), 8, "0"); val hBe4 = lpad(hex(h), 8, "0")
+      val wBe2 = lpad(hex(w), 4, "0"); val hBe2 = lpad(hex(h), 4, "0")
+      def le2(be2: org.apache.spark.sql.Column) =
+        concat(substring(be2, 3, 2), substring(be2, 1, 2))
+      // APP0 length varies 2..7 so the SOF is never at a fixed offset
+      val p = pmod(d, lit(6)).cast("int")
+      val padHex = expr("repeat('00', cast(pmod(doc_id, 6) as int))")
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"), wBe4, hBe4)
+      val gifHex = concat(lit("474946383961"), le2(wBe2), le2(hBe2))
+      val jpgHex = concat(lit("FFD8FFE0"), lpad(hex(p + 2), 4, "0"), padHex,
+        lit("FFC0000708"), hBe2, wBe2)
+      val fmt = pmod(d, lit(4))
+      val payload = when(fmt === 0, unhex(pngHex))
+        .when(fmt === 1, unhex(gifHex))
+        .when(fmt === 2, unhex(jpgHex))
+        // 0x00 prefix pins the fall-through arm: no text can alias a
+        // container signature
+        .otherwise(concat(unhex(lit("00")),
+          encode(coalesce(col("text"), lit("")), "UTF-8")))
+      val docs = Tables.documents(s, dir).withColumn("payload", payload)
+      graft.operators.Multimodal.mediaDims(docs, "payload")
+        .select(col("doc_id"), col("media_format"), col("media_width"), col("media_height"))
+    }),
+
     "lang_id" -> ((s, dir) => {
       TextAnalysis.langId(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_score").cast("bigint").as("lang_score"))
@@ -1564,6 +1598,17 @@ object SparkEntry {
         |       ELSE coalesce(list_aggregate(list_transform(range(0, nb, 32),
         |         i -> substr(hx, (2*i+1)::INT, 2)), 'string_agg', ''), '') END AS sample_hex
         |FROM s""".stripMargin,
+
+    "mm_dims" ->
+      // the Spark side builds the payloads from these same doc_id
+      // formulas and then PARSES them; the oracle states the embedded
+      // values outright, so only a correct parser hash-matches
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |       WHEN 2 THEN 'jpeg' ELSE 'unknown' END AS media_format,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(1 + doc_id % 1021 AS INT) END AS media_width,
+        |  CASE WHEN doc_id % 4 <= 2 THEN CAST(1 + (doc_id * 3) % 769 AS INT) END AS media_height
+        |FROM documents""".stripMargin,
 
     "lang_id" ->
       s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
