@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{AnnIvf, AnnLsh, Crud, Dedup, Embed, Events, Knn, Sampling, Search, TextAnalysis}
+import graft.operators.{AnnIvf, AnnLsh, AnnPq, Crud, Dedup, Embed, Events, Knn, Sampling, Search, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -64,6 +64,17 @@ object SparkEntry {
 
   private val mixRatesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+
+  /** PQ codebook per corpus dir (deterministic function of dir —
+    * sampled by md5 total order — so one TakeOrdered job amortizes
+    * across the ADC and rerank queries; plain doubles, session-free). */
+  private val pqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnnPq.Model]()
+
+  private def pqModel(s: SparkSession, dir: String): AnnPq.Model =
+    pqModelCache.computeIfAbsent(dir, _ =>
+      AnnPq.seedCodebook(Tables.embeddings(s, dir), "embedding", "vec_id",
+        8, "pq0", 16))
 
   /** Lloyd-trained centroids per corpus dir: training is part of
     * index BUILD (train once, probe many — collection.go's contract),
@@ -169,6 +180,30 @@ object SparkEntry {
         Quantization.quantize(col("embedding"), 8).as("codes"))
       val deq = stored.withColumn("vec", Quantization.dequantize(col("codes"), 8))
       Knn.knn(deq, "vec", queryVec(s, dir), 10, Knn.Cosine, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
+    "knn_pq" -> ((s, dir) => {
+      // product quantization: 64 floats → 8 codes of 4 bits (the
+      // 256-byte row becomes 4 packed bytes); the scan reads ONLY the
+      // code column and distance is 8 table lookups per row (ADC).
+      // Codebook = deterministic md5-ordered data sample, so the
+      // oracle rebuilds it exactly
+      val emb = Tables.embeddings(s, dir)
+      val model = pqModel(s, dir)
+      val coded = AnnPq.encode(emb, "embedding", model)
+      AnnPq.knnAdc(coded, "pq_code", queryVec(s, dir), 10, model, "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist_adc"), 5).as("dist_adc"))
+    }),
+
+    "knn_pq_rerank" -> ((s, dir) => {
+      // the production composition: ADC keeps 50 candidates off the
+      // narrow code scan, exact cosine on just those rows picks the 10
+      val emb = Tables.embeddings(s, dir)
+      val model = pqModel(s, dir)
+      val coded = AnnPq.encode(emb, "embedding", model)
+      AnnPq.knnRerank(coded, "embedding", "pq_code", queryVec(s, dir), 10, 50,
+          model, Knn.Cosine, "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
@@ -971,6 +1006,36 @@ object SparkEntry {
     s"acos(least(greatest(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), -1.0), 1.0)) / pi()"
 
+  /** Shared DuckDB CTE chain replicating the PQ pipeline (m=8 × k=16
+    * over 64 dims, seed "pq0"): md5-sampled codebook → per-(row,
+    * subspace) argmin code (ties → lowest cid, [[graft.functions.
+    * PqExprs.pqEncode]]'s strict-less twin) → the query's lookup
+    * table → ADC distance assembled as list_sum(list(… ORDER BY j)),
+    * the sequential j-ascending fold the Spark kernel uses — sum()
+    * aggregation order would not be bit-stable. */
+  private val pqSql: String = {
+    def sq(a: String, b: String) = s"(($a) - ($b)) * (($a) - ($b))"
+    val qsub = sq("qv[CAST(j*8+i+1 AS INT)]", "v[CAST(j*8+i+1 AS INT)]")
+    val esub = sq("e.v[CAST(js.j*8+i+1 AS INT)]", "cb.v[CAST(js.j*8+i+1 AS INT)]")
+    s"""emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT cid, v FROM (
+       |    SELECT v, row_number() OVER (ORDER BY md5('pq0_' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+       |    FROM emb) WHERE cid < 16),
+       |js AS (SELECT unnest(range(8)) AS j),
+       |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+       |lut AS (SELECT j, cid, list_sum(list_transform(range(8), i -> $qsub)) AS d
+       |        FROM cb, js, q),
+       |sub AS (SELECT e.vec_id, js.j, cb.cid,
+       |          list_sum(list_transform(range(8), i -> $esub)) AS d
+       |        FROM emb e, js, cb),
+       |code AS (SELECT vec_id, j, cid FROM (
+       |    SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+       |    FROM sub) WHERE rn = 1),
+       |adc AS (SELECT c.vec_id, list_sum(list(l.d ORDER BY c.j)) AS d
+       |        FROM code c JOIN lut l ON l.j = c.j AND l.cid = c.cid
+       |        GROUP BY c.vec_id)""".stripMargin
+  }
+
   /** Shared DuckDB CTE chain for Okapi BM25 over `documents` with
     * query terms (join, scan, merge), k1 = 1.2, b = 0.75 — the
     * bm25_search and hybrid_search oracles must score identically.
@@ -1240,6 +1305,20 @@ object SparkEntry {
          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round(d, 5) AS dist FROM (
          |  SELECT vec_id, label, ${angSql("b.v", "q.qvec")} AS d FROM b, q)
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "knn_pq" ->
+      s"""WITH $pqSql
+         |SELECT e.vec_id, e.label, round(a.d, 5) AS dist_adc
+         |FROM adc a JOIN emb e USING (vec_id)
+         |ORDER BY a.d, e.vec_id LIMIT 10""".stripMargin,
+
+    "knn_pq_rerank" ->
+      s"""WITH $pqSql,
+         |cand AS (SELECT vec_id FROM adc ORDER BY d, vec_id LIMIT 50),
+         |ex AS (SELECT e.vec_id, e.label, ${angSql("e.v", "q.qv")} AS d
+         |       FROM emb e JOIN cand USING (vec_id), q)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM ex
          |ORDER BY d, vec_id LIMIT 10""".stripMargin,
 
     "upsert_crud" ->

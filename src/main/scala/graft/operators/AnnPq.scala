@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftBridge
+import graft.functions.{PqAdc, PqEncode}
+
+/** Product-quantized ANN — the memory/scan-width scale path beyond
+  * scalar quantization (quantization.go stores 4/8/16-bit codes per
+  * DIMENSION; PQ stores one small code per SUBSPACE, so a 64-dim
+  * float vector shrinks to m=8 bytes instead of 256 — and search
+  * never dequantizes: distance is m table lookups per row).
+  *
+  * Scale posture (the FAISS IVFADC recipe, public): at 100 TB the
+  * exact-kNN bottleneck is vector bytes through the scan. PQ codes
+  * cut scan width 16-32×, the ADC scan is a map-side codegen'd
+  * expression + TakeOrdered (k-row heap per task — nothing shuffles
+  * but k rows per partition), and the optional rerank pass touches
+  * full vectors for only the `rerank` survivors via an id semi-join.
+  * Codebook and query tables are driver-sized (m·k·dsub doubles) and
+  * ship with the serialized plan — no join, no broadcast exchange.
+  *
+  * The codebook is a deterministic DATA SAMPLE (the k rows winning an
+  * md5 total order — kmeans++-style "centroids are data points",
+  * engine-reproducible so the DuckDB oracle can rebuild it exactly);
+  * [[train]] then runs standard per-subspace Lloyd iterations on top
+  * when reconstruction quality matters more than oracle determinism.
+  */
+object AnnPq {
+
+  /** m subspaces × k centroids × dsub dims, flat:
+    * codebook((j*k + c)*dsub + i) = centroid c of subspace j, dim i. */
+  case class Model(m: Int, k: Int, dsub: Int, codebook: Array[Double]) {
+    def dim: Int = m * dsub
+  }
+
+  /** Deterministic sampled codebook: the k rows with the smallest
+    * md5(seed_id) hash (ties by id) donate their subvectors as the
+    * centroids of every subspace — one TakeOrdered job, k rows
+    * collected. The same total order is a 3-line CTE in the oracle. */
+  def seedCodebook(df: DataFrame, vecCol: String, idCol: String,
+                   m: Int, seed: String, k: Int): Model = {
+    val vecs = df
+      .select(col(vecCol).cast("array<double>").as("_v"),
+        md5(concat(lit(seed + "_"), col(idCol).cast("string"))).as("_h"),
+        col(idCol).as("_id"))
+      .filter(col("_v").isNotNull)
+      .orderBy(col("_h").asc, col("_id").asc)
+      .limit(k)
+      .select(col("_v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(vecs.nonEmpty, "empty corpus: cannot build a PQ codebook")
+    val dim = vecs.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val kEff = vecs.length // < k only on corpora smaller than k rows
+    val cb = new Array[Double](m * kEff * dsub)
+    var c = 0
+    while (c < kEff) {
+      var j = 0
+      while (j < m) {
+        var i = 0
+        while (i < dsub) {
+          cb((j * kEff + c) * dsub + i) = vecs(c)(j * dsub + i)
+          i += 1
+        }
+        j += 1
+      }
+      c += 1
+    }
+    Model(m, kEff, dsub, cb)
+  }
+
+  def encodeCol(vec: Column, model: Model): Column =
+    GraftBridge.toColumn(PqEncode(
+      GraftBridge.toExpression(vec.cast("array<double>")),
+      model.codebook, model.m, model.k, model.dsub))
+
+  /** Attach the `array<int>` PQ code column — the narrow scan
+    * artifact a production pipeline persists (pack with
+    * [[graft.functions.BinaryExprs.packCodes]] for byte storage:
+    * k ≤ 16 → 4 bits/code, k ≤ 256 → 8). */
+  def encode(df: DataFrame, vecCol: String, model: Model,
+             outCol: String = "pq_code"): DataFrame =
+    df.withColumn(outCol, encodeCol(col(vecCol), model))
+
+  /** The query's m × k subspace-distance table, computed once on the
+    * driver: lut(j*k + c) = ‖q_sub(j) − centroid(j,c)‖². */
+  def lookupTable(qv: Array[Double], model: Model): Array[Double] = {
+    val lut = new Array[Double](model.m * model.k)
+    var j = 0
+    while (j < model.m) {
+      var c = 0
+      while (c < model.k) {
+        val base = (j * model.k + c) * model.dsub
+        var acc = 0.0
+        var i = 0
+        while (i < model.dsub) {
+          val idx = j * model.dsub + i
+          val x = if (idx < qv.length) qv(idx) else 0.0
+          val d = x - model.codebook(base + i)
+          acc += d * d
+          i += 1
+        }
+        lut(j * model.k + c) = acc
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
+  def adcCol(codes: Column, lut: Array[Double], k: Int): Column =
+    GraftBridge.toColumn(PqAdc(GraftBridge.toExpression(codes), lut, k))
+
+  private def queryVector(query: DataFrame): Array[Double] = {
+    val Array(row) = query.select(col("qvec").cast("array<double>")).collect()
+    row.getSeq[Double](0).toArray
+  }
+
+  /** ADC top-k: a pure map-side distance column over the CODE column
+    * (vectors never read) + TakeOrdered. `dist_adc` approximates the
+    * squared L2 distance to the query. */
+  def knnAdc(coded: DataFrame, codesCol: String, query: DataFrame, k: Int,
+             model: Model, idCol: String): DataFrame = {
+    val lut = lookupTable(queryVector(query), model)
+    coded.withColumn("dist_adc", adcCol(col(codesCol), lut, model.k))
+      // a row with no code (null vector) has no distance; without the
+      // filter Spark's ascending NULLS FIRST would rank it on top
+      .filter(col("dist_adc").isNotNull)
+      .orderBy(col("dist_adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Production shape: ADC scan keeps `rerank` candidates (narrow
+    * codes-only read), then EXACT distances on just those rows pick
+    * the final k — recall of near-exact search at the scan cost of
+    * the code column. */
+  def knnRerank(coded: DataFrame, vecCol: String, codesCol: String,
+                query: DataFrame, k: Int, rerank: Int, model: Model,
+                metric: Knn.Metric, idCol: String): DataFrame = {
+    val cand = knnAdc(coded, codesCol, query, rerank, model, idCol)
+    cand.crossJoin(broadcast(query))
+      .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+      .drop("qvec", "dist_adc")
+  }
+
+  /** Standard per-subspace Lloyd refinement over a seeded model:
+    * assign codes with the current codebook, recompute each (j, c)
+    * centroid as the mean of its assigned subvectors (empty cells
+    * keep their centroid). One keyed-agg job per iteration, m·k
+    * result rows to the driver — training cost rides the index
+    * build, like [[AnnIvf.train]]. Trained centroids are float
+    * means (summation-order-dependent), so trained-PQ results are
+    * spec/rows-only territory — the seeded model carries the oracle. */
+  def train(df: DataFrame, vecCol: String, model: Model, iters: Int): Model = {
+    var cur = model
+    for (_ <- 1 to iters) {
+      val coded = encode(df.select(col(vecCol)), vecCol, cur, "_code")
+        .select(posexplode(col("_code")).as(Seq("j", "cid")),
+          col(vecCol).cast("array<double>").as("_v"))
+        .select(col("j"), col("cid"),
+          slice(col("_v"), col("j") * cur.dsub + 1, lit(cur.dsub)).as("_sv"))
+      val aggs = (0 until cur.dsub).map(i =>
+        avg(element_at(col("_sv"), i + 1)).as(s"_m$i"))
+      val rows = coded.groupBy(col("j"), col("cid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val cb = cur.codebook.clone()
+      rows.foreach { r =>
+        val j = r.getInt(0); val c = r.getInt(1)
+        val base = (j * cur.k + c) * cur.dsub
+        var i = 0
+        while (i < cur.dsub) {
+          val v = r.get(i + 2)
+          if (v != null) cb(base + i) = v.asInstanceOf[Double]
+          i += 1
+        }
+      }
+      cur = Model(cur.m, cur.k, cur.dsub, cb)
+    }
+    cur
+  }
+}
