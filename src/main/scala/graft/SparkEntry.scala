@@ -76,6 +76,23 @@ object SparkEntry {
       AnnPq.seedCodebook(Tables.embeddings(s, dir), "embedding", "vec_id",
         8, "pq0", 16))
 
+  /** IVFPQ index per corpus dir: cell-partitioned packed codes,
+    * written once (same build-once contract as [[ivfIndexPath]];
+    * deterministic function of dir, so the dir|variant key is
+    * sufficient). */
+  private def ivfPqIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|ivfpq", { _ =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|ivfpq".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/ivfpq-$key"
+      AnnPq.writeIvfPqIndex(emb, "embedding", "vec_id", centroids,
+        Knn.Cosine, pqModel(s, dir), path, keepCols = Seq("label"))
+      path
+    })
+
   /** Lloyd-trained centroids per corpus dir: training is part of
     * index BUILD (train once, probe many — collection.go's contract),
     * so repeat query invocations reuse the trained nlist × dim table
@@ -205,6 +222,17 @@ object SparkEntry {
       AnnPq.knnRerank(coded, "embedding", "pq_code", queryVec(s, dir), 10, 50,
           model, Knn.Cosine, "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
+    }),
+
+    "ann_ivfpq" -> ((s, dir) => {
+      // both scale levers composed: the probe reads 2/8 of the cells
+      // (partition pruning) and each row it reads is a 4-byte packed
+      // code, not a 256-byte vector (ADC) — the billion-scale layout
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      AnnPq.knnIvfPq(s, ivfPqIndexPath(s, dir), queryVec(s, dir), 10,
+          centroids, nprobe = 2, Knn.Cosine, pqModel(s, dir), "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist_adc"), 5).as("dist_adc"))
     }),
 
     "upsert_crud" -> ((s, dir) => {
@@ -1320,6 +1348,24 @@ object SparkEntry {
          |       FROM emb e JOIN cand USING (vec_id), q)
          |SELECT vec_id, label, round(d, 5) AS dist FROM ex
          |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivfpq" ->
+      // the ann_ivf oracle's cell machinery (seeded centroids,
+      // argmin assignment, 2-cell probe) composed with the pq chain's
+      // ADC distances — candidates restricted to probed cells
+      s"""WITH $pqSql,
+         |cent AS (SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 8),
+         |adist AS (SELECT e.vec_id, cent.cell, ${angSql("e.v", "cent.c")} AS cd
+         |          FROM emb e, cent),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM adist) WHERE rn = 1),
+         |probe AS (SELECT cell FROM cent, q ORDER BY ${angSql("cent.c", "q.qv")}, cell LIMIT 2)
+         |SELECT e.vec_id, e.label, round(a.d, 5) AS dist_adc
+         |FROM adc a JOIN assigned s ON s.vec_id = a.vec_id
+         |           JOIN probe USING (cell)
+         |           JOIN emb e ON e.vec_id = a.vec_id
+         |ORDER BY a.d, e.vec_id LIMIT 10""".stripMargin,
 
     "upsert_crud" ->
       """WITH base AS (SELECT doc_id, source, n_chars, 0 AS version FROM documents),

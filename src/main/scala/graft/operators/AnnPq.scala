@@ -147,6 +147,51 @@ object AnnPq {
       .drop("qvec", "dist_adc")
   }
 
+  /** Bits per stored code for a k-centroid codebook (the
+    * [[graft.functions.PackCodes]] tiers). */
+  def bitsFor(k: Int): Int = if (k <= 16) 4 else if (k <= 256) 8 else 16
+
+  /** Persist the IVFPQ index — the two scale levers COMPOSED, which
+    * is the standard billion-scale layout (FAISS IVFADC): `cell` is a
+    * partition column (a probe READS nprobe/nlist of the data —
+    * static pruning) and the payload per row is id + the PACKED code
+    * (4 bits/code at k ≤ 16: a 64-dim float row stores 4 bytes, 64×
+    * narrower). Full vectors do NOT live in the index; rerank joins
+    * them from the base table by id when needed. */
+  def writeIvfPqIndex(df: DataFrame, vecCol: String, idCol: String,
+                      centroids: DataFrame, metric: Knn.Metric,
+                      model: Model, path: String,
+                      keepCols: Seq[String] = Nil): Unit = {
+    val bits = bitsFor(model.k)
+    val cols = (col(idCol) +: keepCols.map(col)) ++ Seq(col("cell"),
+      graft.functions.BinaryExprs.packCodes(
+        encodeCol(col(vecCol), model), bits).as("pq_packed"))
+    AnnIvf.assign(df, vecCol, idCol, centroids, metric)
+      .select(cols: _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Approximate top-k against a [[writeIvfPqIndex]] table: rank
+    * cells on the driver (zero jobs), prune to nprobe partitions,
+    * unpack + ADC on the narrow code scan, TakeOrdered. The corpus'
+    * vectors are never read — the probe touches nprobe/nlist of a
+    * table that is itself ~64× narrower than the vector store. */
+  def knnIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
+               query: DataFrame, k: Int, centroids: DataFrame, nprobe: Int,
+               metric: Knn.Metric, model: Model, idCol: String): DataFrame = {
+    val probeCells = AnnIvf.rankCells(centroids, query, nprobe, metric)
+    val lut = lookupTable(queryVector(query), model)
+    val bits = bitsFor(model.k)
+    spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+      .withColumn("dist_adc", adcCol(
+        graft.functions.BinaryExprs.unpackCodes(col("pq_packed"), bits, model.m),
+        lut, model.k))
+      .filter(col("dist_adc").isNotNull)
+      .orderBy(col("dist_adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Standard per-subspace Lloyd refinement over a seeded model:
     * assign codes with the current codebook, recompute each (j, c)
     * centroid as the mean of its assigned subvectors (empty cells

@@ -102,6 +102,41 @@ class AnnPqSpec extends SparkSpec {
     assert(e1 < e0, s"training should reduce distortion: $e0 -> $e1")
   }
 
+  test("ivfpq index probe prunes cell partitions and never stores vectors") {
+    import graft.operators.AnnIvf
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toFile
+    dir.delete()
+    val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+    AnnPq.writeIvfPqIndex(emb, "embedding", "vec_id", centroids, Knn.Cosine,
+      model, dir.getAbsolutePath, keepCols = Seq("label"))
+    val res = AnnPq.knnIvfPq(spark, dir.getAbsolutePath, q, 10, centroids,
+      nprobe = 2, Knn.Cosine, model, "vec_id")
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[cell#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      s"expected cell partition pruning in:\n$plan")
+    assert(res.count() == 10)
+    // the stored schema is id + label + packed code — no vector column
+    val stored = spark.read.parquet(dir.getAbsolutePath)
+    assert(stored.schema.fieldNames.toSet == Set("vec_id", "label", "cell", "pq_packed"))
+    // 8 codes x 4 bits = 4 bytes per row
+    val bytes = stored.agg(sum(length(col("pq_packed")))).as[Long].head()
+    assert(bytes == stored.count() * 4)
+    // probed-cell ADC results agree with brute-force ADC restricted to
+    // those cells (pack/unpack round-trip is lossless)
+    val probeCells = AnnIvf.rankCells(centroids, q, 2, Knn.Cosine)
+    val assigned = AnnIvf.assign(emb, "embedding", "vec_id", centroids, Knn.Cosine)
+      .filter(col("cell").isin(probeCells: _*))
+    val mem = AnnPq.knnAdc(AnnPq.encode(assigned, "embedding", model),
+      "pq_code", q, 10, model, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    val disk = res.select("vec_id").as[Long].collect().toSeq
+    assert(mem == disk)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+  }
+
   test("null vectors yield null codes and fall out of top-k") {
     val withNull = emb.select(col("vec_id"),
       when(col("vec_id") === 2, lit(null).cast("array<float>"))
