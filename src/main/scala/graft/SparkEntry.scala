@@ -737,6 +737,11 @@ object SparkEntry {
           round(col("rep_3"), 5).as("rep_3"))
     }),
 
+    "lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScore(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_trans"), round(col("lm_nll"), 5).as("lm_nll"))
+    }),
+
     "similarity_join" -> ((s, dir) => {
       // corpus-wide k-NN graph: every vector's top-3 nearest others,
       // forest-blocked (20 tables x 8 planes), no broadcasts anywhere
@@ -2034,6 +2039,30 @@ object SparkEntry {
         |  round(CASE WHEN len(g3) = 0 THEN 0.0
         |    ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END, 5) AS rep_3
         |FROM g""".stripMargin,
+
+    "lm_score" ->
+      // Laplace-smoothed bigram NLL; the per-doc sum is assembled as
+      // list_sum(list(nll ORDER BY pos)) — the same sequential
+      // position-order fold as the Spark side's array_sort +
+      // aggregate, because plain SUM order is engine-unspecified
+      """WITH t AS (SELECT doc_id,
+        |       list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |     FROM documents),
+        |uni AS (SELECT word, count(*) AS nw
+        |        FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |v AS (SELECT count(*) AS vs FROM uni),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |        {'pos': i, 'prev': w[CAST(i AS INT)], 'cur': w[CAST(i+1 AS INT)]})) AS s
+        |      FROM t),
+        |p2 AS (SELECT doc_id, s.pos AS pos, s.prev AS prev, s.cur AS cur FROM p),
+        |bi AS (SELECT prev, cur, count(*) AS npc FROM p2 GROUP BY 1, 2),
+        |sc AS (SELECT p2.doc_id, p2.pos, -ln((bi.npc + 1.0) / (uni.nw + v.vs)) AS nll
+        |       FROM p2 JOIN bi USING (prev, cur) JOIN uni ON uni.word = p2.prev, v),
+        |agg AS (SELECT doc_id, count(*) AS n_trans, list_sum(list(nll ORDER BY pos)) AS s
+        |        FROM sc GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(agg.n_trans, 0) AS n_trans,
+        |       round(coalesce(agg.s / agg.n_trans, 0.0), 5) AS lm_nll
+        |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "pipeline_curate" ->
       // the composition of the funnel, exact-dedup, decontaminate and

@@ -403,6 +403,65 @@ object TextAnalysis {
     * counts by integer totals in one fixed expression, so the drift
     * values (and the (drift, word) cutoff order) reproduce exactly
     * in any engine. */
+  /** Corpus-self-trained bigram language-model score — the
+    * perplexity-style quality signal (CCNet's filtering idea, public:
+    * Wenzek et al. 2020): per doc, the mean negative log-likelihood
+    * of its word transitions under a Laplace-smoothed bigram model
+    * counted from the WHOLE corpus. Low = the doc reads like the
+    * corpus (predictable transitions); high = gibberish, shuffled
+    * words, or vocabulary soup — exactly the rows a quality gate
+    * drops that length/punctuation ratios miss.
+    *
+    * Scale shape: unigram/bigram count tables are keyed aggs with
+    * map-side combine (never count-distinct); the scoring pass is two
+    * equi-joins on (prev, cur) / prev — both key-partitioned
+    * shuffles; the vocabulary size is a one-row agg broadcast back.
+    * The per-doc sum is reassembled in POSITION order
+    * (`array_sort` → sequential `aggregate` fold) because plain SUM
+    * aggregation order is engine-unspecified — the oracle mirrors
+    * with `list_sum(list(nll ORDER BY pos))`. All inputs to `ln` are
+    * integer-derived ratios, so scores are engine-reproducible.
+    *
+    * Output: (id, n_trans, lm_nll) — docs with < 2 tokens score 0.0
+    * over 0 transitions (kept: scoring is a signal, not a filter). */
+  def lmScore(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      filter(w(coalesce(col(textCol), lit(""))), t => t =!= "").as("w"))
+    val pairs = toks.select(col(idCol),
+        explode(when(size(col("w")) >= 2,
+          transform(sequence(lit(1), size(col("w")) - 1),
+            i => struct(i.as("pos"),
+              element_at(col("w"), i).as("prev"),
+              element_at(col("w"), i + 1).as("cur"))))
+          .otherwise(array().cast("array<struct<pos:int,prev:string,cur:string>>"))).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"),
+        col("s.prev").as("prev"), col("s.cur").as("cur"))
+    val uni = toks.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("nw"))
+    val bi = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("npc"))
+    val vf = uni.agg(count(lit(1)).as("vs"))
+    // every transition exists in the corpus it was counted from, so
+    // inner joins lose nothing; Laplace (add-one) smoothing keeps the
+    // model total and the arithmetic integer-derived
+    val scored = pairs
+      .join(bi, Seq("prev", "cur"))
+      .join(uni.withColumnRenamed("word", "prev"), Seq("prev"))
+      .crossJoin(broadcast(vf))
+      .select(col(idCol), col("pos"),
+        (-log((col("npc") + lit(1.0)) / (col("nw") + col("vs")))).as("nll"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trans"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("nll")))),
+            s => s.getField("nll")),
+          lit(0.0), (acc, x) => acc + x).as("_s"))
+    toks.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("_s") / col("n_trans"), lit(0.0)).as("lm_nll"))
+  }
+
   def corpusDrift(df: DataFrame, textCol: String, groupCol: Column,
                   sideA: String, sideB: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

@@ -259,4 +259,27 @@ class TextAnalysisSpec extends SparkSpec {
     // drift ordering is descending
     assert(got.map(_._6).toSeq == got.map(_._6).sortBy(-_).toSeq)
   }
+
+  test("lmScore: corpus-typical transitions score lower NLL than gibberish") {
+    // ten docs establish "the cat sat" as the dominant pattern; doc 11
+    // repeats it (every transition common), doc 12 is vocabulary soup
+    // (every transition unique) — the quality gap the signal exists for
+    val corpus = ((1L to 10L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((11L, "the cat sat on the mat the cat sat"),
+          (12L, "mat the on sat cat zq"),
+          (13L, "solo"),
+          (14L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(corpus, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(11L)._2 < got(12L)._2,
+      s"typical ${got(11L)._2} should beat gibberish ${got(12L)._2}")
+    // transition counts: n tokens -> n-1 transitions; degenerate docs
+    // keep a row with 0 transitions and score 0.0
+    assert(got(1L)._1 == 5L)
+    assert(got(13L) == ((0L, 0.0)) && got(14L) == ((0L, 0.0)))
+    // deterministic: two runs agree bit-for-bit
+    val again = TextAnalysis.lmScore(corpus, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == again)
+  }
 }
