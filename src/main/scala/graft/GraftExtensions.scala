@@ -19,6 +19,7 @@ import graft.operators.Dedup
   *   graft_strip_html(s)      drop tags, decode common entities
   *   graft_truncate(s, n)     first n whitespace tokens
   *   graft_hash64(s)          the engine's md5-derived 60-bit hash
+  *   graft_wav_meta(bin)      WAV metadata via the RIFF chunk walk
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -70,7 +71,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ByteStride(args(0), litInt(args(1)))),
     ("graft_jpeg_dims", info("graft_jpeg_dims",
         "JPEG (width << 32) | height via the SOF marker walk, NULL if not JPEG"),
-      (args: Seq[Expression]) => JpegDims(args(0))))
+      (args: Seq[Expression]) => JpegDims(args(0))),
+    ("graft_wav_meta", info("graft_wav_meta",
+        "WAV [channels, rate, bits, data_bytes] via the RIFF chunk walk, NULL if not WAV"),
+      (args: Seq[Expression]) => graft.functions.WavMeta(args(0))))
 
   /** Constant int argument of a SQL function call (e.g. the table
     * count of graft_forest_keys) — must fold at plan time. */

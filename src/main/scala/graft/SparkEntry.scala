@@ -93,6 +93,33 @@ object SparkEntry {
       path
     })
 
+  /** Residual PQ codebook per corpus dir (the FAISS IVFADC recipe:
+    * codes quantize v − centroid(cell), whose within-cell spread is
+    * far smaller than the raw vectors') — cached like [[pqModel]]. */
+  private def pqResModel(s: SparkSession, dir: String): AnnPq.Model =
+    pqModelCache.computeIfAbsent(s"$dir|res", _ => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      AnnPq.seedResidualCodebook(emb, "embedding", "vec_id", centroids,
+        Knn.Cosine, 8, "pqr0", 16)
+    })
+
+  /** Residual-encoded IVFPQ index per corpus dir (same build-once
+    * contract as [[ivfPqIndexPath]]; the codes differ, so the two
+    * variants never share a path). */
+  private def ivfPqResIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|ivfpqres", { _ =>
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|ivfpqres".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/ivfpqres-$key"
+      AnnPq.writeIvfPqResidualIndex(emb, "embedding", "vec_id", centroids,
+        Knn.Cosine, pqResModel(s, dir), path, keepCols = Seq("label"))
+      path
+    })
+
   /** Lloyd-trained centroids per corpus dir: training is part of
     * index BUILD (train once, probe many — collection.go's contract),
     * so repeat query invocations reuse the trained nlist × dim table
@@ -232,6 +259,18 @@ object SparkEntry {
       val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
       AnnPq.knnIvfPq(s, ivfPqIndexPath(s, dir), queryVec(s, dir), 10,
           centroids, nprobe = 2, Knn.Cosine, pqModel(s, dir), "vec_id")
+        .select(col("vec_id"), col("label"), round(col("dist_adc"), 5).as("dist_adc"))
+    }),
+
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      // the true FAISS IVFADC: codes quantize the RESIDUAL to the
+      // cell centroid, so the probe computes one lookup table per
+      // probed cell — a union of nprobe single-cell pruned scans,
+      // each still a 4-byte-code read with no vector column
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      AnnPq.knnIvfPqResidual(s, ivfPqResIndexPath(s, dir), queryVec(s, dir), 10,
+          centroids, nprobe = 2, Knn.Cosine, pqResModel(s, dir), "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist_adc"), 5).as("dist_adc"))
     }),
 
@@ -614,6 +653,16 @@ object SparkEntry {
       Events.retention(Tables.events(s, dir), "ts", "user_id")
     }),
 
+    "events_kmv" -> ((s, dir) => {
+      // daily distinct users per event type via the KMV sketch — the
+      // bounded-shuffle replacement for count(DISTINCT …); exact for
+      // groups under k=64 distinct, estimated (reproducibly) above
+      val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+      Events.kmvDistinct(ev, Seq("event_type", "day"), "user_id", 64, "kmv0")
+        .select(col("event_type"), col("day"), col("n_sketch"),
+          round(col("est_distinct"), 4).as("est_distinct"))
+    }),
+
     "sample_topk" -> ((s, dir) => {
       Sampling.exactSample(Tables.documents(s, dir), "doc_id",
           col("source"), k = 20, seed = "sk0")
@@ -678,6 +727,51 @@ object SparkEntry {
       val docs = Tables.documents(s, dir).withColumn("payload", payload)
       graft.operators.Multimodal.mediaDims(docs, "payload")
         .select(col("doc_id"), col("media_format"), col("media_width"), col("media_height"))
+    }),
+
+    "mm_audio" -> ((s, dir) => {
+      // WAV payloads CONSTRUCTED from doc_id formulas — a variable-
+      // length LIST chunk (0-5 bytes, pad byte when odd) precedes
+      // fmt , so the RIFF chunk walk is really exercised (no fixed
+      // offset works); every 4th doc carries a text payload and must
+      // yield NULLs. Only Spark parses; the oracle states the
+      // embedded values from the same formulas.
+      val d = col("doc_id")
+      def le2(x: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(x), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le4(x: org.apache.spark.sql.Column) = {
+        val h = lpad(hex(x), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val channels = (pmod(d, lit(2)) + 1).cast("long")
+      val rate = when(pmod(d, lit(3)) === 0, 8000L)
+        .when(pmod(d, lit(3)) === 1, 16000L).otherwise(44100L)
+      val bits = when(pmod(d, lit(2)) === 0, 8L).otherwise(16L)
+      val bytesPerSample = when(bits === 8, 1L).otherwise(2L)
+      val nData = (pmod(d, lit(500)) * 2).cast("long")
+      val p = pmod(d, lit(6)).cast("long")
+      val pad = pmod(p, lit(2))
+      val listHex = concat(lit("4C495354"), le4(p),
+        expr("repeat('00', cast(pmod(doc_id, 6) as int))"),
+        when(pad === 1, lit("00")).otherwise(lit("")))
+      val riffSize = lit(4L) + lit(8L) + p + pad + lit(24L) + lit(8L) + nData
+      val wavHex = concat(lit("52494646"), le4(riffSize), lit("57415645"),
+        listHex,
+        lit("666D7420"), lit("10000000"), lit("0100"), le2(channels),
+        le4(rate), le4(rate * channels * bytesPerSample),
+        le2(channels * bytesPerSample), le2(bits),
+        lit("64617461"), le4(nData),
+        expr("repeat('00', cast(pmod(doc_id, 500) * 2 as int))"))
+      val payload = when(pmod(d, lit(4)) === 3,
+          concat(unhex(lit("00")), encode(coalesce(col("text"), lit("")), "UTF-8")))
+        .otherwise(unhex(wavHex))
+      val docs = Tables.documents(s, dir).withColumn("payload", payload)
+      graft.operators.Multimodal.audioMeta(docs, "payload")
+        .select(col("doc_id"), col("wav_channels"), col("wav_rate"),
+          col("wav_bits"), col("wav_data_bytes"), col("wav_ms"))
     }),
 
     "lang_id" -> ((s, dir) => {
@@ -858,6 +952,16 @@ object SparkEntry {
     "remove_boilerplate" -> ((s, dir) => {
       TextAnalysis.removeBoilerplate(Tables.documents(s, dir), "text", "doc_id",
           chunkWords = 8, maxDf = 1)
+        .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    "dedup_paragraph" -> ((s, dir) => {
+      // keep-first corpus-wide passage dedup: the SAME chunk grid as
+      // remove_boilerplate, the complementary keep rule (one global
+      // copy survives instead of zero)
+      Dedup.paragraphDedup(Tables.documents(s, dir), "text", "doc_id",
+          chunkWords = 8)
         .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
           md5(col("clean_text")).as("clean_md5"))
     }),
@@ -1372,6 +1476,54 @@ object SparkEntry {
          |           JOIN emb e ON e.vec_id = a.vec_id
          |ORDER BY a.d, e.vec_id LIMIT 10""".stripMargin,
 
+    "ann_ivfpq_residual" -> {
+      // the ann_ivfpq cell machinery with the pq chain rebuilt over
+      // RESIDUALS: rv = v - centroid(cell); the codebook samples rv
+      // rows by md5 total order (seed pqr0); the LUT is per probed
+      // cell (qrv = qv - centroid); fold order pinned by ORDER BY j
+      def sq(a: String, b: String) = s"(($a) - ($b)) * (($a) - ($b))"
+      val qsub = sq("qrv[CAST(js.j*8+i+1 AS INT)]", "rcb.v[CAST(js.j*8+i+1 AS INT)]")
+      val esub = sq("r.rv[CAST(js.j*8+i+1 AS INT)]", "rcb.v[CAST(js.j*8+i+1 AS INT)]")
+      s"""WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, v AS c FROM emb WHERE vec_id < 8),
+         |q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+         |adist AS (SELECT e.vec_id, cent.cell, ${angSql("e.v", "cent.c")} AS cd
+         |          FROM emb e, cent),
+         |assigned AS (SELECT vec_id, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM adist) WHERE rn = 1),
+         |res AS (SELECT e.vec_id, e.label, a.cell,
+         |          list_transform(range(64),
+         |            i -> e.v[CAST(i+1 AS INT)] - ct.c[CAST(i+1 AS INT)]) AS rv
+         |        FROM emb e JOIN assigned a USING (vec_id)
+         |                   JOIN cent ct ON ct.cell = a.cell),
+         |rcb AS (SELECT cid, rv AS v FROM (
+         |    SELECT rv, row_number() OVER (ORDER BY md5('pqr0_' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+         |    FROM res) WHERE cid < 16),
+         |js AS (SELECT unnest(range(8)) AS j),
+         |probe AS (SELECT cell FROM cent, q ORDER BY ${angSql("cent.c", "q.qv")}, cell LIMIT 2),
+         |qres AS (SELECT p.cell,
+         |           list_transform(range(64),
+         |             i -> q.qv[CAST(i+1 AS INT)] - ct.c[CAST(i+1 AS INT)]) AS qrv
+         |         FROM probe p JOIN cent ct ON ct.cell = p.cell, q),
+         |lut AS (SELECT qres.cell, js.j, rcb.cid,
+         |          list_sum(list_transform(range(8), i -> $qsub)) AS d
+         |        FROM rcb, js, qres),
+         |sub AS (SELECT r.vec_id, js.j, rcb.cid,
+         |          list_sum(list_transform(range(8), i -> $esub)) AS d
+         |        FROM res r JOIN probe USING (cell), js, rcb),
+         |code AS (SELECT vec_id, j, cid FROM (
+         |    SELECT vec_id, j, cid, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+         |    FROM sub) WHERE rn = 1),
+         |adc AS (SELECT c2.vec_id, list_sum(list(l.d ORDER BY c2.j)) AS d
+         |        FROM code c2 JOIN res r ON r.vec_id = c2.vec_id
+         |                     JOIN lut l ON l.j = c2.j AND l.cid = c2.cid AND l.cell = r.cell
+         |        GROUP BY c2.vec_id)
+         |SELECT r.vec_id, r.label, round(a.d, 5) AS dist_adc
+         |FROM adc a JOIN res r USING (vec_id)
+         |ORDER BY a.d, r.vec_id LIMIT 10""".stripMargin
+    },
+
     "upsert_crud" ->
       """WITH base AS (SELECT doc_id, source, n_chars, 0 AS version FROM documents),
         |upd AS (SELECT doc_id, 'updated' AS source, n_chars, 1 AS version
@@ -1739,6 +1891,26 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 <= 2 THEN CAST(1 + doc_id % 1021 AS INT) END AS media_width,
         |  CASE WHEN doc_id % 4 <= 2 THEN CAST(1 + (doc_id * 3) % 769 AS INT) END AS media_height
         |FROM documents""".stripMargin,
+
+    "mm_audio" ->
+      // same contract as mm_dims: Spark builds WAV payloads from these
+      // doc_id formulas and PARSES them back through the RIFF chunk
+      // walk; the oracle states the embedded values, so a wrong chunk
+      // offset, flipped endianness, or missed pad byte all mismatch
+      """WITH f AS (SELECT doc_id,
+        |  doc_id % 4 = 3 AS txt,
+        |  1 + doc_id % 2 AS ch,
+        |  CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+        |  CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+        |  (doc_id % 500) * 2 AS nd
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN txt THEN NULL ELSE ch END AS wav_channels,
+        |  CASE WHEN txt THEN NULL ELSE rate END AS wav_rate,
+        |  CASE WHEN txt THEN NULL ELSE bits END AS wav_bits,
+        |  CASE WHEN txt THEN NULL ELSE nd END AS wav_data_bytes,
+        |  CASE WHEN txt THEN NULL ELSE (nd * 8000) // (rate * ch * bits) END AS wav_ms
+        |FROM f""".stripMargin,
 
     "lang_id" ->
       s"""WITH f AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -2118,6 +2290,23 @@ object SparkEntry {
         |       count(*) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
 
+    "events_kmv" ->
+      // the sketch is exactly reproducible (k smallest distinct 60-bit
+      // md5 hashes), so the oracle rebuilds it with DISTINCT +
+      // row_number and states the SAME (k-1)/frac(h_k) estimate —
+      // identical IEEE ops: long→double cast, /2^60, one division
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST('0x' || substr(md5('kmv0_' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type, day ORDER BY hv) AS rn
+        |      FROM h)
+        |SELECT event_type, day, count(*) AS n_sketch,
+        |  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+        |                 / 1152921504606846976.0) END, 4) AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY event_type, day""".stripMargin,
+
     "sample_topk" ->
       // rank by double-cast hash then id: the Spark side's TopKAgg
       // orders (double, long) pairs, so the oracle must rank on the
@@ -2215,6 +2404,25 @@ object SparkEntry {
         |  md5(coalesce(string_agg(CASE WHEN chunk_df <= 1 THEN chunk END, ' '
         |    ORDER BY pos), '')) AS clean_md5
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "dedup_paragraph" ->
+      // same grid CTEs as remove_boilerplate; the keep rule is
+      // row_number() = 1 over (chunk ORDER BY doc_id, pos) — the
+      // globally earliest occurrence — instead of chunk_df <= maxDf
+      """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |b AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS pos, w
+        |      FROM w),
+        |c AS (SELECT doc_id, pos,
+        |        array_to_string(w[(pos*8+1)::INT:(pos*8+8)::INT], ' ') AS chunk
+        |      FROM b),
+        |f AS (SELECT doc_id, pos, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+        |      FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |    ORDER BY pos), '')) AS clean_md5
+        |FROM f GROUP BY doc_id""".stripMargin,
 
     "shuffle_shards" ->
       """WITH h AS (SELECT doc_id,

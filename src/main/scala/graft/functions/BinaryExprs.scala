@@ -238,9 +238,97 @@ case class JpegDims(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** WAV (RIFF) metadata via the chunk walk, as `array<long>`
+  * [channels, sample_rate, bits_per_sample, data_bytes] (NULL when the
+  * payload is not RIFF/WAVE or has no fmt chunk). Like JPEG, RIFF is a
+  * chain of variable-length chunks — LIST/INFO/fact chunks of
+  * arbitrary size may precede `fmt ` — so there is no fixed offset a
+  * `substring` column can read and the walk is a loop in a codegen'd
+  * expression, the same tier as [[JpegDims]]. Chunk sizes are
+  * little-endian and odd-sized chunks carry a pad byte (RIFF rule);
+  * a final `data` chunk may be truncated on disk — its DECLARED size
+  * is reported, which is what streaming WAV writers produce. */
+case class WavMeta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_wav_meta requires a binary argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = BinaryExprs.wavScan(a.asInstanceOf[Array[Byte]])
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |long[] $r = graft.functions.BinaryExprs.wavScan($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($r); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinaryExprs {
   def byteStride(bin: Column, stride: Int): Column =
     GraftBridge.toColumn(ByteStride(GraftBridge.toExpression(bin), stride))
+
+  def wavMeta(bin: Column): Column =
+    GraftBridge.toColumn(WavMeta(GraftBridge.toExpression(bin)))
+
+  /** The RIFF chunk walk both the interpreted and generated code call:
+    * returns [channels, sampleRate, bitsPerSample, dataBytes], or null
+    * when not RIFF/WAVE or no `fmt ` chunk is found. `data` is 0 when
+    * the chunk is absent; its declared size is trusted even if the
+    * payload is truncated (the streaming-writer shape). Static and
+    * JVM-visible so `doGenCode` emits a plain call. */
+  def wavScan(b: Array[Byte]): Array[Long] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+      (u8(i + 3).toLong << 24)
+    if (b.length < 12) return null
+    if (!(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F')) return null
+    if (!(u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E')) return null
+    var channels = -1L; var rate = -1L; var bits = -1L; var dataBytes = 0L
+    var i = 12
+    while (i + 8 <= b.length) {
+      val id0 = u8(i); val id1 = u8(i + 1); val id2 = u8(i + 2); val id3 = u8(i + 3)
+      val size = le32(i + 4)
+      val body = i + 8
+      if (id0 == 'f' && id1 == 'm' && id2 == 't' && id3 == ' ') {
+        if (size < 16 || body + 16 > b.length) return null
+        channels = le16(body + 2).toLong
+        rate = le32(body + 4)
+        bits = le16(body + 14).toLong
+      } else if (id0 == 'd' && id1 == 'a' && id2 == 't' && id3 == 'a') {
+        dataBytes = size // declared size; payload may be truncated
+      }
+      // RIFF pads odd-sized chunk bodies to even offsets; a corrupt
+      // declared size (up to 2^32-1) must not wrap to a negative or
+      // stalled offset — stop the walk, keeping whatever was parsed
+      val next = body.toLong + size + (size & 1L)
+      if (next <= i || next > Int.MaxValue) i = b.length
+      else i = next.toInt
+    }
+    if (channels < 0) null else Array(channels, rate, bits, dataBytes)
+  }
 
   def jpegDims(bin: Column): Column =
     GraftBridge.toColumn(JpegDims(GraftBridge.toExpression(bin)))

@@ -192,6 +192,98 @@ object AnnPq {
       .limit(k)
   }
 
+  /** Per-row residual r = v − centroid(cell) as a Column: the cell's
+    * centroid is unrolled into a literal CASE chain (nlist branches,
+    * driver-sized), so the subtraction rides the scan — no join, no
+    * shuffle, same zero-shuffle shape as [[AnnIvf.assign]]. */
+  def residualCol(vec: Column, cellCol: Column,
+                  centroids: DataFrame): Column = {
+    val cents: Array[(Long, Seq[Double])] = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "residualCol needs at least one centroid")
+    val v = vec.cast("array<double>")
+    val cases = cents.map { case (cell, cv) =>
+      (cellCol === cell) -> zip_with(v, typedlit(cv), (a, b) => a - b)
+    }
+    cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+      case (acc, (cond, value)) => acc.when(cond, value)
+    }
+  }
+
+  /** PQ codebook trained on RESIDUALS (v − centroid(cell)) — the true
+    * FAISS IVFADC recipe: when the cells capture cluster structure,
+    * within-cell residuals have far smaller spread than raw vectors,
+    * so the same m×k codebook spends its centroids on a tighter
+    * distribution and the ADC error drops (measured ≥10× on clustered
+    * data, AnnPqSpec). On structure-free uniform data residuals
+    * against a data-point centroid do NOT shrink — residual encoding
+    * buys nothing there, exactly as IVF itself buys nothing; the raw
+    * [[writeIvfPqIndex]] variant is the right default for such data.
+    * Same md5-total-order data sample as [[seedCodebook]], so the
+    * DuckDB oracle can rebuild it bit-exactly. */
+  def seedResidualCodebook(df: DataFrame, vecCol: String, idCol: String,
+                           centroids: DataFrame, metric: Knn.Metric,
+                           m: Int, seed: String, k: Int): Model = {
+    val assigned = AnnIvf.assign(df, vecCol, idCol, centroids, metric)
+      .withColumn("_rv", residualCol(col(vecCol), col("cell"), centroids))
+    seedCodebook(assigned, "_rv", idCol, m, seed, k)
+  }
+
+  /** [[writeIvfPqIndex]] with residual encoding: the packed code
+    * quantizes r = v − centroid(cell) under a residual-trained
+    * `model`. Same index layout (cell-partitioned, id + packed code,
+    * no vector column); the probe must be [[knnIvfPqResidual]], which
+    * builds one lookup table per probed cell. */
+  def writeIvfPqResidualIndex(df: DataFrame, vecCol: String, idCol: String,
+                              centroids: DataFrame, metric: Knn.Metric,
+                              model: Model, path: String,
+                              keepCols: Seq[String] = Nil): Unit = {
+    val bits = bitsFor(model.k)
+    val assigned = AnnIvf.assign(df, vecCol, idCol, centroids, metric)
+      .withColumn("_rv", residualCol(col(vecCol), col("cell"), centroids))
+    val cols = (col(idCol) +: keepCols.map(col)) ++ Seq(col("cell"),
+      graft.functions.BinaryExprs.packCodes(
+        encodeCol(col("_rv"), model), bits).as("pq_packed"))
+    assigned.select(cols: _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe a [[writeIvfPqResidualIndex]] table: ranks cells on the
+    * driver, then for EACH probed cell computes the lookup table of
+    * the query's residual against that cell's centroid — the LUT is
+    * cell-specific under residual encoding, so the probe is a union
+    * of nprobe single-cell pruned scans (each `cell = c` filter is a
+    * static partition prune; nprobe is small). ADC + TakeOrdered as
+    * in [[knnIvfPq]]; vectors are never read. */
+  def knnIvfPqResidual(spark: org.apache.spark.sql.SparkSession, path: String,
+                       query: DataFrame, k: Int, centroids: DataFrame,
+                       nprobe: Int, metric: Knn.Metric, model: Model,
+                       idCol: String): DataFrame = {
+    val qv = queryVector(query)
+    val probeCells = AnnIvf.rankCells(centroids, query, nprobe, metric)
+    val centMap = centroids
+      .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val bits = bitsFor(model.k)
+    val scans = probeCells.map { cell =>
+      val c = centMap(cell)
+      val qres = Array.tabulate(model.dim)(i =>
+        (if (i < qv.length) qv(i) else 0.0) - (if (i < c.length) c(i) else 0.0))
+      val lut = lookupTable(qres, model)
+      spark.read.parquet(path)
+        .filter(col("cell") === cell)
+        .withColumn("dist_adc", adcCol(
+          graft.functions.BinaryExprs.unpackCodes(col("pq_packed"), bits, model.m),
+          lut, model.k))
+    }
+    scans.reduce(_.unionByName(_))
+      .filter(col("dist_adc").isNotNull)
+      .orderBy(col("dist_adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Standard per-subspace Lloyd refinement over a seeded model:
     * assign codes with the current codebook, recompute each (j, c)
     * centroid as the mean of its assigned subvectors (empty cells

@@ -838,4 +838,49 @@ object Dedup {
       .select(col(idCol), cid.as("cluster_id"),
         (col(idCol).cast("long") === cid).as("keep"))
   }
+
+  /** Corpus-wide keep-FIRST passage dedup (the C4/RefinedWeb repeated-
+    * span rule): cut every document into non-overlapping `chunkWords`-
+    * word chunks, keep only the globally EARLIEST occurrence of each
+    * distinct chunk (min `(id, pos)` across the corpus), drop every
+    * later copy — including repeats inside the same document — and
+    * rebuild the text in document order.
+    *
+    * Complements [[graft.operators.TextAnalysis.removeBoilerplate]]:
+    * that drops ALL copies of a high-df chunk (nobody keeps the
+    * license block); this keeps exactly ONE copy of every chunk (the
+    * corpus keeps one instance of each repeated passage).
+    *
+    * Scale shape: the chunk grid is arithmetic (no per-element
+    * re-split); the winner per chunk is `min(struct(id, pos))` — one
+    * keyed agg with map-side partial min, never a window over raw
+    * occurrences; the keep decision is a chunk-keyed equi-join whose
+    * fanout is the chunk's df (bounded, AQE handles the skewed empty/
+    * common chunks); the rebuild is doc-keyed. All-duplicate documents
+    * survive with empty `clean_text` — the operator never drops rows. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+                     chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be > 0, got $chunkWords")
+    val c = chunkWords
+    val chunks = df
+      .select(col(idCol), words(coalesce(col(textCol), lit(""))).as("_w"))
+      .select(col(idCol),
+        transform(
+          sequence(lit(0), (ceil(size(col("_w")) / lit(c.toDouble))).cast("int") - 1),
+          b => concat_ws(" ", slice(col("_w"), b * c + 1, lit(c)))).as("_chunks"))
+      .select(col(idCol), posexplode(col("_chunks")).as(Seq("pos", "chunk")))
+    val winners = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_first"))
+    chunks.join(winners, Seq("chunk"))
+      .withColumn("_keep", struct(col(idCol), col("pos")) === col("_first"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("pos"), col("chunk"))))),
+            s => s("chunk")), " ").as("clean_text"))
+  }
 }

@@ -176,6 +176,37 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Approximate distinct count per group via the KMV sketch
+    * ([[graft.functions.KmvAgg]]): `est_distinct ≈ |{value}|` per key,
+    * exact whenever the group's true cardinality is < k (the sketch
+    * then holds every distinct hash).
+    *
+    * Scale shape: ONE keyed agg whose map side keeps ≤ k longs per
+    * group per partition — the `count(DISTINCT …)` plan this replaces
+    * shuffles every distinct value to the reducer. All arithmetic is
+    * reproducible (md5-derived 60-bit hashes, one double division), so
+    * unlike HLL the estimate is bit-identical across engines and
+    * partitionings — a DuckDB oracle can state it. */
+  def kmvDistinct(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  k: Int, seed: String): DataFrame = {
+    // 60-bit hash: 15 hex chars of md5 — fits a BIGINT exactly in both
+    // engines (16 chars could set the sign bit)
+    val h = conv(substring(md5(concat(lit(seed + "_"),
+      col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val keys = keyCols.map(col)
+    val kk = lit(k.toLong)
+    df.select(keys :+ h.as("_h"): _*)
+      .groupBy(keys: _*)
+      .agg(graft.functions.KmvAgg.kmv(col("_h"), k).as("_mins"))
+      .select(keys ++ Seq(
+        size(col("_mins")).cast("long").as("n_sketch"),
+        when(size(col("_mins")) < kk,
+            size(col("_mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("_mins"), k).cast("double") / lit(math.pow(2.0, 60))))
+          .as("est_distinct")): _*)
+  }
+
   /** Funnel summary: users reaching step ≥ i, per step — the
     * conversion curve [[funnel]]'s per-user frame rolls up to. */
   def funnelCounts(df: DataFrame, tsCol: String, userCol: String,

@@ -100,6 +100,34 @@ object Multimodal {
           .otherwise(lit(null).cast("int")))
   }
 
+  /** REAL (non-stub) audio container parsing: WAV/RIFF metadata off
+    * the binary column via the codegen'd chunk walk
+    * ([[graft.functions.WavMeta]] — RIFF is a variable-length chunk
+    * chain like JPEG's segment chain, so a loop, not a fixed-offset
+    * `substring`). Emits channels / sample rate / bit depth / declared
+    * data bytes plus `wav_ms`, the clip duration in integer
+    * milliseconds — all-integer arithmetic (`div`), so the value is
+    * bit-reproducible across engines. Non-WAV payloads yield NULLs —
+    * the decode-the-samples step stays with [[extractFeatures]]'s
+    * per-partition decoder. */
+  def audioMeta(df: DataFrame, binCol: String): DataFrame = {
+    // _wav is referenced by four extractors, so it stays a materialized
+    // attribute (CollapseProject keeps multiply-referenced non-cheap
+    // aliases) — the chunk walk runs ONCE per row; wav_ms reads the
+    // extracted columns, never the expression again
+    val bitsPerMs = col("wav_rate") * col("wav_channels") * col("wav_bits")
+    df.withColumn("_wav", graft.functions.BinaryExprs.wavMeta(col(binCol)))
+      .withColumn("wav_channels", element_at(col("_wav"), 1))
+      .withColumn("wav_rate", element_at(col("_wav"), 2))
+      .withColumn("wav_bits", element_at(col("_wav"), 3))
+      .withColumn("wav_data_bytes", element_at(col("_wav"), 4))
+      .withColumn("wav_ms",
+        when(bitsPerMs > 0,
+          expr("(wav_data_bytes * 8000) div (wav_rate * wav_channels * wav_bits)"))
+          .otherwise(lit(null).cast("long")))
+      .drop("_wav")
+  }
+
   /** Frame sampling on a payload: every `stride`-th BYTE of the
     * payload becomes part of the "sampled" stream — the video
     * frame-subsampling access pattern. Byte-safe: a codegen'd

@@ -137,6 +137,69 @@ class AnnPqSpec extends SparkSpec {
     rm(dir)
   }
 
+  test("residual IVFPQ: per-cell pruned probe; residual codes cut distortion") {
+    import graft.operators.AnnIvf
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqres").toFile
+    dir.delete()
+    val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+    val resModel = AnnPq.seedResidualCodebook(emb, "embedding", "vec_id",
+      centroids, Knn.Cosine, 8, "pqspec", 16)
+    AnnPq.writeIvfPqResidualIndex(emb, "embedding", "vec_id", centroids,
+      Knn.Cosine, resModel, dir.getAbsolutePath, keepCols = Seq("label"))
+    val res = AnnPq.knnIvfPqResidual(spark, dir.getAbsolutePath, q, 10,
+      centroids, nprobe = 2, Knn.Cosine, resModel, "vec_id")
+    // each arm of the union is a single-cell scan -> static partition
+    // pruning on every file source in the plan
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell#\\d+ = ".r.findFirstIn(plan).isDefined,
+      s"expected single-cell partition pruning in:\n$plan")
+    assert(res.count() == 10)
+    // distortion: mean squared quantization error of the residual
+    // codebook over residuals vs the raw codebook over raw vectors
+    // (same seed, same m x k budget). Residual coding wins exactly
+    // when cells capture structure (the IVFADC contract) — so the
+    // comparison runs on a deterministic CLUSTERED corpus: 8 tight
+    // clusters, the seeded centroids being one member of each. On
+    // structure-free uniform data (the sf0.001 embeddings) residuals
+    // against a data-point centroid do NOT shrink — measured here,
+    // documented on the operator.
+    def distortion(frame: org.apache.spark.sql.DataFrame, vecCol: String,
+                   m: AnnPq.Model): Double = {
+      val c = AnnPq.encode(frame, vecCol, m, "_code")
+      val vecs = c.select(col(vecCol).cast("array<double>"), col("_code"))
+        .as[(Seq[Double], Seq[Int])].collect()
+      vecs.map { case (v, codes) =>
+        codes.zipWithIndex.map { case (code, j) =>
+          val base = (j * m.k + code) * m.dsub
+          (0 until m.dsub).map { i =>
+            val d = v(j * m.dsub + i) - m.codebook(base + i)
+            d * d
+          }.sum
+        }.sum
+      }.sum / vecs.length
+    }
+    val clustered = (0 until 400).map { n =>
+      val cl = n % 8
+      val v = Array.tabulate(64)(i =>
+        math.sin(cl * 64.0 + i) + 0.05 * math.sin(n * 97.0 + i * 13.0))
+      (100L + n, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cCents = AnnIvf.seedCentroids(clustered, "embedding", "vec_id", 100L to 107L)
+    val cRes = AnnPq.seedResidualCodebook(clustered, "embedding", "vec_id",
+      cCents, Knn.Cosine, 8, "pqspec", 16)
+    val cRaw = AnnPq.seedCodebook(clustered, "embedding", "vec_id", 8, "pqspec", 16)
+    val residuals = AnnIvf.assign(clustered, "embedding", "vec_id", cCents, Knn.Cosine)
+      .withColumn("_rv", AnnPq.residualCol(col("embedding"), col("cell"), cCents))
+    val eRes = distortion(residuals, "_rv", cRes)
+    val eRaw = distortion(clustered, "embedding", cRaw)
+    assert(eRes < eRaw / 10,
+      s"residual codes should cut clustered distortion >=10x: raw $eRaw -> res $eRes")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+  }
+
   test("null vectors yield null codes and fall out of top-k") {
     val withNull = emb.select(col("vec_id"),
       when(col("vec_id") === 2, lit(null).cast("array<float>"))

@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("paragraphDedup keeps the globally earliest copy of each chunk only") {
+    val corpus = Seq(
+      (1L, "a b c d a b c d"), // chunk "a b" and "c d" repeat in-doc
+      (2L, "a b c d x y"),     // repeats doc 1's chunks, adds "x y"
+      (3L, "x y")              // repeats doc 2's tail chunk
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(corpus, "text", "doc_id", chunkWords = 2)
+      .select("doc_id", "n_chunks", "n_dropped", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 2L, "a b c d"))) // in-doc repeats drop
+    assert(out(2L) == ((2L, 3L, 2L, "x y")))     // cross-doc copies drop
+    assert(out(3L) == ((3L, 1L, 1L, "")))        // all-dup doc survives, empty
+    assert(out.size == 3)
+    // NULL text yields one empty chunk; first NULL/empty doc keeps it
+    val withNull = Seq((10L, null: String), (11L, null: String)).toDF("doc_id", "text")
+    val nOut = Dedup.paragraphDedup(withNull, "text", "doc_id", 2)
+      .select("doc_id", "n_dropped").as[(Long, Long)].collect().toMap
+    assert(nOut == Map(10L -> 0L, 11L -> 1L))
+  }
+
   test("simhash: identical docs get identical hashes, hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()

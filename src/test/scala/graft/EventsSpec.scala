@@ -42,6 +42,27 @@ class EventsSpec extends SparkSpec {
     assert(coarse.toSet == got.toSet && coarse.length == got.length)
   }
 
+  test("kmvDistinct: exact under k, close and partitioning-independent over k") {
+    val rows = (1 to 200).map(u => ("big", u.toLong)) ++   // 200 distinct
+      (1 to 5).flatMap(u => Seq(("small", u.toLong), ("small", u.toLong))) // 5 distinct, dup'd
+    val df = rows.toDF("grp", "uid")
+    val out = Events.kmvDistinct(df, Seq("grp"), "uid", k = 16, seed = "t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // under k: the sketch holds every distinct hash -> exact
+    assert(out("small") == ((5L, 5.0)))
+    // over k: estimator lands near the truth (KMV stderr ~ 1/sqrt(k-1)
+    // ≈ 26% at k=16; the seeded draw is deterministic, so the bound is
+    // a fixed fact of this fixture, not a flaky tolerance)
+    val (nSketch, est) = out("big")
+    assert(nSketch == 16L)
+    assert(est > 120.0 && est < 300.0, s"estimate $est")
+    // the sketch is order/partitioning-insensitive: same result on a
+    // reshuffled input
+    val out2 = Events.kmvDistinct(df.repartition(7), Seq("grp"), "uid", 16, "t")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out2 == out)
+  }
+
   test("asofJoin attaches the most recent prior right event per user") {
     val events = Seq(
       // user 1: view(10) < click(20) < view(11) < click(21)

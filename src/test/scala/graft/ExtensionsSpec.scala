@@ -50,6 +50,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(1) == "adg")
   }
 
+  test("graft_wav_meta parses a WAV from SQL, NULL otherwise") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val fmtBody = le16(1) ++ le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(28) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ fmtBody
+    Seq((wav, "nope".getBytes("UTF-8"))).toDF("w", "n").createOrReplaceTempView("wx")
+    val r = spark.sql(
+      "SELECT graft_wav_meta(w) AS m, graft_wav_meta(n) AS x FROM wx").head()
+    assert(r.getSeq[Long](0) == Seq(1L, 8000L, 8L, 0L))
+    assert(r.isNullAt(1))
+  }
+
   test("session_window stats agree with lag/cumsum sessionization") {
     val events = Seq(
       (1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
