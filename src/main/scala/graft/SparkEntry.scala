@@ -653,6 +653,12 @@ object SparkEntry {
       Events.retention(Tables.events(s, dir), "ts", "user_id")
     }),
 
+    "events_anomaly" -> ((s, dir) => {
+      Events.volumeAnomaly(Tables.events(s, dir), "ts", "event_type")
+        .select(col("event_type"), col("day"), col("n_events"),
+          round(col("zscore"), 5).as("zscore"), col("is_anomaly"))
+    }),
+
     "events_kmv" -> ((s, dir) => {
       // daily distinct users per event type via the KMV sketch — the
       // bounded-shuffle replacement for count(DISTINCT …); exact for
@@ -836,6 +842,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_trans"), round(col("lm_nll"), 5).as("lm_nll"))
     }),
 
+    "text_entropy" -> ((s, dir) => {
+      TextAnalysis.charEntropy(Tables.documents(s, dir), "text", "doc_id")
+        .select(col("doc_id"), round(col("char_entropy"), 5).as("char_entropy"))
+    }),
+
     "similarity_join" -> ((s, dir) => {
       // corpus-wide k-NN graph: every vector's top-3 nearest others,
       // forest-blocked (20 tables x 8 planes), no broadcasts anywhere
@@ -888,6 +899,18 @@ object SparkEntry {
       Search.bm25(Tables.documents(s, dir), "text", "doc_id",
           terms = Seq("join", "scan", "merge"), k = 20)
         .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
+    }),
+
+    "bm25_batch" -> ((s, dir) => {
+      // three queries in one corpus pass: the query workload is a
+      // FRAME, tf joins the broadcast vocabulary, per-query top-5 is
+      // a bounded agg — no per-query corpus scans
+      import s.implicits._
+      val qs = Seq((0L, "join"), (0L, "scan"), (1L, "merge"), (1L, "sort"),
+        (2L, "vector"), (2L, "window")).toDF("qid", "term")
+      Search.bm25Batch(Tables.documents(s, dir), "text", "doc_id", qs, k = 5)
+        .select(col("qid"), col("doc_id"), col("rank"),
+          round(col("score"), 5).as("score"))
     }),
 
     "decontaminate_excerpt" -> ((s, dir) => {
@@ -954,6 +977,23 @@ object SparkEntry {
           chunkWords = 8, maxDf = 1)
         .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
           md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    "dedup_containment" -> ((s, dir) => {
+      // directional near-dup: 12-word excerpts planted as their own
+      // docs have Jaccard ~0.04 against their source (threshold-J
+      // dedup keeps both) but containment 1.0 — the subset-duplicate
+      // case the dedup family needs a directional member for
+      val docs = Tables.documents(s, dir)
+      val w = split(col("text"), " ")
+      val excerpts = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(3), lit(12))).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+      Dedup.containmentPairs(corpus, "text", "doc_id", n = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 5).as("containment"),
+          round(col("jaccard"), 5).as("jaccard"))
     }),
 
     "dedup_paragraph" -> ((s, dir) => {
@@ -2081,6 +2121,30 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT doc_id, rank, round(score, 5) AS score FROM bm25r WHERE rank <= 20""".stripMargin,
 
+    "bm25_batch" ->
+      // the scored fold is ORDER BY term on both sides (Spark sorts
+      // the (term, contribution) structs and folds sequentially), so
+      // the float sum has one defined order in both engines
+      """WITH qt AS (SELECT * FROM (VALUES (0, 'join'), (0, 'scan'), (1, 'merge'),
+        |    (1, 'sort'), (2, 'vector'), (2, 'window')) AS t(qid, term)),
+        |w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(len(w)) AS sumdl FROM w),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w)
+        |  JOIN (SELECT DISTINCT term FROM qt) USING (term)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT q.qid, t.doc_id, t.term,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))) AS c
+        |  FROM tf t JOIN qt q USING (term) JOIN df USING (term), stats),
+        |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY term)) AS score
+        |           FROM contrib GROUP BY 1, 2),
+        |r AS (SELECT qid, doc_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |      FROM scored WHERE score > 0)
+        |SELECT qid, doc_id, rank, round(score, 5) AS score FROM r WHERE rank <= 5""".stripMargin,
+
     "decontaminate_excerpt" -> {
       // winnowed fingerprint chain per table (same shingle-hash +
       // window-min machinery as the doc_fingerprint oracle)
@@ -2212,6 +2276,25 @@ object SparkEntry {
         |    ELSE (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) END, 5) AS rep_3
         |FROM g""".stripMargin,
 
+    "text_entropy" -> {
+      // per-char counts are length(s) - length(replace(s, ch, '')) in
+      // both engines (Spark: translate — identical for single-char
+      // deletion); the entropy fold runs in fixed alphabet order
+      val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 "
+      val lst = alphabet.map(c => s"'$c'").mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+         |c AS (SELECT doc_id, list_transform($lst,
+         |        a -> length(s) - length(replace(s, a, ''))) AS cnts FROM t),
+         |n AS (SELECT doc_id, cnts, list_sum(cnts) AS n FROM c)
+         |SELECT doc_id, round(CASE WHEN n IS NULL OR n = 0 THEN 0.0
+         |  ELSE -list_sum(list_transform(cnts,
+         |    x -> CASE WHEN x > 0
+         |         THEN (CAST(x AS DOUBLE) / n) * ln(CAST(x AS DOUBLE) / n)
+         |         ELSE 0.0 END))
+         |  END, 5) AS char_entropy
+         |FROM n""".stripMargin
+    },
+
     "lm_score" ->
       // Laplace-smoothed bigram NLL; the per-doc sum is assembled as
       // list_sum(list(nll ORDER BY pos)) — the same sequential
@@ -2289,6 +2372,28 @@ object SparkEntry {
         |SELECT c.cohort, CAST(a.d - c.cohort AS BIGINT) AS day_offset,
         |       count(*) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      // moment arithmetic mirrors the Spark side op-for-op: integer
+      // sums, then CAST(..)/n divisions in the same order — z-scores
+      // come out bit-identical, rounded 5dp on both sides
+      """WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n, sum(n_events) AS s,
+        |        sum(n_events * n_events) AS s2
+        |      FROM d GROUP BY 1),
+        |j AS (SELECT d.event_type, d.day, d.n_events,
+        |        CAST(s.s AS DOUBLE) / s.n AS mean,
+        |        (CAST(s.s2 AS DOUBLE) - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE) / s.n) / s.n AS var
+        |      FROM d JOIN s USING (event_type))
+        |SELECT event_type, day, n_events,
+        |  round(CASE WHEN var > 0
+        |    THEN (CAST(n_events AS DOUBLE) - mean) / sqrt(var) END, 5) AS zscore,
+        |  coalesce(CASE WHEN var > 0
+        |    THEN abs((CAST(n_events AS DOUBLE) - mean) / sqrt(var)) >= 2.0 END,
+        |    FALSE) AS is_anomaly
+        |FROM j""".stripMargin,
 
     "events_kmv" ->
       // the sketch is exactly reproducible (k smallest distinct 60-bit
@@ -2404,6 +2509,34 @@ object SparkEntry {
         |  md5(coalesce(string_agg(CASE WHEN chunk_df <= 1 THEN chunk END, ' '
         |    ORDER BY pos), '')) AS clean_md5
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      // the dedup_ngram CTE chain over the excerpt-augmented corpus;
+      // the final statistic divides by the SMALLER set (containment),
+      // jaccard carried alongside
+      """WITH corpus2 AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, array_to_string(w[3:14], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |  WHERE doc_id % 11 = 0),
+        |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus2),
+        |shl AS (SELECT doc_id, list_distinct(list_transform(
+        |          list_transform(range(1, greatest(len(w)-1, 1)),
+        |            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM wt),
+        |sh AS (SELECT doc_id, unnest(hs) AS sh FROM shl),
+        |rare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM sh GROUP BY sh)
+        |         WHERE c <= greatest(100, ceil((SELECT count(*) FROM corpus2) * 0.005))),
+        |f AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM f a JOIN f b USING (sh) WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(i * 1.0 / least(na, nb), 5) AS containment,
+        |       round(i * 1.0 / (na + nb - i), 5) AS jaccard FROM (
+        |  SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+        |         len(a.hs) AS na, len(b.hs) AS nb
+        |  FROM cand c JOIN shl a ON a.doc_id = c.id_a
+        |              JOIN shl b ON b.doc_id = c.id_b)
+        |WHERE i * 1.0 / least(na, nb) >= 0.8""".stripMargin,
 
     "dedup_paragraph" ->
       // same grid CTEs as remove_boilerplate; the keep rule is

@@ -459,6 +459,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C = |A∩B| / min(|A|,|B|)
+    * — flags "the small doc lives inside the big one", which
+    * symmetric Jaccard misses by construction (a 15-word excerpt
+    * quoted verbatim inside a 300-word doc has J ≈ 0.04 but
+    * containment 1.0). The dedup family's directional member: run it
+    * after [[ngramJaccardPairs]] to catch subset-duplicates that
+    * threshold-J dedup leaves in the corpus.
+    *
+    * Plan shape = [[ngramJaccardPairs]]'s (same aggregated
+    * rare-shingle inverted index, same df cap, bounded-fanout
+    * equi-join, never all-pairs); only the prefilter bound and the
+    * verified statistic divide by the SMALLER set instead of the
+    * union. Both `containment` and `jaccard` are emitted for each
+    * surviving pair. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDf: Int = 100, maxDfFrac: Double = 0.005): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = sets.agg(count(lit(1)).as("_n_docs"))
+    val inverted = sets.select(col("sid"), size(col("shs")).as("n_sh"),
+      explode(col("shs")).as("sh"))
+    val rare = inverted.groupBy(col("sh")).agg(count(lit(1)).as("df_count"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df_count") <=
+        greatest(lit(maxDf.toLong), ceil(col("_n_docs") * maxDfFrac)))
+      .select(col("sh"))
+    val filtered = inverted.join(rare, "sh")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docStats = filtered.groupBy(col("sid"))
+      .agg(first(col("n_sh")).as("n_sh"), count(lit(1)).as("n_rare"))
+    val pairCounts = filtered.select(col("sh"), col("sid").as("id_a"))
+      .join(filtered.select(col("sh"), col("sid").as("id_b")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("rare_inter"))
+    val survivors = pairCounts
+      .join(docStats.select(col("sid").as("id_a"), col("n_sh").as("na"), col("n_rare").as("ra")), "id_a")
+      .join(docStats.select(col("sid").as("id_b"), col("n_sh").as("nb"), col("n_rare").as("rb")), "id_b")
+      .withColumn("_ub",
+        col("rare_inter") + least(col("na") - col("ra"), col("nb") - col("rb")))
+      // the intersection bound over the SMALLER set bounds containment
+      .filter(col("_ub").cast("double") / least(col("na"), col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    survivors
+      .join(sets.select(col("sid").as("id_a"), col("shs").as("sa")), "id_a")
+      .join(sets.select(col("sid").as("id_b"), col("shs").as("sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(size(col("sa")), size(col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"), col("jaccard"))
+  }
+
   // ---------- canonical composition (exact-first near-dup) ----------
 
   /** The production near-dup composition for heavy-duplication

@@ -207,6 +207,40 @@ object Events {
           .as("est_distinct")): _*)
   }
 
+  /** Daily-volume anomaly report per event type: z-score of each
+    * day's event count against the type's own history, flagged at
+    * `|z| ≥ threshold` — the "did the pipeline break / did a client
+    * start spamming" monitor run over every ingest feed.
+    *
+    * Scale shape: one (type, day)-keyed count (map-side partial), one
+    * type-keyed roll-up of integer sums (n, Σc, Σc²), broadcast back
+    * onto the daily frame — no window over history. The moment
+    * arithmetic is INTEGER sums until the final two divisions, so the
+    * scores are bit-identical across engines and partitionings (a
+    * float `stddev` agg would be summation-order-dependent). Types
+    * with zero variance (or a single day) yield NULL z-scores and
+    * never flag. */
+  def volumeAnomaly(df: DataFrame, tsCol: String, typeCol: String,
+                    threshold: Double = 2.0): DataFrame = {
+    val daily = df.groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(col("n_events")).as("_s"),
+      sum(col("n_events") * col("n_events")).as("_s2"))
+    daily.join(broadcast(stats), Seq(typeCol))
+      .withColumn("_mean", col("_s").cast("double") / col("_n"))
+      .withColumn("_var",
+        (col("_s2").cast("double") -
+          col("_s").cast("double") * col("_s").cast("double") / col("_n")) / col("_n"))
+      .withColumn("zscore",
+        when(col("_var") > 0,
+          (col("n_events").cast("double") - col("_mean")) / sqrt(col("_var"))))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("zscore")) >= threshold, lit(false)))
+      .drop("_n", "_s", "_s2", "_mean", "_var")
+  }
+
   /** Funnel summary: users reaching step ≥ i, per step — the
     * conversion curve [[funnel]]'s per-user frame rolls up to. */
   def funnelCounts(df: DataFrame, tsCol: String, userCol: String,

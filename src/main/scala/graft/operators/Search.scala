@@ -75,6 +75,62 @@ object Search {
       .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
         (-col("_t.dist")).as("score"))
 
+  /** BATCH BM25: many queries against the corpus at once — the shape
+    * a retrieval service actually runs. [[bm25]] widens per-term tf
+    * columns, which works for ONE term set; here the query workload is
+    * a FRAME of (qid, term) rows, and the corpus is scanned ONCE for
+    * all queries:
+    *
+    *   - tf: explode words, semi-join the BROADCAST query vocabulary
+    *     (everything else drops before the shuffle), one (doc, term)
+    *     keyed count carrying dl;
+    *   - df/corpus stats: a term-keyed count (vocab-sized, broadcast
+    *     back) + the single-row (N, Σdl) agg — integer sums, engine-
+    *     exact;
+    *   - score: per-(qid, doc) contributions are sorted by term and
+    *     folded SEQUENTIALLY (`aggregate` over the sorted array), so
+    *     the float sum has one defined order — a plain float `sum()`
+    *     agg would be partitioning-dependent;
+    *   - top-k per qid: bounded [[TopKAgg]] — ≤ k rows per partition
+    *     per query move, no window over all candidates.
+    *
+    * Queries must not repeat a term within a qid (double-counting). */
+  def bm25Batch(df: DataFrame, textCol: String, idCol: String,
+                queries: DataFrame, k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withW = df.select(col(idCol),
+      Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
+    val vocab = queries.select(col("term")).distinct()
+    val tf = withW
+      .select(col(idCol), size(col("_w")).cast("long").as("_dl"),
+        explode(col("_w")).as("term"))
+      .join(broadcast(vocab), "term")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("_tf"), first(col("_dl")).as("_dl"))
+    val stats = withW.agg(count(lit(1)).cast("double").as("_n"),
+      sum(size(col("_w")).cast("long")).as("_sumdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("_df"))
+    val contrib = tf
+      .join(broadcast(queries), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("_c",
+        log(lit(1.0) + (col("_n") - col("_df") + 0.5) / (col("_df") + 0.5)) *
+          (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("_dl").cast("double") / (col("_sumdl").cast("double") / col("_n")))))
+    val scored = contrib.groupBy(col("qid"), col(idCol))
+      .agg(array_sort(collect_list(struct(col("term"), col("_c")))).as("_cs"))
+      .select(col("qid"), col(idCol),
+        aggregate(col("_cs"), lit(0.0), (acc, x) => acc + x.getField("_c")).as("score"))
+    scored.filter(col("score") > 0)
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk(-col("score"), col(idCol).cast("long"), k).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
+        (-col("_t.dist")).as("score"))
+  }
+
   /** Hybrid search: reciprocal-rank fusion of BM25 (keyword) and
     * embedding-cosine (semantic) retrieval —
     * rrf = 1/(fusionK + rank_text) + 1/(fusionK + rank_vec), missing

@@ -46,6 +46,33 @@ object Ingest {
       .select(col("w.start").as("window_start"), col(keyCol),
         col("n_events"), col("sum_value"))
 
+  /** Streaming twin of [[graft.operators.Events.kmvDistinct]]:
+    * windowed distinct-count sketch per key over an event stream —
+    * "how many distinct users did each type see this hour", live.
+    * The KMV aggregate is a [[graft.functions.KmvAgg]] merge-able
+    * buffer, so it runs inside a watermarked streaming agg exactly
+    * like count(): the state per (window, key) group is ≤ k longs,
+    * and the estimate matches the batch operator on the same rows
+    * (same hashes, same (k−1)/frac(h_k) arithmetic — spec-pinned). */
+  def kmvDistinctStream(events: DataFrame, tsCol: String, keyCol: String,
+                        valueCol: String, windowDuration: String,
+                        watermark: String, k: Int, seed: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed + "_"),
+      col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val kk = lit(k.toLong)
+    events.withWatermark(tsCol, watermark)
+      .select(window(col(tsCol), windowDuration).as("w"), col(keyCol), h.as("_h"))
+      .groupBy(col("w"), col(keyCol))
+      .agg(graft.functions.KmvAgg.kmv(col("_h"), k).as("_mins"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        size(col("_mins")).cast("long").as("n_sketch"),
+        when(size(col("_mins")) < kk,
+            size(col("_mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("_mins"), k).cast("double") / lit(math.pow(2.0, 60))))
+          .as("est_distinct"))
+  }
+
   /** Continuous ANN index build: a record stream (id, vector, ...)
     * gets its LSH bucket assigned in-flight and lands in
     * bucket-partitioned parquet — the SAME layout AnnLsh.writeIndexed

@@ -63,6 +63,27 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("containmentPairs flags subset docs that Jaccard misses") {
+    val big = ((1 to 40).map(i => s"w$i")).mkString(" ")
+    val corpus = Seq(
+      (1L, big),                                     // 40-word source
+      (2L, (5 to 12).map(i => s"w$i").mkString(" ")), // excerpt of 1
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10")         // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, "text", "doc_id",
+        n = 3, threshold = 0.8)
+      .select("id_a", "id_b", "containment", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val (_, _, c, j) = pairs.head
+    // all 6 excerpt shingles appear in the source: containment 1.0,
+    // while Jaccard = 6/38 would never clear a dedup threshold
+    assert(c == 1.0 && j < 0.2)
+    // symmetric Jaccard at the same threshold sees nothing
+    assert(Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      n = 3, threshold = 0.8).count() == 0)
+  }
+
   test("ngramJaccardPairs ranks exact above near dup") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.3, 100)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()

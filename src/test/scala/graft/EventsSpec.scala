@@ -42,6 +42,25 @@ class EventsSpec extends SparkSpec {
     assert(coarse.toSet == got.toSet && coarse.length == got.length)
   }
 
+  test("volumeAnomaly z-scores daily counts; zero-variance types never flag") {
+    def day(d: Int, i: Int) = Timestamp.valueOf(f"2024-02-$d%02d 0$i:00:00")
+    // type a: 10,10,10,10,60 events/day -> mean 20, var 400, z(60)=2.0
+    val a = (1 to 5).flatMap(d => (0 until (if (d == 5) 60 else 10))
+      .map(i => (day(d, i % 10), "a")))
+    // type b: constant 5/day -> var 0 -> NULL z, never anomalous
+    val b = (1 to 3).flatMap(d => (0 until 5).map(i => (day(d, i), "b")))
+    val df = (a ++ b).toDF("ts", "event_type")
+    val out = Events.volumeAnomaly(df, "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) -> r).toMap
+    val spike = out(("a", "2024-02-05"))
+    assert(spike.getLong(2) == 60L && math.abs(spike.getDouble(3) - 2.0) < 1e-12)
+    assert(spike.getBoolean(4))
+    val quiet = out(("a", "2024-02-01"))
+    assert(math.abs(quiet.getDouble(3) - (-0.5)) < 1e-12 && !quiet.getBoolean(4))
+    val const = out(("b", "2024-02-02"))
+    assert(const.isNullAt(3) && !const.getBoolean(4))
+  }
+
   test("kmvDistinct: exact under k, close and partitioning-independent over k") {
     val rows = (1 to 200).map(u => ("big", u.toLong)) ++   // 200 distinct
       (1 to 5).flatMap(u => Seq(("small", u.toLong), ("small", u.toLong))) // 5 distinct, dup'd

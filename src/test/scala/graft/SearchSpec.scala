@@ -44,6 +44,25 @@ class SearchSpec extends SparkSpec {
     assert(scored(0L) > scored(1L) * 2)
   }
 
+  test("bm25Batch matches per-query bm25 in one corpus pass, partitioning-independent") {
+    val qs = Seq((0L, "join"), (0L, "scan"), (1L, "scan")).toDF("qid", "term")
+    val got = Search.bm25Batch(docs, "text", "doc_id", qs, k = 10)
+      .select("qid", "doc_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    // each qid's slice equals the single-query operator's result
+    for ((qid, terms) <- Seq(0L -> Seq("join", "scan"), 1L -> Seq("scan"))) {
+      val single = Search.bm25(docs, "text", "doc_id", terms, k = 10)
+        .as[(Long, Int, Double)].collect()
+        .map { case (d, r, s) => (qid, d, r, s) }.toSet
+      assert(got.filter(_._1 == qid) == single, s"qid $qid diverges")
+    }
+    // the fold order is pinned: a reshuffled corpus scores identically
+    val again = Search.bm25Batch(docs.repartition(5), "text", "doc_id", qs, k = 10)
+      .select("qid", "doc_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(again == got)
+  }
+
   test("hybridSearch fuses keyword and vector ranks by RRF") {
     val corpus = graft.core.Tables.documents(spark, sf0001)
     val got = Search.hybridSearch(corpus, "text", "doc_id",

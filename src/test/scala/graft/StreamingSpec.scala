@@ -46,6 +46,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV distinct sketch matches the batch operator once drained") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long)]
+    val df = mem.toDF().toDF("ts", "event_type", "user_id")
+    val q = Ingest.kmvDistinctStream(df, "ts", "event_type", "user_id",
+        "10 minutes", "1 minute", k = 8, seed = "kst")
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      // 20 distinct users (> k) for click in window 0, the same user
+      // repeated for view (distinct = 1, exact under k)
+      val clicks = (1 to 20).map(u => (ts(u % 10), "click", u.toLong))
+      val views = Seq((ts(1), "view", 99L), (ts(2), "view", 99L))
+      mem.addData(clicks ++ views: _*)
+      q.processAllAvailable()
+      val got = spark.table("kmv_stream")
+        .select(col("window_start"), col("event_type"), col("n_sketch"), col("est_distinct"))
+        .as[(Timestamp, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      assert(got((ts(0), "view")) == ((1L, 1.0)))
+      // the streaming estimate equals the batch operator's on the
+      // same rows — same hashes, same estimator arithmetic
+      val batch = graft.operators.Events.kmvDistinct(
+        (clicks ++ views).toDF("ts", "event_type", "user_id"),
+        Seq("event_type"), "user_id", k = 8, seed = "kst")
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got((ts(0), "click")) == batch("click"))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]

@@ -118,6 +118,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top(1) == (("b c a", 1L, 1L)))
   }
 
+  test("charEntropy: uniform chars score 0, ln(2) for a 50/50 mix, NULL keeps row") {
+    val docs = Seq(
+      (1L, "aaaaaa"),          // one distinct char -> 0 entropy
+      (2L, "ababab"),          // 50/50 -> ln 2
+      (3L, "!!!???"),          // nothing in alphabet -> n = 0 -> 0.0
+      (4L, null.asInstanceOf[String]),
+      (5L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs, "text", "doc_id")
+      .select("doc_id", "char_entropy").as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L)) < 1e-12)
+    assert(math.abs(out(2L) - math.log(2.0)) < 1e-12)
+    assert(out(3L) == 0.0 && out(4L) == 0.0)
+    // healthy English sits well above gibberish
+    assert(out(5L) > 2.0, s"english entropy ${out(5L)}")
+    assert(out.size == 5)
+  }
+
   test("removeBoilerplate drops high-df chunks, keeps order, never drops rows") {
     val boiler = "b1 b2 b3 b4"
     val corpus = Seq(
