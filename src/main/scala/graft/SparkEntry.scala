@@ -653,6 +653,17 @@ object SparkEntry {
       Events.retention(Tables.events(s, dir), "ts", "user_id")
     }),
 
+    "events_salted_join" -> ((s, dir) => {
+      // fact x per-user dim with hot keys salted 8 ways; the result is
+      // row-identical to the plain join (which is what the oracle
+      // states) — the machinery under test is the skew spreading
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("u_events"))
+      Events.saltedJoin(ev.select(col("event_id"), col("user_id"), col("event_type")),
+          dim, "user_id", "event_id", salts = 8, hotThreshold = 50)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("u_events"))
+    }),
+
     "events_anomaly" -> ((s, dir) => {
       Events.volumeAnomaly(Tables.events(s, dir), "ts", "event_type")
         .select(col("event_type"), col("day"), col("n_events"),
@@ -898,6 +909,15 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) => {
       Search.bm25(Tables.documents(s, dir), "text", "doc_id",
           terms = Seq("join", "scan", "merge"), k = 20)
+        .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
+    }),
+
+    "knn_maxsim" -> ((s, dir) => {
+      // late interaction: per-chunk embeddings, per-token query
+      // vectors, score = sum of per-token max chunk similarity
+      Search.maxsimSearch(Tables.documents(s, dir), "text", "doc_id",
+          queryTokens = Seq("vector", "stream", "filter"), k = 10,
+          chunkTokens = 32, strideTokens = 16, dim = 16)
         .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
     }),
 
@@ -2121,6 +2141,42 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT doc_id, rank, round(score, 5) AS score FROM bm25r WHERE rank <= 20""".stripMargin,
 
+    "knn_maxsim" -> {
+      // chunk grid = doc_chunks' CTE at (32, 16); chunk embeddings =
+      // embed_text's bucket/nrm machinery; each single-token query
+      // vector is ONE-HOT under the hash embedder (c=1, nrm=1), so
+      // dot(chunk, token) = the chunk's weight at the token's bucket
+      // — the same double the Spark dot produces (0-terms add exactly)
+      val toks = Seq("vector", "stream", "filter")
+      val simCols = toks.zipWithIndex.map { case (t, i) =>
+        s"coalesce(max(CASE WHEN b.bucket = CAST('0x' || substr(md5('$t'), 1, 15) AS BIGINT) % 16 " +
+          s"THEN b.c / n.nrm END), 0.0) AS s$i"
+      }.mkString(",\n    ")
+      val maxCols = toks.indices.map(i => s"max(s$i) AS m$i").mkString(", ")
+      val scoreSum = toks.indices.map(i => s"m$i").mkString(" + ")
+      s"""WITH wt AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+         |ch AS (SELECT doc_id,
+         |         list_transform(range(0, CAST(floor((len(w) - 1) / 16.0) AS INT) + 1),
+         |           i -> array_to_string(w[CAST(i * 16 + 1 AS INT) : CAST(i * 16 + 32 AS INT)], ' ')) AS chunks
+         |       FROM wt),
+         |ex AS (SELECT doc_id, unnest(range(len(chunks))) AS cid, chunks FROM ch),
+         |tok AS (SELECT doc_id, cid,
+         |          unnest(string_split(chunks[CAST(cid AS INT) + 1], ' ')) AS t FROM ex),
+         |bc AS (SELECT doc_id, cid,
+         |         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 16 AS bucket,
+         |         count(*) AS c
+         |       FROM tok GROUP BY 1, 2, 3),
+         |nrm AS (SELECT doc_id, cid, sqrt(sum(c * c)) AS nrm FROM bc GROUP BY 1, 2),
+         |sims AS (SELECT b.doc_id, b.cid,
+         |    $simCols
+         |  FROM bc b JOIN nrm n USING (doc_id, cid) GROUP BY 1, 2),
+         |dm AS (SELECT doc_id, $maxCols FROM sims GROUP BY 1),
+         |sc AS (SELECT doc_id, $scoreSum AS score FROM dm WHERE $scoreSum > 0)
+         |SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |       round(score, 5) AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
+
     "bm25_batch" ->
       // the scored fold is ORDER BY term on both sides (Spark sorts
       // the (term, contribution) structs and folds sequentially), so
@@ -2372,6 +2428,14 @@ object SparkEntry {
         |SELECT c.cohort, CAST(a.d - c.cohort AS BIGINT) AS day_offset,
         |       count(*) AS n_users
         |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "events_salted_join" ->
+      // the salting is pure execution strategy — the oracle is the
+      // PLAIN join, so any row lost or duplicated by the salt
+      // machinery (a replica mismatch, a wrong mod) hash-mismatches
+      """WITH d AS (SELECT user_id, count(*) AS u_events FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, e.event_type, d.u_events
+        |FROM events e JOIN d USING (user_id)""".stripMargin,
 
     "events_anomaly" ->
       // moment arithmetic mirrors the Spark side op-for-op: integer

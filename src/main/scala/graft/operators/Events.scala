@@ -207,6 +207,44 @@ object Events {
           .as("est_distinct")): _*)
   }
 
+  /** Skew-safe fact × dim equi-join with explicit key SALTING: keys
+    * with ≥ `hotThreshold` fact rows get their dim row replicated
+    * `salts` ways, and each hot fact row picks one replica
+    * deterministically (md5(idCol) mod salts) — a key with 100 M rows
+    * spreads over `salts` reducer partitions instead of one straggler
+    * task. Cold keys join normally (salt 0), and the result is
+    * row-identical to the plain join (the oracle states the plain
+    * join).
+    *
+    * AQE's skew-join splitting covers many sort-merge cases at
+    * runtime; explicit salting is the lever that still works when the
+    * engine can't split — bucketed/co-partitioned inputs, a skewed
+    * keyed aggregation downstream, or a join the planner chose to
+    * broadcast the wrong way. The hot-key set is itself one keyed
+    * count (map-side partial) and broadcasts — it is small by
+    * definition (few keys can exceed a meaningful threshold). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String,
+                 idCol: String, salts: Int, hotThreshold: Long): DataFrame = {
+    require(salts >= 2, s"salts must be >= 2, got $salts")
+    require(hotThreshold >= 1, s"hotThreshold must be >= 1, got $hotThreshold")
+    val hot = fact.groupBy(col(keyCol)).agg(count(lit(1)).as("_kn"))
+      .filter(col("_kn") >= hotThreshold)
+      .select(col(keyCol), lit(true).as("_hot"))
+    val dimSalted = dim.join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("_salt",
+        explode(when(col("_hot").isNotNull,
+          sequence(lit(0), lit(salts - 1))).otherwise(array(lit(0)))))
+      .drop("_hot")
+    val factSalted = fact.join(broadcast(hot), Seq(keyCol), "left")
+      .withColumn("_salt",
+        when(col("_hot").isNotNull,
+          pmod(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(salts.toLong)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("_hot")
+    factSalted.join(dimSalted, Seq(keyCol, "_salt")).drop("_salt")
+  }
+
   /** Daily-volume anomaly report per event type: z-score of each
     * day's event count against the type's own history, flagged at
     * `|z| ≥ threshold` — the "did the pipeline break / did a client

@@ -131,6 +131,61 @@ object Search {
         (-col("_t.dist")).as("score"))
   }
 
+  /** Late-interaction retrieval (the ColBERT/maxsim scheme, public):
+    * documents are split into chunks and embedded PER CHUNK; the
+    * query embeds per TOKEN; score(doc) = Σ over query tokens of the
+    * MAX chunk similarity — a fine-grained match signal single-vector
+    * retrieval flattens away (one off-topic paragraph cannot dilute
+    * the paragraph that answers the query).
+    *
+    * Scale shape: chunking is the zero-shuffle arithmetic grid
+    * ([[TextAnalysis.chunkDocs]]); chunk embedding is the
+    * deterministic hash-ngram embedder (same documented stub as
+    * [[hybridSearch]]'s arm — swap in a model endpoint, the plan is
+    * unchanged); per-token similarities are map-side dot products
+    * against DRIVER-EMBEDDED token vectors (q tokens × dim doubles
+    * ship with the plan, no join); the doc roll-up is ONE keyed agg
+    * of q `max()` columns (max is order-independent — float-safe by
+    * nature), summed in fixed token order; global top-k is a bounded
+    * [[TopKAgg]]. Docs sharing no bucket with any token score 0 and
+    * drop. */
+  def maxsimSearch(df: DataFrame, textCol: String, idCol: String,
+                   queryTokens: Seq[String], k: Int,
+                   chunkTokens: Int = 32, strideTokens: Int = 16,
+                   dim: Int = 16): DataFrame = {
+    require(queryTokens.nonEmpty && queryTokens.distinct == queryTokens,
+      "query tokens must be non-empty and distinct")
+    val sp = df.sparkSession
+    import sp.implicits._
+    // composite chunk key packed into one long for the embedder
+    // (chunk_id < 1024 at any sane chunk size vs doc length)
+    val chunks = TextAnalysis.chunkDocs(
+        df.select(col(idCol), coalesce(col(textCol), lit("")).as(textCol)),
+        textCol, idCol, chunkTokens, strideTokens)
+      .select((col(idCol) * 1024 + col("chunk_id")).as("_cid"), col("chunk_text"))
+    val embedded = Embed.embedDense(chunks, "chunk_text", "_cid", dim)
+    val qdf = queryTokens.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("_qid", "_t")
+    val qvecs: Seq[Seq[Double]] = Embed.embedDense(qdf, "_t", "_qid", dim)
+      .orderBy(col("_qid")).collect().map(_.getSeq[Double](1)).toSeq
+    val base = embedded.select(
+      expr("_cid div 1024").cast("long").as(idCol), col("embedding"))
+    val withSims = qvecs.zipWithIndex.foldLeft(base) { case (acc, (qv, i)) =>
+      acc.withColumn(s"_sim$i",
+        graft.functions.Vectors.dot(col("embedding"), typedlit(qv)))
+    }
+    val aggs = qvecs.indices.map(i => max(col(s"_sim$i")).as(s"_m$i"))
+    val scored = withSims.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol),
+        qvecs.indices.foldLeft(lit(0.0))((acc, i) => acc + col(s"_m$i")).as("score"))
+    scored.filter(col("score") > 0)
+      .agg(TopKAgg.topk(-col("score"), col(idCol).cast("long"), k).as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
+        (-col("_t.dist")).as("score"))
+  }
+
   /** Hybrid search: reciprocal-rank fusion of BM25 (keyword) and
     * embedding-cosine (semantic) retrieval —
     * rrf = 1/(fusionK + rank_text) + 1/(fusionK + rank_vec), missing

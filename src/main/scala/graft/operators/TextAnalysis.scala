@@ -245,31 +245,18 @@ object TextAnalysis {
     * healthy English; the cheap first-pass filter for binary spew and
     * keyboard mash that token-level signals miss.
     *
-    * Pure map-side, no arrays of characters anywhere: each alphabet
-    * char's count is `length(s) − length(translate(s, ch, ''))` (two
-    * string scans, codegen'd), and the entropy fold runs over the
-    * counts array in FIXED alphabet order — the float-sum determinism
-    * rule (SURVEY §4), so values are bit-identical across engines and
-    * partitionings. Characters outside the alphabet are ignored.
+    * Pure map-side, ONE pass over the string's bytes: the codegen'd
+    * [[graft.functions.CharEntropy]] expression counts and folds in
+    * FIXED alphabet order — the float-sum determinism rule (SURVEY
+    * §4), so values are bit-identical across engines and
+    * partitionings and match the oracle's per-char-count formulation
+    * term for term. Characters outside the alphabet are ignored.
     * NULL/empty text scores 0.0 and keeps its row. */
   def charEntropy(df: DataFrame, textCol: String, idCol: String,
-                  alphabet: String = "abcdefghijklmnopqrstuvwxyz0123456789 "): DataFrame = {
-    require(alphabet.nonEmpty && alphabet.distinct == alphabet,
-      "alphabet must be non-empty with distinct characters")
-    val s = coalesce(col(textCol), lit(""))
-    val counts = alphabet.map { ch =>
-      (length(s) - length(translate(s, ch.toString, ""))).cast("long")
-    }
-    df.withColumn("_cnt", array(counts: _*))
-      .withColumn("_n", aggregate(col("_cnt"), lit(0L), (a, x) => a + x))
-      .withColumn("char_entropy",
-        when(col("_n") === 0, lit(0.0)).otherwise(
-          -aggregate(col("_cnt"), lit(0.0), (acc, x) =>
-            acc + when(x > 0,
-              (x.cast("double") / col("_n")) * log(x.cast("double") / col("_n")))
-              .otherwise(lit(0.0)))))
-      .drop("_cnt", "_n")
-  }
+                  alphabet: String = "abcdefghijklmnopqrstuvwxyz0123456789 "): DataFrame =
+    df.withColumn("char_entropy",
+      graft.functions.TextExprs.charEntropyCol(
+        coalesce(col(textCol), lit("")), alphabet))
 
   /** Intra-document repetition ratios — the Gopher-style quality
     * signal: for each n in `ns`, the fraction of the document's word

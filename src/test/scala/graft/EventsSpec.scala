@@ -42,6 +42,29 @@ class EventsSpec extends SparkSpec {
     assert(coarse.toSet == got.toSet && coarse.length == got.length)
   }
 
+  test("saltedJoin equals the plain join; hot-key rows spread across salts") {
+    val fact = ((1 to 100).map(i => (i.toLong, 1L)) ++          // hot key
+      (101 to 112).map(i => (i.toLong, (2 + i % 4).toLong)))    // cold keys
+      .toDF("event_id", "user_id")
+    val dim = fact.groupBy(col("user_id")).agg(count(lit(1)).as("u_events"))
+    val salted = Events.saltedJoin(fact, dim, "user_id", "event_id",
+        salts = 4, hotThreshold = 50)
+      .select("event_id", "user_id", "u_events")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val plain = fact.join(dim, "user_id")
+      .select("event_id", "user_id", "u_events")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(salted == plain && salted.size == 112)
+    // the hot key's 100 rows really do land in more than one salt
+    // bucket (same md5 formula the operator applies)
+    val salts = (1 to 100).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16) % 4
+    }.distinct
+    assert(salts.size > 1)
+  }
+
   test("volumeAnomaly z-scores daily counts; zero-variance types never flag") {
     def day(d: Int, i: Int) = Timestamp.valueOf(f"2024-02-$d%02d 0$i:00:00")
     // type a: 10,10,10,10,60 events/day -> mean 20, var 400, z(60)=2.0

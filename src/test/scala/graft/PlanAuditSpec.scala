@@ -50,6 +50,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plans("ann_batch").contains("BroadcastExchange"), plans("ann_batch"))
   }
 
+  test("bounded sketch/top-k aggregates run with map-side partials") {
+    // TypedImperativeAggregates (KmvAgg, TopKAgg) plan as
+    // ObjectHashAggregate with a partial pass — the property that
+    // caps what the shuffle moves (<= k values per group per
+    // partition); losing it would shuffle raw rows
+    for (q <- Seq("events_kmv", "bm25_batch")) {
+      val p = plans(q)
+      assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+        s"$q lost its partial object-hash aggregation:\n$p")
+    }
+    // the batch-BM25 vocabulary must reach the scan side broadcast,
+    // never shuffle the corpus against it
+    assert(plans("bm25_batch").contains("BroadcastHashJoin"), plans("bm25_batch"))
+  }
+
   test("single-query knn executes as TakeOrdered, not a full sort") {
     for (q <- Seq("knn_cosine", "knn_euclidean", "ann_lsh")) {
       assert(plans(q).contains("TakeOrderedAndProject"),

@@ -63,6 +63,36 @@ class SearchSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("maxsimSearch rewards a dedicated matching chunk over a diluted mention") {
+    val corpus = Seq(
+      // chunk 2 is pure signal: per-chunk normalization keeps its
+      // weight at the target bucket ~1.0 regardless of the rest
+      (1L, ("alpha beta " * 16).trim + " target target target target"),
+      // one mention diluted inside a 32-word chunk
+      (2L, "target " + ("gamma delta " * 15).trim + " end"),
+      (3L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val got = Search.maxsimSearch(corpus, "text", "doc_id",
+        queryTokens = Seq("target"), k = 10,
+        chunkTokens = 8, strideTokens = 8, dim = 16)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(got.take(2).map(_._1).toSeq == Seq(1L, 2L),
+      s"expected the dedicated-chunk doc first: ${got.toSeq}")
+    assert(got.head._3 > got(1)._3)
+    // multi-token score is the sum of per-token maxes: querying a
+    // second token present only in doc 2 lifts doc 2's score by that
+    // token's max similarity ('delta' — hash bucket 1, which none of
+    // doc 1's words share; 'gamma' would alias doc 1's alpha/beta
+    // bucket under the 16-bucket hash embedder)
+    val two = Search.maxsimSearch(corpus, "text", "doc_id",
+        Seq("target", "delta"), k = 10, 8, 8, 16)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val one = got.map(r => r._1 -> r._3).toMap
+    assert(two(2L) > one(2L))
+    assert(math.abs(two(1L) - one(1L)) < 1e-9) // doc 1 has no 'delta' bucket
+  }
+
   test("hybridSearch fuses keyword and vector ranks by RRF") {
     val corpus = graft.core.Tables.documents(spark, sf0001)
     val got = Search.hybridSearch(corpus, "text", "doc_id",
