@@ -74,7 +74,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => JpegDims(args(0))),
     ("graft_wav_meta", info("graft_wav_meta",
         "WAV [channels, rate, bits, data_bytes] via the RIFF chunk walk, NULL if not WAV"),
-      (args: Seq[Expression]) => graft.functions.WavMeta(args(0))))
+      (args: Seq[Expression]) => graft.functions.WavMeta(args(0))),
+    ("graft_mp4_meta", info("graft_mp4_meta",
+        "MP4 [timescale, duration, mvhd_version] via the ISO-BMFF box walk, NULL if not MP4"),
+      (args: Seq[Expression]) => graft.functions.Mp4Meta(args(0))))
 
   /** Constant int argument of a SQL function call (e.g. the table
     * count of graft_forest_keys) — must fold at plan time. */

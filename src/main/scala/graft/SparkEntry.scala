@@ -120,6 +120,18 @@ object SparkEntry {
       path
     })
 
+  /** BM25 inverted index per corpus dir (same build-once contract as
+    * the ANN indexes): term-bucket-partitioned postings + stats. */
+  private def bm25IndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|bm25idx", { _ =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|bm25idx".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/bm25-$key"
+      Search.writeTextIndex(Tables.documents(s, dir), "text", "doc_id", path)
+      path
+    })
+
   /** Lloyd-trained centroids per corpus dir: training is part of
     * index BUILD (train once, probe many — collection.go's contract),
     * so repeat query invocations reuse the trained nlist × dim table
@@ -791,6 +803,36 @@ object SparkEntry {
           col("wav_bits"), col("wav_data_bytes"), col("wav_ms"))
     }),
 
+    "mm_video" -> ((s, dir) => {
+      // MP4 payloads CONSTRUCTED from doc_id formulas — a variable-
+      // size free box precedes moov AND another free child precedes
+      // mvhd inside it, so the two-level box walk is really
+      // exercised; every 4th doc carries a text payload -> NULLs
+      val d = col("doc_id")
+      def be4(x: org.apache.spark.sql.Column) = lpad(hex(x), 8, "0")
+      val ts = when(pmod(d, lit(3)) === 0, 600L)
+        .when(pmod(d, lit(3)) === 1, 1000L).otherwise(90000L)
+      val dur = (pmod(d, lit(90000)) * 7).cast("long")
+      val p = pmod(d, lit(7)).cast("long")
+      val q = pmod(d, lit(5)).cast("long")
+      val ftypHex = lit("00000010" + "66747970" + "69736F6D" + "00000000")
+      val freeP = concat(be4(p + 8), lit("66726565"),
+        expr("repeat('00', cast(pmod(doc_id, 7) as int))"))
+      val freeQ = concat(be4(q + 8), lit("66726565"),
+        expr("repeat('00', cast(pmod(doc_id, 5) as int))"))
+      val mvhd = concat(be4(lit(28L)), lit("6D766864"),
+        lit("00000000" + "00000000" + "00000000"), be4(ts), be4(dur))
+      val moov = concat(be4(q + 8 + 36), lit("6D6F6F76"), freeQ, mvhd)
+      val mp4Hex = concat(ftypHex, freeP, moov)
+      val payload = when(pmod(d, lit(4)) === 3,
+          concat(unhex(lit("00")), encode(coalesce(col("text"), lit("")), "UTF-8")))
+        .otherwise(unhex(mp4Hex))
+      val docs = Tables.documents(s, dir).withColumn("payload", payload)
+      graft.operators.Multimodal.videoMeta(docs, "payload")
+        .select(col("doc_id"), col("mp4_timescale"), col("mp4_duration"),
+          col("mp4_version"), col("mp4_ms"))
+    }),
+
     "lang_id" -> ((s, dir) => {
       TextAnalysis.langId(Tables.documents(s, dir), "text")
         .select(col("doc_id"), col("lang_pred"), col("lang_score").cast("bigint").as("lang_score"))
@@ -908,6 +950,15 @@ object SparkEntry {
 
     "bm25_search" -> ((s, dir) => {
       Search.bm25(Tables.documents(s, dir), "text", "doc_id",
+          terms = Seq("join", "scan", "merge"), k = 20)
+        .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
+    }),
+
+    "bm25_indexed" -> ((s, dir) => {
+      // keyword search over the PERSISTED inverted index: the corpus
+      // text is never read — the probe scans the query terms' bucket
+      // partitions only, the text twin of the ANN index probes
+      Search.bm25Indexed(s, bm25IndexPath(s, dir), "doc_id",
           terms = Seq("join", "scan", "merge"), k = 20)
         .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
     }),
@@ -1952,6 +2003,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 4 <= 2 THEN CAST(1 + (doc_id * 3) % 769 AS INT) END AS media_height
         |FROM documents""".stripMargin,
 
+    "mm_video" ->
+      // same contract as mm_dims/mm_audio: Spark builds MP4 payloads
+      // from these doc_id formulas and PARSES them back through the
+      // two-level box walk; the oracle states the embedded values
+      """WITH f AS (SELECT doc_id,
+        |  doc_id % 4 = 3 AS txt,
+        |  CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS ts,
+        |  (doc_id % 90000) * 7 AS dur
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN txt THEN NULL ELSE ts END AS mp4_timescale,
+        |  CASE WHEN txt THEN NULL ELSE dur END AS mp4_duration,
+        |  CASE WHEN txt THEN NULL ELSE 0 END AS mp4_version,
+        |  CASE WHEN txt THEN NULL ELSE (dur * 1000) // ts END AS mp4_ms
+        |FROM f""".stripMargin,
+
     "mm_audio" ->
       // same contract as mm_dims: Spark builds WAV payloads from these
       // doc_id formulas and PARSES them back through the RIFF chunk
@@ -2140,6 +2207,28 @@ object SparkEntry {
     "bm25_search" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, rank, round(score, 5) AS score FROM bm25r WHERE rank <= 20""".stripMargin,
+
+    "bm25_indexed" ->
+      // independent of the bm25_search oracle: the indexed path folds
+      // contributions in SORTED term order (the batch rule), so this
+      // oracle orders its fold the same way
+      """WITH qt AS (SELECT unnest(['join', 'scan', 'merge']) AS term),
+        |w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(len(w)) AS sumdl FROM w),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl FROM (
+        |    SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w)
+        |  JOIN qt USING (term) GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |contrib AS (SELECT t.doc_id, t.term,
+        |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1.0)) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n))) AS c
+        |  FROM tf t JOIN df USING (term), stats),
+        |scored AS (SELECT doc_id, list_sum(list(c ORDER BY term)) AS score
+        |           FROM contrib GROUP BY 1),
+        |r AS (SELECT doc_id, score,
+        |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |      FROM scored WHERE score > 0)
+        |SELECT doc_id, rank, round(score, 5) AS score FROM r WHERE rank <= 20""".stripMargin,
 
     "knn_maxsim" -> {
       // chunk grid = doc_chunks' CTE at (32, 16); chunk embeddings =

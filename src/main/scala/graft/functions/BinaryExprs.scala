@@ -285,12 +285,126 @@ case class WavMeta(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** MP4 (ISO BMFF) movie metadata via the box walk, as `array<long>`
+  * [timescale, duration, mvhd_version] (NULL when the payload is not
+  * an MP4 or carries no moov/mvhd). The file is a chain of
+  * variable-size big-endian boxes — ftyp/free/mdat of arbitrary size
+  * precede moov, and inside moov other children may precede mvhd — so
+  * like JPEG segments and RIFF chunks there is no fixed offset; the
+  * walk handles 64-bit `largesize` (size == 1) and to-end (size == 0)
+  * boxes and stops cleanly on corrupt sizes. Same codegen tier as
+  * [[JpegDims]]/[[WavMeta]]. */
+case class Mp4Meta(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_mp4_meta requires a binary argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val r = BinaryExprs.mp4Scan(a.asInstanceOf[Array[Byte]])
+    if (r == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("r")
+      s"""
+         |long[] $r = graft.functions.BinaryExprs.mp4Scan($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($r); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BinaryExprs {
   def byteStride(bin: Column, stride: Int): Column =
     GraftBridge.toColumn(ByteStride(GraftBridge.toExpression(bin), stride))
 
   def wavMeta(bin: Column): Column =
     GraftBridge.toColumn(WavMeta(GraftBridge.toExpression(bin)))
+
+  def mp4Meta(bin: Column): Column =
+    GraftBridge.toColumn(Mp4Meta(GraftBridge.toExpression(bin)))
+
+  /** The ISO-BMFF box walk both the interpreted and generated code
+    * call: returns [timescale, duration, mvhd_version], or null when
+    * the payload is not an MP4 (first box must be `ftyp`), has no
+    * moov/mvhd, or is structurally corrupt. Positions are tracked as
+    * longs so a 64-bit `largesize` cannot wrap the cursor. */
+  def mp4Scan(b: Array[Byte]): Array[Long] = {
+    val n = b.length.toLong
+    def be32(i: Long): Long = {
+      val j = i.toInt
+      ((b(j) & 0xFF).toLong << 24) | ((b(j + 1) & 0xFF) << 16) |
+        ((b(j + 2) & 0xFF) << 8) | (b(j + 3) & 0xFF)
+    }
+    def be64(i: Long): Long = (be32(i) << 32) | be32(i + 4)
+    def typeIs(i: Long, t: String): Boolean = {
+      val j = i.toInt
+      b(j) == t.charAt(0).toByte && b(j + 1) == t.charAt(1).toByte &&
+        b(j + 2) == t.charAt(2).toByte && b(j + 3) == t.charAt(3).toByte
+    }
+    // (size, headerLen) of the box at i, or null on corruption
+    def boxAt(i: Long, end: Long): Array[Long] = {
+      if (i + 8 > end) return null
+      val s0 = be32(i)
+      if (s0 == 1L) {
+        if (i + 16 > end) return null
+        val s = be64(i + 8)
+        if (s < 16) null else Array(s, 16L)
+      } else if (s0 == 0L) Array(end - i, 8L)
+      else if (s0 < 8) null
+      else Array(s0, 8L)
+    }
+    if (n < 12 || !(be32(0) >= 8 && typeIs(4, "ftyp"))) return null
+    var i = 0L
+    while (i + 8 <= n) {
+      val box = boxAt(i, n)
+      if (box == null) return null
+      if (typeIs(i + 4, "moov")) {
+        val end = math.min(i + box(0), n)
+        var j = i + box(1)
+        while (j + 8 <= end) {
+          val cb = boxAt(j, end)
+          if (cb == null) return null
+          if (typeIs(j + 4, "mvhd")) {
+            val body = j + cb(1)
+            val v = if (body < n) b(body.toInt) & 0xFF else return null
+            if (v == 1) {
+              // ver+flags(4) + ctime(8) + mtime(8) -> ts(4), dur(8)
+              if (body + 32 > n) return null
+              return Array(be32(body + 20), be64(body + 24), 1L)
+            } else {
+              // ver+flags(4) + ctime(4) + mtime(4) -> ts(4), dur(4)
+              if (body + 20 > n) return null
+              return Array(be32(body + 12), be32(body + 16), 0L)
+            }
+          }
+          if (j + cb(0) <= j) return null
+          j += cb(0)
+        }
+        return null // moov without mvhd
+      }
+      if (i + box(0) <= i) return null
+      i += box(0)
+    }
+    null
+  }
 
   /** The RIFF chunk walk both the interpreted and generated code call:
     * returns [channels, sampleRate, bitsPerSample, dataBytes], or null

@@ -128,6 +128,26 @@ object Multimodal {
       .drop("_wav")
   }
 
+  /** REAL (non-stub) video container parsing: MP4/ISO-BMFF movie
+    * metadata off the binary column via the codegen'd box walk
+    * ([[graft.functions.Mp4Meta]] — variable-size big-endian boxes,
+    * 64-bit largesize, children preceding mvhd inside moov). Emits
+    * timescale / duration units / mvhd version plus `mp4_ms`, the
+    * movie duration in integer milliseconds. Non-MP4 payloads yield
+    * NULLs. Completes the container trio: image ([[mediaDims]]),
+    * audio ([[audioMeta]]), video. */
+  def videoMeta(df: DataFrame, binCol: String): DataFrame = {
+    df.withColumn("_mp4", graft.functions.BinaryExprs.mp4Meta(col(binCol)))
+      .withColumn("mp4_timescale", element_at(col("_mp4"), 1))
+      .withColumn("mp4_duration", element_at(col("_mp4"), 2))
+      .withColumn("mp4_version", element_at(col("_mp4"), 3))
+      .withColumn("mp4_ms",
+        when(col("mp4_timescale") > 0,
+          expr("(mp4_duration * 1000) div mp4_timescale"))
+          .otherwise(lit(null).cast("long")))
+      .drop("_mp4")
+  }
+
   /** Frame sampling on a payload: every `stride`-th BYTE of the
     * payload becomes part of the "sampled" stream — the video
     * frame-subsampling access pattern. Byte-safe: a codegen'd

@@ -131,6 +131,80 @@ object Search {
         (-col("_t.dist")).as("score"))
   }
 
+  /** Persist the BM25 inverted index — the text twin of the ANN
+    * index pattern ([[AnnLsh.writeIndexed]]/[[AnnPq.writeIvfPqIndex]]):
+    * one corpus scan produces postings `(term, doc, tf, dl)` stored
+    * as parquet PARTITIONED by `term_bucket = hash64(term) mod
+    * numBuckets`, plus a one-row stats table (N, Σdl). A query then
+    * reads ONLY its terms' bucket partitions (static pruning) — at
+    * 100 TB the difference between a keyword search that re-scans the
+    * archive and one that reads a few postings partitions. df per
+    * term is NOT stored: it is one keyed count over the pruned
+    * postings at probe time, so the index never goes stale on its own
+    * statistics. */
+  def writeTextIndex(df: DataFrame, textCol: String, idCol: String,
+                     path: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val withW = df.select(col(idCol),
+      Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
+    withW
+      .select(col(idCol), size(col("_w")).cast("long").as("dl"),
+        explode(col("_w")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      .withColumn("term_bucket",
+        pmod(Dedup.hash64(col("term")), lit(numBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+    withW.agg(count(lit(1)).as("n_docs"),
+        sum(size(col("_w")).cast("long")).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "_stats")
+  }
+
+  /** The driver-side twin of [[graft.operators.Dedup.hash64]] (md5
+    * hex, first 15 nibbles) — probe-time bucket computation for
+    * literal query terms costs zero Spark jobs. */
+  private def hash64Local(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+
+  /** Top-k BM25 over a [[writeTextIndex]] table: the corpus text is
+    * never read — the probe scans the query terms' postings
+    * partitions only (`PartitionFilters` on term_bucket, spec-pinned),
+    * computes df from them, and folds contributions per doc in sorted
+    * term order (the [[bm25Batch]] determinism rule). Scores match
+    * the from-scratch computation bit for bit. */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  idCol: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+                  b: Double = 0.75, numBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      "query terms must be non-empty and distinct")
+    val srow = spark.read.parquet(path + "_stats").collect().head
+    val nDocs = srow.getLong(0).toDouble
+    val avgdl = srow.getLong(1).toDouble / nDocs
+    val buckets = terms.map(t => hash64Local(t) % numBuckets).distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("term_bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("_df"))
+    val contrib = postings.join(broadcast(dfreq), "term")
+      .withColumn("_c",
+        log(lit(1.0) + (lit(nDocs) - col("_df") + 0.5) / (col("_df") + 0.5)) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("dl").cast("double") / lit(avgdl))))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("term"), col("_c")))).as("_cs"))
+      .select(col(idCol),
+        aggregate(col("_cs"), lit(0.0), (acc, x) => acc + x.getField("_c")).as("score"))
+    scored.filter(col("score") > 0)
+      .agg(TopKAgg.topk(-col("score"), col(idCol).cast("long"), k).as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
+        (-col("_t.dist")).as("score"))
+  }
+
   /** Late-interaction retrieval (the ColBERT/maxsim scheme, public):
     * documents are split into chunks and embedded PER CHUNK; the
     * query embeds per TOKEN; score(doc) = Σ over query tokens of the

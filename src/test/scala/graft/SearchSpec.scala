@@ -63,6 +63,33 @@ class SearchSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("bm25Indexed probes pruned postings partitions, matches the from-scratch scores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25idx").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    Search.writeTextIndex(docs, "text", "doc_id", path, numBuckets = 16)
+    val res = Search.bm25Indexed(spark, path, "doc_id",
+      Seq("join", "scan"), k = 10, numBuckets = 16)
+    // the probe must prune to the query terms' bucket partitions
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*term_bucket#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected term_bucket partition pruning in:\n$plan")
+    // same docs, same order as the from-scratch batch path (both fold
+    // in sorted term order)
+    val qs = Seq((0L, "join"), (0L, "scan")).toDF("qid", "term")
+    val scratch = Search.bm25Batch(docs, "text", "doc_id", qs, k = 10)
+      .select("doc_id", "rank", "score").as[(Long, Int, Double)].collect().toSet
+    val indexed = res.select("doc_id", "rank", "score")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(indexed == scratch, s"indexed $indexed vs scratch $scratch")
+    // the index stores postings + stats, never the text
+    assert(!spark.read.parquet(path).columns.contains("text"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+  }
+
   test("maxsimSearch rewards a dedicated matching chunk over a diluted mention") {
     val corpus = Seq(
       // chunk 2 is pure signal: per-chunk normalization keeps its
