@@ -176,10 +176,19 @@ object Search {
     * the from-scratch computation bit for bit. */
   def bm25Indexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   idCol: String, terms: Seq[String], k: Int, k1: Double = 1.2,
-                  b: Double = 0.75, numBuckets: Int = 64): DataFrame = {
+                  b: Double = 0.75, numBuckets: Int = 64,
+                  statsFromDocs: Boolean = false): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "query terms must be non-empty and distinct")
-    val srow = spark.read.parquet(path + "_stats").collect().head
+    // statsFromDocs: aggregate the streaming build's append-only
+    // (id, dl) table — two longs per doc, one narrow scan — instead
+    // of the batch build's frozen one-row stats parquet
+    val srow =
+      if (statsFromDocs)
+        spark.read.parquet(path + "_docs")
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+          .collect().head
+      else spark.read.parquet(path + "_stats").collect().head
     val nDocs = srow.getLong(0).toDouble
     val avgdl = srow.getLong(1).toDouble / nDocs
     val buckets = terms.map(t => hash64Local(t) % numBuckets).distinct

@@ -95,6 +95,50 @@ object Ingest {
       .start()
   }
 
+  /** Continuous BM25 inverted-index build — the streaming twin of
+    * [[graft.operators.Search.writeTextIndex]]: each arriving
+    * document fans out to its (id, term, tf, dl) posting rows
+    * IN-FLIGHT — tf is a function of the single document row
+    * (`transform(array_distinct(w), t -> size(filter(w, = t)))`), so
+    * the build is a stateless projection + explode with NO state
+    * store, landing term-bucket-partitioned exactly where
+    * [[graft.operators.Search.bm25Indexed]] prunes. Corpus stats
+    * (N, Σdl) cannot be maintained statelessly, so each doc also
+    * appends one (id, dl) row to `path + "_docs"`; probe with
+    * `bm25Indexed(..., statsFromDocs = true)`, which aggregates that
+    * narrow two-column table instead of reading a frozen stats row.
+    * Returns the postings query; the caller owns both lifecycles. */
+  def textIndexStream(docs: DataFrame, textCol: String, idCol: String,
+                      path: String, checkpoint: String,
+                      numBuckets: Int = 64)
+                     : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    val w = Dedup.words(coalesce(col(textCol), lit("")))
+    val postings = docs
+      .withColumn("_w", w)
+      .select(col(idCol), size(col("_w")).cast("long").as("dl"),
+        explode(transform(array_distinct(col("_w")),
+          t => struct(t.as("term"),
+            size(filter(col("_w"), x => x === t)).cast("long").as("tf")))).as("_p"))
+      .select(col(idCol), col("_p.term").as("term"), col("_p.tf").as("tf"),
+        col("dl"),
+        pmod(Dedup.hash64(col("_p.term")), lit(numBuckets.toLong)).as("term_bucket"))
+    docs.withColumn("_w", w)
+      .select(col(idCol), size(col("_w")).cast("long").as("dl"))
+      .writeStream.format("parquet")
+      .option("path", path + "_docs")
+      .option("checkpointLocation", checkpoint + "_docs")
+      .outputMode(OutputMode.Append())
+      .start()
+    postings.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("term_bucket")
+      .outputMode(OutputMode.Append())
+      .start()
+  }
+
   /** Continuous FOREST index build — the streaming twin of
     * AnnLsh.writeForestIndex: each arriving record fans out to its L
     * (id, fkey) index rows in-flight (stateless projection + explode,

@@ -177,6 +177,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("textIndexStream builds a postings index bm25Indexed probes, scores == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-textidx").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath + "/idx"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = Ingest.textIndexStream(df, "text", "doc_id",
+      path, dir.getAbsolutePath + "/ck", numBuckets = 16)
+    try {
+      val docs = Seq(
+        (1L, "spark shuffle join join join"),
+        (2L, "join scan"),
+        (3L, "scan scan broadcast"),
+        (4L, "nothing relevant"))
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      spark.streams.active.foreach(_.processAllAvailable())
+      val got = graft.operators.Search.bm25Indexed(spark, path, "doc_id",
+          Seq("join", "scan"), k = 10, numBuckets = 16, statsFromDocs = true)
+        .select("doc_id", "rank", "score")
+        .as[(Long, Int, Double)].collect().toSet
+      import spark.implicits._
+      val qs = Seq((0L, "join"), (0L, "scan")).toDF("qid", "term")
+      val batch = graft.operators.Search.bm25Batch(docs.toDF("doc_id", "text"),
+          "text", "doc_id", qs, k = 10)
+        .select("doc_id", "rank", "score")
+        .as[(Long, Int, Double)].collect().toSet
+      assert(got == batch, s"streamed-index $got vs batch $batch")
+    } finally {
+      q.stop()
+      spark.streams.active.foreach(_.stop())
+    }
+  }
+
   test("indexStream builds a bucket-partitioned ANN index a probe can prune") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{AnnLsh, Knn}
