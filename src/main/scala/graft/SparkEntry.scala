@@ -933,6 +933,16 @@ object SparkEntry {
         pairs, evalFrac = 0.1, seed = "split0")
     }),
 
+    "split_kfold" -> ((s, dir) => {
+      // leakage-safe 5-fold CV assignment over the dedup corpus:
+      // near-dup clusters land wholly inside one fold
+      val corpus = dedupCorpus(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      Sampling.kfoldSplit(corpus.select(col("doc_id")), "doc_id",
+        pairs, k = 5, seed = "cv0")
+    }),
+
     "doc_chunks" -> ((s, dir) => {
       TextAnalysis.chunkDocs(Tables.documents(s, dir), "text", "doc_id",
           chunkTokens = 40, strideTokens = 20)
@@ -2170,6 +2180,25 @@ object SparkEntry {
          |  CASE WHEN CAST('0x' || substr(md5('split0_' || CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT)
          |         % 1000000 < 0.1 * 1000000
          |       THEN 'eval' ELSE 'train' END AS split
+         |FROM keyed""".stripMargin,
+
+    "split_kfold" ->
+      // the split_safe closure with fold = hash64(seed_unit) mod 5
+      // instead of the Bernoulli threshold
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |keyed AS (SELECT c.doc_id,
+         |            CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS split_key
+         |          FROM (SELECT doc_id FROM corpus) c LEFT JOIN lab l ON l.id = c.doc_id)
+         |SELECT doc_id, split_key,
+         |  CAST(CAST('0x' || substr(md5('cv0_' || CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT)
+         |       % 5 AS INT) AS fold
          |FROM keyed""".stripMargin,
 
     "doc_chunks" ->

@@ -49,9 +49,97 @@ case class CharEntropy(child: Expression, alphabet: String)
     copy(child = newChild)
 }
 
+/** The deterministic hash-ngram embedder fused into ONE expression:
+  * token → 60-bit md5 hash → bucket (mod dim) → counts → L2-normalized
+  * weights, per row — exactly [[graft.operators.Embed.embedDense]]'s
+  * math (spec-pinned equal) without its two corpus-wide shuffles
+  * (explode → (id, bucket) agg → per-id map assembly). The win shows
+  * where embeddings are computed per CHUNK: maxsim over sf0.1 chunks
+  * measured 2.5 s with the shuffle embedder; the fused expression
+  * rides the scan. The norm is Σc² of integer counts — exact in any
+  * order — so weights are bit-identical to the aggregate version. */
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_hash_embed requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      TextExprs.hashEmbed(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], dim))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.TextExprs.hashEmbed($a, $dim));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def charEntropyCol(s: Column, alphabet: String): Column =
     GraftBridge.toColumn(CharEntropy(GraftBridge.toExpression(s), alphabet))
+
+  def hashEmbedCol(words: Column, dim: Int): Column =
+    GraftBridge.toColumn(HashEmbed(GraftBridge.toExpression(words), dim))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The engine's md5-derived 60-bit hash (first 15 hex nibbles of
+    * md5 = first 7.5 digest bytes), byte-assembled — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` without the hex-string
+    * round trip. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (h(i) & 0xFF); i += 1 }
+    (v << 4) | ((h(7) & 0xFF) >>> 4)
+  }
+
+  /** One-pass hash embedding both the interpreted and generated code
+    * call: bucket counts over the words, then weight = c / √(Σc²) in
+    * bucket order. Null array elements count as the empty string
+    * (split never produces nulls; defensive). */
+  def hashEmbed(words: org.apache.spark.sql.catalyst.util.ArrayData,
+                dim: Int): Array[Double] = {
+    val counts = new Array[Long](dim)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val w = if (words.isNullAt(i)) Array.emptyByteArray
+        else words.getUTF8String(i).getBytes
+      counts((hash60(w) % dim).toInt) += 1
+      i += 1
+    }
+    var s2 = 0L
+    var j = 0
+    while (j < dim) { s2 += counts(j) * counts(j); j += 1 }
+    val out = new Array[Double](dim)
+    if (s2 > 0) {
+      val nrm = math.sqrt(s2.toDouble)
+      j = 0
+      while (j < dim) { out(j) = counts(j) / nrm; j += 1 }
+    }
+    out
+  }
 
   /** One-pass count + ordered entropy fold both the interpreted and
     * generated code call. Counts bytes (correct for ASCII alphabets,

@@ -171,4 +171,28 @@ object Sampling {
         when(h < lit(evalFrac) * M, lit("eval")).otherwise(lit("train")))
       .drop("cluster_id")
   }
+
+  /** Leakage-safe k-FOLD assignment — the cross-validation shape of
+    * [[leakageSafeSplit]]: the split unit is the near-dup CLUSTER
+    * (component min id; singletons key on themselves), and the fold
+    * is `hash64(seed_unit) mod k` — so every member of a near-dup
+    * cluster lands in the SAME fold and no fold's held-out set ever
+    * contains a near-duplicate of another fold's training data.
+    * Deterministic, partitioning-independent, and map-side after the
+    * one label join (the cluster frame is pair-graph-sized — AQE
+    * broadcasts it; the corpus never shuffles). */
+  def kfoldSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                 k: Int, seed: String,
+                 checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    val clusters = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
+    val key = coalesce(col("cluster_id"), col(idCol).cast("long"))
+    df.join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .withColumn("split_key", key)
+      .withColumn("fold",
+        pmod(Dedup.hash64(concat(lit(seed), lit("_"), key.cast("string"))),
+          lit(k.toLong)).cast("int"))
+      .drop("cluster_id")
+  }
 }

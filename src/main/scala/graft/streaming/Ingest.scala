@@ -107,11 +107,12 @@ object Ingest {
     * appends one (id, dl) row to `path + "_docs"`; probe with
     * `bm25Indexed(..., statsFromDocs = true)`, which aggregates that
     * narrow two-column table instead of reading a frozen stats row.
-    * Returns the postings query; the caller owns both lifecycles. */
+    * Returns (postings query, docs query); the caller owns both. */
   def textIndexStream(docs: DataFrame, textCol: String, idCol: String,
                       path: String, checkpoint: String,
                       numBuckets: Int = 64)
-                     : org.apache.spark.sql.streaming.StreamingQuery = {
+                     : (org.apache.spark.sql.streaming.StreamingQuery,
+                        org.apache.spark.sql.streaming.StreamingQuery) = {
     import graft.operators.Dedup
     val w = Dedup.words(coalesce(col(textCol), lit("")))
     val postings = docs
@@ -123,20 +124,21 @@ object Ingest {
       .select(col(idCol), col("_p.term").as("term"), col("_p.tf").as("tf"),
         col("dl"),
         pmod(Dedup.hash64(col("_p.term")), lit(numBuckets.toLong)).as("term_bucket"))
-    docs.withColumn("_w", w)
+    val docsQuery = docs.withColumn("_w", w)
       .select(col(idCol), size(col("_w")).cast("long").as("dl"))
       .writeStream.format("parquet")
       .option("path", path + "_docs")
       .option("checkpointLocation", checkpoint + "_docs")
       .outputMode(OutputMode.Append())
       .start()
-    postings.writeStream
+    val postingsQuery = postings.writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
       .partitionBy("term_bucket")
       .outputMode(OutputMode.Append())
       .start()
+    (postingsQuery, docsQuery)
   }
 
   /** Continuous FOREST index build — the streaming twin of

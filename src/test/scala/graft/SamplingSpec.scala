@@ -144,6 +144,28 @@ class SamplingSpec extends SparkSpec {
     assert(other.map(r => (r._1, r._2)).toSet != got.map(r => (r._1, r._2)).toSet)
   }
 
+  test("kfoldSplit: clusters share a fold, folds are balanced and seed-keyed") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val folds = Sampling.kfoldSplit(
+        corpus.select(col("doc_id")), "doc_id", pairs, k = 5, seed = "cv")
+      .as[(Long, Long, Int)].collect()
+    assert(folds.length == 1000 && folds.forall(r => r._3 >= 0 && r._3 < 5))
+    val byFold = folds.map(r => r._1 -> r._3).toMap
+    // whole near-dup clusters land in ONE fold — no fold's held-out
+    // set contains a near-dup of another fold's training data
+    assert(Set(byFold(0L), byFold(1L), byFold(2L)).size == 1)
+    assert(byFold(10L) == byFold(11L))
+    // md5 uniformity: every fold is populated, none dominates
+    val sizes = folds.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 5).toSet)
+    assert(sizes.values.max < 300 && sizes.values.min > 120, s"fold sizes $sizes")
+    // a different seed permutes assignments
+    val other = Sampling.kfoldSplit(
+        corpus.select(col("doc_id")), "doc_id", pairs, 5, "cv2")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._3).toMap
+    assert(other != byFold)
+  }
+
   test("leakageSafeSplit never lets a near-dup pair straddle the boundary") {
     // clusters: chain 0-1-2, pair 10-11; everything else singleton
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")

@@ -184,7 +184,7 @@ class StreamingSpec extends SparkSpec {
     val path = dir.getAbsolutePath + "/idx"
     val mem = MemoryStream[(Long, String)]
     val df = mem.toDF().toDF("doc_id", "text")
-    val q = Ingest.textIndexStream(df, "text", "doc_id",
+    val (q, dq) = Ingest.textIndexStream(df, "text", "doc_id",
       path, dir.getAbsolutePath + "/ck", numBuckets = 16)
     try {
       val docs = Seq(
@@ -194,7 +194,7 @@ class StreamingSpec extends SparkSpec {
         (4L, "nothing relevant"))
       mem.addData(docs: _*)
       q.processAllAvailable()
-      spark.streams.active.foreach(_.processAllAvailable())
+      dq.processAllAvailable()
       val got = graft.operators.Search.bm25Indexed(spark, path, "doc_id",
           Seq("join", "scan"), k = 10, numBuckets = 16, statsFromDocs = true)
         .select("doc_id", "rank", "score")
@@ -208,7 +208,7 @@ class StreamingSpec extends SparkSpec {
       assert(got == batch, s"streamed-index $got vs batch $batch")
     } finally {
       q.stop()
-      spark.streams.active.foreach(_.stop())
+      dq.stop()
     }
   }
 

@@ -118,6 +118,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top(1) == (("b c a", 1L, 1L)))
   }
 
+  test("HashEmbed expression is bit-identical to the aggregate embedDense") {
+    val docs = Seq(
+      (1L, "the quick brown fox the quick"),
+      (2L, "vector stream filter join merge scan"),
+      (3L, ""),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val agg = graft.operators.Embed.embedDense(docs, "text", "doc_id", 16)
+      .select("doc_id", "embedding").as[(Long, Seq[Double])].collect().toMap
+    val fused = docs.select(col("doc_id"),
+        graft.functions.TextExprs.hashEmbedCol(
+          graft.operators.Dedup.words(col("text")), 16).as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    // exact equality, not tolerance: same counts, same integer Σc²,
+    // same divisions
+    assert(fused == agg, s"fused $fused vs aggregate $agg")
+  }
+
   test("charEntropy: uniform chars score 0, ln(2) for a 50/50 mix, NULL keeps row") {
     val docs = Seq(
       (1L, "aaaaaa"),          // one distinct char -> 0 entropy
