@@ -77,7 +77,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => graft.functions.WavMeta(args(0))),
     ("graft_mp4_meta", info("graft_mp4_meta",
         "MP4 [timescale, duration, mvhd_version] via the ISO-BMFF box walk, NULL if not MP4"),
-      (args: Seq[Expression]) => graft.functions.Mp4Meta(args(0))))
+      (args: Seq[Expression]) => graft.functions.Mp4Meta(args(0))),
+    ("graft_char_entropy", info("graft_char_entropy",
+        "Shannon entropy of the a-z/0-9/space character distribution"),
+      (args: Seq[Expression]) => graft.functions.CharEntropy(args(0),
+        "abcdefghijklmnopqrstuvwxyz0123456789 ")),
+    ("graft_hash_embed", info("graft_hash_embed",
+        "one-pass hash embedding of a words array: (words, dim)"),
+      (args: Seq[Expression]) => graft.functions.HashEmbed(args(0), litInt(args(1)))))
 
   /** Constant int argument of a SQL function call (e.g. the table
     * count of graft_forest_keys) — must fold at plan time. */

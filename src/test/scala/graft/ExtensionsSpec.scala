@@ -63,6 +63,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("graft_char_entropy and graft_hash_embed work from SQL") {
+    Seq(("ababab", Seq("the", "quick", "the")))
+      .toDF("s", "w").createOrReplaceTempView("tex")
+    val r = spark.sql(
+      "SELECT graft_char_entropy(s) AS e, graft_hash_embed(w, 16) AS v FROM tex").head()
+    assert(math.abs(r.getDouble(0) - math.log(2.0)) < 1e-12)
+    val expected = graft.operators.Embed.embedDense(
+        Seq((1L, "the quick the")).toDF("id", "t"), "t", "id", 16)
+      .select("embedding").as[Seq[Double]].head()
+    assert(r.getSeq[Double](1) == expected)
+  }
+
   test("session_window stats agree with lag/cumsum sessionization") {
     val events = Seq(
       (1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
