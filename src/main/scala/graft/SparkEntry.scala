@@ -1107,6 +1107,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "sample_temperature" -> ((s, dir) => {
+      // α = 1/2 temperature mixing: per-source mass ∝ √n — the
+      // low-resource up-weighting every multilingual pipeline runs,
+      // with sqrt (IEEE-exact) keeping the oracle bit-identical
+      val docs = Tables.documents(s, dir)
+      val rates = mixRatesCache.computeIfAbsent(s"$dir|temp", { _ =>
+        Sampling.temperatureRates(docs, col("source"), budgetDocs = 100)
+      })
+      Sampling.stratified(docs, "doc_id", col("source"), rates)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "filter_funnel" -> ((s, dir) => {
       TextAnalysis.filterFunnel(Tables.documents(s, dir), "text",
           minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
@@ -2758,6 +2770,23 @@ object SparkEntry {
         |        least(1.0, CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
         |                               WHEN 'src2' THEN 0.2 ELSE 0.0 END * 60 / n) AS rate
         |      FROM counts),
+        |h AS (SELECT doc_id, source,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |          % 1000000 AS hv
+        |      FROM documents)
+        |SELECT doc_id, h.source FROM h JOIN r USING (source)
+        |WHERE hv < rate * 1000000""".stripMargin,
+
+    "sample_temperature" ->
+      // same IEEE ops in the same order: Z folds sqrt(n) in sorted
+      // source order; rate = ((budget * sqrt(n)) / Z) / n capped at 1
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |z AS (SELECT list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)) AS z
+        |      FROM counts),
+        |r AS (SELECT source,
+        |        least(1.0, CAST(100 AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / z
+        |                   / CAST(n AS DOUBLE)) AS rate
+        |      FROM counts, z),
         |h AS (SELECT doc_id, source,
         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
         |          % 1000000 AS hv

@@ -64,6 +64,31 @@ object Sampling {
     }
   }
 
+  /** Temperature-scaled source mixing (the multilingual α-sampling
+    * rule, public, at α = 1/2): sampling mass per source ∝ √n_i
+    * instead of n_i, so low-resource sources are up-weighted without
+    * a hand-tuned weight table — p_i = √n_i / Σ_j √n_j, expected
+    * draw from source i = budget·p_i, per-row keep rate = that / n_i
+    * (capped at 1). α = 1/2 is deliberate: `sqrt` is IEEE-correctly-
+    * rounded in every engine, so rates — and therefore md5-Bernoulli
+    * membership — are bit-reproducible, where a general pow(n, α)
+    * can differ in the last ulp across libm implementations. The Σ
+    * over sources folds in sorted source order (the float-sum rule;
+    * the source list is tiny). One count job; the sample itself is
+    * the zero-shuffle [[stratified]] filter. */
+  def temperatureRates(df: DataFrame, stratumCol: Column,
+                       budgetDocs: Long): Map[String, Double] = {
+    val counts = df.groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val z = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble)
+    }
+    counts.map { case (s, n) =>
+      s -> (if (n == 0L || z == 0.0) 0.0
+        else math.min(1.0, budgetDocs.toDouble * math.sqrt(n.toDouble) / z / n.toDouble))
+    }.toMap
+  }
+
   /** Pack documents into fixed-size token windows ("sequence packing"
     * for LLM training): concatenate each group's docs in stable id
     * order and assign every doc the window its FIRST token lands in

@@ -144,6 +144,26 @@ class SamplingSpec extends SparkSpec {
     assert(other.map(r => (r._1, r._2)).toSet != got.map(r => (r._1, r._2)).toSet)
   }
 
+  test("temperatureRates up-weights low-resource sources at alpha = 1/2") {
+    // 900 vs 100 docs: sqrt masses 30/10 -> p = 0.75/0.25; at budget
+    // 200 expected draws 150/50 -> rates 1/6 and 1/2 — the small
+    // source samples at 3x its proportional rate (0.2/0.2)
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val rates = Sampling.temperatureRates(df, col("source"), budgetDocs = 200)
+    assert(math.abs(rates("big") - 200.0 * 30.0 / 40.0 / 900.0) < 1e-15)
+    assert(math.abs(rates("small") - 200.0 * 10.0 / 40.0 / 100.0) < 1e-15)
+    assert(rates("small") / rates("big") > 2.9)
+    // the realized sample tracks the expected counts (md5 uniformity)
+    val got = Sampling.stratified(df, "doc_id", col("source"), rates)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(math.abs(got("big") - 150.0) < 40 && math.abs(got("small") - 50.0) < 25,
+      s"realized $got")
+    // a tiny budget over a tiny source caps at rate 1.0
+    val capped = Sampling.temperatureRates(df.limit(10), col("source"), 10000)
+    assert(capped.values.forall(_ == 1.0))
+  }
+
   test("kfoldSplit: clusters share a fold, folds are balanced and seed-keyed") {
     val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
     val folds = Sampling.kfoldSplit(
