@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{AnnIvf, AnnLsh, AnnPq, Crud, Dedup, Embed, Events, Knn, Sampling, Search, TextAnalysis}
+import graft.operators.{AnnIvf, AnnLsh, AnnPq, Crud, Dedup, Embed, Eval, Events, Knn, Sampling, Search, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1058,6 +1058,25 @@ object SparkEntry {
           chunkWords = 8, maxDf = 1)
         .select(col("doc_id"), col("n_chunks"), col("n_dropped"),
           md5(col("clean_text")).as("clean_md5"))
+    }),
+
+    "dedup_eval" -> ((s, dir) => {
+      // the dedup deploy gate: how well does the MinHash sketch at
+      // tau 0.5 recover the exact-Jaccard >= 0.6 pair set? One row of
+      // tp/fp/fn + precision/recall/F1 (integer counts, fixed-order
+      // divisions)
+      val corpus = dedupCorpus(s, dir)
+      val predicted = Dedup.minhashPairs(corpus, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val truth = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+        n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
+        .select(col("id_a"), col("id_b"))
+      Eval.pairQuality(predicted, truth)
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 5).as("precision"),
+          round(col("recall"), 5).as("recall"),
+          round(col("f1"), 5).as("f1"))
     }),
 
     "dedup_containment" -> ((s, dir) => {
@@ -2703,6 +2722,44 @@ object SparkEntry {
         |  md5(coalesce(string_agg(CASE WHEN chunk_df <= 1 THEN chunk END, ' '
         |    ORDER BY pos), '')) AS clean_md5
         |FROM j GROUP BY doc_id""".stripMargin,
+
+    "dedup_eval" ->
+      // mh_pairs (sketch, tau 0.5) vs the ngram chain (exact Jaccard
+      // >= 0.6) over the SAME corpus and the SAME hashed shingle sets
+      // (hsh) — pairs normalized (min, max), counts integer, ratios
+      // in fixed order
+      s"""WITH $minhashPairsCtes,
+         |ngsh AS (SELECT doc_id, unnest(hs) AS sh FROM hsh),
+         |ngrare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM ngsh GROUP BY sh)
+         |           WHERE c <= greatest(20, ceil((SELECT count(*) FROM corpus) * 0.005))),
+         |ngf AS (SELECT doc_id, ngsh.sh FROM ngsh JOIN ngrare USING (sh)),
+         |ngcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM ngf a JOIN ngf b USING (sh) WHERE a.doc_id < b.doc_id),
+         |ng_pairs AS (SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+         |           len(a.hs) AS na, len(b.hs) AS nb
+         |    FROM ngcand c JOIN hsh a ON a.doc_id = c.id_a
+         |                  JOIN hsh b ON b.doc_id = c.id_b)
+         |  WHERE i * 1.0 / (na + nb - i) >= 0.6),
+         |pn AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+         |       FROM mh_pairs),
+         |tn AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+         |       FROM ng_pairs),
+         |j AS (SELECT p.id_a IS NOT NULL AS inp, t.id_a IS NOT NULL AS intr
+         |      FROM pn p FULL OUTER JOIN tn t
+         |        ON p.id_a = t.id_a AND p.id_b = t.id_b),
+         |c AS (SELECT
+         |  CAST(sum(CASE WHEN inp AND intr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN inp AND NOT intr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN NOT inp AND intr THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM j),
+         |m AS (SELECT tp, fp, fn,
+         |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p,
+         |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r
+         |  FROM c)
+         |SELECT tp, fp, fn, round(p, 5) AS precision, round(r, 5) AS recall,
+         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 5) AS f1
+         |FROM m""".stripMargin,
 
     "dedup_containment" ->
       // the dedup_ngram CTE chain over the excerpt-augmented corpus;

@@ -39,4 +39,40 @@ object Eval {
         sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
   }
+
+  /** Pair-quality report for a dedup method against labeled truth —
+    * the dedup twin of [[recallAtK]]: predicted and truth are both
+    * (id_a, id_b) pair frames (e.g. a MinHash sketch's pairs vs
+    * exact-Jaccard pairs, or vs human labels); the report is one row
+    * of tp/fp/fn + precision/recall/F1. Pairs are normalized to
+    * (min, max) and deduplicated, so orientation and repeats never
+    * miscount.
+    *
+    * Scale shape: one equi-join on the normalized pair key (pair
+    * frames are corpus-decoupled — near-dup pairs ≪ corpus at any
+    * sane dup rate) and a single-row roll-up. Counts are integers;
+    * the three ratios divide them in fixed expressions, so the report
+    * reproduces bit-exactly in any engine. */
+  def pairQuality(predicted: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col("id_a"), col("id_b")).as("id_a"),
+      greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+    val p = norm(predicted).withColumn("_p", lit(1L))
+    val t = norm(truth).withColumn("_t", lit(1L))
+    p.join(t, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("_p").isNotNull && col("_t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_p").isNotNull && col("_t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("_p").isNull && col("_t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
 }

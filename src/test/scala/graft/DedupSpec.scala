@@ -63,6 +63,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("pairQuality normalizes orientation and reports exact tp/fp/fn ratios") {
+    import graft.operators.Eval
+    val predicted = Seq((1L, 2L), (3L, 4L), (4L, 3L)).toDF("id_a", "id_b") // dup + flipped
+    val truth = Seq((2L, 1L), (5L, 6L)).toDF("id_a", "id_b")               // (1,2) flipped
+    val r = Eval.pairQuality(predicted, truth)
+      .select("tp", "fp", "fn", "precision", "recall", "f1")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    // predicted normalizes to {(1,2),(3,4)}, truth to {(1,2),(5,6)}
+    assert(r == ((1L, 1L, 1L, 0.5, 0.5, 0.5)))
+    // empty prediction: all ratios 0, never NaN
+    val empty = Eval.pairQuality(predicted.limit(0), truth)
+      .select("precision", "recall", "f1").as[(Double, Double, Double)].head()
+    assert(empty == ((0.0, 0.0, 0.0)))
+  }
+
   test("containmentPairs flags subset docs that Jaccard misses") {
     val big = ((1 to 40).map(i => s"w$i")).mkString(" ")
     val corpus = Seq(
