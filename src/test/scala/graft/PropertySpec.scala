@@ -189,6 +189,44 @@ class PropertySpec extends SparkSpec {
     assert(strideSpark == strideEval)
   }
 
+  test("binary walkers never throw on arbitrary bytes (fuzz)") {
+    import graft.functions.BinaryExprs
+    val gen = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+    val seeded = org.scalacheck.rng.Seed(42L)
+    val cases: Seq[Array[Byte]] =
+      (0 until 300).scanLeft((seeded, Array.emptyByteArray)) { case ((s, _), _) =>
+        val r = gen.pureApply(Gen.Parameters.default, s)
+        (s.next, r.toArray)
+      }.map(_._2) ++
+        // adversarial prefixes: valid magic + garbage body
+        Seq("RIFF1234WAVE", "RIFFxxxxWAVEfmt ", "   ftypisom",
+          "ÿØÿ").map(_.getBytes("ISO-8859-1"))
+    cases.foreach { b =>
+      // must return null or a sane value — never throw, never loop
+      BinaryExprs.jpegScan(b)
+      val w = BinaryExprs.wavScan(b)
+      if (w != null) assert(w.length == 4)
+      val m = BinaryExprs.mp4Scan(b)
+      if (m != null) assert(m.length == 3)
+    }
+  }
+
+  test("KMV sketch equals the k smallest distinct hashes, any partitioning") {
+    import graft.functions.KmvAgg
+    val vals = Gen.listOfN(400, Gen.chooseNum(0L, 60L)).sample.get // heavy dups
+    val df = vals.map(Tuple1(_)).toDF("v")
+      .select(Dedup.hash64(col("v").cast("string")).as("h"))
+    for (parts <- Seq(1, 7)) {
+      val sketch = df.repartition(parts)
+        .agg(KmvAgg.kmv(col("h"), 16).as("s")).as[Seq[Long]].head()
+      val brute = vals.distinct
+        .map(v => graft.operators.AnnLsh.hash64Local(v.toString))
+        .distinct.sorted.take(16)
+      assert(sketch == brute, s"parts=$parts")
+    }
+  }
+
   test("cluster labels are component minima: label <= id, label is a member") {
     val edges = Gen.listOfN(60,
       Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L))).sample.get
