@@ -600,19 +600,19 @@ object SparkEntry {
     "ann_ivf_trained" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       // Lloyd-trained centroids (2 iterations, amortized at index-
-      // build time like writeIndexed). Float averaging is summation-
-      // order-dependent across engines, so this query has NO SQL
-      // oracle (rows-only check); the seeded twin ann_ivf carries the
-      // hash-checked oracle for the probe machinery.
+      // build time like writeIndexed). Each iteration's means snap to
+      // a 1e-6 decimal grid (roundDp) — coarser than the last-ulp
+      // summation-order noise, so training is engine-reproducible and
+      // the oracle can replay the identical two iterations in SQL.
       val cents = trainedCentroidsCache.computeIfAbsent(dir, { _ =>
         AnnIvf.train(emb, "embedding", "vec_id", 0L to 7L,
-            iters = 2, Knn.Cosine)
+            iters = 2, Knn.Cosine, roundDp = Some(6))
           .select(col("cell").cast("long"), col("centroid"))
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
       })
       val centroids = s.createDataFrame(s.sparkContext.parallelize(cents, 1))
         .toDF("cell", "centroid")
-      val idx = ivfIndexPath(s, dir, centroids, variant = "lloyd8x2")
+      val idx = ivfIndexPath(s, dir, centroids, variant = "lloyd8x2r6")
       AnnIvf.knnIndexed(s, idx, "embedding", queryVec(s, dir), 10,
           centroids, nprobe = 2, Knn.Cosine, "vec_id")
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
@@ -1543,6 +1543,38 @@ object SparkEntry {
          |SELECT vec_id, label, round(d, 5) AS dist FROM (
          |  SELECT a.vec_id, a.label, ${angSql("a.v", "q.qvec")} AS d
          |  FROM assigned a JOIN probe USING (cell), q)
+         |ORDER BY d, vec_id LIMIT 10""".stripMargin,
+
+    // the same two grid-rounded Lloyd iterations the Spark side runs
+    // (roundDp = 6 snaps each mean to a 1e-6 grid, coarser than any
+    // engine's summation-order noise): assign -> per-(cell, dim)
+    // rounded mean -> reassemble, twice, then the standard probe
+    "ann_ivf_trained" ->
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS BIGINT) AS cell, v AS c FROM b WHERE vec_id < 8),
+         |a1 AS (SELECT vec_id, v, cell FROM (
+         |    SELECT b.vec_id, b.v, c0.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${angSql("b.v", "c0.c")}, c0.cell) AS rn
+         |    FROM b, c0) WHERE rn = 1),
+         |m1 AS (SELECT cell, d, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM a1) GROUP BY cell, d),
+         |c1 AS (SELECT cell, list(m ORDER BY d) AS c FROM m1 GROUP BY cell),
+         |a2 AS (SELECT vec_id, v, cell FROM (
+         |    SELECT b.vec_id, b.v, c1.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${angSql("b.v", "c1.c")}, c1.cell) AS rn
+         |    FROM b, c1) WHERE rn = 1),
+         |m2 AS (SELECT cell, d, round(avg(x), 6) AS m FROM (
+         |    SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS d FROM a2) GROUP BY cell, d),
+         |c2 AS (SELECT cell, list(m ORDER BY d) AS c FROM m2 GROUP BY cell),
+         |af AS (SELECT vec_id, label, v, cell FROM (
+         |    SELECT b.vec_id, b.label, b.v, c2.cell,
+         |      row_number() OVER (PARTITION BY b.vec_id ORDER BY ${angSql("b.v", "c2.c")}, c2.cell) AS rn
+         |    FROM b, c2) WHERE rn = 1),
+         |q AS (SELECT v AS qvec FROM b WHERE vec_id = 0),
+         |probe AS (SELECT cell FROM c2, q ORDER BY ${angSql("c2.c", "q.qvec")}, cell LIMIT 2)
+         |SELECT vec_id, label, round(d, 5) AS dist FROM (
+         |  SELECT a.vec_id, a.label, ${angSql("a.v", "q.qvec")} AS d
+         |  FROM af a JOIN probe USING (cell), q)
          |ORDER BY d, vec_id LIMIT 10""".stripMargin,
 
     "knn_cosine" ->

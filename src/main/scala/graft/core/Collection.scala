@@ -191,6 +191,10 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
 
   def documentCount(): Long = current().count()
 
+  /** Driver-sized BY CONTRACT: mirrors the reference API
+    * (collection.go:326 returns `[]uint64` in memory). At scale use the
+    * DataFrame surface instead — `current().select("id")` — which never
+    * collects. */
   def getAllIds(): Seq[Long] =
     current().select(col("id")).orderBy(col("id")).collect().map(_.getLong(0)).toSeq
 

@@ -54,16 +54,25 @@ object AnnIvf {
 
   /** One Lloyd iteration: recompute each cell's centroid as the mean
     * of its members (exploded by dimension; two shuffles, all
-    * distributed). */
+    * distributed). With `roundDp` set, each mean snaps to a fixed
+    * decimal grid — float averaging is summation-order-dependent at
+    * the last ulp, so two engines (or two partitionings) can disagree
+    * microscopically; rounding to a grid coarser than that noise makes
+    * the trained centroids bit-reproducible anywhere (the same trick
+    * the PQ codebook plays with md5-total-order sampling). */
   def lloydStep(df: DataFrame, vecCol: String, idCol: String,
-                centroids: DataFrame, metric: Knn.Metric): DataFrame =
+                centroids: DataFrame, metric: Knn.Metric,
+                roundDp: Option[Int] = None): DataFrame = {
+    val mean = avg(col("x"))
+    val m = roundDp.map(dp => round(mean, dp)).getOrElse(mean)
     assign(df, vecCol, idCol, centroids, metric)
       .select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
       .groupBy(col("cell"), col("d"))
-      .agg(avg(col("x")).as("m"))
+      .agg(m.as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
       .select(col("cell"), transform(col("dm"), s => s.getField("m")).as("centroid"))
+  }
 
   /** Train centroids: seeds + `iters` Lloyd iterations. The result is
     * MATERIALIZED (nlist × dim — driver-tiny, the reference holds its
@@ -71,12 +80,15 @@ object AnnIvf {
     * every downstream consumer collects the centroid table (assign's
     * expression unroll, index keying, cell ranking), and without the
     * materialization each of those collects re-runs the final Lloyd
-    * job — training must cost exactly `iters` corpus passes, once. */
+    * job — training must cost exactly `iters` corpus passes, once.
+    * `roundDp` (see [[lloydStep]]) pins every iteration's centroids to
+    * a decimal grid, making training engine-reproducible. */
   def train(df: DataFrame, vecCol: String, idCol: String, seedIds: Seq[Long],
-            iters: Int, metric: Knn.Metric): DataFrame = {
+            iters: Int, metric: Knn.Metric,
+            roundDp: Option[Int] = None): DataFrame = {
     var c = seedCentroids(df, vecCol, idCol, seedIds)
     for (_ <- 0 until iters)
-      c = lloydStep(df, vecCol, idCol, c, metric)
+      c = lloydStep(df, vecCol, idCol, c, metric, roundDp)
     val spark = df.sparkSession
     val out = c.select(col("cell").cast("long"), col("centroid").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)

@@ -458,33 +458,68 @@ object AnnLsh {
     * shuffles, which is the only shape that survives when "queries"
     * means every row of a 100 TB table.
     *
-    * Duplicate caveat (measured, TextScaleProbe): d exact copies of a
-    * vector share every bucket, so candidate pairs grow O(d^2) — a
-    * corpus where every vector has 10 copies runs ~240x slower, not
-    * 10x. The production composition mirrors `Dedup.canonicalNearDup`:
-    * collapse exact-duplicate vectors (hash groupBy), graph the
-    * canonicals (10x corpus back to ~1x cost), copies inherit their
-    * canonical's neighbors. The reference's adaptive tree handles this
-    * by splitting overfull leaves (lshtree.go) — fixed planes cannot
-    * split identical vectors, so dedup-first IS the scan-native
-    * answer. */
+    * Canonicalize-first (round 8): d exact copies of a vector share
+    * every bucket, so a raw member-level self-join grows candidate
+    * pairs O(d^2) — a corpus where every vector has 10 copies ran
+    * ~240x slower, not 10x (measured, TextScaleProbe). The reference's
+    * adaptive tree handles this by splitting overfull leaves
+    * (lshtree.go:88-180) — fixed planes cannot split identical
+    * vectors, so the scan-native answer is built in: exact-duplicate
+    * vectors collapse to their min-id canonical BEFORE any blocking
+    * (one vector-keyed shuffle), the forest self-join runs on
+    * canonicals only, and members inherit their canonical's scored
+    * neighbors by expansion. The result is row-identical to the raw
+    * formulation: copies carry exactly their canonical's forest keys,
+    * so a member pair is a candidate iff its canonicals share a
+    * bucket (or coincide), and exact copies share distances. Own-group
+    * distance is computed per canonical with the same `distCol(v, v)`
+    * expression the raw plan would evaluate — no `lit(0.0)` shortcut,
+    * so float behavior is bit-identical. */
   def similarityJoin(df: DataFrame, vecCol: String, idCol: String, k: Int,
                      numTables: Int, bitsPerTable: Int, dim: Int,
                      metric: Knn.Metric): DataFrame = {
     import graft.functions.TopKAgg
-    val corpusKeys = indexForest(df, vecCol, numTables, bitsPerTable, dim)
-      .select(col(idCol), explode(col("fkeys")).as("fkey"))
-    val cand = corpusKeys
-      .join(corpusKeys.select(col(idCol).as("qid"), col("fkey")), "fkey")
-      .filter(col(idCol) =!= col("qid"))
-      .select(col("qid"), col(idCol)).distinct()
-    val scored = cand
-      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
-      .join(df.select(col(idCol).as("qid"), col(vecCol).as("qvec")), Seq("qid"))
-      .select(col("qid"), Knn.distCol(metric, col(vecCol), col("qvec")).as("dist"),
-        col(idCol))
-    scored.groupBy(col("qid"))
-      .agg(TopKAgg.topk(col("dist"), col(idCol), k).as("top"))
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col(vecCol))
+    val tagged = base
+      .withColumn("_cid", min(col(idCol)).over(w))
+      .withColumn("_gsz", count(lit(1)).over(w))
+    val members = tagged.select(col(idCol), col("_cid"))
+    val canon = tagged.filter(col(idCol) === col("_cid"))
+      .select(col("_cid"), col(vecCol), col("_gsz"))
+    // forest blocking over canonicals only — bounded per-bucket fanout
+    val ckeys = indexForest(canon, vecCol, numTables, bitsPerTable, dim)
+      .select(col("_cid"), explode(col("fkeys")).as("fkey"))
+    val ccand = ckeys
+      .join(ckeys.select(col("_cid").as("_cq"), col("fkey")), "fkey")
+      .filter(col("_cid") =!= col("_cq"))
+      .select(col("_cq"), col("_cid")).distinct()
+    val cvec = canon.select(col("_cid"), col(vecCol))
+    val cscored = ccand
+      .join(cvec, Seq("_cid"))
+      .join(cvec.select(col("_cid").as("_cq"), col(vecCol).as("_qv")), Seq("_cq"))
+      .select(col("_cq"), col("_cid"),
+        Knn.distCol(metric, col(vecCol), col("_qv")).as("dist"))
+    // expansion: every member of the query group pairs with every
+    // member of the neighbor group at the canonical distance ...
+    val qm = members.select(col(idCol).as("qid"), col("_cid").as("_cq"))
+    val im = members.select(col(idCol).as("_mid"), col("_cid"))
+    val cross = cscored
+      .join(qm, Seq("_cq")).join(im, Seq("_cid"))
+      .select(col("qid"), col("_mid"), col("dist"))
+    // ... and groups with >1 member pair internally at self-distance
+    val selfd = canon.filter(col("_gsz") > 1)
+      .select(col("_cid"),
+        Knn.distCol(metric, col(vecCol), col(vecCol)).as("dist"))
+    val own = selfd
+      .join(qm.withColumnRenamed("_cq", "_cid"), Seq("_cid"))
+      .join(im, Seq("_cid"))
+      .filter(col("qid") =!= col("_mid"))
+      .select(col("qid"), col("_mid"), col("dist"))
+    cross.unionByName(own)
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk(col("dist"), col("_mid"), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
       .select(col("qid"), col("_t.id").as(idCol),
         (col("_pos") + 1).as("rank"), col("_t.dist").as("dist"))

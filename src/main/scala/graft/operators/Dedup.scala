@@ -276,8 +276,12 @@ object Dedup {
       .select(col("sid").as("cid"),
         graft.functions.SketchExprs.minhashSig(
           transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
-    incrementalCore(bandKeys(corpusSigs, "cid", "cid", bands, numHashes / bands),
+    // incrementalCore eagerly materializes its (delta-sized) result, so
+    // the corpus cache can be released here — repeated per-batch calls
+    // must not accumulate corpus-sized cached RDDs until LRU eviction
+    try incrementalCore(bandKeys(corpusSigs, "cid", "cid", bands, numHashes / bands),
       corpusSets, delta, textCol, idCol, numHashes, bands, shingleN, threshold)
+    finally corpusSets.unpersist()
   }
 
   /** [[incrementalNearDup]] against a [[writeMinhashIndex]] table: the
@@ -340,7 +344,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     val lab = connectedComponents(dver.select("id_a", "id_b"))
       .withColumnRenamed("doc_id", idCol).withColumnRenamed("cluster_id", "_lbl")
-    delta.select(col(idCol))
+    val out = delta.select(col(idCol))
       .join(best.withColumnRenamed("did", idCol), Seq(idCol), "left")
       .join(lab, Seq(idCol), "left")
       .select(col(idCol),
@@ -349,6 +353,11 @@ object Dedup {
           .otherwise(lit("kept")).as("verdict"),
         coalesce(col("cid"), col("_lbl"), col(idCol)).as("canonical_id"),
         col("cjac").as("jaccard"))
+    // the result is delta-sized: materialize it eagerly (localCheckpoint)
+    // so the per-batch caches above can be released in finally instead of
+    // accumulating across the repeated calls this operator exists for
+    try out.localCheckpoint()
+    finally { deltaSets.unpersist(); deltaBands.unpersist() }
   }
 
   // ---------- SimHash ----------
@@ -851,21 +860,62 @@ object Dedup {
                            numTables: Int, bitsPerTable: Int, dim: Int,
                            tau: Double): DataFrame = {
     import graft.functions.Vectors
-    val keys = df.select(col(idCol),
+    import org.apache.spark.sql.expressions.Window
+    // canonicalize-first (round 8): d exact copies of a vector share
+    // every forest bucket, so a raw self-join squares candidates
+    // O(d^2) on dup-heavy corpora (the default crawl shape). Collapse
+    // exact-duplicate vectors to their min-id canonical before any
+    // blocking, verify cosine once per canonical pair, then expand to
+    // member pairs. Row-identical to the raw formulation: copies carry
+    // their canonical's keys, so a member pair is a candidate iff its
+    // canonicals share a bucket (or coincide), and the cos of an
+    // own-group pair is dot(nv, nv) of the shared vector — the same
+    // float expression the raw plan evaluates.
+    val base = df.select(col(idCol), col(vecCol))
+    val w = Window.partitionBy(col(vecCol))
+    val tagged = base
+      .withColumn("_cid", min(col(idCol)).over(w))
+      .withColumn("_gsz", count(lit(1)).over(w))
+    val members = tagged.select(col(idCol), col("_cid"))
+    val canon = tagged.filter(col(idCol) === col("_cid"))
+      .select(col("_cid"), col(vecCol), col("_gsz"))
+    val keys = canon.select(col("_cid"),
       explode(graft.functions.MultiLshBuckets.keys(col(vecCol),
         numTables, bitsPerTable, dim)).as("fkey"))
-    val cand = keys.select(col("fkey"), col(idCol).as("id_a"))
-      .join(keys.select(col("fkey"), col(idCol).as("id_b")), Seq("fkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val nv = df.select(col(idCol), Vectors.normalize(col(vecCol)).as("_nv"))
-    cand
-      .join(nv.select(col(idCol).as("id_a"), col("_nv").as("na")), Seq("id_a"))
-      .join(nv.select(col(idCol).as("id_b"), col("_nv").as("nb")), Seq("id_b"))
+    val cand = keys.select(col("fkey"), col("_cid").as("ca"))
+      .join(keys.select(col("fkey"), col("_cid").as("cb")), Seq("fkey"))
+      .filter(col("ca") < col("cb"))
+      .select(col("ca"), col("cb")).distinct()
+    val nv = canon.select(col("_cid"), Vectors.normalize(col(vecCol)).as("_nv"))
+    val cpairs = cand
+      .join(nv.select(col("_cid").as("ca"), col("_nv").as("na")), Seq("ca"))
+      .join(nv.select(col("_cid").as("cb"), col("_nv").as("nb")), Seq("cb"))
       .withColumn("cos",
         least(greatest(Vectors.dot(col("na"), col("nb")), lit(-1.0)), lit(1.0)))
       .filter(col("cos") >= tau)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .select(col("ca"), col("cb"), col("cos"))
+    // cross-group expansion (groups are disjoint, so ids never collide;
+    // orientation re-normalized to id_a < id_b)
+    val ma = members.select(col(idCol).as("_mid"), col("_cid"))
+    val cross = cpairs
+      .join(ma.select(col("_mid").as("_ax"), col("_cid").as("ca")), Seq("ca"))
+      .join(ma.select(col("_mid").as("_bx"), col("_cid").as("cb")), Seq("cb"))
+      .select(least(col("_ax"), col("_bx")).as("id_a"),
+        greatest(col("_ax"), col("_bx")).as("id_b"), col("cos"))
+    // own-group pairs: exact copies, cos = dot(nv, nv) (clamped) — only
+    // emitted if it clears tau, matching the raw plan's filter
+    val selfcos = canon.filter(col("_gsz") > 1)
+      .select(col("_cid"), {
+        val v = Vectors.normalize(col(vecCol))
+        least(greatest(Vectors.dot(v, v), lit(-1.0)), lit(1.0)).as("cos")
+      })
+      .filter(col("cos") >= tau)
+    val own = selfcos
+      .join(ma, Seq("_cid"))
+      .join(ma.select(col("_mid").as("_bm"), col("_cid")), Seq("_cid"))
+      .filter(col("_mid") < col("_bm"))
+      .select(col("_mid").as("id_a"), col("_bm").as("id_b"), col("cos"))
+    cross.unionByName(own)
   }
 
   /** End-to-end semantic dedup: forest-blocked cosine near-dup pairs

@@ -59,11 +59,16 @@ object Eval {
       greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
     val p = norm(predicted).withColumn("_p", lit(1L))
     val t = norm(truth).withColumn("_t", lit(1L))
+    // coalesce: sum over ZERO rows is NULL, so the empty-vs-empty report
+    // must still read (0, 0, 0), not (NULL, NULL, NULL)
     p.join(t, Seq("id_a", "id_b"), "full_outer")
       .agg(
-        sum(when(col("_p").isNotNull && col("_t").isNotNull, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("_p").isNotNull && col("_t").isNull, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("_p").isNull && col("_t").isNotNull, 1L).otherwise(0L)).as("fn"))
+        coalesce(sum(when(col("_p").isNotNull && col("_t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("_p").isNotNull && col("_t").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("_p").isNull && col("_t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"))
       .withColumn("precision",
         when(col("tp") + col("fp") > 0,
           col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0)))

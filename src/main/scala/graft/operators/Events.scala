@@ -42,10 +42,17 @@ object Events {
                 startCol: String, endCol: String, ptsCol: String,
                 bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
-    val ib = intervals.withColumn("_bkt",
-      explode(sequence(
-        floor(col(startCol).cast("long") / bucketSeconds).cast("long"),
-        floor(col(endCol).cast("long") / bucketSeconds).cast("long"))))
+    // guard BEFORE the bucket explode: sequence(a, b) with a > b produces
+    // a full DESCENDING range, so one corrupt interval (end < start, e.g.
+    // an epoch-0 sentinel) would silently explode into a flood of bucket
+    // rows the residual filter then discards. An inverted interval
+    // contains no point, so dropping it is the semantically-exact result.
+    val ib = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn("_bkt",
+        explode(sequence(
+          floor(col(startCol).cast("long") / bucketSeconds).cast("long"),
+          floor(col(endCol).cast("long") / bucketSeconds).cast("long"))))
     val pb = points.withColumn("_bkt",
       floor(col(ptsCol).cast("long") / bucketSeconds).cast("long"))
     ib.join(pb, Seq(keyCol, "_bkt"))

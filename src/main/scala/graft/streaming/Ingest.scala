@@ -176,11 +176,15 @@ object Ingest {
     * riding the stream; candidate generation and verification are
     * stream-STATIC equi-joins against the index's band and set files
     * (no stream-stream join, no watermark coupling); the only state
-    * store is the final per-(doc, cid) dedup, bounded by the
-    * watermark — a doc's band rows arrive in its own micro-batch, so
-    * the horizon only needs to cover late REPLAYS, not matching
-    * logic. Corpus text is read zero times, exactly like the batch
-    * indexed path. */
+    * store is the final per-(doc, cid) dedup via
+    * `dropDuplicatesWithinWatermark` — plain `dropDuplicates` only
+    * evicts state when the event-time column is PART of the key set,
+    * so keying on (doc, cid) alone would grow the store without bound;
+    * the within-watermark variant expires each (doc, cid) entry once
+    * the watermark passes its event time. A doc's band rows arrive in
+    * its own micro-batch, so the horizon only needs to cover late
+    * REPLAYS, not matching logic. Corpus text is read zero times,
+    * exactly like the batch indexed path. */
   def nearDupStream(spark: SparkSession, docs: DataFrame, textCol: String,
                     idCol: String, tsCol: String, watermark: String,
                     indexPath: String, numHashes: Int = 16, bands: Int = 4,
@@ -212,7 +216,7 @@ object Ingest {
       .filter(col("jaccard") >= threshold)
       .select(col("sid").as(idCol), col(tsCol), col("cid"), col("jaccard"))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq(idCol, "cid"))
+      .dropDuplicatesWithinWatermark(Seq(idCol, "cid"))
   }
 
   case class TypedEv(event_id: Long, ts: Timestamp, user_id: Long,

@@ -51,23 +51,16 @@ object TextScaleProbe {
         df.filter(col("source") =!= "src0"), "text", "doc_id",
         bench, "btext", "bid"), s"decontaminate_near $tag")
     }
+    // similarityJoin and embeddingPairsForest are canonicalize-first
+    // since round 8: 10 exact copies of every vector (the worst dup
+    // shape — previously 138.9 s raw at 10x) must now stay within ~4x
+    // of the 1x wall, because the forest self-join only ever sees the
+    // canonical vectors and members inherit neighbors by expansion.
     for ((df, tag) <- Seq((oneEmb, "1x"), (bigEmb, "10x"))) {
-      if (sys.env.contains("PROBE_RAW_GRAPH") || tag == "1x")
-        time(() => AnnLsh.similarityJoin(df, "embedding", "vec_id", 3,
-          20, 8, 64, Knn.Cosine), s"similarity_join $tag")
-      // duplicate-heavy corpora (here EVERY vector has 10 copies)
-      // square the per-bucket candidate count — the raw graph is
-      // O(dup^2). The production composition mirrors dedup_canonical:
-      // collapse exact-duplicate vectors first, graph the canonicals,
-      // and the copies inherit their canonical's neighbors.
-      time(() => {
-        val canon = df.groupBy(md5(concat_ws(",", col("embedding"))).as("_h"))
-          .agg(min(col("vec_id")).as("vec_id"),
-            first(col("embedding")).as("embedding"))
-          .drop("_h")
-        AnnLsh.similarityJoin(canon, "embedding", "vec_id", 3,
-          20, 8, 64, Knn.Cosine)
-      }, s"similarity_join canonical-first $tag")
+      time(() => AnnLsh.similarityJoin(df, "embedding", "vec_id", 3,
+        20, 8, 64, Knn.Cosine), s"similarity_join $tag")
+      time(() => Dedup.embeddingPairsForest(df, "embedding", "vec_id",
+        4, 8, 64, 0.9), s"embedding_pairs_forest $tag")
     }
     spark.stop()
   }
