@@ -254,8 +254,8 @@ object AnnIvf {
                  centroids: DataFrame, nprobe: Int, metric: Knn.Metric,
                  idCol: String): DataFrame = {
     val probeCells = rankCells(centroids, query, nprobe, metric)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
+    IndexMaintenance.dropTombstoned(spark, path,
+      spark.read.parquet(path).filter(col("cell").isin(probeCells: _*)), idCol)
       .crossJoin(broadcast(query))
       .withColumn("dist", Knn.distCol(metric, col(vecCol), col("qvec")))
       .orderBy(col("dist").asc, col(idCol).asc)

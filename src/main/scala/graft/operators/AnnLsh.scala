@@ -347,6 +347,17 @@ object AnnLsh {
       .select(col(idCol), explode(col("fkeys")).as("fkey"))
       .write.mode("overwrite").partitionBy("fkey").parquet(path)
 
+  /** Append NEW rows to a [[writeForestIndex]] table (ingest path).
+    * Deletes go through [[IndexMaintenance.appendTombstones]]; a
+    * changed vector under an existing id needs compaction first (see
+    * IndexMaintenance scaladoc). */
+  def appendForestIndex(df: DataFrame, vecCol: String, idCol: String,
+                        numTables: Int, bitsPerTable: Int, dim: Int,
+                        path: String): Unit =
+    indexForest(df, vecCol, numTables, bitsPerTable, dim)
+      .select(col(idCol), explode(col("fkeys")).as("fkey"))
+      .write.mode("append").partitionBy("fkey").parquet(path)
+
   /** Forest top-k against a [[writeForestIndex]] table: read the
     * query's L key partitions (pruned at planning time), dedup the
     * candidate ids, join the base table for exact scoring. Touches
@@ -362,8 +373,9 @@ object AnnLsh {
     // sweep-measured (8 bits, 50 tables, 2 probes) point sits on the
     // (8, 100, 1) recall/mass frontier with HALF the index
     val keys = forestProbeKeys(query, numTables, bitsPerTable, dim, probes)
-    val cand = spark.read.parquet(indexPath)
-      .filter(col("fkey").isin(keys: _*))
+    // tombstoned ids (deleted docs) must never surface from the index
+    val cand = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(indexPath).filter(col("fkey").isin(keys: _*)), idCol)
       .select(col(idCol)).distinct()
     df.join(cand, idCol)
       .crossJoin(broadcast(query))
@@ -439,8 +451,8 @@ object AnnLsh {
       }
     val allKeys = queryKeys.select(col("fkey")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cand = spark.read.parquet(indexPath)
-      .filter(col("fkey").isin(allKeys: _*))
+    val cand = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(indexPath).filter(col("fkey").isin(allKeys: _*)), idCol)
       .join(broadcast(queryKeys), "fkey")
       .select(col("qid"), col(idCol)).distinct()
     scoreCandidates(cand, df, vecCol, queries, k, metric, idCol)

@@ -182,8 +182,8 @@ object AnnPq {
     val probeCells = AnnIvf.rankCells(centroids, query, nprobe, metric)
     val lut = lookupTable(queryVector(query), model)
     val bits = bitsFor(model.k)
-    spark.read.parquet(path)
-      .filter(col("cell").isin(probeCells: _*))
+    IndexMaintenance.dropTombstoned(spark, path,
+      spark.read.parquet(path).filter(col("cell").isin(probeCells: _*)), idCol)
       .withColumn("dist_adc", adcCol(
         graft.functions.BinaryExprs.unpackCodes(col("pq_packed"), bits, model.m),
         lut, model.k))
@@ -278,7 +278,8 @@ object AnnPq {
           graft.functions.BinaryExprs.unpackCodes(col("pq_packed"), bits, model.m),
           lut, model.k))
     }
-    scans.reduce(_.unionByName(_))
+    IndexMaintenance.dropTombstoned(spark, path,
+      scans.reduce(_.unionByName(_)), idCol)
       .filter(col("dist_adc").isNotNull)
       .orderBy(col("dist_adc").asc, col(idCol).asc)
       .limit(k)

@@ -293,9 +293,14 @@ object Dedup {
                                 numHashes: Int = 16, bands: Int = 4,
                                 shingleN: Int = 3,
                                 threshold: Double = 0.5): DataFrame =
+    // deleted corpus docs must not claim delta docs as their dups:
+    // both halves of the index anti-join the shared tombstone set
     incrementalCore(
-      spark.read.parquet(s"$indexPath/bands").withColumnRenamed(idCol, "cid"),
-      spark.read.parquet(s"$indexPath/sets"),
+      IndexMaintenance.dropTombstoned(spark, indexPath,
+        spark.read.parquet(s"$indexPath/bands").withColumnRenamed(idCol, "cid"),
+        "cid"),
+      IndexMaintenance.dropTombstoned(spark, indexPath,
+        spark.read.parquet(s"$indexPath/sets"), "sid"),
       delta, textCol, idCol, numHashes, bands, shingleN, threshold)
 
   /** Shared core over a corpus band frame (cid, band, key) + set frame

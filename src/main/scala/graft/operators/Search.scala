@@ -192,9 +192,14 @@ object Search {
     val nDocs = srow.getLong(0).toDouble
     val avgdl = srow.getLong(1).toDouble / nDocs
     val buckets = terms.map(t => hash64Local(t) % numBuckets).distinct
-    val postings = spark.read.parquet(path)
-      .filter(col("term_bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
+    // deleted docs drop BEFORE df is counted, so term rarity stays
+    // honest against the live corpus; the one-row N/avgdl stats stay
+    // index-time until IndexMaintenance.compactIndex + a stats refresh
+    // (a few deletes move them negligibly — they are corpus-scale sums)
+    val postings = IndexMaintenance.dropTombstoned(spark, path,
+      spark.read.parquet(path)
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*)), idCol)
     val dfreq = postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("_df"))
     val contrib = postings.join(broadcast(dfreq), "term")

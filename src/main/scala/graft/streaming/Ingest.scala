@@ -189,12 +189,16 @@ object Ingest {
                     idCol: String, tsCol: String, watermark: String,
                     indexPath: String, numHashes: Int = 16, bands: Int = 4,
                     shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    import graft.operators.Dedup
+    import graft.operators.{Dedup, IndexMaintenance}
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val (as, bs) = Dedup.minhashConsts(numHashes)
-    val corpusBands = spark.read.parquet(s"$indexPath/bands")
-      .withColumnRenamed(idCol, "cid")
-    val corpusSets = spark.read.parquet(s"$indexPath/sets")
+    // same tombstone contract as the batch indexed probe: deleted
+    // corpus docs must not claim streaming docs as their dups
+    val corpusBands = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$indexPath/bands").withColumnRenamed(idCol, "cid"),
+      "cid")
+    val corpusSets = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$indexPath/sets"), "sid")
       .select(col("sid").as("cid"), col("shs").as("_ca"))
     val sets = Dedup.shingleSets(docs, textCol, idCol, shingleN,
       carry = Seq(tsCol))
