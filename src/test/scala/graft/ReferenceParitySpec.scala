@@ -73,6 +73,179 @@ class ReferenceParitySpec extends SparkSpec {
     }
   }
 
+  // ---------- parser parity (query/parser_test.go TestParser) ----------
+
+  /** Render graft's AST in the reference parser test's notation
+    * (`ast.String()` in query/parser.go): operators prefix their
+    * operands, paths fold left as `.(base, field)` / `[](base, i)`,
+    * literals print as in the source. */
+  private def render(n: graft.query.FilterLang.Node): String = {
+    import graft.query.FilterLang._
+    def num(d: Double): String =
+      if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    def lit(v: Any): String = v match {
+      case s: String => s"'$s'"
+      case d: Double => num(d)
+      case b: Boolean => b.toString
+      case null => "NULL"
+      case other => other.toString
+    }
+    // the reference's path shape: items[0].price renders as
+    // .([](items, 0), price) — each segment wraps the accumulated base
+    def path2(segs: List[PathSeg]): String = segs match {
+      case Field(f) :: rest =>
+        rest.foldLeft(f) {
+          case (acc, Field(g))  => s".($acc, $g)"
+          case (acc, Index(i))  => s"[]($acc, $i)"
+          case (acc, LengthSeg) => s".($acc, length)"
+          case (acc, StarSeg)   => s"$acc[*]"
+        }
+      case other => other.toString
+    }
+    n match {
+      case Ref(p) => path2(p)
+      case Lit(v) => lit(v)
+      case Param(name) => s":$name"
+      case ArrayLit(vs) => vs.map(render).mkString("[", ", ", "]")
+      case Cmp(op, l, r) => s"$op(${render(l)}, ${render(r)})"
+      case StrOp(op, l, r) => s"$op(${render(l)}, ${render(r)})"
+      case And(l, r) => s"AND(${render(l)}, ${render(r)})"
+      case Or(l, r) => s"OR(${render(l)}, ${render(r)})"
+      case Not(x) => s"NOT(${render(x)})"
+      case In(e, arr, neg) =>
+        s"${if (neg) "NOT_IN" else "IN"}(${render(e)}, ${render(arr)})"
+      case Exists(ref, neg) =>
+        s"${if (neg) "DOES_NOT_EXIST" else "EXISTS"}(${render(ref)})"
+      case Length(arg) => s".(${render(arg)}, length)"
+      case Quant(op, cond) => s"$op(${render(cond)})"
+    }
+  }
+
+  test("the reference's parser test table produces the same ASTs (parser_test.go)") {
+    import graft.query.FilterLang
+    val table = Seq(
+      ("age >= 18 AND status == 'active'",
+        "AND(>=(age, 18), ==(status, 'active'))"),
+      ("name STARTS_WITH 'J' OR name ENDS_WITH 'son'",
+        "OR(STARTS_WITH(name, 'J'), ENDS_WITH(name, 'son'))"),
+      ("tags CONTAINS 'urgent' AND priority > 5",
+        "AND(CONTAINS(tags, 'urgent'), >(priority, 5))"),
+      ("NOT (status == 'inactive' OR lastLogin < '2023-01-01')",
+        "NOT(OR(==(status, 'inactive'), <(lastLogin, '2023-01-01')))"),
+      ("age IN [18, 21, 25] AND country NOT IN ['US', 'CA']",
+        "AND(IN(age, [18, 21, 25]), NOT_IN(country, ['US', 'CA']))"),
+      ("middleName EXISTS AND nickname DOES NOT EXIST",
+        "AND(EXISTS(middleName), DOES_NOT_EXIST(nickname))"),
+      ("items.length > 0 AND items[0].price < 100",
+        "AND(>(.(items, length), 0), <(.([](items, 0), price), 100))"),
+      ("user.profile.completed == true AND user.age >= :minAge",
+        "AND(==(.(.(user, profile), completed), true), >=(.(user, age), :minAge))"),
+      ("(status == 'active' AND age >= 18) OR role == 'admin'",
+        "OR(AND(==(status, 'active'), >=(age, 18)), ==(role, 'admin'))"))
+    table.foreach { case (input, want) =>
+      val got = render(FilterLang.parse(input))
+      assert(got == want, s"[$input]\n  got  $got\n  want $want")
+    }
+  }
+
+  // ---------- lexer parity (query/lexer_test.go) ----------
+
+  test("the reference's lexer token streams reproduce (lexer_test.go)") {
+    import graft.query.FilterLang._
+    // TestNextToken
+    assert(lex("""age >= 18 AND status == "active"""") == List(
+      TIdent("age"), TOp(">="), TNum(18.0), TKw("AND"),
+      TIdent("status"), TOp("=="), TStr("active"), TEof))
+    // TestLexerAdditionalCases — note IN with PARENS is lexed (the
+    // reference lexer accepts it; its parser table uses brackets)
+    assert(lex("""name != "John" AND (age < 30 OR status IN ("active", "pending")) AND items[*].price > 100""") == List(
+      TIdent("name"), TOp("!="), TStr("John"), TKw("AND"),
+      TLParen, TIdent("age"), TOp("<"), TNum(30.0), TKw("OR"),
+      TIdent("status"), TKw("IN"), TLParen, TStr("active"), TComma,
+      TStr("pending"), TRParen, TRParen, TKw("AND"),
+      TIdent("items"), TArrayStar, TDot, TIdent("price"),
+      TOp(">"), TNum(100.0), TEof))
+    // TestLexerExistsAndDoesNotExist — multi-word keywords merge
+    assert(lex("""field1 EXISTS AND field2 DOES NOT EXIST OR field3 == "value"""") == List(
+      TIdent("field1"), TKw("EXISTS"), TKw("AND"),
+      TIdent("field2"), TKw("DOES_NOT_EXIST"), TKw("OR"),
+      TIdent("field3"), TOp("=="), TStr("value"), TEof))
+  }
+
+  // ---------- CRUD parity (collection_test.go) ----------
+
+  test("update document metadata (collection_test.go:196 TestUpdateDocument)") {
+    import graft.core.{Collection, CollectionOptions}
+    import graft.operators.Knn
+    val dir = java.nio.file.Files.createTempDirectory("graft-refupd").toFile
+    dir.delete()
+    val c = Collection.create(spark,
+      CollectionOptions("upd", 3, Knn.Euclidean), dir.getAbsolutePath)
+    c.addDocuments(Seq((1L, Seq(1.0, 2.0, 3.0), "original"))
+      .toDF("id", "vector", "metadata"))
+    c.updateMetadata(1L, "updated")
+    assert(c.getDocument(1L).map(_._2).contains("updated"))
+  }
+
+  test("remove document keeps all others (collection_test.go:231 TestRemoveDocument)") {
+    import graft.core.{Collection, CollectionOptions}
+    import graft.operators.Knn
+    val dir = java.nio.file.Files.createTempDirectory("graft-refrm").toFile
+    dir.delete()
+    val c = Collection.create(spark,
+      CollectionOptions("rm", 10, Knn.Euclidean, quantization = 64),
+      dir.getAbsolutePath)
+    val docs = (0 until 200).map { i =>
+      (i.toLong, (0 until 10).map(j => (i + j).toDouble), s"metadata_$i")
+    }
+    c.addDocuments(docs.toDF("id", "vector", "metadata"))
+    c.removeDocuments(Seq(100L))
+    assert(c.getDocument(100L).isEmpty, "document 100 was not removed")
+    assert(c.documentCount() == 199)
+    // spot-check the neighbors survived with their metadata
+    assert(c.getDocument(99L).map(_._2).contains("metadata_99"))
+    assert(c.getDocument(101L).map(_._2).contains("metadata_101"))
+  }
+
+  test("add, delete all, reopen, re-add, retrieve (collection_test.go:459)") {
+    import graft.core.{Collection, CollectionOptions}
+    import graft.operators.Knn
+    val dir = java.nio.file.Files.createTempDirectory("graft-refadr").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    val c = Collection.create(spark,
+      CollectionOptions("adr", 3, Knn.Euclidean), path)
+    c.addDocuments((0 until 10).map(i =>
+        (i.toLong, Seq(i.toDouble, i + 1.0, i + 2.0), "metadata"))
+      .toDF("id", "vector", "metadata"))
+    c.removeDocuments(0L until 10L)
+    // reopen (the parquet log is the persistence layer) and re-add
+    val c2 = Collection.open(spark, path)
+    assert(c2.documentCount() == 0)
+    c2.addDocuments(Seq((1L, Seq(1.0, 2.0, 3.0), "larger metadata"))
+      .toDF("id", "vector", "metadata"))
+    val c3 = Collection.open(spark, path)
+    val doc = c3.getDocument(1L)
+    assert(doc.map(_._2).contains("larger metadata"))
+    assert(doc.map(_._1).contains(Seq(1.0, 2.0, 3.0)))
+  }
+
+  test("sampled average distance is positive (collection_test.go:105)") {
+    import graft.core.{Collection, CollectionOptions}
+    import graft.operators.Knn
+    val dir = java.nio.file.Files.createTempDirectory("graft-refavg").toFile
+    dir.delete()
+    val c = Collection.create(spark,
+      CollectionOptions("avg", 3, Knn.Euclidean), dir.getAbsolutePath)
+    val docs = (0 until 100).map { i =>
+      (i.toLong, Seq(math.abs(math.sin(i * 1.3)) * 100,
+        math.abs(math.cos(i * 2.1)) * 100,
+        math.abs(math.sin(i * 0.7)) * 100), "metadata")
+    }
+    c.addDocuments(docs.toDF("id", "vector", "metadata"))
+    assert(c.averageDistance(50) > 0.0)
+  }
+
   test("euclidean distance pins the reference's value (collection_test.go:12)") {
     import graft.operators.Knn
     val d = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
