@@ -132,6 +132,17 @@ object SparkEntry {
       path
     })
 
+  private def phraseIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|phraseidx", { _ =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|phraseidx".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/phrase-$key"
+      Search.writeTextIndex(Tables.documents(s, dir), "text", "doc_id", path,
+        positions = true)
+      path
+    })
+
   /** Lloyd-trained centroids per corpus dir: training is part of
     * index BUILD (train once, probe many — collection.go's contract),
     * so repeat query invocations reuse the trained nlist × dim table
@@ -625,6 +636,29 @@ object SparkEntry {
           col("steps_reached"))
     }),
 
+    "events_quantiles" -> ((s, dir) => {
+      // per-type value quantiles from a deterministic 256-row sample —
+      // the bounded-shuffle replacement for exact percentiles, and
+      // unlike t-digest/GK exactly engine-reproducible
+      Events.quantiles(Tables.events(s, dir), Seq("event_type"), "value",
+          "event_id", k = 256, qs = Seq(0.5, 0.9, 0.99), seed = "eq0")
+        .select(col("event_type"), col("quantile"),
+          round(col("value"), 5).as("value"))
+    }),
+
+    "events_pmi" -> ((s, dir) => {
+      // event-type co-occurrence per user: integer counts, PMI/lift
+      // derived in one fixed expression
+      Events.typeCooccurrence(Tables.events(s, dir), "user_id", "event_type")
+    }),
+
+    "table_profile" -> ((s, dir) => {
+      // per-column ANALYZE: row/null counts + KMV distinct estimate,
+      // one aggregate pass over the scan
+      Eval.tableProfile(Tables.documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       // END-TO-END curation over the dedup corpus (originals + exact
       // copies + truncated near-dups): quality gate -> exact dedup ->
@@ -973,6 +1007,20 @@ object SparkEntry {
         .select(col("doc_id"), col("rank"), round(col("score"), 5).as("score"))
     }),
 
+    "phrase_search" -> ((s, dir) => {
+      // quoted-phrase search: consecutive-word match with exact
+      // occurrence counts — the query BM25's bag of words can't ask
+      Search.phraseSearch(Tables.documents(s, dir), "text", "doc_id",
+        Seq("slow", "hash", "batch"), k = 10)
+    }),
+
+    "phrase_indexed" -> ((s, dir) => {
+      // the same phrase over the POSITIONAL inverted index: only the
+      // phrase terms' bucket partitions are read
+      Search.phraseIndexed(s, phraseIndexPath(s, dir), "doc_id",
+        Seq("slow", "hash", "batch"), k = 10)
+    }),
+
     "knn_maxsim" -> ((s, dir) => {
       // late interaction: per-chunk embeddings, per-token query
       // vectors, score = sum of per-token max chunk similarity
@@ -1289,6 +1337,40 @@ object SparkEntry {
       |  list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
       |  (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
       |   sqrt(list_dot_product(qvec, qvec))), -1.0), 1.0)) / pi()""".stripMargin
+
+  /** Phrase-search oracle ("slow hash batch" consecutively): shared by
+    * the scan and positional-index paths, which must agree exactly. */
+  private val phraseSql: String =
+    """WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, unnest(w) AS term, generate_subscripts(w, 1) AS pos FROM w),
+      |p0 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM p WHERE term = 'slow' GROUP BY doc_id),
+      |p1 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM p WHERE term = 'hash' GROUP BY doc_id),
+      |p2 AS (SELECT doc_id, list(pos ORDER BY pos) AS ps FROM p WHERE term = 'batch' GROUP BY doc_id),
+      |m AS (SELECT p0.doc_id,
+      |        len(list_filter(p0.ps, x -> list_contains(p1.ps, x + 1) AND list_contains(p2.ps, x + 2))) AS n_occurrences
+      |      FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)),
+      |r AS (SELECT doc_id, n_occurrences,
+      |        row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank
+      |      FROM m WHERE n_occurrences > 0)
+      |SELECT doc_id, rank, n_occurrences FROM r WHERE rank <= 10""".stripMargin
+
+  /** Per-column profile oracle: one UNION ALL branch per column, each
+    * rebuilding the KMV sketch with DISTINCT + row_number (the
+    * events_kmv rule) over md5 of the value's string form. */
+  private val tableProfileSql: String = {
+    def branch(c: String): String =
+      s"""SELECT '$c' AS "column",
+         |  (SELECT count(*) FROM documents) AS n_rows,
+         |  (SELECT count(*) FROM documents WHERE $c IS NULL) AS n_nulls,
+         |  (SELECT round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+         |     ELSE 255.0 / (CAST(max(CASE WHEN rn = 256 THEN hv END) AS DOUBLE) / 1152921504606846976.0) END, 4)
+         |   FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM (
+         |     SELECT DISTINCT CAST('0x' || substr(md5('tp0_' || CAST($c AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+         |     FROM documents WHERE $c IS NOT NULL))
+         |   WHERE rn <= 256) AS distinct_est""".stripMargin
+    Seq("doc_id", "text", "lang", "source", "n_chars")
+      .map(branch).mkString("", "\nUNION ALL\n", "")
+  }
 
   /** Angular distance between two DOUBLE[] SQL expressions. */
   private def angSql(a: String, b: String): String =
@@ -2299,6 +2381,44 @@ object SparkEntry {
     "bm25_search" ->
       s"""WITH $bm25Ctes
          |SELECT doc_id, rank, round(score, 5) AS score FROM bm25r WHERE rank <= 20""".stripMargin,
+
+    // one SQL for both phrase paths (in-memory scan and positional
+    // index probe must agree row for row): per-term sorted position
+    // lists, occurrence = base position p with p+i in term i's list
+    // (positions are 1-based here, 0-based in Spark — only the OFFSETS
+    // matter, so the bases cancel)
+    "phrase_search" -> phraseSql,
+    "phrase_indexed" -> phraseSql,
+
+    "events_quantiles" ->
+      // sample membership = the k smallest md5(seed, id) hashes per
+      // type (double-cast hash rank, the sample_topk rule); quantile =
+      // sorted sample value at floor(q*(n-1)) — identical index
+      // arithmetic, identical IEEE doubles
+      """WITH h AS (SELECT event_type, event_id, value,
+        |    CAST(CAST('0x' || substr(md5('eq0_' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS hv
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hv, event_id) AS rn FROM h),
+        |s AS (SELECT event_type, list(value ORDER BY value) AS vs FROM r WHERE rn <= 256 GROUP BY event_type),
+        |q AS (SELECT event_type, unnest([0.5, 0.9, 0.99]) AS quantile, vs FROM s)
+        |SELECT event_type, quantile,
+        |  round(vs[CAST(floor(quantile * (len(vs) - 1)) AS INT) + 1], 5) AS value
+        |FROM q""".stripMargin,
+
+    "events_pmi" ->
+      // integer counts everywhere; lift/pmi divide them in the same
+      // fixed expression order as the Spark side
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |nu AS (SELECT count(DISTINCT u) AS n_users FROM ut),
+        |pt AS (SELECT t, count(*) AS n FROM ut GROUP BY t),
+        |pr AS (SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+        |       FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2)
+        |SELECT type_a, type_b, pa.n AS n_a, pb.n AS n_b, n_both, n_users,
+        |  round((CAST(n_both AS DOUBLE) * n_users) / (CAST(pa.n AS DOUBLE) * pb.n), 5) AS lift,
+        |  round(ln((CAST(n_both AS DOUBLE) * n_users) / (CAST(pa.n AS DOUBLE) * pb.n)), 5) AS pmi
+        |FROM pr JOIN pt pa ON pr.type_a = pa.t JOIN pt pb ON pr.type_b = pb.t, nu""".stripMargin,
+
+    "table_profile" -> tableProfileSql,
 
     "bm25_indexed" ->
       // independent of the bm25_search oracle: the indexed path folds

@@ -491,15 +491,14 @@ object AnnLsh {
                      numTables: Int, bitsPerTable: Int, dim: Int,
                      metric: Knn.Metric): DataFrame = {
     import graft.functions.TopKAgg
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol), col(vecCol))
-    val w = Window.partitionBy(col(vecCol))
-    val tagged = base
-      .withColumn("_cid", min(col(idCol)).over(w))
-      .withColumn("_gsz", count(lit(1)).over(w))
-    val members = tagged.select(col(idCol), col("_cid"))
-    val canon = tagged.filter(col(idCol) === col("_cid"))
-      .select(col("_cid"), col(vecCol), col("_gsz"))
+    // one vector-keyed agg (map-side partial min; a window would sort
+    // and ship every row) — groups are (canonical id, member ids, vec)
+    val groups = base.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as("_cid"), collect_list(col(idCol)).as("_mids"))
+    val members = groups.select(col("_cid"), explode(col("_mids")).as(idCol))
+    val canon = groups
+      .select(col("_cid"), col(vecCol), size(col("_mids")).as("_gsz"))
     // forest blocking over canonicals only — bounded per-bucket fanout
     val ckeys = indexForest(canon, vecCol, numTables, bitsPerTable, dim)
       .select(col("_cid"), explode(col("fkeys")).as("fkey"))
@@ -513,11 +512,23 @@ object AnnLsh {
       .join(cvec.select(col("_cid").as("_cq"), col(vecCol).as("_qv")), Seq("_cq"))
       .select(col("_cq"), col("_cid"),
         Knn.distCol(metric, col(vecCol), col("_qv")).as("dist"))
+    // canonical-level top-k BEFORE expansion: k canonical neighbors
+    // expand to >= k member candidates, so expanding only these keeps
+    // the expanded frame at O(members x k) instead of O(members x
+    // candidates) — the step that would otherwise re-square on dup
+    // groups. (Exactness caveat: an exact-float distance TIE at the
+    // canonical k-boundary could order differently than member-level
+    // id tie-breaks; real-valued distances tie only for identical
+    // vectors, which share a canonical by construction.)
+    val ctop = cscored.groupBy(col("_cq"))
+      .agg(TopKAgg.topk(col("dist"), col("_cid"), k).as("_ct"))
+      .select(col("_cq"), explode(col("_ct")).as("_t"))
+      .select(col("_cq"), col("_t.id").as("_cid"), col("_t.dist").as("dist"))
     // expansion: every member of the query group pairs with every
-    // member of the neighbor group at the canonical distance ...
+    // member of the surviving neighbor groups at the canonical distance
     val qm = members.select(col(idCol).as("qid"), col("_cid").as("_cq"))
     val im = members.select(col(idCol).as("_mid"), col("_cid"))
-    val cross = cscored
+    val cross = ctop
       .join(qm, Seq("_cq")).join(im, Seq("_cid"))
       .select(col("qid"), col("_mid"), col("dist"))
     // ... and groups with >1 member pair internally at self-distance

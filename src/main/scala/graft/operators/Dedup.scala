@@ -877,13 +877,13 @@ object Dedup {
     // own-group pair is dot(nv, nv) of the shared vector — the same
     // float expression the raw plan evaluates.
     val base = df.select(col(idCol), col(vecCol))
-    val w = Window.partitionBy(col(vecCol))
-    val tagged = base
-      .withColumn("_cid", min(col(idCol)).over(w))
-      .withColumn("_gsz", count(lit(1)).over(w))
-    val members = tagged.select(col(idCol), col("_cid"))
-    val canon = tagged.filter(col(idCol) === col("_cid"))
-      .select(col("_cid"), col(vecCol), col("_gsz"))
+    // one vector-keyed agg (map-side partial min; a window would sort
+    // and ship every row) — groups are (canonical id, member ids, vec)
+    val groups = base.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as("_cid"), collect_list(col(idCol)).as("_mids"))
+    val members = groups.select(col("_cid"), explode(col("_mids")).as(idCol))
+    val canon = groups
+      .select(col("_cid"), col(vecCol), size(col("_mids")).as("_gsz"))
     val keys = canon.select(col("_cid"),
       explode(graft.functions.MultiLshBuckets.keys(col(vecCol),
         numTables, bitsPerTable, dim)).as("fkey"))

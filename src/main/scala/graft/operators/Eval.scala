@@ -40,6 +40,46 @@ object Eval {
       .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
   }
 
+  /** Per-column table profile — the ANALYZE/data-quality dashboard a
+    * pipeline reads before trusting a new table: one row per column
+    * with row count, null count, and a KMV distinct-count estimate
+    * ([[graft.functions.KmvAgg]] — k smallest distinct 60-bit md5
+    * hashes, exactly reproducible across engines/partitionings, unlike
+    * HLL). Everything is computed in ONE aggregate pass over the scan
+    * (2·cols + 1 agg expressions), then unpivoted to rows.
+    *
+    * Columns must be string or integral-typed: the hash input is the
+    * value's string form, and float formatting differs across engines
+    * (integral-to-string does not). */
+  def tableProfile(df: DataFrame, cols: Seq[String], k: Int = 256,
+                   seed: String = "tp0"): DataFrame = {
+    require(cols.nonEmpty, "tableProfile needs at least one column")
+    val aggs = Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
+      val h = conv(substring(md5(concat(lit(seed + "_"),
+        col(c).cast("string"))), 1, 15), 16, 10).cast("long")
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"),
+        graft.functions.KmvAgg.kmv(when(col(c).isNotNull, h), k)
+          .as(s"_mins_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val kk = lit(k.toLong)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("column"), col("_n").as("n_rows"),
+        col(s"_nulls_$c").as("n_nulls"), col(s"_mins_$c").as("_mins"))
+    }
+    row.select(explode(array(perCol: _*)).as("_r"))
+      .select(col("_r.column").as("column"), col("_r.n_rows").as("n_rows"),
+        col("_r.n_nulls").as("n_nulls"),
+        round(
+          when(size(col("_r._mins")) < kk,
+              size(col("_r._mins")).cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (element_at(col("_r._mins"), k).cast("double") /
+                lit(math.pow(2.0, 60)))), 4)
+          .as("distinct_est"))
+  }
+
   /** Pair-quality report for a dedup method against labeled truth —
     * the dedup twin of [[recallAtK]]: predicted and truth are both
     * (id_a, id_b) pair frames (e.g. a MinHash sketch's pairs vs

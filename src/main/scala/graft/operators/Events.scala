@@ -214,6 +214,79 @@ object Events {
           .as("est_distinct")): _*)
   }
 
+  /** Per-group value quantiles from a DETERMINISTIC fixed-size sample —
+    * the bounded-shuffle replacement for exact percentiles, which sort
+    * every value per group. Sample membership is the k smallest
+    * md5(seed, id) hashes per group (the [[Sampling.exactSample]]
+    * rule), so the sample — and therefore every quantile — is exactly
+    * reproducible across runs, partitionings, and engines (unlike
+    * t-digest/GK sketches, whose merge order changes the result).
+    * Quantile q = the sampled value at nearest-rank index
+    * floor(q·(n−1)), n = sample size; groups smaller than k are exact.
+    *
+    * Scale shape: the sample is one keyed [[graft.functions.TopKAgg]]
+    * (map side keeps ≤ k rows per group per partition); values attach
+    * to the k·groups sampled ids by one bounded equi-join; the
+    * per-group sort is over k values, never the raw group. */
+  def quantiles(df: DataFrame, keyCols: Seq[String], valCol: String,
+                idCol: String, k: Int, qs: Seq[Double],
+                seed: String): DataFrame = {
+    require(k >= 2, s"sample size must be >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must lie in [0, 1]")
+    import graft.functions.TopKAgg
+    val keys = keyCols.map(col)
+    val h = conv(substring(md5(concat(lit(seed + "_"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val samp = df.filter(col(valCol).isNotNull)
+      .select(keys :+ col(idCol) :+ h.cast("double").as("_h"): _*)
+      .groupBy(keys: _*)
+      .agg(TopKAgg.topk(col("_h"), col(idCol).cast("long"), k).as("_top"))
+      .select(keys :+ explode(col("_top")).as("_t"): _*)
+      .select(keys :+ col("_t.id").as(idCol): _*)
+    val vals = samp
+      .join(df.select(col(idCol).cast("long").as(idCol), col(valCol).as("_v")),
+        Seq(idCol))
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("_v"))).as("_vs"))
+    vals
+      .select(keys ++ Seq(explode(typedlit(qs)).as("quantile"), col("_vs")): _*)
+      .select(keys ++ Seq(col("quantile"),
+        element_at(col("_vs"),
+          (floor(col("quantile") * (size(col("_vs")) - 1)) + 1).cast("int"))
+          .as("value")): _*)
+  }
+
+  /** Event-type co-occurrence per user with PMI/lift — "which event
+    * types happen to the same users" (the association dashboard behind
+    * funnel design and feature pruning). One (user, type)-distinct
+    * frame, a per-user self-join whose fanout is bounded by the TYPE
+    * cardinality (never by event volume), and integer counts all the
+    * way: pmi/lift divide them in one fixed expression, so the report
+    * reproduces bit-exactly in any engine. */
+  def typeCooccurrence(df: DataFrame, userCol: String,
+                       typeCol: String): DataFrame = {
+    val ut = df.select(col(userCol).as("_u"), col(typeCol).as("_t")).distinct()
+    val nUsers = ut.select(col("_u")).distinct()
+      .agg(count(lit(1)).as("_nu"))
+    val perType = ut.groupBy(col("_t")).agg(count(lit(1)).as("_nt"))
+    val pairs = ut
+      .join(ut.select(col("_u"), col("_t").as("_t2")), Seq("_u"))
+      .filter(col("_t") < col("_t2"))
+      .groupBy(col("_t"), col("_t2")).agg(count(lit(1)).as("_nab"))
+    val lift = (col("_nab").cast("double") * col("_nu")) /
+      (col("_nt").cast("double") * col("_nt2"))
+    pairs
+      .join(broadcast(perType), Seq("_t"))
+      .join(broadcast(perType.select(col("_t").as("_t2"),
+        col("_nt").as("_nt2"))), Seq("_t2"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("_t").as("type_a"), col("_t2").as("type_b"),
+        col("_nt").as("n_a"), col("_nt2").as("n_b"), col("_nab").as("n_both"),
+        col("_nu").as("n_users"),
+        round(lift, 5).as("lift"), round(log(lift), 5).as("pmi"))
+  }
+
   /** Skew-safe fact × dim equi-join with explicit key SALTING: keys
     * with ≥ `hotThreshold` fact rows get their dim row replicated
     * `salts` ways, and each hot fact row picks one replica

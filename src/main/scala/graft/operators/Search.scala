@@ -143,15 +143,23 @@ object Search {
     * postings at probe time, so the index never goes stale on its own
     * statistics. */
   def writeTextIndex(df: DataFrame, textCol: String, idCol: String,
-                     path: String, numBuckets: Int = 64): Unit = {
+                     path: String, numBuckets: Int = 64,
+                     positions: Boolean = false): Unit = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     val withW = df.select(col(idCol),
       Dedup.words(coalesce(col(textCol), lit(""))).as("_w"))
+    // positions=true additionally stores each posting's sorted word
+    // offsets — the POSITIONAL index phrase search probes; BM25 probes
+    // ignore the extra column, so one index serves both
+    val aggs = Seq(count(lit(1)).cast("long").as("tf"),
+      first(col("dl")).as("dl")) ++
+      (if (positions) Seq(sort_array(collect_list(col("pos"))).as("positions"))
+       else Nil)
     withW
       .select(col(idCol), size(col("_w")).cast("long").as("dl"),
-        explode(col("_w")).as("term"))
+        posexplode(col("_w")).as(Seq("pos", "term")))
       .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"), first(col("dl")).as("dl"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("term_bucket",
         pmod(Dedup.hash64(col("term")), lit(numBuckets.toLong)))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
@@ -218,6 +226,81 @@ object Search {
       .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
         (-col("_t.dist")).as("score"))
   }
+
+  /** Documents containing the words of `phrase` CONSECUTIVELY, with
+    * the exact occurrence count — the quoted-string search BM25's bag
+    * of words cannot express ("slow hash batch" as a phrase, not three
+    * independent terms).
+    *
+    * Scale shape: per-term position lists are one (doc, term) keyed
+    * agg over posexploded words FILTERED to the phrase's terms before
+    * the shuffle (everything else drops map-side); docs missing any
+    * term drop at the m-way inner id-join (each side already pruned to
+    * one term's postings); the adjacency check is a per-row array
+    * predicate — position p starts an occurrence iff term i's list
+    * contains p+i for every i. No window, no self-join, no cartesian. */
+  def phraseMatches(df: DataFrame, textCol: String, idCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val pos = df.select(col(idCol),
+        posexplode(Dedup.words(coalesce(col(textCol), lit(""))))
+          .as(Seq("_p", "_term")))
+      .filter(col("_term").isin(phrase.distinct: _*))
+      .groupBy(col(idCol), col("_term"))
+      .agg(sort_array(collect_list(col("_p"))).as("_ps"))
+    val byTerm = phrase.zipWithIndex.map { case (t, i) =>
+      pos.filter(col("_term") === t).select(col(idCol), col("_ps").as(s"_ps$i"))
+    }
+    phraseTail(byTerm.reduce(_.join(_, Seq(idCol))), idCol, phrase.size)
+  }
+
+  /** Top-k phrase search: (idCol, rank, n_occurrences), most
+    * occurrences first, ties by id; global top-k is a bounded
+    * [[TopKAgg]]. */
+  def phraseSearch(df: DataFrame, textCol: String, idCol: String,
+                   phrase: Seq[String], k: Int): DataFrame =
+    phraseTopK(phraseMatches(df, textCol, idCol, phrase), idCol, k)
+
+  /** Phrase search over a POSITIONAL [[writeTextIndex]] table
+    * (`positions = true`): reads only the phrase terms' bucket
+    * partitions — the phrase twin of [[bm25Indexed]]. Tombstoned docs
+    * never match. */
+  def phraseIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, phrase: Seq[String], k: Int,
+                    numBuckets: Int = 64): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two words")
+    val buckets = phrase.distinct.map(t => hash64Local(t) % numBuckets).distinct
+    val postings = IndexMaintenance.dropTombstoned(spark, path,
+      spark.read.parquet(path)
+        .filter(col("term_bucket").isin(buckets: _*) &&
+          col("term").isin(phrase.distinct: _*)), idCol)
+    require(postings.columns.contains("positions"),
+      s"$path was built without positions — writeTextIndex(..., positions = true)")
+    val byTerm = phrase.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("term") === t)
+        .select(col(idCol), col("positions").as(s"_ps$i"))
+    }
+    phraseTopK(phraseTail(byTerm.reduce(_.join(_, Seq(idCol))), idCol,
+      phrase.size), idCol, k)
+  }
+
+  /** Shared adjacency count: position p starts an occurrence iff term
+    * i's sorted list contains p+i for all i >= 1. */
+  private def phraseTail(joined: DataFrame, idCol: String, m: Int): DataFrame = {
+    val matched = filter(col("_ps0"), p =>
+      (1 until m).map(i => array_contains(col(s"_ps$i"), p + i))
+        .reduce(_ && _))
+    joined.select(col(idCol), size(matched).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
+  private def phraseTopK(matches: DataFrame, idCol: String, k: Int): DataFrame =
+    matches
+      .agg(TopKAgg.topk(-col("n_occurrences").cast("double"),
+        col(idCol).cast("long"), k).as("_top"))
+      .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
+        (-col("_t.dist")).cast("long").as("n_occurrences"))
 
   /** Late-interaction retrieval (the ColBERT/maxsim scheme, public):
     * documents are split into chunks and embedded PER CHUNK; the

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Eval, Events, Search}
+
+/** Phrase search, deterministic sample quantiles, co-occurrence PMI,
+  * and the per-column table profile (round 8 additions). */
+class ObservabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf001)
+  private lazy val events = Tables.events(spark, sf0001)
+
+  test("phraseSearch finds consecutive words only, counts occurrences") {
+    val fixture = Seq(
+      (1L, "a slow hash batch runs twice slow hash batch end"),
+      (2L, "slow batch hash out of order"),
+      (3L, "slow hash middle batch split"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "tail ends with slow hash batch")).toDF("doc_id", "text")
+    val res = Search.phraseSearch(fixture, "text", "doc_id",
+        Seq("slow", "hash", "batch"), k = 10)
+      .select("doc_id", "n_occurrences").as[(Long, Long)].collect().toMap
+    assert(res == Map(1L -> 2L, 5L -> 1L), s"got $res")
+  }
+
+  test("phraseIndexed == phraseSearch over the positional index; pruned probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toFile
+    dir.delete()
+    val path = dir.getAbsolutePath
+    Search.writeTextIndex(docs, "text", "doc_id", path, numBuckets = 16,
+      positions = true)
+    val phrase = Seq("slow", "hash", "batch")
+    val mem = Search.phraseSearch(docs, "text", "doc_id", phrase, 10)
+      .select("doc_id", "rank", "n_occurrences")
+      .as[(Long, Int, Long)].collect().toSet
+    val idx = Search.phraseIndexed(spark, path, "doc_id", phrase, 10,
+      numBuckets = 16)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*term_bucket#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"expected term_bucket pruning in:\n$plan")
+    assert(idx.select("doc_id", "rank", "n_occurrences")
+      .as[(Long, Int, Long)].collect().toSet == mem)
+    assert(mem.nonEmpty, "fixture phrase should occur at sf0.01")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(dir)
+  }
+
+  test("quantiles: small groups are exact; partitioning-independent") {
+    // a group smaller than k samples everything: quantiles are exact
+    // nearest-rank values of the full group
+    val vals = (1 to 101).map(i => (i.toLong, "g", i.toDouble))
+    val df = vals.toDF("id", "key", "v")
+    val res = Events.quantiles(df, Seq("key"), "v", "id", k = 256,
+        qs = Seq(0.0, 0.5, 1.0), seed = "s")
+      .select("quantile", "value").as[(Double, Double)].collect().toMap
+    assert(res == Map(0.0 -> 1.0, 0.5 -> 51.0, 1.0 -> 101.0), s"got $res")
+    // bigger than k: deterministic sample — identical under reshuffling
+    val big = Tables.events(spark, sf001)
+    val a = Events.quantiles(big, Seq("event_type"), "value", "event_id",
+        64, Seq(0.5, 0.9), "q")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Events.quantiles(big.repartition(13), Seq("event_type"), "value",
+        "event_id", 64, Seq(0.5, 0.9), "q")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "sampled quantiles must not depend on partitioning")
+  }
+
+  test("typeCooccurrence counts distinct users and derives lift/pmi exactly") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "a"), // user 1: a,b (dup a collapses)
+      (2L, "a"), (2L, "c"),
+      (3L, "b"), (3L, "c"),
+      (4L, "a")).toDF("user_id", "event_type")
+    val res = Events.typeCooccurrence(df, "user_id", "event_type")
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "n_users", "lift")
+      .as[(String, String, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(res(("a", "b"))._5 == 1L && res(("a", "c"))._5 == 1L &&
+      res(("b", "c"))._5 == 1L)
+    assert(res(("a", "b"))._3 == 3L && res(("a", "b"))._4 == 2L)
+    assert(res(("a", "b"))._6 == 4L)
+    // lift(a,b) = (1 * 4) / (3 * 2)
+    assert(math.abs(res(("a", "b"))._7 - 4.0 / 6.0) < 1e-4)
+  }
+
+  test("tableProfile: exact small-cardinality distincts, null counts, one row per column") {
+    val df = Seq(
+      (1L, "x", null.asInstanceOf[String]),
+      (2L, "y", "p"),
+      (3L, "x", "q"),
+      (4L, null.asInstanceOf[String], "q")).toDF("id", "s", "t")
+    val res = Eval.tableProfile(df, Seq("id", "s", "t"), k = 256)
+      .select("column", "n_rows", "n_nulls", "distinct_est")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(res.size == 3)
+    assert(res("id") == ("id", 4L, 0L, 4.0))
+    assert(res("s") == ("s", 4L, 1L, 2.0))
+    assert(res("t") == ("t", 4L, 1L, 2.0))
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-protocol bench of the most expensive graded queries at an
+  * sf1-scale dataset (10x sf0.1): documents/embeddings replicate 10x
+  * with DISTINCT content (every word of a copy carries a copy suffix;
+  * vectors perturb per copy) — this probes 10x-more-DATA scaling, not
+  * the duplicate-torture shape TextScaleProbe covers. Protocol mirrors
+  * graft.Bench exactly: local[32], toRdd.count of the query's own
+  * plan, sf0.001 JIT warm-up, one full warm pass, then median of 3
+  * interleaved passes. Prints per-query sf1/sf0.1 ratios; the pass bar
+  * is ratio <= ~12x (near-linear) with no outlier.
+  * Run: sbt "Test/runMain graft.Sf1Probe" */
+object Sf1Probe {
+  private val names = Seq(
+    "dedup_eval", "dedup_incremental", "dedup_ngram", "dedup_canonical",
+    "pipeline_curate", "split_kfold", "split_safe", "similarity_join",
+    "dedup_simhash", "dedup_semantic", "remove_boilerplate", "bm25_batch",
+    // not a top-10 line: the one unexplained r7 regression (0.65 ->
+    // 0.85 s), re-measured here under the driver protocol (verdict #3)
+    "dedup_minhash")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val src = "/root/testdata/sf0.1"
+    val dst = "/tmp/sf1rep"
+
+    if (!new java.io.File(s"$dst/documents.parquet").exists()) {
+      println("[sf1probe] building /tmp/sf1rep (10x sf0.1, distinct content)")
+      val docs = spark.read.parquet(s"$src/documents.parquet")
+      (0 until 10).map { n =>
+        if (n == 0) docs
+        else docs.select(
+          (col("doc_id") + n * 1000000L).as("doc_id"),
+          array_join(transform(split(coalesce(col("text"), lit("")), " "),
+            w => concat(w, lit(s"_c$n"))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until 10).map { n =>
+        if (n == 0) emb
+        else emb.select(
+          (col("vec_id") + n * 1000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              sin((col("vec_id") + i * 7 + lit(n * 13)).cast("double")) * 0.05)
+              .cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    val qs = names.map(n => n -> SparkEntry.queries(n))
+    def run(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
+      fn(spark, dir).queryExecution.toRdd.count()
+    qs.foreach { case (_, fn) =>
+      try run(fn, "/root/testdata/sf0.001") catch { case _: Throwable => } }
+
+    def bench(dir: String): Map[String, Double] = {
+      qs.foreach { case (name, fn) =>
+        try run(fn, dir)
+        catch { case e: Throwable =>
+          println(s"[sf1probe] warm $name@$dir FAILED: ${e.getMessage}") } }
+      val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      for (_ <- 1 to 3) qs.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try run(fn, dir)
+        catch { case e: Throwable =>
+          println(s"[sf1probe] $name@$dir FAILED: ${e.getMessage}") }
+        samples(name) = samples.getOrElse(name, Vector.empty) :+
+          ((System.nanoTime() - t0) / 1e9)
+      }
+      samples.map { case (k, v) => k -> v.sorted.apply(1) }.toMap
+    }
+
+    val base = bench(src)
+    val big = bench(dst)
+    names.foreach { n =>
+      println(f"[sf1probe] $n%-20s sf0.1=${base(n)}%6.2f s  sf1=${big(n)}%7.2f s  ratio=${big(n) / base(n)}%5.1f x")
+    }
+    println(f"[sf1probe] TOTAL sf0.1=${base.values.sum}%.1f s  sf1=${big.values.sum}%.1f s  ratio=${big.values.sum / base.values.sum}%.1f x")
+    spark.stop()
+  }
+}
