@@ -652,6 +652,21 @@ object SparkEntry {
       Events.typeCooccurrence(Tables.events(s, dir), "user_id", "event_type")
     }),
 
+    "events_paths" -> ((s, dir) => {
+      // top event-type transitions (from -> to) over each user's
+      // (ts, id)-ordered stream
+      Events.topPaths(Tables.events(s, dir), "user_id", "ts", "event_id",
+        "event_type", k = 15)
+    }),
+
+    "split_temporal" -> ((s, dir) => {
+      // embargoed time split: eval after the cutoff, train at least
+      // one day BEFORE it, the day between excluded from both sides
+      Sampling.temporalSplit(Tables.events(s, dir), "ts",
+          "2024-01-24 00:00:00", embargoSeconds = 86400L)
+        .select(col("event_id"), col("split"))
+    }),
+
     "table_profile" -> ((s, dir) => {
       // per-column ANALYZE: row/null counts + KMV distinct estimate,
       // one aggregate pass over the scan
@@ -2419,6 +2434,21 @@ object SparkEntry {
         |FROM pr JOIN pt pa ON pr.type_a = pa.t JOIN pt pb ON pr.type_b = pb.t, nu""".stripMargin,
 
     "table_profile" -> tableProfileSql,
+
+    "events_paths" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |      FROM e)
+        |SELECT from_type, to_type, count(*) AS n FROM t WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, from_type, to_type LIMIT 15""".stripMargin,
+
+    "split_temporal" ->
+      """SELECT event_id,
+        |  CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-24 00:00:00' THEN 'eval'
+        |       WHEN CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-24 00:00:00' - INTERVAL 86400 SECOND THEN 'train'
+        |       ELSE 'embargo' END AS split
+        |FROM events""".stripMargin,
 
     "bm25_indexed" ->
       // independent of the bm25_search oracle: the indexed path folds

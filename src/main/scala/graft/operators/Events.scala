@@ -214,6 +214,26 @@ object Events {
           .as("est_distinct")): _*)
   }
 
+  /** Top-k event-type TRANSITIONS (from → to between consecutive
+    * events of the same user, ordered by (ts, id)) — the "what do
+    * users do next" path dashboard behind funnel design. One
+    * user-partitioned window for the successor type, one keyed count
+    * with map-side partial agg, and the output is type² rows at most —
+    * TakeOrdered handles the top-k, no global sort. Counts are
+    * integers; the (ts, id) order is a total order, so the transition
+    * set is deterministic under any partitioning. */
+  def topPaths(df: DataFrame, userCol: String, tsCol: String, idCol: String,
+               typeCol: String, k: Int): DataFrame = {
+    val w = W.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    df.withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type").asc, col("to_type").asc)
+      .limit(k)
+  }
+
   /** Per-group value quantiles from a DETERMINISTIC fixed-size sample —
     * the bounded-shuffle replacement for exact percentiles, which sort
     * every value per group. Sample membership is the k smallest
@@ -224,32 +244,29 @@ object Events {
     * Quantile q = the sampled value at nearest-rank index
     * floor(q·(n−1)), n = sample size; groups smaller than k are exact.
     *
-    * Scale shape: the sample is one keyed [[graft.functions.TopKAgg]]
-    * (map side keeps ≤ k rows per group per partition); values attach
-    * to the k·groups sampled ids by one bounded equi-join; the
-    * per-group sort is over k values, never the raw group. */
+    * Scale shape: ONE keyed agg — the fused
+    * [[graft.functions.SampleValuesAgg]] buffer keeps ≤ k (hash,
+    * value) pairs per group per partition map-side and returns the
+    * sample already value-sorted, so there is no join-back and the
+    * per-group sort is over k values, never the raw group. The hash
+    * ranks through the same double conversion the TopKAgg-based
+    * samplers use, so the sample membership matches the SQL oracle's
+    * row_number formulation exactly. */
   def quantiles(df: DataFrame, keyCols: Seq[String], valCol: String,
                 idCol: String, k: Int, qs: Seq[Double],
                 seed: String): DataFrame = {
     require(k >= 2, s"sample size must be >= 2, got $k")
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must lie in [0, 1]")
-    import graft.functions.TopKAgg
     val keys = keyCols.map(col)
     val h = conv(substring(md5(concat(lit(seed + "_"),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
-    val samp = df.filter(col(valCol).isNotNull)
-      .select(keys :+ col(idCol) :+ h.cast("double").as("_h"): _*)
+    df.filter(col(valCol).isNotNull)
+      .select(keys ++ Seq(h.cast("double").cast("long").as("_h"),
+        col(valCol).as("_v")): _*)
       .groupBy(keys: _*)
-      .agg(TopKAgg.topk(col("_h"), col(idCol).cast("long"), k).as("_top"))
-      .select(keys :+ explode(col("_top")).as("_t"): _*)
-      .select(keys :+ col("_t.id").as(idCol): _*)
-    val vals = samp
-      .join(df.select(col(idCol).cast("long").as(idCol), col(valCol).as("_v")),
-        Seq(idCol))
-      .groupBy(keys: _*)
-      .agg(sort_array(collect_list(col("_v"))).as("_vs"))
-    vals
+      .agg(graft.functions.SampleValuesAgg
+        .sampleValues(col("_h"), col("_v"), k).as("_vs"))
       .select(keys ++ Seq(explode(typedlit(qs)).as("quantile"), col("_vs")): _*)
       .select(keys ++ Seq(col("quantile"),
         element_at(col("_vs"),

@@ -220,4 +220,25 @@ object Sampling {
           lit(k.toLong)).cast("int"))
       .drop("cluster_id")
   }
+
+  /** Temporal train/eval split with an EMBARGO gap — the time-series
+    * complement of [[leakageSafeSplit]]: eval = rows at or after
+    * `cutoff`; train = rows at least `embargoSeconds` BEFORE the
+    * cutoff; rows inside the embargo window are labeled `embargo` and
+    * excluded from both sides, so features computed over trailing
+    * windows (a 7-day rolling mean, an as-of join) can never read
+    * data that leaks across the boundary. Pure map-side — zero
+    * shuffles, the label rides the scan at any scale. */
+  def temporalSplit(df: DataFrame, tsCol: String, cutoff: String,
+                    embargoSeconds: Long): DataFrame = {
+    require(embargoSeconds >= 0,
+      s"embargo must be non-negative, got $embargoSeconds")
+    val ts = col(tsCol).cast("timestamp")
+    val cut = lit(cutoff).cast("timestamp")
+    df.withColumn("split",
+      when(ts >= cut, lit("eval"))
+        .when(ts <= cut - expr(s"INTERVAL $embargoSeconds SECOND"),
+          lit("train"))
+        .otherwise(lit("embargo")))
+  }
 }

@@ -73,6 +73,34 @@ object Ingest {
           .as("est_distinct"))
   }
 
+  /** Live per-window sampled quantiles — the streaming twin of
+    * [[graft.operators.Events.quantiles]]: the SAME
+    * [[graft.functions.SampleValuesAgg]] buffer runs inside a
+    * watermarked windowed agg, so state is ≤ k (hash, value) pairs per
+    * (window, key) group and the emitted quantiles equal the batch
+    * operator on the same rows (spec-pinned — the k-min-hash sample is
+    * order-insensitive, so micro-batch arrival order cannot move it). */
+  def quantilesStream(events: DataFrame, tsCol: String, keyCol: String,
+                      valCol: String, idCol: String, windowDuration: String,
+                      watermark: String, k: Int, qs: Seq[Double],
+                      seed: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit(seed + "_"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    events.withWatermark(tsCol, watermark)
+      .filter(col(valCol).isNotNull)
+      .select(window(col(tsCol), windowDuration).as("w"), col(keyCol),
+        h.cast("double").cast("long").as("_h"), col(valCol).as("_v"))
+      .groupBy(col("w"), col(keyCol))
+      .agg(graft.functions.SampleValuesAgg
+        .sampleValues(col("_h"), col("_v"), k).as("_vs"))
+      .select(col("w.start").as("window_start"), col(keyCol),
+        explode(typedlit(qs)).as("quantile"), col("_vs"))
+      .select(col("window_start"), col(keyCol), col("quantile"),
+        element_at(col("_vs"),
+          (floor(col("quantile") * (size(col("_vs")) - 1)) + 1).cast("int"))
+          .as("value"))
+  }
+
   /** Continuous ANN index build: a record stream (id, vector, ...)
     * gets its LSH bucket assigned in-flight and lands in
     * bucket-partitioned parquet — the SAME layout AnnLsh.writeIndexed

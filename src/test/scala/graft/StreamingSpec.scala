@@ -77,6 +77,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sampled quantiles equal the batch operator on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "event_id", "value")
+    val q = Ingest.quantilesStream(df, "ts", "event_type", "value", "event_id",
+        "10 minutes", "1 minute", k = 8, qs = Seq(0.0, 0.5, 1.0), seed = "qst")
+      .writeStream.format("memory").queryName("quant_stream")
+      .outputMode("complete").start()
+    try {
+      // 30 rows (> k): the sample is hash-selected; arrival order and
+      // micro-batching must not move it
+      val rows = (1 to 30).map(i => (ts(i % 10), "click", i.toLong, i * 1.5))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("quant_stream")
+        .filter(col("window_start") === ts(0))
+        .select("quantile", "value").as[(Double, Double)].collect().toMap
+      val batch = graft.operators.Events.quantiles(
+        rows.toDF("ts", "event_type", "event_id", "value"),
+        Seq("event_type"), "value", "event_id", k = 8,
+        qs = Seq(0.0, 0.5, 1.0), seed = "qst")
+        .select("quantile", "value").as[(Double, Double)].collect().toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per id") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
