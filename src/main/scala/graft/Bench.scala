@@ -37,23 +37,39 @@ object Bench {
     // back-to-back triple (doc_fingerprint 0.7 -> 13 s median on an
     // identical binary), while spread samples put at most one bad era
     // in any query's triple and the median discards it.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try run(fn, sfDir) catch { case _: Throwable => }
+    // Failures must never masquerade as fast lines: a swallowed
+    // Throwable here once logged a crashed family as 0.05 s "wins"
+    // for two rounds (VERDICT r9). Record the error and emit -1.
+    val errors = collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try run(fn, sfDir) catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
     }
     val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to 3) {
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn, sfDir) catch { case _: Throwable => }
+        try run(fn, sfDir) catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
         val t = (System.nanoTime() - t0) / 1e9
         samples(name) = samples.getOrElse(name, Vector.empty) :+ t
       }
     }
-    val results = samples.map { case (name, ts) => name -> ts.sorted.apply(1) }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val results = samples.map { case (name, ts) =>
+      name -> (if (errors.contains(name)) -1.0 else ts.sorted.apply(1))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

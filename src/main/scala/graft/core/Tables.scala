@@ -20,13 +20,23 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read nanos as long and convert to a microsecond
-    * timestamp (DuckDB's CAST(ts_ns AS TIMESTAMP) truncates the same
-    * way, keeping the oracle aligned). */
+  /** Schema-adaptive events reader. Driver testdata generations have
+    * stored `ts` two ways: TIMESTAMP(NANOS) (readable only as INT64
+    * under nanosAsLong, then nanos→micros) and native timestamp[us]
+    * (read as TIMESTAMP_NTZ). Dispatch on the observed dtype so either
+    * generation works, and normalize to TimestampType — the type the
+    * old path produced — so downstream operators and the DuckDB oracle
+    * (naive timestamps, session tz pinned to UTC) see identical values
+    * regardless of which testdata generation is on disk. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 }

@@ -27,8 +27,9 @@ object Sf1Probe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS): read the raw long so
-      // the copy keeps a Tables.events-compatible INT64 column
+      // older testdata generations carry TIMESTAMP(NANOS) events: read
+      // the raw long so the verbatim copy stays readable; the
+      // schema-adaptive Tables.events handles either copy layout
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
