@@ -388,4 +388,123 @@ object Ingest {
           }
       }.toDF()
   }
+
+  case class PathEv(user_id: Long, ts: Timestamp, event_id: Long,
+                    event_type: String)
+  case class PathState(ts: Long, id: Long, tpe: String)
+  case class PathOut(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of [[graft.operators.Events.topPaths]]: every
+    * arriving event emits one (from_type, to_type) TRANSITION row
+    * against the same user's previous event — the unbounded feed a
+    * path dashboard aggregates with [[topPathsFrom]]. State per user
+    * is O(1) (the (ts, id, type) frontier), so the store is bounded by
+    * the live-user count, not event volume. Within a micro-batch
+    * events apply in (ts, id) order; an event arriving BEHIND the
+    * user's frontier is dropped (emitting it would fabricate a
+    * transition the batch (ts, id)-ordered window never produces), so
+    * under in-order per-user delivery the transition multiset equals
+    * the batch operator's exactly — spec-pinned across batch splits. */
+  def pathsStream(events: DataFrame)
+                 (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.as[PathEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathState, PathOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[PathState]) =>
+          val out = scala.collection.mutable.ListBuffer[PathOut]()
+          var cur = state.getOption
+          evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            if (cur.forall(s => t > s.ts || (t == s.ts && e.event_id > s.id))) {
+              cur.foreach(s => out += PathOut(user, s.tpe, e.event_type))
+              cur = Some(PathState(t, e.event_id, e.event_type))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Batch roll-up of a [[pathsStream]] transition sink into the exact
+    * [[graft.operators.Events.topPaths]] report (same schema, same
+    * deterministic tiebreak). */
+  def topPathsFrom(transitions: DataFrame, k: Int): DataFrame =
+    transitions
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("from_type").asc, col("to_type").asc)
+      .limit(k)
+
+  case class CoocEv(user_id: Long, event_type: String)
+  case class CoocState(types: Seq[String])
+  case class CoocOut(kind: String, a: String, b: String)
+
+  /** Streaming twin of [[graft.operators.Events.typeCooccurrence]]:
+    * per-user DELTA rows for the co-occurrence report, emitted the
+    * first time each (user), (user, type) and (user, type-pair) is
+    * observed — so a downstream count of the sink reproduces the batch
+    * report's distinct-user arithmetic exactly ([[cooccurrenceReport]],
+    * spec-pinned). The stateful step emits set-semantics deltas, never
+    * counts, so arrival order and batch boundaries cannot move the
+    * report. State per user is the seen-type set — bounded by TYPE
+    * cardinality (the same bound the batch self-join rides), never by
+    * event volume. State must persist for exactness (an evicted user's
+    * re-arriving types would re-emit); on an open-ended user space
+    * trade exactness for a bounded store by TTL-ing users upstream. */
+  def cooccurrenceStream(events: DataFrame)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.as[CoocEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CoocState, CoocOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, evs, state: GroupState[CoocState]) =>
+          val out = scala.collection.mutable.ListBuffer[CoocOut]()
+          var seen = state.getOption.map(_.types.toSet).getOrElse {
+            out += CoocOut("user", "", "")
+            Set.empty[String]
+          }
+          evs.foreach { e =>
+            val t = e.event_type
+            if (!seen.contains(t)) {
+              out += CoocOut("type", t, "")
+              seen.foreach { s =>
+                if (s < t) out += CoocOut("pair", s, t)
+                else out += CoocOut("pair", t, s)
+              }
+              seen = seen + t
+            }
+          }
+          state.update(CoocState(seen.toSeq.sorted))
+          out.iterator
+      }.toDF()
+  }
+
+  /** Batch roll-up of a [[cooccurrenceStream]] delta sink into the
+    * exact [[graft.operators.Events.typeCooccurrence]] report: counts
+    * of the three delta kinds ARE the batch operator's distinct
+    * counts, and the lift/pmi arithmetic is the same fixed expression,
+    * so the report is bit-identical (spec-pinned). */
+  def cooccurrenceReport(deltas: DataFrame): DataFrame = {
+    val nUsers = deltas.filter(col("kind") === "user")
+      .agg(count(lit(1)).as("_nu"))
+    val perType = deltas.filter(col("kind") === "type")
+      .groupBy(col("a").as("_t")).agg(count(lit(1)).as("_nt"))
+    val pairs = deltas.filter(col("kind") === "pair")
+      .groupBy(col("a").as("_t"), col("b").as("_t2"))
+      .agg(count(lit(1)).as("_nab"))
+    val lift = (col("_nab").cast("double") * col("_nu")) /
+      (col("_nt").cast("double") * col("_nt2"))
+    pairs
+      .join(broadcast(perType), Seq("_t"))
+      .join(broadcast(perType.select(col("_t").as("_t2"),
+        col("_nt").as("_nt2"))), Seq("_t2"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("_t").as("type_a"), col("_t2").as("type_b"),
+        col("_nt").as("n_a"), col("_nt2").as("n_b"), col("_nab").as("n_both"),
+        col("_nu").as("n_users"),
+        round(lift, 5).as("lift"), round(log(lift), 5).as("pmi"))
+  }
 }

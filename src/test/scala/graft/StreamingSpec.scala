@@ -421,4 +421,71 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((7L, 2L, 3.0)))
     } finally q.stop()
   }
+
+  test("pathsStream transitions across batch splits == batch topPaths") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(0), 100L, "view"), (2L, ts(1), 100L, "click"),
+      (3L, ts(2), 100L, "buy"), (4L, ts(3), 100L, "view"),
+      (5L, ts(0), 200L, "view"), (6L, ts(5), 200L, "click"),
+      (7L, ts(9), 200L, "view"), (8L, ts(12), 200L, "click"),
+      (9L, ts(2), 300L, "buy"))
+    val batch = Events.topPaths(
+      rows.map { case (id, t, u, tp) => (id, u, t, tp) }
+        .toDF("event_id", "user_id", "ts", "event_type"),
+      "user_id", "ts", "event_id", "event_type", 10)
+      .as[(String, String, Long)].collect().toSet
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val q = Ingest.pathsStream(
+        df.select(col("user_id"), col("ts"), col("event_id"), col("event_type")))
+      .writeStream.format("memory").queryName("paths")
+      .outputMode("append").start()
+    try {
+      // split each user's event-time order across the two batches, so
+      // equality proves the frontier state carries between batches
+      mem.addData(rows.take(5).map { case (id, t, u, tp) => (u, t, id, tp) }: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(5).map { case (id, t, u, tp) => (u, t, id, tp) }: _*)
+      // a late event BEHIND user 100's frontier must be dropped, not
+      // emitted as a fabricated transition
+      mem.addData((100L, ts(1, 30), 99L, "stale"))
+      q.processAllAvailable()
+      val streamed = Ingest.topPathsFrom(spark.table("paths"), 10)
+        .as[(String, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("cooccurrenceStream deltas roll up to the exact batch PMI report") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq( // repeats both within and across users
+      (100L, "view"), (100L, "click"), (100L, "view"), (100L, "buy"),
+      (200L, "view"), (200L, "click"), (200L, "click"),
+      (300L, "buy"), (300L, "view"))
+    val batch = Events.typeCooccurrence(
+      rows.toDF("user_id", "event_type"), "user_id", "event_type")
+      .as[(String, String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("user_id", "event_type")
+    val q = Ingest.cooccurrenceStream(df)
+      .writeStream.format("memory").queryName("cooc")
+      .outputMode("append").start()
+    try {
+      // split mid-user: user 200's repeat "click" and user 300 arrive
+      // in batch 2 — set-semantics deltas must not double-emit
+      mem.addData(rows.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(6): _*)
+      q.processAllAvailable()
+      val streamed = Ingest.cooccurrenceReport(spark.table("cooc"))
+        .as[(String, String, Long, Long, Long, Long, Double, Double)]
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }
