@@ -437,6 +437,110 @@ object Ingest {
       .orderBy(col("n").desc, col("from_type").asc, col("to_type").asc)
       .limit(k)
 
+  case class FunnelEv(user_id: Long, ts: Timestamp, event_type: String)
+  case class FunnelState(ts: Seq[Long])
+  case class FunnelOut(user_id: Long, step: Int, ts: Timestamp)
+
+  /** Streaming twin of [[graft.operators.Events.funnel]]: a delta row
+    * (user, step, ts) the first time each user ADVANCES to funnel step
+    * `step` — step i+1 only after a strictly-later event than the
+    * recorded step-i time, exactly the batch chain's rule. State per
+    * user is the earliest-completion time of each reached step (≤ n
+    * longs). Like the batch operator, only the participating types pay
+    * the stateful shuffle (filter pushes to the source). Exact
+    * equivalence with the batch report holds under in-order per-user
+    * delivery ([[funnelFrom]] rolls the sink up; spec-pinned across
+    * batch splits); an out-of-order earlier event cannot retract an
+    * already-recorded step — O(1) state is the documented price. */
+  def funnelStream(events: DataFrame, steps: Seq[String])
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct types")
+    events.filter(col("event_type").isin(steps: _*)).as[FunnelEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[FunnelState]) =>
+          val out = scala.collection.mutable.ListBuffer[FunnelOut]()
+          var reached = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val k = reached.size
+            if (k < steps.size && e.event_type == steps(k) &&
+                (k == 0 || e.ts.getTime > reached(k - 1))) {
+              reached = reached :+ e.ts.getTime
+              out += FunnelOut(user, k + 1, e.ts)
+            }
+          }
+          if (reached.nonEmpty) state.update(FunnelState(reached))
+          out.iterator
+      }.toDF()
+  }
+
+  /** Batch roll-up of a [[funnelStream]] delta sink into the exact
+    * [[graft.operators.Events.funnel]] report: one row per user who
+    * completed step 1, nullable ts_1..ts_n, steps_reached. */
+  def funnelFrom(deltas: DataFrame, nSteps: Int): DataFrame = {
+    val tsCols = (1 to nSteps).map(i =>
+      min(when(col("step") === i, col("ts"))).as(s"ts_$i"))
+    deltas.groupBy(col("user_id"))
+      .agg(tsCols.head, tsCols.tail :+ max(col("step")).cast("long")
+        .as("steps_reached"): _*)
+  }
+
+  case class RetEv(user_id: Long, ts: Timestamp)
+  case class RetState(cohort: Int, last: Int)
+  case class RetOut(user_id: Long, cohort: java.sql.Date, day_offset: Long)
+
+  /** Streaming twin of [[graft.operators.Events.retention]]: a delta
+    * row (user, cohort, day_offset) the first time a user is active on
+    * a new UTC day — the user's first-ever day is the cohort, exactly
+    * the batch rule. State per user is TWO ints (cohort day, newest
+    * emitted day): under in-order per-user delivery days arrive
+    * non-decreasing, so "newer than the frontier day" IS first-
+    * activity-of-day and the rolled-up matrix ([[retentionFrom]])
+    * equals the batch report bit-exactly — spec-pinned across batch
+    * splits. No per-day set, no watermark: the store is bounded by
+    * the live-user count alone. */
+  def retentionStream(events: DataFrame)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.as[RetEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetState, RetOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, evs, state: GroupState[RetState]) =>
+          def day(t: Timestamp): Int =
+            t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+              .toEpochDay.toInt
+          def date(d: Int): java.sql.Date =
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+          val out = scala.collection.mutable.ListBuffer[RetOut]()
+          var cur = state.getOption
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val d = day(e.ts)
+            cur match {
+              case None =>
+                cur = Some(RetState(d, d))
+                out += RetOut(user, date(d), 0L)
+              case Some(s) if d > s.last =>
+                cur = Some(s.copy(last = d))
+                out += RetOut(user, date(s.cohort), (d - s.cohort).toLong)
+              case _ => ()
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
+  /** Batch roll-up of a [[retentionStream]] delta sink into the exact
+    * [[graft.operators.Events.retention]] matrix. Each (user, day) is
+    * emitted once, so a plain count IS the distinct-user count. */
+  def retentionFrom(deltas: DataFrame): DataFrame =
+    deltas.groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+
   case class CoocEv(user_id: Long, event_type: String)
   case class CoocState(types: Seq[String])
   case class CoocOut(kind: String, a: String, b: String)

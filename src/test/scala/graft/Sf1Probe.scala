@@ -20,7 +20,13 @@ object Sf1Probe {
     "dedup_simhash", "remove_boilerplate", "bm25_batch",
     // not a top-10 line: the one unexplained r7 regression (0.65 ->
     // 0.85 s), re-measured here under the driver protocol (verdict #3)
-    "dedup_minhash")
+    "dedup_minhash",
+    // events family at 10x users (r9 verdict #8): windows/sessions/
+    // paths scale per-user, pmi's self-join is bounded by type
+    // cardinality, quantiles' sample agg is <= k per group — each
+    // claim gets a measured ratio here
+    "events_funnel", "events_sessionize", "events_paths",
+    "events_pmi", "events_quantiles")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -65,8 +71,21 @@ object Sf1Probe {
           col("label"))
       }.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      // events replicate 10x with DISTINCT users (ids shifted per
+      // copy, timestamps kept): 10x the user population and event
+      // volume, the growth axis every per-user events operator
+      // shuffles on
+      val ev = graft.core.Tables.events(spark, src)
+      (0 until 10).map { n =>
+        if (n == 0) ev
+        else ev.select(
+          (col("event_id") + n * 10000000L).as("event_id"), col("ts"),
+          (col("user_id") + n * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events"))
+          "orders", "lineitem"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }

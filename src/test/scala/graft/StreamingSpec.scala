@@ -459,6 +459,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream deltas roll up to the exact batch funnel report") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "buy")
+    val rows = Seq(
+      (100L, ts(0), "view"), (100L, ts(1), "click"), (100L, ts(2), "buy"),
+      (200L, ts(0), "click"), // before any view: must not count
+      (200L, ts(1), "view"), (200L, ts(5), "click"), (200L, ts(6), "view"),
+      (300L, ts(3), "view"),
+      (400L, ts(0), "buy"))   // never step 1: no row at all
+    val batch = Events.funnel(
+      rows.toDF("user_id", "ts", "event_type"), "ts", "user_id",
+      "event_type", steps)
+      .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
+      .collect().toSet
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = Ingest.funnelStream(
+        mem.toDF().toDF("user_id", "ts", "event_type"), steps)
+      .writeStream.format("memory").queryName("funnel_d")
+      .outputMode("append").start()
+    try {
+      // user 200's advancing click arrives in batch 2: state carries
+      mem.addData(rows.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      val streamed = Ingest.funnelFrom(spark.table("funnel_d"), steps.size)
+        .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("retentionStream deltas roll up to the exact batch retention matrix") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def dts(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00")
+    val rows = Seq(
+      (100L, dts(0, 10)), (100L, dts(0, 11)), (100L, dts(1, 9)), (100L, dts(3, 8)),
+      (200L, dts(1, 10)), (200L, dts(2, 10)), (200L, dts(2, 23)))
+    val batch = Events.retention(
+      rows.toDF("user_id", "ts"), "ts", "user_id")
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Ingest.retentionStream(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("ret_d")
+      .outputMode("append").start()
+    try {
+      // split mid-user: 100's day-3 return and 200's repeat day-2
+      // event arrive in batch 2 — the day frontier must carry
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = Ingest.retentionFrom(spark.table("ret_d"))
+        .as[(java.sql.Date, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("cooccurrenceStream deltas roll up to the exact batch PMI report") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
