@@ -1,0 +1,237 @@
+package graft
+
+import graft.serving.{Api, ApiResponse}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The reference's REST handler tests (rest_test.go:30-600, MIT),
+  * ported against [[graft.serving.Api]]'s transport-free handle():
+  * same routes, request bodies, status codes and response shapes.
+  * Fixture vectors/ids/metadata are the reference's own.
+  */
+class ApiSpec extends SparkSpec {
+
+  private def newApi(): Api =
+    new Api(spark, java.nio.file.Files.createTempDirectory("graft-api").toString)
+
+  private def json(r: ApiResponse): JValue = JsonMethods.parse(r.body)
+  private def mkCollection(api: Api, name: String = "test_collection",
+                           dim: Int = 5): Unit = {
+    val r = api.handle("POST", "/api/v1/collections",
+      s"""{"name": "$name", "vector_size": $dim, "quantization": 64,
+         | "distance_function": "cosine"}""".stripMargin)
+    assert(r.status == 201, r.body)
+  }
+  private def insert(api: Api, name: String, id: Long, vec: Seq[Double],
+                     meta: String): Unit = {
+    val r = api.handle("POST", s"/api/v1/collections/$name/records",
+      s"""[{"id": $id, "vector": [${vec.mkString(",")}], "metadata": $meta}]""")
+    assert(r.status == 201, r.body)
+  }
+
+  test("create collection returns 201 with name (rest_test.go:250)") {
+    val api = newApi()
+    val r = api.handle("POST", "/api/v1/collections",
+      """{"name": "test_collection", "vector_size": 128,
+        | "quantization": 64, "distance_function": "cosine"}""".stripMargin)
+    assert(r.status == 201)
+    assert((json(r) \ "message") == JString("Collection created successfully."))
+    assert((json(r) \ "collection_name") == JString("test_collection"))
+    // duplicate -> 400, invalid metric -> 400 (rest.go:96-109)
+    assert(api.handle("POST", "/api/v1/collections",
+      """{"name": "test_collection", "vector_size": 128,
+        | "distance_function": "cosine"}""".stripMargin).status == 400)
+    assert(api.handle("POST", "/api/v1/collections",
+      """{"name": "x", "vector_size": 8,
+        | "distance_function": "manhattan"}""".stripMargin).status == 400)
+  }
+
+  test("collection ids lists every record id (rest_test.go:30)") {
+    val api = newApi()
+    mkCollection(api)
+    insert(api, "test_collection", 1234567890L,
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5), """{"key1":"value1"}""")
+    insert(api, "test_collection", 1234567891L,
+      Seq(0.5, 0.4, 0.3, 0.2, 0.1), """{"key2":"value2"}""")
+    val r = api.handle("GET", "/api/v1/collections/test_collection/ids")
+    assert(r.status == 200)
+    val ids = json(r).asInstanceOf[JArray].arr.map {
+      case JLong(l) => l; case JInt(i) => i.toLong; case x => fail(s"$x") }
+    assert(ids == List(1234567890L, 1234567891L))
+  }
+
+  test("search paginates with limit and offset (rest_test.go:72)") {
+    val api = newApi()
+    mkCollection(api)
+    for (i <- 0 until 10)
+      insert(api, "test_collection", i.toLong,
+        Seq(i * 0.1, i * 0.2, i * 0.3, i * 0.4, i * 0.5), s"""{"id":$i}""")
+    def checkSearch(limit: Int, offset: Int, expected: Seq[Int]): Unit = {
+      val r = api.handle("POST", "/api/v1/collections/test_collection/search",
+        s"""{"limit": $limit, "offset": $offset}""")
+      assert(r.status == 200, r.body)
+      val got = (json(r) \ "results").asInstanceOf[JArray].arr.map(res =>
+        (res \ "id") match { case JLong(l) => l.toInt; case JInt(i) => i.toInt
+          case x => fail(s"$x") })
+      assert(got == expected.toList, s"limit=$limit offset=$offset")
+    }
+    checkSearch(3, 0, Seq(0, 1, 2))
+    checkSearch(3, 3, Seq(3, 4, 5))
+    checkSearch(3, 6, Seq(6, 7, 8))
+    checkSearch(3, 9, Seq(9))
+    checkSearch(5, 7, Seq(7, 8, 9))
+    checkSearch(20, 0, 0 until 10)
+    checkSearch(3, 20, Seq.empty)
+  }
+
+  test("delete collection: 200 both present and absent (rest_test.go:162)") {
+    val api = newApi()
+    mkCollection(api, dim = 128)
+    val r = api.handle("DELETE", "/api/v1/collections/test_collection")
+    assert(r.status == 200)
+    assert((json(r) \ "message") == JString("Collection deleted successfully."))
+    val r2 = api.handle("DELETE", "/api/v1/collections/test_collection")
+    assert(r2.status == 200)
+    assert((json(r2) \ "message") == JString("Collection did not exist."))
+    // and its storage is gone: a GET now 404s
+    assert(api.handle("GET", "/api/v1/collections/test_collection").status == 404)
+  }
+
+  test("knn search returns results with distance (rest_test.go:200)") {
+    val api = newApi()
+    mkCollection(api)
+    insert(api, "test_collection", 1234567890L,
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5), """{"key1":"value1"}""")
+    val r = api.handle("POST", "/api/v1/collections/test_collection/search",
+      """{"vector": [0.1, 0.2, 0.3, 0.4, 0.5], "k": 1}""")
+    assert(r.status == 200, r.body)
+    val results = (json(r) \ "results").asInstanceOf[JArray].arr
+    assert(results.nonEmpty)
+    assert((results.head \ "metadata" \ "key1") == JString("value1"))
+    assert(num(results.head \ "distance").exists(_ < 1e-9))
+    assert(num(json(r) \ "percent_searched").exists(_ > 0.0))
+  }
+
+  test("insert accepts vector and text records in one batch (rest_test.go:341)") {
+    val api = newApi()
+    mkCollection(api)
+    val r = api.handle("POST", "/api/v1/collections/test_collection/records",
+      """[{"id": 1234567890, "vector": [0.1, 0.2, 0.3, 0.4, 0.5],
+        |  "metadata": {"key1": "value1"}},
+        | {"id": 1234567891, "text": "example text",
+        |  "metadata": {"key2": "value2"}}]""".stripMargin)
+    assert(r.status == 201, r.body)
+    assert((json(r) \ "message") == JString("Records inserted successfully."))
+    val ids = json(api.handle("GET", "/api/v1/collections/test_collection/ids"))
+    assert(ids.asInstanceOf[JArray].arr.size == 2)
+    // neither vector nor text -> 400 (rest.go:276)
+    assert(api.handle("POST", "/api/v1/collections/test_collection/records",
+      """[{"id": 7, "metadata": {}}]""").status == 400)
+  }
+
+  test("update record metadata; missing record 404s (rest_test.go:403)") {
+    val api = newApi()
+    mkCollection(api)
+    insert(api, "test_collection", 1234567890L,
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5), """{"key1":"value1"}""")
+    val r = api.handle("PUT",
+      "/api/v1/collections/test_collection/records/1234567890/metadata",
+      """{"metadata": {"key1": "new_value1"}}""")
+    assert(r.status == 200, r.body)
+    assert((json(r) \ "message") == JString("Metadata updated successfully."))
+    assert(num(json(r) \ "id").contains(1234567890.0))
+    // the metadata actually changed
+    val s = api.handle("POST", "/api/v1/collections/test_collection/search",
+      """{"limit": 10}""")
+    val metas = (json(s) \ "results").asInstanceOf[JArray].arr
+      .map(res => res \ "metadata" \ "key1")
+    assert(metas == List(JString("new_value1")))
+    assert(api.handle("PUT",
+      "/api/v1/collections/test_collection/records/99/metadata",
+      """{"metadata": {}}""").status == 404)
+  }
+
+  test("delete record tombstones it; missing record 404s (rest_test.go:452)") {
+    val api = newApi()
+    mkCollection(api)
+    insert(api, "test_collection", 1234567890L,
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5), """{"key1":"value1"}""")
+    val r = api.handle("DELETE",
+      "/api/v1/collections/test_collection/records/1234567890")
+    assert(r.status == 200, r.body)
+    assert(num(json(r) \ "id").contains(1234567890.0))
+    assert(json(api.handle("GET", "/api/v1/collections/test_collection/ids"))
+      .asInstanceOf[JArray].arr.isEmpty)
+    assert(api.handle("DELETE",
+      "/api/v1/collections/test_collection/records/1234567890").status == 404)
+  }
+
+  test("search with DSL filter prunes non-matching records (rest_test.go:504)") {
+    val api = newApi()
+    mkCollection(api)
+    insert(api, "test_collection", 1L,
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5), """{"category":"A", "score":80}""")
+    insert(api, "test_collection", 2L,
+      Seq(0.2, 0.3, 0.4, 0.5, 0.6), """{"category":"B", "score":90}""")
+    insert(api, "test_collection", 3L,
+      Seq(0.3, 0.4, 0.5, 0.6, 0.7), """{"category":"A", "score":70}""")
+    val r = api.handle("POST", "/api/v1/collections/test_collection/search",
+      """{"vector": [0.1, 0.2, 0.3, 0.4, 0.5], "k": 3, "precision": "exact",
+        | "filter": "category == \"A\" AND score > 75"}""".stripMargin)
+    assert(r.status == 200, r.body)
+    val results = (json(r) \ "results").asInstanceOf[JArray].arr
+    assert(results.size == 1)
+    assert(num(results.head \ "id").contains(1.0))
+    assert((results.head \ "metadata" \ "category") == JString("A"))
+    // malformed filter -> 400 (rest.go:430)
+    assert(api.handle("POST", "/api/v1/collections/test_collection/search",
+      """{"k": 1, "filter": "category ==="}""").status == 400)
+  }
+
+  test("list collections: stats sorted by size desc (rest_test.go:572)") {
+    val api = newApi()
+    mkCollection(api, "collection1", dim = 4)
+    mkCollection(api, "collection2", dim = 4)
+    insert(api, "collection2", 1L, Seq(0.1, 0.2, 0.3, 0.4), "{}")
+    insert(api, "collection2", 2L, Seq(0.4, 0.3, 0.2, 0.1), "{}")
+    insert(api, "collection1", 1L, Seq(0.5, 0.5, 0.5, 0.5), "{}")
+    val r = api.handle("GET", "/api/v1/collections")
+    assert(r.status == 200)
+    val arr = json(r).asInstanceOf[JArray].arr
+    assert(arr.map(c => str(c \ "name")) ==
+      List(Some("collection2"), Some("collection1")))
+    assert(arr.map(c => num(c \ "document_count")) ==
+      List(Some(2.0), Some(1.0)))
+    assert(str(arr.head \ "distance_method").contains("cosine"))
+    // GET on one collection returns the same stats shape (rest_test.go:292)
+    val one = api.handle("GET", "/api/v1/collections/collection2")
+    assert(one.status == 200)
+    assert(num(json(one) \ "dimension_count").contains(4.0))
+    // a fresh Api over the same rootDir reopens from disk (startup scan)
+    assert(api.handle("GET", "/api/v1/collections/nope").status == 404)
+  }
+
+  test("registry reopens persisted collections from disk") {
+    val root = java.nio.file.Files.createTempDirectory("graft-api").toString
+    val api = new Api(spark, root)
+    val r = api.handle("POST", "/api/v1/collections",
+      """{"name": "persisted", "vector_size": 3,
+        | "distance_function": "euclidean"}""".stripMargin)
+    assert(r.status == 201, r.body)
+    api.handle("POST", "/api/v1/collections/persisted/records",
+      """[{"id": 5, "vector": [1.0, 2.0, 2.0], "metadata": {"a": 1}}]""")
+    val api2 = new Api(spark, root)
+    val ids = json(api2.handle("GET", "/api/v1/collections/persisted/ids"))
+    assert(ids.asInstanceOf[JArray].arr.nonEmpty)
+    val s = json(api2.handle("GET", "/api/v1/collections/persisted"))
+    assert(str(s \ "distance_method").contains("euclidean"))
+  }
+
+  private def num(v: JValue): Option[Double] = v match {
+    case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d)
+    case JLong(l) => Some(l.toDouble); case JDecimal(d) => Some(d.toDouble)
+    case _ => None
+  }
+  private def str(v: JValue): Option[String] =
+    v match { case JString(s) => Some(s); case _ => None }
+}
