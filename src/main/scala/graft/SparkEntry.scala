@@ -464,6 +464,9 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedSpans(dedupCorpus(s, dir), "text", "doc_id", minLen = 8)),
+
     "dedup_canonical" -> ((s, dir) => {
       val (_, pairs) = Dedup.canonicalNearDup(dedupCorpus(s, dir), "text", "doc_id")(
         canon => Dedup.ngramJaccardPairs(canon, "text", "doc_id",
@@ -2045,6 +2048,27 @@ object SparkEntry {
          |  FROM cand c JOIN shl a ON a.doc_id = c.id_a
          |              JOIN shl b ON b.doc_id = c.id_b)
          |WHERE i * 1.0 / (na + nb - i) >= 0.6""".stripMargin,
+
+    "dedup_substring" ->
+      // ExactSubstr spans: every 8-word window occurring >= 2 times
+      // anywhere marks its positions; islands merge into spans
+      s"""WITH $corpusSql,
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |wins AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 6, 1))) AS pos, w
+         |         FROM wt),
+         |hh AS (SELECT doc_id, pos, CAST('0x' || substr(md5(
+         |          array_to_string(w[pos:pos+7], ' ')), 1, 15) AS BIGINT) AS h
+         |       FROM wins),
+         |dup AS (SELECT h FROM (SELECT h, count(*) AS c FROM hh GROUP BY h)
+         |        WHERE c >= 2),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS wp
+         |        FROM hh JOIN dup USING (h)),
+         |isl AS (SELECT doc_id, wp,
+         |          wp - row_number() OVER (PARTITION BY doc_id ORDER BY wp) AS grp
+         |        FROM cov)
+         |SELECT doc_id, min(wp) AS span_start, max(wp) + 1 AS span_end,
+         |       count(*) AS span_words
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
 
     "dedup_canonical" ->
       // exact-first composition: near-dup runs over one canonical doc

@@ -704,6 +704,75 @@ object Dedup {
       .filter(col("n_windows") >= minWindows)
   }
 
+  /** Corpus-wide EXACT-SUBSTRING duplicated spans — the span-level
+    * complement of the SET-based dedups above (public algorithm:
+    * "ExactSubstr", Lee et al. 2021, Deduplicating Training Data
+    * Makes Language Models Better): every `minLen`-word window whose
+    * exact text occurs ≥ 2 times ANYWHERE in the corpus (another doc
+    * or a repeat within the same doc) marks its word positions
+    * duplicated; contiguous duplicated positions merge into spans.
+    * Returns (doc_id, span_start, span_end, span_words) with 1-based
+    * inclusive start, exclusive end — the cut-list a span-level dedup
+    * feeds on. Shared runs of length ≥ minLen are covered end-to-end
+    * (every window inside the run repeats), so the merged span IS the
+    * repeated passage, not samples of it.
+    *
+    * Scale shape: the honest cost of exact substring matching is
+    * O(corpus tokens) window rows — the same asymptotics as the
+    * suffix-array original. All contacts are keyed: one
+    * groupBy(window-hash) count (map-side combine collapses repeated
+    * windows), one equi-join back (only duplicated hashes survive),
+    * one doc-partitioned distinct + window for island-merging (never
+    * global), one keyed agg. Nothing all-pairs, nothing driver-side.
+    * The winnowed-fingerprint operators ([[decontaminateExcerpt]])
+    * remain the cheap approximate cousin; this one is exact. */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val winRows = df.select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol),
+        transform(shinglesFromWords(col("_w"), minLen), s => hash64(s)).as("_h"))
+      .select(col(idCol), posexplode(col("_h")))
+      .select(col(idCol), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dupHashes = winRows.groupBy(col("h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select(col("h"))
+    val covered = winRows.join(dupHashes, "h")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (minLen - 1))).as("wp"))
+      .distinct()
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("wp"))
+    covered
+      .withColumn("_grp", col("wp") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("wp")).cast("long").as("span_start"),
+        (max(col("wp")) + 1).cast("long").as("span_end"),
+        count(lit(1)).as("span_words"))
+      .select(col(idCol).as("doc_id"), col("span_start"), col("span_end"),
+        col("span_words"))
+  }
+
+  /** Apply a [[duplicatedSpans]] cut-list: drop every duplicated word
+    * position from every document (the aggressive variant — callers
+    * wanting keep-one semantics filter the span frame first). Word
+    * positions survive when no span covers them; documents without
+    * spans pass through verbatim. Per-doc covered sets are doc-length
+    * bounded, the contact is one doc-key equi-join — map-side after. */
+  def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                         minLen: Int): DataFrame = {
+    val cov = duplicatedSpans(df, textCol, idCol, minLen)
+      .select(col("doc_id").as(idCol),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("wp"))
+      .groupBy(col(idCol)).agg(collect_set(col("wp")).as("_cov"))
+    df.join(cov, Seq(idCol), "left")
+      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<long>")))
+      .withColumn("_w", words(col(textCol)))
+      .withColumn(textCol, array_join(
+        filter(col("_w"), (x, i) =>
+          !array_contains(col("_cov"), (i + 1).cast("long"))), " "))
+      .drop("_cov", "_w")
+  }
+
   // ---------- near-dup clustering (connected components) ----------
 
   /** Group near-dup PAIRS into duplicate CLUSTERS: connected

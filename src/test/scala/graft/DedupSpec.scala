@@ -438,4 +438,48 @@ class DedupSpec extends SparkSpec {
     // number of non-singleton members
     assert(labeled.count(_._3) == byCluster.size)
   }
+
+  test("duplicatedSpans finds exact shared runs and merges them end-to-end") {
+    // docs 10/11 share one verbatim 6-word run embedded in different
+    // contexts; doc 12 repeats a 5-word phrase WITHIN itself; doc 13
+    // shares nothing long enough
+    val docs = Seq(
+      (10L, "alpha beta the shared run of six words gamma delta"),
+      (11L, "x y z the shared run of six words q r s t"),
+      (12L, "one two three four five filler one two three four five"),
+      (13L, "totally different content with no repeats at all here")
+    ).toDF("doc_id", "text")
+    val spans4 = Dedup.duplicatedSpans(docs, "text", "doc_id", minLen = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // minLen=4: the 6-word run ("the shared run of six words") covers
+    // words 3-8 in doc 10 and 4-9 in doc 11 (1-based, exclusive end);
+    // doc 12's repeated 5-word phrase covers 1-5 and 7-11
+    assert(spans4 == Seq(
+      (10L, 3L, 9L, 6L),
+      (11L, 4L, 10L, 6L),
+      (12L, 1L, 6L, 5L), (12L, 7L, 12L, 5L)))
+    // minLen=7: no shared 7-word window anywhere -> empty
+    assert(Dedup.duplicatedSpans(docs, "text", "doc_id", minLen = 7).count() == 0)
+    // cut removes exactly the covered words, leaves doc 13 verbatim
+    val cut = Dedup.cutDuplicatedSpans(docs, "text", "doc_id", minLen = 4)
+      .as[(Long, String)].collect().toMap
+    assert(cut(10L) == "alpha beta gamma delta")
+    assert(cut(11L) == "x y z q r s t")
+    assert(cut(12L) == "filler")
+    assert(cut(13L) == "totally different content with no repeats at all here")
+  }
+
+  test("duplicatedSpans is partitioning-independent") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "z z a b c d e f w w"),
+      (3L, "q q q a b c d e f q")
+    ).toDF("doc_id", "text")
+    val one = Dedup.duplicatedSpans(docs.coalesce(1), "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val many = Dedup.duplicatedSpans(docs.repartition(7), "text", "doc_id", 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(one == many && one.nonEmpty)
+  }
 }
