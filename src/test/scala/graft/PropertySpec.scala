@@ -244,4 +244,47 @@ class PropertySpec extends SparkSpec {
       assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
     }
   }
+
+  test("duplicatedSpans equals a brute-force sliding-window reference") {
+    val rnd = new scala.util.Random(42)
+    // tiny vocabulary forces plenty of repeated windows, both
+    // cross-doc and within-doc
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 3; minLen <- Seq(2, 3)) {
+      val docs = (1L to 12L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      // reference: every minLen-word window text occurring >= 2 times
+      // anywhere covers its positions; merge contiguous runs
+      val winOcc = scala.collection.mutable.Map[String, Int]()
+      val wins = docs.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val ps = (1 to w.length - minLen + 1)
+          .map(p => p -> w.slice(p - 1, p - 1 + minLen).mkString(" "))
+        ps.foreach { case (_, s) => winOcc(s) = winOcc.getOrElse(s, 0) + 1 }
+        id -> ps
+      }
+      val expected = wins.flatMap { case (id, ps) =>
+        val covered = ps.collect { case (p, s) if winOcc(s) >= 2 =>
+          (p until p + minLen) }.flatten.toSet
+        val sorted = covered.toSeq.sorted
+        val spans = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+        var start = -1; var prev = -2
+        (sorted :+ Int.MaxValue).foreach { p =>
+          if (p != prev + 1) {
+            if (start >= 0)
+              spans += ((id, start.toLong, (prev + 1).toLong, (prev + 1 - start).toLong))
+            start = p
+          }
+          prev = p
+        }
+        spans
+      }.toSet
+      val got = Dedup.duplicatedSpans(
+          docs.toDF("doc_id", "text"), "text", "doc_id", minLen)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"trial=$trial minLen=$minLen")
+    }
+  }
 }

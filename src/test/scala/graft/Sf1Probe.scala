@@ -26,7 +26,10 @@ object Sf1Probe {
     // cardinality, quantiles' sample agg is <= k per group — each
     // claim gets a measured ratio here
     "events_funnel", "events_sessionize", "events_paths",
-    "events_pmi", "events_quantiles")
+    "events_pmi", "events_quantiles",
+    // O(corpus tokens) by design — the ratio here verifies the token
+    // shuffles scale linearly, not quadratically
+    "dedup_substring")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
