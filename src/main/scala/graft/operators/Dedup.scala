@@ -729,35 +729,46 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, textCol: String, idCol: String,
                       minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    // Window hashes ride an EXPLODED token stream + lead(), not a
-    // shingle-array lambda: Catalyst's inferred not-empty filter below
-    // the Generate inlines array expressions wholesale, re-splitting
-    // the full text per window element — O(words²) per doc, measured
-    // 10 s vs 1.4 s at sf0.1. Token rows sort once per doc (the
-    // suffix-array original's honest O(tokens log) shape) and every
-    // window is 8 lead()s + one md5 over attributes.
+    val winRows = windowHashRows(df, textCol, idCol, minLen)
+    val dupHashes = winRows.groupBy(col("h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select(col("h"))
+    mergeWindowSpans(winRows.join(dupHashes, "h"), idCol, minLen)
+  }
+
+  /** (id, pos, h) rows: the 60-bit hash of every `minLen`-word window,
+    * 1-based start position. Window hashes ride an EXPLODED token
+    * stream + lead(), not a shingle-array lambda: Catalyst's inferred
+    * not-empty filter below the Generate inlines array expressions
+    * wholesale, re-splitting the full text per window element —
+    * O(words²) per doc, measured 10 s vs 1.4 s at sf0.1. Token rows
+    * sort once per doc (the suffix-array original's honest
+    * O(tokens log) shape) and every window is minLen lead()s + one md5
+    * over attributes. */
+  private def windowHashRows(df: DataFrame, textCol: String, idCol: String,
+                             minLen: Int): DataFrame = {
     val byTok = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_p"))
-    val winRows = df
-      .select(col(idCol), posexplode(words(col(textCol))).as(Seq("_p", "_t")))
+    df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("_p", "_t")))
       .withColumn("_win", concat_ws(" ",
         col("_t") +: (1 until minLen).map(k => lead(col("_t"), k).over(byTok)): _*))
       .withColumn("_last", lead(col("_t"), minLen - 1).over(byTok))
       .filter(col("_last").isNotNull)
       .select(col(idCol), (col("_p") + 1).as("pos"), hash64(col("_win")).as("h"))
-    val dupHashes = winRows.groupBy(col("h"))
-      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select(col("h"))
-    // Island-merge over WINDOW POSITIONS, not covered word positions:
-    // two dup windows at p1 < p2 cover contiguous words iff
-    // p2 - p1 <= minLen, and a sorted chain with gaps <= minLen covers
-    // exactly [min, max + minLen). Merging on positions avoids the
-    // minLen-fold covered-position explode plus its corpus-wide
-    // distinct (measured 9.8 s -> 3.3 s at sf0.1). (doc, pos) rows are
-    // unique by construction, and the same doc-partitioned shuffle
-    // serves both window passes (lag, then running group sum).
+  }
+
+  /** Island-merge duplicated-window POSITIONS into spans — not covered
+    * word positions: two dup windows at p1 < p2 cover contiguous words
+    * iff p2 - p1 <= minLen, and a sorted chain with gaps <= minLen
+    * covers exactly [min, max + minLen). Merging on positions avoids
+    * the minLen-fold covered-position explode plus its corpus-wide
+    * distinct. (doc, pos) rows are unique by construction, and the
+    * same doc-partitioned shuffle serves both window passes (lag, then
+    * running group sum). */
+  private def mergeWindowSpans(dupWins: DataFrame, idCol: String,
+                               minLen: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    winRows.join(dupHashes, "h")
+    dupWins
       .select(col(idCol), col("pos"))
       .withColumn("_new",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1)
@@ -768,6 +779,41 @@ object Dedup {
         (max(col("pos")) + minLen).cast("long").as("span_end"))
       .select(col(idCol).as("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("span_words"))
+  }
+
+  /** Persisted window-hash index for DELTA-vs-corpus substring probes:
+    * distinct window hashes only — no text, no ids, no positions; 8
+    * bytes per distinct window — laid out in `numBuckets` hash
+    * partitions so a probe scans only the buckets its own windows
+    * hash into. The substring analogue of [[writeMinhashIndex]]. */
+  def writeSubstringIndex(df: DataFrame, textCol: String, idCol: String,
+                          path: String, minLen: Int = 8,
+                          numBuckets: Int = 64): Unit =
+    windowHashRows(df, textCol, idCol, minLen)
+      .select(col("h")).distinct()
+      .withColumn("bucket", pmod(col("h"), lit(numBuckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Incremental ExactSubstr: spans of `delta` documents whose
+    * `minLen`-word windows already occur in the INDEXED corpus — the
+    * span-level twin of [[incrementalNearDupIndexed]] (flag or cut
+    * quoted corpus passages from a new crawl without touching corpus
+    * text). `minLen` must match the index's. Bucket pruning is STATIC:
+    * the delta's distinct buckets (≤ numBuckets values, driver-safe by
+    * construction) become an isin filter on the index's partition
+    * column, so a small delta reads only its own buckets. */
+  def probeSubstringSpans(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, delta: DataFrame,
+                          textCol: String, idCol: String, minLen: Int = 8,
+                          numBuckets: Int = 64): DataFrame = {
+    val winRows = windowHashRows(delta, textCol, idCol, minLen)
+      .withColumn("bucket", pmod(col("h"), lit(numBuckets.toLong)))
+    val buckets = winRows.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0))
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*))
+    mergeWindowSpans(
+      winRows.join(idx, Seq("bucket", "h"), "left_semi"), idCol, minLen)
   }
 
   /** Apply a [[duplicatedSpans]] cut-list: drop every duplicated word

@@ -470,6 +470,30 @@ class DedupSpec extends SparkSpec {
     assert(cut(13L) == "totally different content with no repeats at all here")
   }
 
+  test("substring index probe flags quoted corpus passages, ignores delta-internal dups") {
+    val corpus = Seq(
+      (1L, "alpha beta the shared run of six words gamma delta"),
+      (2L, "other corpus content that nobody quotes anywhere at all")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-subidx").toString + "/idx"
+    Dedup.writeSubstringIndex(corpus, "text", "doc_id", path, minLen = 4,
+      numBuckets = 8)
+    // index stores bucket-partitioned bare hashes
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("bucket=")))
+    val delta = Seq(
+      // quotes the corpus run "the shared run of six words" mid-doc
+      (20L, "intro words here the shared run of six words closing"),
+      // repeats a phrase WITHIN itself but shares nothing with the
+      // corpus: the probe (unlike duplicatedSpans) must stay silent
+      (21L, "nope nope nope unique chatter nope nope nope unique chatter")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.probeSubstringSpans(spark, path, delta, "text", "doc_id",
+        minLen = 4, numBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((20L, 4L, 10L, 6L)))
+  }
+
   test("duplicatedSpans is partitioning-independent") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
