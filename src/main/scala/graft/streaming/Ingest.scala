@@ -437,6 +437,65 @@ object Ingest {
       .orderBy(col("n").desc, col("from_type").asc, col("to_type").asc)
       .limit(k)
 
+  case class SubWin(doc_id: Long, pos: Int, bucket: Long, h: Long)
+  case class SubSpan(doc_id: Long, span_start: Long, span_end: Long,
+                     span_words: Long)
+
+  /** Streaming quoted-passage gate over a
+    * [[graft.operators.Dedup.writeSubstringIndex]] table — the
+    * span-level twin of [[nearDupStream]]: every arriving document
+    * emits the spans of its text whose `minLen`-word windows already
+    * occur in the indexed corpus (verbatim quotes a crawl should cut
+    * or flag at ingest). Emits nothing for novel docs; delta-internal
+    * repetition stays silent, exactly like the batch probe —
+    * spec-pinned equal to [[graft.operators.Dedup.probeSubstringSpans]]
+    * on the same rows.
+    *
+    * Scale shape: window hashes compute ROW-LOCALLY (`hash64Local`,
+    * spec-pinned == the Spark-side `hash64` — SQL window functions are
+    * unavailable on streams), the corpus contact is a stream-static
+    * left-semi equi-join on (bucket, h) against 8-byte index rows, and
+    * span merging runs per doc inside one stateless
+    * flatMapGroupsWithState pass — a doc's windows all ride its own
+    * micro-batch, so no state is retained (state type Boolean, never
+    * set). Corpus text is read zero times. */
+  def substringSpanStream(spark: SparkSession, docs: DataFrame,
+                          textCol: String, idCol: String, indexPath: String,
+                          minLen: Int = 8, numBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    import graft.operators.AnnLsh.hash64Local
+    val wins = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = Option(text).getOrElse("").split(" ", -1)
+        if (w.length < minLen) Iterator.empty
+        else (1 to w.length - minLen + 1).iterator.map { p =>
+          val h = hash64Local(w.slice(p - 1, p - 1 + minLen).mkString(" "))
+          SubWin(id, p, java.lang.Math.floorMod(h, numBuckets.toLong), h)
+        }
+      }
+    wins.join(spark.read.parquet(indexPath), Seq("bucket", "h"), "left_semi")
+      .select(col("doc_id"), col("pos")).as[(Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, SubSpan](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (id, rows, _: GroupState[Boolean]) =>
+          val ps = rows.map(_._2).toVector.sorted
+          val out = scala.collection.mutable.ListBuffer[SubSpan]()
+          var start = -1; var prev = Int.MinValue / 2
+          (ps :+ Int.MaxValue).foreach { p =>
+            if (p - prev > minLen) {
+              if (start >= 0)
+                out += SubSpan(id, start.toLong, (prev + minLen).toLong,
+                  (prev + minLen - start).toLong)
+              start = p
+            }
+            prev = p
+          }
+          out.iterator
+      }.toDF()
+  }
+
   case class FunnelEv(user_id: Long, ts: Timestamp, event_type: String)
   case class FunnelState(ts: Seq[Long])
   case class FunnelOut(user_id: Long, step: Int, ts: Timestamp)

@@ -459,6 +459,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("substringSpanStream == batch probeSubstringSpans over the same index") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta the shared run of six words gamma delta"),
+      (2L, "other corpus content that nobody quotes anywhere at all")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-subgate")
+      .toString + "/idx"
+    Dedup.writeSubstringIndex(corpus, "text", "doc_id", path, minLen = 4,
+      numBuckets = 8)
+    val delta = Seq(
+      (20L, "intro words here the shared run of six words closing"),
+      (21L, "nope nope nope unique chatter nope nope nope unique chatter"),
+      (22L, "short"))
+    val batch = Dedup.probeSubstringSpans(spark,
+        path, delta.toDF("doc_id", "text"), "text", "doc_id",
+        minLen = 4, numBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.substringSpanStream(spark,
+        mem.toDF().toDF("doc_id", "text"), "text", "doc_id", path,
+        minLen = 4, numBuckets = 8)
+      .writeStream.format("memory").queryName("subgate")
+      .outputMode("append").start()
+    try {
+      mem.addData(delta.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(delta.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("subgate")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("funnelStream deltas roll up to the exact batch funnel report") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
