@@ -437,6 +437,67 @@ object Ingest {
       .orderBy(col("n").desc, col("from_type").asc, col("to_type").asc)
       .limit(k)
 
+  case class AnomEv(ts: Timestamp, event_type: String)
+  case class AnomState(day: Int, cnt: Long, n: Long, s: Double, s2: Double)
+  case class AnomOut(event_type: String, day: java.sql.Date, n_events: Long,
+                     zscore: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming twin of [[graft.operators.Events.volumeAnomaly]], with
+    * the one semantic shift a LIVE monitor wants: each day's z-score
+    * is computed against the STRICTLY-PRIOR completed days' population
+    * mean/variance ("is today unusual vs history so far"), where the
+    * batch operator normalizes against the full corpus including the
+    * day itself. A day closes when a later day's first event arrives
+    * (the sessionize NoTimeout pattern — deterministic under
+    * processAllAvailable); the still-open day is not emitted. State
+    * per type is five numbers (open day, its count, and the prior
+    * days' n/Σ/Σ²) — O(1), independent of history length. Days with
+    * <1 prior day or zero prior variance emit a null z and
+    * is_anomaly=false, mirroring the batch null semantics. Late
+    * events behind the open day are dropped (in-order per-type
+    * delivery is the documented contract, as with the other twins). */
+  def anomalyStream(events: DataFrame, threshold: Double = 2.0)
+                   (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    events.as[AnomEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (tpe, evs, state: GroupState[AnomState]) =>
+          def day(t: Timestamp): Int =
+            t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+              .toEpochDay.toInt
+          def date(d: Int): java.sql.Date =
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+          val out = scala.collection.mutable.ListBuffer[AnomOut]()
+          var cur = state.getOption
+          def close(s: AnomState): AnomState = {
+            val z = if (s.n > 0) {
+              val mean = s.s / s.n
+              val v = s.s2 / s.n - mean * mean
+              if (v > 0) Some((s.cnt.toDouble - mean) / math.sqrt(v)) else None
+            } else None
+            out += AnomOut(tpe, date(s.day), s.cnt, z,
+              z.exists(math.abs(_) >= threshold))
+            AnomState(s.day, s.cnt, s.n + 1, s.s + s.cnt,
+              s.s2 + s.cnt.toDouble * s.cnt)
+          }
+          evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val d = day(e.ts)
+            cur match {
+              case None => cur = Some(AnomState(d, 1L, 0L, 0.0, 0.0))
+              case Some(s) if d == s.day => cur = Some(s.copy(cnt = s.cnt + 1))
+              case Some(s) if d > s.day =>
+                val folded = close(s)
+                cur = Some(folded.copy(day = d, cnt = 1L))
+              case _ => () // late event behind the open day: dropped
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
   case class SubWin(doc_id: Long, pos: Int, bucket: Long, h: Long)
   case class SubSpan(doc_id: Long, span_start: Long, span_end: Long,
                      span_words: Long)

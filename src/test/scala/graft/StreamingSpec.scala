@@ -459,6 +459,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomalyStream scores each closed day against strictly-prior history") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    def dts(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-02-${day + 1}%02d $hour%02d:00:00")
+    // type A: day0=2 events, day1=4, day2=30 (spike), day3 opens but
+    // never closes; type B: one day only, never closes
+    val rows =
+      Seq.fill(2)(0).zipWithIndex.map { case (_, h) => (dts(0, h), "A") } ++
+      Seq.fill(4)(0).zipWithIndex.map { case (_, h) => (dts(1, h), "A") } ++
+      Seq.fill(30)(0).zipWithIndex.map { case (_, h) => (dts(2, h % 24), "A") } ++
+      Seq((dts(3, 1), "A"), (dts(0, 5), "B"))
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = Ingest.anomalyStream(mem.toDF().toDF("ts", "event_type"))
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("append").start()
+    try {
+      // split mid-day-2 across batches: the open-day count must carry
+      mem.addData(rows.take(16): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(16): _*)
+      q.processAllAvailable()
+      val got = spark.table("anom")
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("zscore"), col("is_anomaly"))
+        .as[(String, java.sql.Date, Long, Option[Double], Boolean)]
+        .collect().toSet
+      val d = (n: Int) => java.sql.Date.valueOf(f"2024-02-${n + 1}%02d")
+      // day0: no history -> null z; day1: prior [2], zero variance ->
+      // null z; day2: prior [2,4] mean 3 var 1 -> z=27, anomaly
+      assert(got == Set(
+        ("A", d(0), 2L, None, false),
+        ("A", d(1), 4L, None, false),
+        ("A", d(2), 30L, Some(27.0), true)))
+    } finally q.stop()
+  }
+
   test("substringSpanStream == batch probeSubstringSpans over the same index") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
