@@ -211,6 +211,25 @@ class ApiSpec extends SparkSpec {
     assert(api.handle("GET", "/api/v1/collections/nope").status == 404)
   }
 
+  test("GET search accepts query parameters (rest.go:407-414)") {
+    val api = newApi()
+    mkCollection(api)
+    for (i <- 0 until 5)
+      insert(api, "test_collection", i.toLong,
+        Seq(i * 0.1, 0.2, 0.3, 0.4, 0.5), s"""{"i":$i}""")
+    val r = api.handle("GET", "/api/v1/collections/test_collection/search",
+      "", Map("limit" -> "2", "offset" -> "1"))
+    assert(r.status == 200, r.body)
+    val ids = (json(r) \ "results").asInstanceOf[JArray].arr
+      .flatMap(res => num(res \ "id"))
+    assert(ids == List(1.0, 2.0))
+    // filter via query param; bad numeric params fall back to 0
+    val f = api.handle("GET", "/api/v1/collections/test_collection/search",
+      "", Map("limit" -> "10", "offset" -> "junk", "filter" -> "i >= 3"))
+    assert((json(f) \ "results").asInstanceOf[JArray].arr
+      .flatMap(res => num(res \ "id")) == List(3.0, 4.0))
+  }
+
   test("registry reopens persisted collections from disk") {
     val root = java.nio.file.Files.createTempDirectory("graft-api").toString
     val api = new Api(spark, root)
