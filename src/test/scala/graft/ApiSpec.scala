@@ -230,6 +230,25 @@ class ApiSpec extends SparkSpec {
       .flatMap(res => num(res \ "id")) == List(3.0, 4.0))
   }
 
+  test("search by text embeds the query and finds the matching text record") {
+    val api = newApi()
+    mkCollection(api, dim = 16)
+    val r = api.handle("POST", "/api/v1/collections/test_collection/records",
+      """[{"id": 1, "text": "the quick brown fox", "metadata": {"n": 1}},
+        | {"id": 2, "text": "completely unrelated words here", "metadata": {"n": 2}}]"""
+        .stripMargin)
+    assert(r.status == 201, r.body)
+    val s = api.handle("POST", "/api/v1/collections/test_collection/search",
+      """{"text": "the quick brown fox", "k": 1, "precision": "exact"}""")
+    assert(s.status == 200, s.body)
+    val results = (json(s) \ "results").asInstanceOf[JArray].arr
+    // the deterministic embedder maps identical text to the identical
+    // vector, so the matching record comes back at distance ~0
+    assert(results.map(res => num(res \ "id")) == List(Some(1.0)))
+    assert(num(results.head \ "distance").exists(_ < 1e-9))
+    assert(num(json(s) \ "embedding_time").isDefined)
+  }
+
   test("registry reopens persisted collections from disk") {
     val root = java.nio.file.Files.createTempDirectory("graft-api").toString
     val api = new Api(spark, root)
