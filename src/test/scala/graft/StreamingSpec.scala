@@ -459,6 +459,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("delta-feed twins equal their batch operators on random tied streams") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val types = Vector("view", "click", "buy", "ping")
+    for (trial <- 1 to 2) {
+      // ts drawn from a tiny range so same-user TIES are common — the
+      // (ts, id) tiebreak and tie-insensitive aggregations must hold
+      val events = (1L to 40L).map { id =>
+        (id, ts(rnd.nextInt(6), rnd.nextInt(2) * 30), 100L + rnd.nextInt(4),
+          types(rnd.nextInt(types.size)))
+      }
+      // global (ts, id) order respects per-user order; split into 3
+      // micro-batches at random boundaries
+      val ordered = events.sortBy(e => (e._2.getTime, e._1))
+      val cut1 = 1 + rnd.nextInt(38); val cut2 = cut1 + rnd.nextInt(39 - cut1)
+      val batches = Seq(ordered.take(cut1), ordered.slice(cut1, cut2),
+        ordered.drop(cut2))
+      val df = events.toDF("event_id", "ts", "user_id", "event_type")
+
+      val memP = MemoryStream[(Long, Timestamp, Long, String)]
+      val qp = Ingest.pathsStream(memP.toDF()
+          .toDF("user_id", "ts", "event_id", "event_type"))
+        .writeStream.format("memory").queryName(s"prop_paths_$trial")
+        .outputMode("append").start()
+      val memF = MemoryStream[(Long, Timestamp, String)]
+      val qf = Ingest.funnelStream(memF.toDF()
+          .toDF("user_id", "ts", "event_type"), Seq("view", "click", "buy"))
+        .writeStream.format("memory").queryName(s"prop_funnel_$trial")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          memP.addData(b.map(e => (e._3, e._2, e._1, e._4)): _*)
+          memF.addData(b.map(e => (e._3, e._2, e._4)): _*)
+          qp.processAllAvailable(); qf.processAllAvailable()
+        }
+        val pathsBatch = Events.topPaths(df, "user_id", "ts", "event_id",
+            "event_type", 100)
+          .as[(String, String, Long)].collect().toSet
+        val pathsStreamed = Ingest.topPathsFrom(
+            spark.table(s"prop_paths_$trial"), 100)
+          .as[(String, String, Long)].collect().toSet
+        assert(pathsStreamed == pathsBatch, s"paths trial $trial")
+        val funnelBatch = Events.funnel(df, "ts", "user_id", "event_type",
+            Seq("view", "click", "buy"))
+          .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
+          .collect().toSet
+        val funnelStreamed = Ingest.funnelFrom(
+            spark.table(s"prop_funnel_$trial"), 3)
+          .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
+          .collect().toSet
+        assert(funnelStreamed == funnelBatch, s"funnel trial $trial")
+      } finally { qp.stop(); qf.stop() }
+    }
+  }
+
   test("anomalyStream scores each closed day against strictly-prior history") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
