@@ -467,6 +467,10 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedSpans(dedupCorpus(s, dir), "text", "doc_id", minLen = 8)),
 
+    "dedup_substring_keep" -> ((s, dir) =>
+      Dedup.duplicatedSpansKeepFirst(dedupCorpus(s, dir), "text", "doc_id",
+        minLen = 8)),
+
     "dedup_canonical" -> ((s, dir) => {
       val (_, pairs) = Dedup.canonicalNearDup(dedupCorpus(s, dir), "text", "doc_id")(
         canon => Dedup.ngramJaccardPairs(canon, "text", "doc_id",
@@ -2068,6 +2072,31 @@ object SparkEntry {
          |        FROM cov)
          |SELECT doc_id, min(wp) AS span_start, max(wp) + 1 AS span_end,
          |       count(*) AS span_words
+         |FROM isl GROUP BY doc_id, grp""".stripMargin,
+
+    "dedup_substring_keep" ->
+      // keep-first ExactSubstr: only non-first occurrences of a
+      // duplicated 8-word window mark positions
+      s"""WITH $corpusSql,
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |wins AS (SELECT doc_id, unnest(range(1, greatest(len(w) - 6, 1))) AS pos, w
+         |         FROM wt),
+         |hh AS (SELECT doc_id, pos, CAST('0x' || substr(md5(
+         |          array_to_string(w[pos:pos+7], ' ')), 1, 15) AS BIGINT) AS h
+         |       FROM wins),
+         |marked AS (SELECT doc_id, pos FROM (
+         |  SELECT doc_id, pos,
+         |         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |         count(*) OVER (PARTITION BY h) AS c
+         |  FROM hh) WHERE c >= 2 AND rn > 1),
+         |flg AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER
+         |          (PARTITION BY doc_id ORDER BY pos) > 8 THEN 1 ELSE 0 END AS f
+         |        FROM marked),
+         |isl AS (SELECT doc_id, pos, sum(f) OVER
+         |          (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+         |        FROM flg)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+         |       max(pos) + 8 - min(pos) AS span_words
          |FROM isl GROUP BY doc_id, grp""".stripMargin,
 
     "dedup_canonical" ->

@@ -781,6 +781,31 @@ object Dedup {
         (col("span_end") - col("span_start")).as("span_words"))
   }
 
+  /** KEEP-FIRST variant of [[duplicatedSpans]] — the cut-list a
+    * production span dedup actually applies: of each duplicated
+    * window's occurrences, the FIRST in (doc, pos) order is the owner
+    * and survives; only the later occurrences mark positions. Cutting
+    * these spans removes repeated passages from all-but-one place
+    * instead of destroying every copy. A doc can own one window and
+    * still be flagged by another — ownership is per window, exactly
+    * like the suffix-array original's first-occurrence rule.
+    *
+    * Scale shape: same as [[duplicatedSpans]] except the dup test is
+    * one h-partitioned window pass (count + row_number share the one
+    * shuffle) instead of agg + join. */
+  def duplicatedSpansKeepFirst(df: DataFrame, textCol: String, idCol: String,
+                               minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val W = org.apache.spark.sql.expressions.Window
+    val winRows = windowHashRows(df, textCol, idCol, minLen)
+    val marked = winRows
+      .withColumn("_rn", row_number().over(
+        W.partitionBy(col("h")).orderBy(col(idCol), col("pos"))))
+      .withColumn("_cnt", count(lit(1)).over(W.partitionBy(col("h"))))
+      .filter(col("_cnt") >= 2 && col("_rn") > 1)
+    mergeWindowSpans(marked.select(col(idCol), col("pos")), idCol, minLen)
+  }
+
   /** Persisted window-hash index for DELTA-vs-corpus substring probes:
     * distinct window hashes only — no text, no ids, no positions; 8
     * bytes per distinct window — laid out in `numBuckets` hash

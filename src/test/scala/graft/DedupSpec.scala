@@ -470,6 +470,22 @@ class DedupSpec extends SparkSpec {
     assert(cut(13L) == "totally different content with no repeats at all here")
   }
 
+  test("duplicatedSpansKeepFirst flags only the later occurrences") {
+    val docs = Seq(
+      (10L, "alpha beta the shared run of six words gamma delta"),
+      (11L, "x y z the shared run of six words q r s t"),
+      (12L, "one two three four five filler one two three four five"),
+      (13L, "totally different content with no repeats at all here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpansKeepFirst(docs, "text", "doc_id", minLen = 4)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 10 owns the shared run (lowest (doc, pos)) and stays clean;
+    // doc 11's copy is flagged; doc 12's SECOND internal copy is
+    // flagged, the first survives
+    assert(spans == Seq((11L, 4L, 10L, 6L), (12L, 7L, 12L, 5L)))
+  }
+
   test("substring index probe flags quoted corpus passages, ignores delta-internal dups") {
     val corpus = Seq(
       (1L, "alpha beta the shared run of six words gamma delta"),
