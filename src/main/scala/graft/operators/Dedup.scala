@@ -841,15 +841,15 @@ object Dedup {
       winRows.join(idx, Seq("bucket", "h"), "left_semi"), idCol, minLen)
   }
 
-  /** Apply a [[duplicatedSpans]] cut-list: drop every duplicated word
-    * position from every document (the aggressive variant — callers
-    * wanting keep-one semantics filter the span frame first). Word
-    * positions survive when no span covers them; documents without
-    * spans pass through verbatim. Per-doc covered sets are doc-length
-    * bounded, the contact is one doc-key equi-join — map-side after. */
-  def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
-                         minLen: Int): DataFrame = {
-    val cov = duplicatedSpans(df, textCol, idCol, minLen)
+  /** Apply any span cut-list frame ((doc_id, span_start, span_end) —
+    * [[duplicatedSpans]], [[duplicatedSpansKeepFirst]], or
+    * [[probeSubstringSpans]] output) to the documents: covered word
+    * positions drop, everything else survives, span-free docs pass
+    * through verbatim. Per-doc covered sets are doc-length bounded,
+    * the contact is one doc-key equi-join — map-side after. */
+  def applySpanCut(df: DataFrame, spans: DataFrame, textCol: String,
+                   idCol: String): DataFrame = {
+    val cov = spans
       .select(col("doc_id").as(idCol),
         explode(sequence(col("span_start"), col("span_end") - 1)).as("wp"))
       .groupBy(col(idCol)).agg(collect_set(col("wp")).as("_cov"))
@@ -861,6 +861,15 @@ object Dedup {
           !array_contains(col("_cov"), (i + 1).cast("long"))), " "))
       .drop("_cov", "_w")
   }
+
+  /** [[applySpanCut]] of the [[duplicatedSpans]] cut-list: drop every
+    * duplicated word position from EVERY document (the aggressive
+    * variant; pair [[applySpanCut]] with
+    * [[duplicatedSpansKeepFirst]] for the keep-one rule). */
+  def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String,
+                         minLen: Int): DataFrame =
+    applySpanCut(df, duplicatedSpans(df, textCol, idCol, minLen),
+      textCol, idCol)
 
   // ---------- near-dup clustering (connected components) ----------
 

@@ -484,6 +484,14 @@ class DedupSpec extends SparkSpec {
     // doc 11's copy is flagged; doc 12's SECOND internal copy is
     // flagged, the first survives
     assert(spans == Seq((11L, 4L, 10L, 6L), (12L, 7L, 12L, 5L)))
+    // applying the keep-first cut-list keeps the owners' text whole
+    val cut = Dedup.applySpanCut(docs,
+        Dedup.duplicatedSpansKeepFirst(docs, "text", "doc_id", minLen = 4),
+        "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(cut(10L) == "alpha beta the shared run of six words gamma delta")
+    assert(cut(11L) == "x y z q r s t")
+    assert(cut(12L) == "one two three four five filler")
   }
 
   test("substring index probe flags quoted corpus passages, ignores delta-internal dups") {
