@@ -62,6 +62,25 @@ class TestdataCanarySpec extends SparkSpec {
       "events reader diverges between nanos-as-long and timestamp_ntz inputs")
   }
 
+  test("Verify fails loudly: a broken query lands in errors.json, good ones still dump") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-verify").toString
+    val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame](
+      "ok_query" -> ((s, _) => s.range(3).select(col("id"))),
+      "broken_query" -> ((_, _) => throw new IllegalStateException("boom")))
+    val errors = Verify.run(spark, queries, Map("ok_query" -> "SELECT 1"),
+      "/root/testdata/sf0.001", out)
+    assert(errors.keySet == Set("broken_query"))
+    assert(errors("broken_query").contains("boom"))
+    val errJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/errors.json"))
+    assert(errJson.contains("broken_query") && errJson.contains("boom"))
+    // the good query's parquet landed; the broken one left no dir
+    assert(new java.io.File(s"$out/ok_query").exists())
+    assert(!new java.io.File(s"$out/broken_query").exists())
+  }
+
   test("every declared query analyzes against current testdata") {
     // analysis only: resolving the logical plan catches schema drift
     // (missing columns, dtype mismatches) without paying execution
