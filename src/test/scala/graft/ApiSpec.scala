@@ -230,6 +230,23 @@ class ApiSpec extends SparkSpec {
       .flatMap(res => num(res \ "id")) == List(3.0, 4.0))
   }
 
+  test("radius search returns exactly the records within the radius") {
+    val api = newApi()
+    val r = api.handle("POST", "/api/v1/collections",
+      """{"name": "radius_col", "vector_size": 5,
+        | "distance_function": "euclidean"}""".stripMargin)
+    assert(r.status == 201, r.body)
+    insert(api, "radius_col", 1L, Seq(1.0, 0, 0, 0, 0), """{"d":"zero"}""")
+    insert(api, "radius_col", 2L, Seq(0.0, 1, 0, 0, 0), """{"d":"sqrt2"}""")
+    insert(api, "radius_col", 3L, Seq(3.0, 0, 0, 0, 0), """{"d":"two"}""")
+    val s = api.handle("POST", "/api/v1/collections/radius_col/search",
+      """{"vector": [1.0, 0, 0, 0, 0], "radius": 1.5, "precision": "exact"}""")
+    assert(s.status == 200, s.body)
+    val got = (json(s) \ "results").asInstanceOf[JArray].arr
+      .flatMap(res => num(res \ "id")).toSet
+    assert(got == Set(1.0, 2.0))
+  }
+
   test("search by text embeds the query and finds the matching text record") {
     val api = newApi()
     mkCollection(api, dim = 16)
