@@ -792,7 +792,12 @@ object Dedup {
     *
     * Scale shape: same as [[duplicatedSpans]] except the dup test is
     * one h-partitioned window pass (count + row_number share the one
-    * shuffle) instead of agg + join. */
+    * shuffle) instead of agg + join. Caveat: a pathological window
+    * occurring millions of times (a boilerplate line across the whole
+    * corpus) sorts inside one task here — a straggler (WindowExec
+    * spills), not an OOM; the aggressive [[duplicatedSpans]] rides
+    * map-side partial counts and is immune. Run it first and cut the
+    * mega-duplicates if the corpus has that shape. */
   def duplicatedSpansKeepFirst(df: DataFrame, textCol: String, idCol: String,
                                minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
