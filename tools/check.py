@@ -61,6 +61,14 @@ def main():
         else:
             print(f"PASS {name} ({len(exp)} rows)")
             n_pass += 1
+    # Verify's fail-loud artifact: queries that crashed never produced
+    # a result dir, so without this they'd vanish from the report
+    # (the r9 masking failure mode). Count each as a FAIL.
+    errs_path = f"{outdir}/errors.json"
+    if os.path.exists(errs_path):
+        for name, err in sorted(json.load(open(errs_path)).items()):
+            print(f"FAIL {name}: query crashed: {err}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
