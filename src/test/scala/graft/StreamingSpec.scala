@@ -489,11 +489,23 @@ class StreamingSpec extends SparkSpec {
           .toDF("user_id", "ts", "event_type"), Seq("view", "click", "buy"))
         .writeStream.format("memory").queryName(s"prop_funnel_$trial")
         .outputMode("append").start()
+      val memR = MemoryStream[(Long, Timestamp)]
+      val qr = Ingest.retentionStream(memR.toDF().toDF("user_id", "ts"))
+        .writeStream.format("memory").queryName(s"prop_ret_$trial")
+        .outputMode("append").start()
+      val memC = MemoryStream[(Long, String)]
+      val qc = Ingest.cooccurrenceStream(memC.toDF()
+          .toDF("user_id", "event_type"))
+        .writeStream.format("memory").queryName(s"prop_cooc_$trial")
+        .outputMode("append").start()
       try {
         batches.foreach { b =>
           memP.addData(b.map(e => (e._3, e._2, e._1, e._4)): _*)
           memF.addData(b.map(e => (e._3, e._2, e._4)): _*)
+          memR.addData(b.map(e => (e._3, e._2)): _*)
+          memC.addData(b.map(e => (e._3, e._4)): _*)
           qp.processAllAvailable(); qf.processAllAvailable()
+          qr.processAllAvailable(); qc.processAllAvailable()
         }
         val pathsBatch = Events.topPaths(df, "user_id", "ts", "event_id",
             "event_type", 100)
@@ -511,7 +523,20 @@ class StreamingSpec extends SparkSpec {
           .as[(Long, Timestamp, Option[Timestamp], Option[Timestamp], Long)]
           .collect().toSet
         assert(funnelStreamed == funnelBatch, s"funnel trial $trial")
-      } finally { qp.stop(); qf.stop() }
+        val retBatch = Events.retention(df, "ts", "user_id")
+          .as[(java.sql.Date, Long, Long)].collect().toSet
+        val retStreamed = Ingest.retentionFrom(spark.table(s"prop_ret_$trial"))
+          .as[(java.sql.Date, Long, Long)].collect().toSet
+        assert(retStreamed == retBatch, s"retention trial $trial")
+        val coocBatch = Events.typeCooccurrence(df, "user_id", "event_type")
+          .as[(String, String, Long, Long, Long, Long, Double, Double)]
+          .collect().toSet
+        val coocStreamed = Ingest.cooccurrenceReport(
+            spark.table(s"prop_cooc_$trial"))
+          .as[(String, String, Long, Long, Long, Long, Double, Double)]
+          .collect().toSet
+        assert(coocStreamed == coocBatch, s"cooc trial $trial")
+      } finally { qp.stop(); qf.stop(); qr.stop(); qc.stop() }
     }
   }
 
