@@ -518,6 +518,19 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((20L, 4L, 10L, 6L)))
   }
 
+  test("duplicatedSpans materializes the token stream once (ReusedExchange)") {
+    // the dup-hash count side must reuse the doc-partitioned token
+    // exchange, not recompute the explode — the 100 TB posture §4
+    // documents; AQE finalizes reuse during execution, so run first
+    val q = SparkEntry.queries("dedup_substring")(spark,
+      "/root/testdata/sf0.001")
+    q.queryExecution.toRdd.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      "token-stream exchange no longer reused — the corpus would be " +
+        "exploded and sorted twice")
+  }
+
   test("duplicatedSpans is partitioning-independent") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),
