@@ -128,6 +128,31 @@ class EventsSpec extends SparkSpec {
     assert(out.size == 3) // purchases never appear as left rows
   }
 
+  test("operators read identically from both testdata ts generations") {
+    // the round-8 driver regeneration changed events.ts from
+    // TIMESTAMP(NANOS) to timestamp[us] and silently killed the
+    // family for two rounds; this pins a REAL operator (asofJoin, the
+    // (ts, id)-order-sensitive one) over Tables.events on both
+    // on-disk shapes, not just the reader round-trip the canary pins
+    val base = spark.range(40).select(
+      col("id").as("event_id"),
+      (lit(1700000000000000000L) + (col("id") % 13) * 3600000000000L).as("ts_ns"),
+      (col("id") % 3).as("user_id"),
+      when(col("id") % 2 === 0, "click").otherwise("view").as("event_type"),
+      col("id").cast("double").as("value"), lit("{}").as("props"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-gen").toString
+    base.withColumnRenamed("ts_ns", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/old/events.parquet")
+    base.select(col("event_id"),
+        timestamp_micros(expr("ts_ns div 1000")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$tmp/new/events.parquet")
+    def run(dir: String) = Events.asofJoin(Tables.events(spark, dir),
+        "ts", "user_id", "event_type", "event_id", "value", "click", "view")
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(s"$tmp/old") == run(s"$tmp/new") && run(s"$tmp/old").nonEmpty)
+  }
+
   test("asofJoin equals the brute-force range join on real events") {
     val ev = Tables.events(spark, sf0001)
     val out = Events.asofJoin(ev, "ts", "user_id", "event_type",
