@@ -28,8 +28,10 @@ object Sf1Probe {
     "events_funnel", "events_sessionize", "events_paths",
     "events_pmi", "events_quantiles",
     // O(corpus tokens) by design — the ratio here verifies the token
-    // shuffles scale linearly, not quadratically
-    "dedup_substring")
+    // shuffles scale linearly, not quadratically; the keep variant's
+    // h-partitioned window pass is a distinct shape from the
+    // aggressive agg+broadcast one and gets its own ratio
+    "dedup_substring", "dedup_substring_keep")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
