@@ -36,7 +36,14 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        // fail LOUDLY on an unknown third generation — a silent
+        // pass-through would surface as confusing downstream operator
+        // errors rounds later (the r9 failure class)
+        throw new IllegalStateException(
+          s"events.ts has unsupported dtype $other; supported testdata " +
+          "generations: INT64 nanos, timestamp_ntz[us], timestamp[us]")
     }
   }
 }

@@ -31,12 +31,25 @@ final case class ApiResponse(status: Int, body: String)
   *    response carries the same percent_searched / search_time /
   *    embedding_time telemetry (rest.go:455-476).
   *
-  * One deliberate divergence: the reference mixes JSON error bodies
-  * with Go's plain-text `http.Error`; every error here is uniform
-  * JSON `{"error": message}` with the reference's status code.
+  * Deliberate divergences (each also documented at its site):
+  *  - the reference mixes JSON error bodies with Go's plain-text
+  *    `http.Error`; every error here is uniform JSON
+  *    `{"error": message}` with the reference's status code;
+  *  - record-insert batches are atomic — the reference inserts
+  *    records preceding a vector-less one before 400ing
+  *    (rest.go:277-281); same status and body, no partial insert;
+  *  - the reference's two insert-path `log.Panicf`/deferred panics
+  *    (dimension mismatch, collection.go:431-433; unsupported
+  *    quantization at encode, collection.go:796-809) map to clean
+  *    400s with the reference's message text, raised up front.
   */
 final class Api(spark: SparkSession, rootDir: String) {
 
+  /** Registry guard mirroring the reference's `s.mutex` (rest.go:104-119,
+    * 127-133, 210-214): every registry read/mutation synchronizes here,
+    * including the create path's check-then-create-then-put, so
+    * concurrent requests from any HTTP binding see a consistent map. */
+  private val registryLock = new Object
   private val collections =
     scala.collection.mutable.Map[String, Collection]() ++
       Collection.list(spark, rootDir)
@@ -100,18 +113,33 @@ final class Api(spark: SparkSession, rootDir: String) {
         name <- str(j \ "name")
         dim <- num(j \ "vector_size")
       } yield {
-        val quant = num(j \ "quantization").map(_.toInt).getOrElse(64)
-        str(j \ "distance_function") match {
+        // missing/zero quantization defaults to 64 (collection.go:254-255);
+        // an unsupported level is rejected HERE with a 400 — the
+        // reference accepts it at create and panics at the first encode
+        // (getVectorSize, collection.go:796-809); surfacing the same
+        // error early with a clean status is a documented mapping of
+        // that panic, not a semantic divergence.
+        val quant = num(j \ "quantization").map(_.toInt)
+          .filter(_ != 0).getOrElse(64)
+        if (!Set(4, 8, 16, 32, 64).contains(quant))
+          err(400, "Unsupported quantization level")
+        else str(j \ "distance_function") match {
           case Some("euclidean") | Some("cosine") =>
-            if (collections.contains(name)) err(400, "Collection already exists")
-            else {
-              val metric = if (str(j \ "distance_function").contains("euclidean"))
-                Knn.Euclidean else Knn.Cosine
-              collections(name) = Collection.create(spark,
-                CollectionOptions(name, dim.toInt, metric, quant), pathFor(name))
-              ok(JObject(
-                "message" -> JString("Collection created successfully."),
-                "collection_name" -> JString(name)), 201)
+            // lock spans check + create + put, like rest.go:104-119
+            registryLock.synchronized {
+              if (collections.contains(name))
+                err(400, "Collection already exists")
+              else {
+                val metric =
+                  if (str(j \ "distance_function").contains("euclidean"))
+                    Knn.Euclidean else Knn.Cosine
+                collections(name) = Collection.create(spark,
+                  CollectionOptions(name, dim.toInt, metric, quant),
+                  pathFor(name))
+                ok(JObject(
+                  "message" -> JString("Collection created successfully."),
+                  "collection_name" -> JString(name)), 201)
+              }
             }
           case _ => err(400, "Invalid distance method")
         }
@@ -134,12 +162,13 @@ final class Api(spark: SparkSession, rootDir: String) {
 
   // -- GET /api/v1/collections: stats sorted by size (rest.go:124-151) --
   private def listCollections(): ApiResponse =
-    ok(JArray(collections.toList
+    // snapshot under the lock, stats computed outside (rest.go:127-139)
+    ok(JArray(registryLock.synchronized(collections.toList)
       .map { case (name, c) => statsJson(name, c) }
       .sortBy(s => -(s \ "document_count").asInstanceOf[JLong].num)))
 
   private def withCollection(name: String)(f: Collection => ApiResponse) =
-    collections.get(name) match {
+    registryLock.synchronized(collections.get(name)) match {
       case Some(c) => f(c)
       case None => err(404, "Collection not found")
     }
@@ -149,7 +178,7 @@ final class Api(spark: SparkSession, rootDir: String) {
 
   // -- DELETE: absent is a 200, not an error (rest.go:192-199) --
   private def deleteCollection(name: String): ApiResponse =
-    collections.remove(name) match {
+    registryLock.synchronized(collections.remove(name)) match {
       case Some(_) =>
         Collection.drop(spark, pathFor(name))
         ok(JObject("message" -> JString("Collection deleted successfully.")))
@@ -160,25 +189,44 @@ final class Api(spark: SparkSession, rootDir: String) {
   private def collectionIds(name: String): ApiResponse =
     withCollection(name)(c => ok(JArray(c.getAllIds().toList.map(JLong(_)))))
 
-  // -- POST …/records (rest.go:221-293): batch insert, one embed call --
+  // -- POST …/records (rest.go:221-293): batch insert, one embed call.
+  // Decode semantics mirror Go's json.Decode into the typed record
+  // struct: a missing id defaults to 0 (uint64 zero value, rest.go:238),
+  // a present-but-non-numeric id / non-array vector / non-numeric vector
+  // element is a decode error (400 "Invalid request body"), and text:""
+  // counts as absent (record.Text != "", rest.go:254), so "" with no
+  // vector is the 400 "Either vector or text must be provided" path.
+  // One deliberate divergence: the batch is atomic — the reference
+  // inserts records preceding a vector-less record before 400ing
+  // (rest.go:277-281); same status and body, no partial insert here.
   private def insertRecords(name: String, body: String): ApiResponse =
     withCollection(name) { c =>
       parsed(body) match {
         case Some(JArray(records)) =>
-          val specs = records.map { r =>
-            val id = num(r \ "id").map(_.toLong)
-            val vec = r \ "vector" match {
-              case JArray(xs) => Some(xs.flatMap(num))
+          val decoded = records.map { r =>
+            val id = r \ "id" match {
+              case JNothing | JNull => Some(0L)
+              case v => num(v).map(_.toLong)
+            }
+            val vec: Option[Option[List[Double]]] = r \ "vector" match {
+              case JNothing | JNull => Some(None)
+              case JArray(xs) =>
+                val nums = xs.map(num)
+                if (nums.forall(_.isDefined)) Some(Some(nums.flatten))
+                else None
               case _ => None
             }
             val meta = r \ "metadata" match {
               case JNothing => "{}"
               case m => js(m)
             }
-            (id, vec, str(r \ "text"), meta)
+            for { i <- id; v <- vec }
+              yield (i, v, str(r \ "text").filter(_.nonEmpty), meta)
           }
-          if (specs.exists(_._1.isEmpty)) err(400, "Invalid request body")
-          else if (specs.exists(s => s._2.isEmpty && s._3.isEmpty))
+          if (decoded.exists(_.isEmpty)) err(400, "Invalid request body")
+          else {
+          val specs = decoded.flatten
+          if (specs.exists(s => s._2.isEmpty && s._3.isEmpty))
             err(400, "Either vector or text must be provided")
           else {
             // embed every text-only record in ONE batch (rest.go:251)
@@ -192,12 +240,23 @@ final class Api(spark: SparkSession, rootDir: String) {
                   "text", "eid", c.options.dimensionCount)
                 .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
             val rows = specs.zipWithIndex.map { case ((id, vec, _, meta), i) =>
-              (id.get, vec.getOrElse(embedded(i.toLong)), meta)
+              (id, vec.map(_.toSeq).getOrElse(embedded(i.toLong)), meta)
             }
-            c.addDocuments(
-              spark.createDataFrame(rows).toDF("id", "vector", "metadata"))
-            ok(JObject("message" -> JString("Records inserted successfully.")),
-              201)
+            // the reference log.Panicf's on a dimension mismatch
+            // (collection.go:431-433); that panic maps to a clean 400
+            // here with the reference's own message text
+            val dim = c.options.dimensionCount
+            rows.find(_._2.length != dim) match {
+              case Some((_, v, _)) =>
+                err(400, "vector size does not match the expected number " +
+                  s"of dimensions: expected $dim, got ${v.length}")
+              case None =>
+                c.addDocuments(
+                  spark.createDataFrame(rows).toDF("id", "vector", "metadata"))
+                ok(JObject(
+                  "message" -> JString("Records inserted successfully.")), 201)
+            }
+          }
           }
         case _ => err(400, "Invalid request body")
       }
@@ -259,10 +318,12 @@ final class Api(spark: SparkSession, rootDir: String) {
                 .collect().head.getSeq[Double](1)
             }
             val embedMs = (System.nanoTime() - t0) / 1000000L
-            val vec = (j \ "vector" match {
+            // non-empty text wins over an explicit vector: rest.go:441-449
+            // embeds the text and OVERWRITES searchArgs.Vector with it
+            val vec = textVec.orElse(j \ "vector" match {
               case JArray(xs) => Some(xs.flatMap(num))
               case _ => None
-            }).orElse(textVec)
+            })
             val args = SearchArgs(
               vector = vec.map(_.toSeq),
               k = num(j \ "k").map(_.toInt).getOrElse(0),

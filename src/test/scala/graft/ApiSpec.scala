@@ -282,6 +282,153 @@ class ApiSpec extends SparkSpec {
     assert(str(s \ "distance_method").contains("euclidean"))
   }
 
+  test("search with both text and vector: the text embedding wins (rest.go:441-449)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-api").toString
+    val api = new Api(spark, root)
+    mkCollection(api, dim = 16)
+    val r = api.handle("POST", "/api/v1/collections/test_collection/records",
+      """[{"id": 1, "text": "alpha alpha alpha", "metadata": {"n": 1}},
+        | {"id": 2, "text": "omega omega omega", "metadata": {"n": 2}}]"""
+        .stripMargin)
+    assert(r.status == 201, r.body)
+    // the explicit vector is record 2's STORED embedding — an exact
+    // match if the vector were used. The reference embeds non-empty
+    // text and OVERWRITES the vector (rest.go:441-449), so the match
+    // must still be record 1.
+    val c = graft.core.Collection.open(spark, s"$root/test_collection")
+    val v2 = c.getDocument(2L).get._1
+    val s = api.handle("POST", "/api/v1/collections/test_collection/search",
+      s"""{"text": "alpha alpha alpha", "vector": [${v2.mkString(",")}],
+         | "k": 1, "precision": "exact"}""".stripMargin)
+    assert(s.status == 200, s.body)
+    val got = (json(s) \ "results").asInstanceOf[JArray].arr
+      .flatMap(res => num(res \ "id"))
+    assert(got == List(1.0), "text embedding must override the explicit vector")
+  }
+
+  test("insert decode parity: default id, empty text, bad elements (rest.go:221-293)") {
+    val api = newApi()
+    mkCollection(api)
+    // missing id defaults to 0 like Go's uint64 zero value (rest.go:238)
+    val r0 = api.handle("POST", "/api/v1/collections/test_collection/records",
+      """[{"vector": [0.1, 0.2, 0.3, 0.4, 0.5], "metadata": {}}]""")
+    assert(r0.status == 201, r0.body)
+    val ids = json(api.handle("GET", "/api/v1/collections/test_collection/ids"))
+      .asInstanceOf[JArray].arr.flatMap(num)
+    assert(ids == List(0.0))
+    // text:"" with no vector is record.Text != "" -> the 400
+    // "Either vector or text must be provided" path (rest.go:254,276)
+    val r1 = api.handle("POST", "/api/v1/collections/test_collection/records",
+      """[{"id": 7, "text": "", "metadata": {}}]""")
+    assert(r1.status == 400, r1.body)
+    assert((json(r1) \ "error") ==
+      JString("Either vector or text must be provided"))
+    // a non-numeric vector element / non-array vector / non-numeric id
+    // is a decode error, not a silently shortened vector
+    for (body <- Seq(
+        """[{"id": 8, "vector": [0.1, "x", 0.3, 0.4, 0.5]}]""",
+        """[{"id": 8, "vector": "nope"}]""",
+        """[{"id": "eight", "vector": [0.1, 0.2, 0.3, 0.4, 0.5]}]""")) {
+      val r = api.handle("POST",
+        "/api/v1/collections/test_collection/records", body)
+      assert(r.status == 400, s"$body -> ${r.body}")
+      assert((json(r) \ "error") == JString("Invalid request body"), body)
+    }
+  }
+
+  test("insert wrong dimension count 400s with the reference's message (collection.go:431)") {
+    val api = newApi()
+    mkCollection(api, dim = 5)
+    val r = api.handle("POST", "/api/v1/collections/test_collection/records",
+      """[{"id": 1, "vector": [0.1, 0.2, 0.3]}]""")
+    assert(r.status == 400, r.body)
+    assert((json(r) \ "error") == JString(
+      "vector size does not match the expected number of dimensions: " +
+      "expected 5, got 3"))
+    // nothing was inserted
+    assert(json(api.handle("GET", "/api/v1/collections/test_collection/ids"))
+      .asInstanceOf[JArray].arr.isEmpty)
+  }
+
+  test("create quantization: 0/missing default to 64, unsupported 400s (collection.go:254,796)") {
+    val api = newApi()
+    val r = api.handle("POST", "/api/v1/collections",
+      """{"name": "qz", "vector_size": 4, "quantization": 0,
+        | "distance_function": "cosine"}""".stripMargin)
+    assert(r.status == 201, r.body)
+    assert(num(json(api.handle("GET", "/api/v1/collections/qz")) \
+      "quantization").contains(64.0))
+    val bad = api.handle("POST", "/api/v1/collections",
+      """{"name": "qbad", "vector_size": 4, "quantization": 7,
+        | "distance_function": "cosine"}""".stripMargin)
+    assert(bad.status == 400, bad.body)
+    assert((json(bad) \ "error") == JString("Unsupported quantization level"))
+    assert(api.handle("GET", "/api/v1/collections/qbad").status == 404)
+  }
+
+  test("forest collection percent_searched matches AnnLsh.percentSearchedForest") {
+    val root = java.nio.file.Files.createTempDirectory("graft-api").toString
+    // a forest collection (lshTables > 1) created through the library,
+    // reopened by the Api's startup scan — the serving path must report
+    // the same probed-bucket mass as the operator it delegates to
+    val opts = graft.core.CollectionOptions("forest_col", 8,
+      graft.operators.Knn.Cosine, 64, lshPlanes = 3, lshTables = 4)
+    graft.core.Collection.create(spark, opts, s"$root/forest_col")
+    val api = new Api(spark, root)
+    val rnd = new scala.util.Random(42)
+    val recs = (1 to 60).map { i =>
+      val v = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+      s"""{"id": $i, "vector": [${v.mkString(",")}], "metadata": {}}"""
+    }.mkString("[", ",", "]")
+    assert(api.handle("POST",
+      "/api/v1/collections/forest_col/records", recs).status == 201)
+    val qv = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val s = api.handle("POST", "/api/v1/collections/forest_col/search",
+      s"""{"vector": [${qv.mkString(",")}], "k": 3}""")
+    assert(s.status == 200, s.body)
+    val pct = num(json(s) \ "percent_searched").get
+    val c = graft.core.Collection.open(spark, s"$root/forest_col")
+    val qdf = spark.createDataFrame(Seq(Tuple1(qv))).toDF("qvec")
+    val expected = graft.operators.AnnLsh.percentSearchedForest(
+      c.current(), "vector", qdf, 4, 3, 8)
+    assert(math.abs(pct - expected) < 1e-9, s"api=$pct op=$expected")
+    assert(pct > 0.0 && pct < 100.0)
+  }
+
+  test("registry is safe under concurrent requests (rest.go mutex discipline)") {
+    val api = newApi()
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // 8 threads race to create the SAME collection: exactly one 201,
+      // the rest the reference's 400 "Collection already exists"
+      val races = Future.sequence((1 to 8).map(_ => Future {
+        api.handle("POST", "/api/v1/collections",
+          """{"name": "raced", "vector_size": 4,
+            | "distance_function": "cosine"}""".stripMargin).status
+      }))
+      val statuses = Await.result(races, 120.seconds)
+      assert(statuses.count(_ == 201) == 1, statuses)
+      assert(statuses.count(_ == 400) == 7, statuses)
+      // concurrent creates of distinct names + list/stats readers
+      val mixed = Future.sequence((1 to 8).map(i => Future {
+        val cr = api.handle("POST", "/api/v1/collections",
+          s"""{"name": "c$i", "vector_size": 4,
+             | "distance_function": "cosine"}""".stripMargin).status
+        val ls = api.handle("GET", "/api/v1/collections").status
+        (cr, ls)
+      }))
+      val pairs = Await.result(mixed, 120.seconds)
+      assert(pairs.forall { case (cr, ls) => cr == 201 && ls == 200 }, pairs)
+      val names = json(api.handle("GET", "/api/v1/collections"))
+        .asInstanceOf[JArray].arr.flatMap(c => str(c \ "name")).toSet
+      assert((1 to 8).forall(i => names.contains(s"c$i")))
+    } finally pool.shutdown()
+  }
+
   private def num(v: JValue): Option[Double] = v match {
     case JInt(i) => Some(i.toDouble); case JDouble(d) => Some(d)
     case JLong(l) => Some(l.toDouble); case JDecimal(d) => Some(d.toDouble)
