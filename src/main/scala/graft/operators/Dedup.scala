@@ -790,24 +790,29 @@ object Dedup {
     * still be flagged by another — ownership is per window, exactly
     * like the suffix-array original's first-occurrence rule.
     *
-    * Scale shape: same as [[duplicatedSpans]] except the dup test is
-    * one h-partitioned window pass (count + row_number share the one
-    * shuffle) instead of agg + join. Caveat: a pathological window
-    * occurring millions of times (a boilerplate line across the whole
-    * corpus) sorts inside one task here — a straggler (WindowExec
-    * spills), not an OOM; the aggressive [[duplicatedSpans]] rides
-    * map-side partial counts and is immune. Run it first and cut the
-    * mega-duplicates if the corpus has that shape. */
+    * Scale shape: IDENTICAL contact pattern to [[duplicatedSpans]] —
+    * one map-side-combined groupBy(h) (also carrying each hash's first
+    * occurrence via `min(struct(id, pos))`, lexicographic on the
+    * struct) and one equi-join back; no h-partitioned window anywhere.
+    * An earlier formulation ranked occurrences with `row_number()`
+    * over `partitionBy(h)`, which sorted a pathological corpus-wide
+    * boilerplate window inside ONE task — a straggler AQE cannot
+    * split. The agg+join shape keeps that skewed contact in a join,
+    * where AQE's skew-split applies, and inherits the aggressive
+    * variant's dup-heavy SMJ fallback unchanged. Output is identical
+    * by construction: for each duplicated hash, every occurrence
+    * except the (doc, pos)-minimal one marks its positions. */
   def duplicatedSpansKeepFirst(df: DataFrame, textCol: String, idCol: String,
                                minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val W = org.apache.spark.sql.expressions.Window
     val winRows = windowHashRows(df, textCol, idCol, minLen)
-    val marked = winRows
-      .withColumn("_rn", row_number().over(
-        W.partitionBy(col("h")).orderBy(col(idCol), col("pos"))))
-      .withColumn("_cnt", count(lit(1)).over(W.partitionBy(col("h"))))
-      .filter(col("_cnt") >= 2 && col("_rn") > 1)
+    val firstOcc = winRows.groupBy(col("h"))
+      .agg(count(lit(1)).as("_c"),
+        min(struct(col(idCol).as("_i"), col("pos").as("_q"))).as("_f"))
+      .filter(col("_c") >= 2)
+      .select(col("h"), col("_f._i").as("_fid"), col("_f._q").as("_fpos"))
+    val marked = winRows.join(firstOcc, "h")
+      .filter(!(col(idCol) === col("_fid") && col("pos") === col("_fpos")))
     mergeWindowSpans(marked.select(col(idCol), col("pos")), idCol, minLen)
   }
 
@@ -854,17 +859,40 @@ object Dedup {
     * the contact is one doc-key equi-join — map-side after. */
   def applySpanCut(df: DataFrame, spans: DataFrame, textCol: String,
                    idCol: String): DataFrame = {
-    val cov = spans
-      .select(col("doc_id").as(idCol),
-        explode(sequence(col("span_start"), col("span_end") - 1)).as("wp"))
-      .groupBy(col(idCol)).agg(collect_set(col("wp")).as("_cov"))
-    df.join(cov, Seq(idCol), "left")
-      .withColumn("_cov", coalesce(col("_cov"), array().cast("array<long>")))
+    // LINEAR reconstruction: per doc, sort its (few) spans, walk them
+    // once with a running cursor to emit the KEPT gap intervals
+    // (overlap-tolerant by construction), then slice+flatten the word
+    // array over those gaps — O(words + spans) per doc, vs the
+    // previous per-word array_contains over the covered set
+    // (O(words x covered): quadratic on a heavily-cut long doc).
+    // Still one doc-key equi-join, map-side after.
+    val sp = spans
+      .groupBy(col("doc_id").as(idCol))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("_sp"))
+    df.join(sp, Seq(idCol), "left")
+      .withColumn("_sp", coalesce(col("_sp"),
+        array().cast("array<struct<s:long,e:long>>")))
       .withColumn("_w", words(col(textCol)))
+      .withColumn("_gaps", aggregate(
+        col("_sp"),
+        struct(lit(1L).as("cur"),
+          array().cast("array<struct<gs:long,ge:long>>").as("gaps")),
+        (st, s) => struct(
+          greatest(st.getField("cur"), s.getField("e")).as("cur"),
+          concat(st.getField("gaps"), array(struct(
+            st.getField("cur").as("gs"),
+            greatest(s.getField("s"), st.getField("cur")).as("ge"))))
+            .as("gaps")),
+        st => concat(st.getField("gaps"), array(struct(
+          st.getField("cur").as("gs"),
+          (size(col("_w")) + 1).cast("long").as("ge"))))))
       .withColumn(textCol, array_join(
-        filter(col("_w"), (x, i) =>
-          !array_contains(col("_cov"), (i + 1).cast("long"))), " "))
-      .drop("_cov", "_w")
+        flatten(transform(col("_gaps"), g =>
+          slice(col("_w"), g.getField("gs").cast("int"),
+            greatest(g.getField("ge") - g.getField("gs"), lit(0L))
+              .cast("int")))), " "))
+      .drop("_sp", "_w", "_gaps")
   }
 
   /** [[applySpanCut]] of the [[duplicatedSpans]] cut-list: drop every

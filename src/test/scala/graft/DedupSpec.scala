@@ -531,6 +531,55 @@ class DedupSpec extends SparkSpec {
         "exploded and sorted twice")
   }
 
+  test("duplicatedSpansKeepFirst mega-dup guard: correct output, no h-partitioned window") {
+    // a corpus-spanning boilerplate sentence — the same 6 words in
+    // EVERY doc. Under the old row_number()-over-partitionBy(h)
+    // formulation, each boilerplate window's occurrences all sorted
+    // inside one task (a straggler AQE cannot split); the agg+join
+    // shape must produce the identical cut-list with no h-partitioned
+    // window anywhere in the plan.
+    val boiler = "all rights reserved by the corp"
+    val docs = (1L to 40L)
+      .map(i => (i, s"unique$i lead in $boiler tail$i words"))
+      .toDF("doc_id", "text")
+    val q = Dedup.duplicatedSpansKeepFirst(docs, "text", "doc_id", minLen = 4)
+    val spans = q.as[(Long, Long, Long, Long)].collect().toSet
+    // shared windows start at positions 2..6 (lead/in + the 6
+    // boilerplate words); doc 1 owns every one of them (lowest
+    // (doc, pos)), so docs 2..40 each carry one merged span covering
+    // positions 2..9 -> [2, 10), 8 words
+    val expected = (2L to 40L).map(i => (i, 2L, 10L, 8L)).toSet
+    assert(spans == expected)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(h#"),
+      "keep-first ranks occurrences inside an h-partitioned window " +
+        "again — a corpus-wide boilerplate window would sort in one task")
+  }
+
+  test("dup-heavy corpus: substring dedup survives without broadcast (SMJ fallback)") {
+    // on a 90%-duplicate corpus the dup-hash side is NOT small — the
+    // plan must not force a broadcast (AQE picks it by measured size;
+    // with broadcast disabled the same plan runs as a sort-merge join
+    // and stays correct). 50 docs, 45 of them copies of one text.
+    val docs = ((1L to 45L).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta")) ++
+      (46L to 50L).map(i =>
+        (i, (1 to 8).map(j => s"u$i-$j").mkString(" ")))).toDF("doc_id", "text")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val q = Dedup.duplicatedSpans(docs, "text", "doc_id", minLen = 4)
+      val rows = q.as[(Long, Long, Long, Long)].collect().toSet
+      // every copy (including the first) is fully covered: [1, 9)
+      assert(rows == (1L to 45L).map(i => (i, 1L, 9L, 8L)).toSet)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"expected the SMJ fallback with broadcast disabled, got:\n$plan")
+      val keep = Dedup.duplicatedSpansKeepFirst(docs, "text", "doc_id", minLen = 4)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // doc 1 owns every window; the other 44 copies are flagged
+      assert(keep == (2L to 45L).map(i => (i, 1L, 9L, 8L)).toSet)
+    }
+  }
+
   test("duplicatedSpans is partitioning-independent") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),

@@ -287,4 +287,50 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"trial=$trial minLen=$minLen")
     }
   }
+
+  test("duplicatedSpansKeepFirst equals a brute-force first-occurrence reference") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    for (trial <- 1 to 3; minLen <- Seq(2, 3)) {
+      val docs = (1L to 12L).map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      // reference: of each window text occurring >= 2 times, the
+      // occurrence with the smallest (doc, pos) is the owner; only the
+      // later occurrences cover their positions
+      val occ = scala.collection.mutable.Map[String, List[(Long, Int)]]()
+      val wins = docs.map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val ps = (1 to w.length - minLen + 1)
+          .map(p => p -> w.slice(p - 1, p - 1 + minLen).mkString(" "))
+        ps.foreach { case (p, s) => occ(s) = (id, p) :: occ.getOrElse(s, Nil) }
+        id -> ps
+      }
+      val firstOf = occ.map { case (s, os) => s -> os.min }.toMap
+      val dupTexts = occ.collect { case (s, os) if os.size >= 2 => s }.toSet
+      val expected = wins.flatMap { case (id, ps) =>
+        val covered = ps.collect {
+          case (p, s) if dupTexts(s) && firstOf(s) != ((id, p)) =>
+            (p until p + minLen)
+        }.flatten.toSet
+        val sorted = covered.toSeq.sorted
+        val spans = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long)]()
+        var start = -1; var prev = -2
+        (sorted :+ Int.MaxValue).foreach { p =>
+          if (p != prev + 1) {
+            if (start >= 0)
+              spans += ((id, start.toLong, (prev + 1).toLong, (prev + 1 - start).toLong))
+            start = p
+          }
+          prev = p
+        }
+        spans
+      }.toSet
+      val got = Dedup.duplicatedSpansKeepFirst(
+          docs.toDF("doc_id", "text"), "text", "doc_id", minLen)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected, s"trial=$trial minLen=$minLen")
+    }
+  }
 }
