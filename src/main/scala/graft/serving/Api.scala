@@ -41,7 +41,11 @@ final case class ApiResponse(status: Int, body: String)
   *  - the reference's two insert-path `log.Panicf`/deferred panics
   *    (dimension mismatch, collection.go:431-433; unsupported
   *    quantization at encode, collection.go:796-809) map to clean
-  *    400s with the reference's message text, raised up front.
+  *    400s with the reference's message text, raised up front;
+  *  - unroutable method/path combinations are uniformly 400
+  *    "Invalid path" — the Go mux's accidental fallthroughs
+  *    (main.go:39-49, e.g. PUT …/search reaching handleCollection's
+  *    switch and returning an empty 200) are not reproduced.
   */
 final class Api(spark: SparkSession, rootDir: String) {
 

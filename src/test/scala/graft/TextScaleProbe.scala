@@ -51,6 +51,18 @@ object TextScaleProbe {
         df.filter(col("source") =!= "src0"), "text", "doc_id",
         bench, "btext", "bid"), s"decontaminate_near $tag")
     }
+    // dup-heavy substring shape (VERDICT r10 #3): with 10 copies of
+    // every doc, virtually EVERY window hash is duplicated — the
+    // dup-hash join side grows to the distinct-window count, the shape
+    // where a forced broadcast would OOM (AQE sizes it and falls back
+    // to SMJ; DedupSpec pins correctness under that fallback). Both
+    // variants must hold near-linear here.
+    for ((df, tag) <- Seq((one, "1x"), (big, "10x"))) {
+      time(() => Dedup.duplicatedSpans(df, "text", "doc_id", minLen = 8),
+        s"dedup_substring $tag")
+      time(() => Dedup.duplicatedSpansKeepFirst(df, "text", "doc_id",
+        minLen = 8), s"dedup_substring_keep $tag")
+    }
     // similarityJoin and embeddingPairsForest are canonicalize-first
     // since round 8: 10 exact copies of every vector (the worst dup
     // shape — previously 138.9 s raw at 10x) must now stay within ~4x
