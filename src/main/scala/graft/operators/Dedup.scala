@@ -744,8 +744,8 @@ object Dedup {
     * sort once per doc (the suffix-array original's honest
     * O(tokens log) shape) and every window is minLen lead()s + one md5
     * over attributes. */
-  private def windowHashRows(df: DataFrame, textCol: String, idCol: String,
-                             minLen: Int): DataFrame = {
+  private[graft] def windowHashRows(df: DataFrame, textCol: String,
+                                    idCol: String, minLen: Int): DataFrame = {
     val byTok = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("_p"))
     df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("_p", "_t")))

@@ -58,6 +58,15 @@ object TextScaleProbe {
     // to SMJ; DedupSpec pins correctness under that fallback). Both
     // variants must hold near-linear here.
     for ((df, tag) <- Seq((one, "1x"), (big, "10x"))) {
+      // measure the dup-hash (join build) side's actual growth, not
+      // just wall time: at the 10-copies shape it approaches the full
+      // distinct-window count — the number that decides broadcast vs
+      // SMJ at scale
+      val wins = Dedup.windowHashRows(df, "text", "doc_id", 8)
+      val dupHashes = wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2).count()
+      println(s"[probe] windows $tag = ${wins.count()}, " +
+        s"dup-hash build side = $dupHashes rows")
       time(() => Dedup.duplicatedSpans(df, "text", "doc_id", minLen = 8),
         s"dedup_substring $tag")
       time(() => Dedup.duplicatedSpansKeepFirst(df, "text", "doc_id",
