@@ -580,6 +580,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental keep-first equivalence: corpus probe + delta-internal keep-first") {
+    // the identity that makes the incremental substring path
+    // trustworthy: for a delta whose ids sort AFTER every corpus id,
+    //   keepFirst(corpus ∪ delta) restricted to delta docs
+    // covers exactly the same word positions as
+    //   probeSubstringSpans(corpus index) ∪ keepFirst(delta alone).
+    // (Corpus occurrences own every shared window, so all delta
+    // occurrences of corpus windows flag — the probe's output; a
+    // window new in the delta is owned by its first delta occurrence
+    // — delta-internal keep-first.) Spans can merge differently
+    // across the two routes, so compare covered POSITION sets.
+    val corpus = Seq(
+      (1L, "alpha beta the shared run of six words gamma delta"),
+      (2L, "filler text that nobody quotes anywhere at all today")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      // quotes the corpus run AND repeats its own phrase twice
+      (10L, "intro the shared run of six words mid one two three four end one two three four"),
+      // repeats doc 10's phrase again: doc 10 owns it within the delta
+      (11L, "more words one two three four closing remarks here")
+    ).toDF("doc_id", "text")
+    val minLen = 4
+    def covered(spans: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      spans.select(col("doc_id"), col("span_start"), col("span_end"))
+        .as[(Long, Long, Long)].collect()
+        .flatMap { case (id, s, e) => (s until e).map(id -> _) }.toSet
+    val full = covered(
+      Dedup.duplicatedSpansKeepFirst(corpus.unionByName(delta),
+        "text", "doc_id", minLen)
+        .filter(col("doc_id") >= 10L))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-inc-keep").toString + "/idx"
+    Dedup.writeSubstringIndex(corpus, "text", "doc_id", path, minLen,
+      numBuckets = 8)
+    val inc =
+      covered(Dedup.probeSubstringSpans(spark, path, delta, "text",
+        "doc_id", minLen, numBuckets = 8)) ++
+      covered(Dedup.duplicatedSpansKeepFirst(delta, "text", "doc_id", minLen))
+    assert(full == inc && full.nonEmpty)
+  }
+
   test("duplicatedSpans is partitioning-independent") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),

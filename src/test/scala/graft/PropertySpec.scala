@@ -333,4 +333,39 @@ class PropertySpec extends SparkSpec {
       assert(got == expected, s"trial=$trial minLen=$minLen")
     }
   }
+
+  test("incremental keep-first equivalence holds on random corpora") {
+    // probeSubstringSpans(corpus index) ∪ keepFirst(delta alone) covers
+    // exactly keepFirst(corpus ∪ delta)'s delta-side positions whenever
+    // delta ids sort after corpus ids — randomized over a tiny
+    // vocabulary so shared windows are plentiful (see DedupSpec for
+    // the reasoned fixture version)
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    def covered(spans: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      spans.select(col("doc_id"), col("span_start"), col("span_end"))
+        .as[(Long, Long, Long)].collect()
+        .flatMap { case (id, s, e) => (s until e).map(id -> _) }.toSet
+    for (trial <- 1 to 2; minLen <- Seq(2, 3)) {
+      val mk = (ids: Seq[Long]) => ids.map { id =>
+        id -> Seq.fill(3 + rnd.nextInt(16))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val corpus = mk(1L to 8L).toDF("doc_id", "text")
+      val delta = mk(100L to 105L).toDF("doc_id", "text")
+      val full = covered(Dedup.duplicatedSpansKeepFirst(
+          corpus.unionByName(delta), "text", "doc_id", minLen)
+        .filter(col("doc_id") >= 100L))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-inc-prop").toString + "/idx"
+      Dedup.writeSubstringIndex(corpus, "text", "doc_id", path, minLen,
+        numBuckets = 8)
+      val inc =
+        covered(Dedup.probeSubstringSpans(spark, path, delta, "text",
+          "doc_id", minLen, numBuckets = 8)) ++
+        covered(Dedup.duplicatedSpansKeepFirst(delta, "text", "doc_id",
+          minLen))
+      assert(full == inc, s"trial=$trial minLen=$minLen")
+    }
+  }
 }
