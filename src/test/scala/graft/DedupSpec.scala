@@ -614,11 +614,20 @@ class DedupSpec extends SparkSpec {
       .createTempDirectory("graft-inc-keep").toString + "/idx"
     Dedup.writeSubstringIndex(corpus, "text", "doc_id", path, minLen,
       numBuckets = 8)
-    val inc =
-      covered(Dedup.probeSubstringSpans(spark, path, delta, "text",
-        "doc_id", minLen, numBuckets = 8)) ++
+    val probe = covered(Dedup.probeSubstringSpans(spark, path, delta, "text",
+      "doc_id", minLen, numBuckets = 8))
+    val inc = probe ++
       covered(Dedup.duplicatedSpansKeepFirst(delta, "text", "doc_id", minLen))
     assert(full == inc && full.nonEmpty)
+    // the same identity holds for the AGGRESSIVE variant's delta side
+    // (probe flags corpus-shared windows; delta-internal dups flag
+    // all their occurrences either way)
+    val fullAgg = covered(
+      Dedup.duplicatedSpans(corpus.unionByName(delta), "text", "doc_id",
+        minLen).filter(col("doc_id") >= 10L))
+    val incAgg = probe ++
+      covered(Dedup.duplicatedSpans(delta, "text", "doc_id", minLen))
+    assert(fullAgg == incAgg && fullAgg.nonEmpty)
   }
 
   test("duplicatedSpans is partitioning-independent") {
