@@ -1230,6 +1230,45 @@ object SparkEntry {
           round(col("drift"), 6).as("drift"))
     }),
 
+    "dedup_keep_best" -> ((s, dir) => {
+      // keep-BEST near-dup resolution: minhash pair-graph clusters,
+      // keeper = most tokens (ties to min id). The corpus plants
+      // truncated copies (keeper = the original) AND extended copies
+      // (keeper = the HIGH-id longer version — the case any
+      // keep-first/min-id rule gets wrong by construction)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val truncated = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text"))
+      val extended = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" appended trailer words here")).as("text"))
+      val corpus = docs.unionByName(truncated).unionByName(extended)
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      val scores = corpus.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      Dedup.dedupKeepBest(corpus, "doc_id", pairs, scores, "n_tokens")
+    }),
+
+    "classify_nb" -> ((s, dir) => {
+      // supervised language check: train hashed-unigram Naive Bayes on
+      // 4/5 of the corpus's declared lang labels, score the held-out
+      // fifth — the fastText-style router/quality-gate shape
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang",
+          buckets = 4096)
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred").as("pred_lang"),
+          round(col("nb_score"), 5).as("nb_score"),
+          (col("pred") === col("lang")).as("correct"))
+    }),
+
     "sample_weighted" -> ((s, dir) => {
       // keep probability ramps with document length: a 2000-char doc
       // always survives, a 200-char doc survives 10% of the time
@@ -3143,6 +3182,77 @@ object SparkEntry {
         |SELECT word, cnt_a, cnt_b, round(rate_a, 6) AS rate_a,
         |  round(rate_b, 6) AS rate_b, round(abs(rate_a - rate_b), 6) AS drift
         |FROM rated ORDER BY abs(rate_a - rate_b) DESC, word ASC LIMIT 40""".stripMargin,
+
+    "dedup_keep_best" ->
+      // the split_safe closure over a corpus with truncated AND
+      // extended variants; keeper = max token count then min id —
+      // integer scores, so max-equality is exact in both engines
+      s"""WITH RECURSIVE kb AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000, array_to_string(w[1:greatest(len(w)-5, 1)], ' ')
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 300000, text || ' appended trailer words here'
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |${minhashPairChain("kb")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (SELECT k.doc_id,
+         |             CAST(coalesce(l.cluster_id, k.doc_id) AS BIGINT) AS cluster_id,
+         |             len(list_filter(string_split(k.text, ' '), x -> x <> '')) AS n_tokens
+         |           FROM kb k LEFT JOIN lab l ON l.id = k.doc_id),
+         |mx AS (SELECT cluster_id, max(n_tokens) AS m FROM scored GROUP BY 1),
+         |win AS (SELECT s.cluster_id, min(s.doc_id) AS wid
+         |        FROM scored s JOIN mx ON mx.cluster_id = s.cluster_id AND s.n_tokens = mx.m
+         |        GROUP BY 1)
+         |SELECT s.doc_id, s.cluster_id, (s.doc_id = w.wid) AS keep, s.n_tokens
+         |FROM scored s JOIN win w ON w.cluster_id = s.cluster_id""".stripMargin,
+
+    "classify_nb" ->
+      // the same Laplace-smoothed chain over the same md5-hashed
+      // buckets; per-(doc, label) log-likelihoods fold in POSITION
+      // order (list_sum(list(ll ORDER BY pos)) — the lm_score rule),
+      // so the argmax compares identical doubles in both engines
+      """WITH tr AS (SELECT doc_id, lang,
+        |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |      FROM documents WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id, lang,
+        |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |      FROM documents WHERE doc_id % 5 = 0),
+        |trt AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 4096 AS bkt
+        |        FROM (SELECT lang, unnest(w) AS word FROM tr)),
+        |cnt AS (SELECT lang, bkt, count(*) AS n FROM trt GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS t FROM trt GROUP BY 1),
+        |pri AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+        |ndall AS (SELECT count(*) AS total FROM tr),
+        |tet AS (SELECT doc_id, s.pos AS pos,
+        |          CAST('0x' || substr(md5(s.word), 1, 15) AS BIGINT) % 4096 AS bkt
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |                i -> {'pos': i, 'word': w[CAST(i AS INT)]})) AS s FROM te)),
+        |ll AS (SELECT tet.doc_id, p.lang, tet.pos,
+        |         ln((coalesce(cnt.n, 0) + 1.0) / (tot.t + 4096)) AS ll
+        |       FROM tet CROSS JOIN pri p
+        |       LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.bkt = tet.bkt
+        |       JOIN tot ON tot.lang = p.lang),
+        |fold AS (SELECT doc_id, lang, list_sum(list(ll ORDER BY pos)) AS s
+        |         FROM ll GROUP BY 1, 2),
+        |sc AS (SELECT te.doc_id, p.lang,
+        |         ln(CAST(p.nd AS DOUBLE) / ndall.total) + coalesce(fold.s, 0.0) AS score
+        |       FROM te CROSS JOIN pri p CROSS JOIN ndall
+        |       LEFT JOIN fold ON fold.doc_id = te.doc_id AND fold.lang = p.lang),
+        |mx AS (SELECT doc_id, max(score) AS m FROM sc GROUP BY 1),
+        |win AS (SELECT sc.doc_id, min(sc.lang) AS pred, max(mx.m) AS score
+        |        FROM sc JOIN mx USING (doc_id) WHERE sc.score = mx.m GROUP BY 1)
+        |SELECT te.doc_id, win.pred AS pred_lang, round(win.score, 5) AS nb_score,
+        |       (win.pred = te.lang) AS correct
+        |FROM te JOIN win USING (doc_id)""".stripMargin,
 
     "sample_weighted" ->
       // same md5-Bernoulli rule as sample_stratified, rate from the

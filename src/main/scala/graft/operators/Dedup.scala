@@ -1150,6 +1150,51 @@ object Dedup {
         (col(idCol).cast("long") === cid).as("keep"))
   }
 
+  /** Quality-aware keep-BEST near-dup resolution — the production
+    * keep rule: per duplicate cluster, keep the member with the
+    * HIGHEST quality score (longest text, best classifier score, …)
+    * instead of the arbitrary min id that [[semanticDedup]]'s
+    * canonical-keeper rule uses. Takes ANY pair frame (`id_a`,
+    * `id_b`) — minhash, simhash, embedding, containment — plus a
+    * per-id score frame, so any dedup family composes with any
+    * quality signal. Ties break to the min id; ids missing a score
+    * (NULL) lose to any scored member, and an all-NULL cluster falls
+    * back to min id — the keep-first rule.
+    *
+    * Scale shape: identical to [[semanticDedup]] — clusters are
+    * pair-graph-sized (decoupled from the corpus); the two label
+    * joins against the corpus are equi-joins AQE will broadcast; the
+    * winner is two keyed aggs over cluster-sized frames, never a
+    * window over the corpus. Use an INTEGER score (token count, char
+    * count, quantized classifier score) when the output must be
+    * engine-reproducible: max-score equality is then exact.
+    *
+    * Output: (idCol, cluster_id, keep, scoreCol) — one row per corpus
+    * row, singletons keeping themselves. */
+  def dedupKeepBest(corpus: DataFrame, idCol: String, pairs: DataFrame,
+                    scores: DataFrame, scoreCol: String,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = connectedComponents(
+      pairs.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
+    val cid = coalesce(col("cluster_id"), col(idCol).cast("long"))
+    val labeled = corpus.select(col(idCol))
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), cid.as("cluster_id"))
+      .join(scores.select(col(idCol), col(scoreCol).as("_score")),
+        Seq(idCol), "left")
+    // winner = max score then min id, as two keyed aggs: the score
+    // comparison stays on exact values (never a float re-derivation),
+    // and <=> lets an all-NULL cluster match its NULL max
+    val mx = labeled.groupBy(col("cluster_id")).agg(max(col("_score")).as("_mx"))
+    val win = labeled.join(mx, Seq("cluster_id"))
+      .filter(col("_score") <=> col("_mx"))
+      .groupBy(col("cluster_id")).agg(min(col(idCol)).as("_wid"))
+    labeled.join(win, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"),
+        (col(idCol) === col("_wid")).as("keep"),
+        col("_score").as(scoreCol))
+  }
+
   /** Corpus-wide keep-FIRST passage dedup (the C4/RefinedWeb repeated-
     * span rule): cut every document into non-overlapping `chunkWords`-
     * word chunks, keep only the globally EARLIEST occurrence of each

@@ -507,4 +507,73 @@ object TextAnalysis {
       .select(col("word"), col("cnt_a"), col("cnt_b"),
         col("rate_a"), col("rate_b"), col("drift"))
   }
+
+  /** Supervised hashed-feature Naive Bayes classifier — the
+    * fastText-shaped lightweight label model every curation pipeline
+    * eventually trains (quality gate, domain router, language check
+    * against the declared metadata; Joulin et al. 2016 is the public
+    * anchor for "linear model over hashed n-grams beats nothing and
+    * costs nothing"). Trains multinomial NB with Laplace smoothing on
+    * `train`'s `labelCol` over `buckets` hashed unigram features and
+    * scores every `test` row: per label, `ln(P(label)) + Σ_tokens
+    * ln((count(label, bucket) + 1) / (total(label) + buckets))`;
+    * prediction = argmax, ties to the lexicographically first label.
+    *
+    * Scale shape: the MODEL is bounded by construction — ≤ buckets ×
+    * |labels| integer count rows regardless of corpus size — so both
+    * model joins broadcast; the scoring pass is map-side until the one
+    * (id, label)-keyed fold shuffle. The per-doc log-likelihood sum is
+    * assembled in POSITION order (`array_sort` → sequential
+    * `aggregate` fold, the [[lmScore]] rule): plain SUM order is
+    * engine-unspecified and would make argmax partitioning-dependent.
+    * All ln inputs are integer-derived ratios, so scores — and hence
+    * the argmax — reproduce exactly across engines.
+    *
+    * Output: one row per `test` row — (idCol, pred, nb_score), where
+    * `nb_score` is the winning label's log-likelihood. Token-less test
+    * docs score on priors alone and are never dropped. */
+  def naiveBayes(train: DataFrame, test: DataFrame, textCol: String,
+                 idCol: String, labelCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val trTok = train.select(col(labelCol).as("_lbl"),
+        explode(filter(w(coalesce(col(textCol), lit(""))), t => t =!= "")).as("_t"))
+      .select(col("_lbl"), (Dedup.hash64(col("_t")) % buckets).as("_bkt"))
+    val cnt = trTok.groupBy(col("_lbl"), col("_bkt")).agg(count(lit(1)).as("_n"))
+    val tot = trTok.groupBy(col("_lbl")).agg(count(lit(1)).as("_tot"))
+    val pri = train.groupBy(col(labelCol).as("_lbl")).agg(count(lit(1)).as("_nd"))
+    val ndAll = train.agg(count(lit(1)).as("_ndall"))
+    val labels = pri.join(tot, Seq("_lbl")).crossJoin(ndAll)
+    val teTok = test.select(col(idCol),
+        posexplode(filter(w(coalesce(col(textCol), lit(""))), t => t =!= ""))
+          .as(Seq("_pos", "_t")))
+      .select(col(idCol), col("_pos"),
+        (Dedup.hash64(col("_t")) % buckets).as("_bkt"))
+    // model sides are ≤ buckets × labels rows — broadcast by contract
+    val perTok = teTok
+      .crossJoin(broadcast(labels.select(col("_lbl"), col("_tot"))))
+      .join(broadcast(cnt), Seq("_lbl", "_bkt"), "left")
+      .select(col(idCol), col("_lbl"), col("_pos"),
+        log((coalesce(col("_n"), lit(0L)) + lit(1.0))
+          / (col("_tot") + lit(buckets))).as("_ll"))
+    val folded = perTok.groupBy(col(idCol), col("_lbl"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("_pos"), col("_ll")))),
+          s => s.getField("_ll")),
+        lit(0.0), (a, x) => a + x).as("_s"))
+    // every (test doc × label) row must exist: token-less docs fold to
+    // nothing and still need their prior row
+    val scored = test.select(col(idCol)).crossJoin(broadcast(labels))
+      .join(folded, Seq(idCol, "_lbl"), "left")
+      .select(col(idCol), col("_lbl"),
+        (log(col("_nd").cast("double") / col("_ndall"))
+          + coalesce(col("_s"), lit(0.0))).as("_score"))
+    // argmax with a deterministic tie-break: exact score equality is
+    // safe because both sides of the comparison are the same
+    // position-ordered fold of the same integer-derived ratios
+    val mx = scored.groupBy(col(idCol)).agg(max(col("_score")).as("_mx"))
+    scored.join(mx, Seq(idCol))
+      .filter(col("_score") === col("_mx"))
+      .groupBy(col(idCol))
+      .agg(min(col("_lbl")).as("pred"), max(col("_mx")).as("nb_score"))
+  }
 }

@@ -642,4 +642,27 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(one == many && one.nonEmpty)
   }
+
+  test("dedupKeepBest keeps the highest-scored member, ties to min id, NULL scores lose") {
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L).toDF("doc_id")
+    // clusters: {1,2,3} (chain), {10,11}, {30,31}; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L))
+      .toDF("id_a", "id_b")
+    val scores = Seq(
+      (1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)),   // tie at 9 -> min id 2
+      (10L, None), (11L, Some(1L)),                      // NULL loses to scored
+      (20L, Some(7L)),                                   // singleton keeps itself
+      (30L, None), (31L, None)                           // all-NULL -> min id
+    ).toDF("doc_id", "sc")
+    val got = Dedup.dedupKeepBest(corpus, "doc_id", pairs, scores, "sc")
+      .select("doc_id", "cluster_id", "keep")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == 8 && got.map(_._1).distinct.length == 8)
+    val keep = got.filter(_._3).map(_._1).toSet
+    assert(keep == Set(2L, 11L, 20L, 30L))
+    // cluster labels are the component min id, singletons self-label
+    val cl = got.map(r => r._1 -> r._2).toMap
+    assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L)
+    assert(cl(10L) == 10L && cl(11L) == 10L && cl(20L) == 20L)
+  }
 }

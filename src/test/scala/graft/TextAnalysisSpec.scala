@@ -318,4 +318,35 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got == again)
   }
+
+  test("naiveBayes learns separable labels; token-less docs keep a row and tie to the first label") {
+    val train = Seq(("a", "aaa aaa aaa zz"), ("a", "aaa zz"),
+      ("b", "bbb bbb bbb zz"), ("b", "bbb zz")).toDF("lang", "text")
+    val test = Seq((1L, "aaa aaa"), (2L, "bbb"), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang", 64)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(got.size == 4)
+    assert(got(1L) == "a")
+    assert(got(2L) == "b")
+    // no tokens -> priors only; 2 docs per label ties -> first label
+    assert(got(3L) == "a" && got(4L) == "a")
+  }
+
+  test("naiveBayes prior decides token-less docs and shared vocabulary adds no signal") {
+    val train = Seq(("a", "zz zz"), ("b", "zz"), ("b", "zz zz"),
+      ("b", "zz")).toDF("lang", "text")
+    val test = Seq((1L, ""), (2L, "zz zz zz")).toDF("doc_id", "text")
+    val got = TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang", 64)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    // priors 1:3 -> "b"; a doc of only the shared token still leans on
+    // the prior (per-token ratios differ but priors dominate at 3:1)
+    assert(got(1L) == "b")
+    // determinism: two runs agree on predictions AND scores bit-for-bit
+    val s1 = TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang", 64)
+      .select("doc_id", "pred", "nb_score").as[(Long, String, Double)].collect().toSet
+    val s2 = TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang", 64)
+      .select("doc_id", "pred", "nb_score").as[(Long, String, Double)].collect().toSet
+    assert(s1 == s2)
+  }
 }
