@@ -1230,6 +1230,19 @@ object SparkEntry {
           round(col("drift"), 6).as("drift"))
     }),
 
+    "more_like_this" -> ((s, dir) => {
+      // related-content retrieval: per seed doc, top-5 most-similar
+      // corpus docs by exact shingle Jaccard, MinHash-band-blocked —
+      // the dedup corpus guarantees each seed finds its planted
+      // copies/truncations ahead of unrelated docs
+      val corpus = dedupCorpus(s, dir)
+      val seeds = corpus.select(col("doc_id")).filter(col("doc_id") % 50 === 0)
+      Search.moreLikeThis(corpus, "text", "doc_id", seeds, k = 5,
+          numHashes = 16, bands = 4, shingleN = 3, minJaccard = 0.2)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("jaccard"), 5).as("jaccard"))
+    }),
+
     "dedup_keep_best" -> ((s, dir) => {
       // keep-BEST near-dup resolution: minhash pair-graph clusters,
       // keeper = most tokens (ties to min id). The corpus plants
@@ -3182,6 +3195,30 @@ object SparkEntry {
         |SELECT word, cnt_a, cnt_b, round(rate_a, 6) AS rate_a,
         |  round(rate_b, 6) AS rate_b, round(abs(rate_a - rate_b), 6) AS drift
         |FROM rated ORDER BY abs(rate_a - rate_b) DESC, word ASC LIMIT 40""".stripMargin,
+
+    "more_like_this" ->
+      // the decontaminate_near band machinery with the corpus on both
+      // sides; rank = (jaccard DESC, doc_id ASC) row_number — jaccard
+      // is an integer-derived ratio, so the cutoff agrees exactly
+      s"""WITH $corpusSql,
+         |seedsrc AS (SELECT doc_id, text FROM corpus WHERE doc_id % 50 = 0),
+         |${mhBandChain("seedsrc", "q")},
+         |${mhBandChain("corpus", "c")},
+         |cand AS (SELECT DISTINCT q.doc_id AS qid, c.doc_id AS did
+         |         FROM qband q JOIN cband c USING (band, key)
+         |         WHERE q.doc_id <> c.doc_id),
+         |ver AS (SELECT cand.qid, cand.did,
+         |          len(list_intersect(a.hs, b.hs)) AS i,
+         |          len(a.hs) AS na, len(b.hs) AS nb
+         |        FROM cand JOIN qhs a ON a.doc_id = cand.qid
+         |                  JOIN chs b ON b.doc_id = cand.did),
+         |j AS (SELECT qid, did, i * 1.0 / (na + nb - i) AS jaccard FROM ver
+         |      WHERE i * 1.0 / (na + nb - i) >= 0.2),
+         |r AS (SELECT qid, did, jaccard,
+         |        row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, did ASC) AS rank
+         |      FROM j)
+         |SELECT qid, rank, did AS doc_id, round(jaccard, 5) AS jaccard
+         |FROM r WHERE rank <= 5""".stripMargin,
 
     "dedup_keep_best" ->
       // the split_safe closure over a corpus with truncated AND

@@ -419,4 +419,55 @@ object Search {
         (-col("_t.dist")).as("rrf_score"))
       .join(fused.select(col(idCol), col("rank_text"), col("rank_vec")), Seq(idCol), "left")
   }
+
+  /** "More like this" — per-seed-document top-k most-similar corpus
+    * documents by text Jaccard, the related-content / find-the-source
+    * retrieval shape (Lucene's MoreLikeThis is the public anchor).
+    * Seeds are corpus rows named by `queryIds`; similarity is exact
+    * shingle-set Jaccard, but candidate generation is MinHash band
+    * blocking — the same family the dedup operators sign with — so
+    * the corpus is never all-paired against the seed set.
+    *
+    * Scale shape: seeds semi-join the corpus (seed-sized); band keys
+    * equi-join seed bands × corpus bands (bounded fanout per band
+    * bucket); only candidate pairs carry shingle sets to the exact
+    * verify; the final top-k is a bounded per-seed [[TopKAgg]] —
+    * ≤ k rows per seed per partition survive the map side, no window
+    * over candidates. Ranks order (jaccard DESC, doc_id ASC), both
+    * integer-derived, so the cutoff reproduces in any engine.
+    *
+    * Output: (qid, rank, doc_id, jaccard) — seeds with no candidate
+    * above `minJaccard` yield no rows (retrieval, not labeling). */
+  def moreLikeThis(corpus: DataFrame, textCol: String, idCol: String,
+                   queryIds: DataFrame, k: Int, numHashes: Int = 16,
+                   bands: Int = 4, shingleN: Int = 3,
+                   minJaccard: Double = 0.1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val seeds = corpus.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+    val cand = Dedup.bandKeys(
+        Dedup.minhashSignatures(seeds, textCol, idCol, numHashes, shingleN),
+        idCol, "qid", bands, rows)
+      .join(Dedup.bandKeys(
+        Dedup.minhashSignatures(corpus, textCol, idCol, numHashes, shingleN),
+        idCol, "_did", bands, rows), Seq("band", "key"))
+      .filter(col("qid") =!= col("_did"))
+      .select("qid", "_did").distinct()
+    val verified = cand
+      .join(Dedup.shingleSets(seeds, textCol, idCol, shingleN)
+        .select(col("sid").as("qid"), col("shs").as("_sa")), "qid")
+      .join(Dedup.shingleSets(corpus, textCol, idCol, shingleN)
+        .select(col("sid").as("_did"), col("shs").as("_sb")), "_did")
+      .withColumn("_inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_sa")) + size(col("_sb")) - col("_inter")))
+      .filter(col("jaccard") >= minJaccard)
+    verified.groupBy(col("qid"))
+      .agg(TopKAgg.topk(-col("jaccard"), col("_did"), k).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), (col("_pos") + 1).as("rank"),
+        col("_t.id").as(idCol), (-col("_t.dist")).as("jaccard"))
+  }
 }

@@ -143,4 +143,30 @@ class SearchSpec extends SparkSpec {
     val single = got.filter(r => r._4.isEmpty || r._5.isEmpty).map(_._3)
     if (single.nonEmpty) assert(got.head._3 >= single.max)
   }
+
+  test("moreLikeThis ranks planted near-dups first, excludes self, bounds k, skips matchless seeds") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base),                                   // seed
+      (101L, base + " iota"),                       // superset near-dup
+      (102L, base),                                 // exact copy -> jaccard 1.0
+      (2L, "one two three four five six"),          // seed with no match
+      (3L, "unrelated totally different words here now")
+    ).toDF("doc_id", "text")
+    val seeds = Seq(1L, 2L).toDF("doc_id")
+    val got = Search.moreLikeThis(docs, "text", "doc_id", seeds, k = 5,
+        numHashes = 16, bands = 4, shingleN = 3, minJaccard = 0.2)
+      .select("qid", "rank", "doc_id", "jaccard")
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // seed 2 has no near-dup above 0.2 -> contributes no rows
+    assert(got.forall(_._1 == 1L))
+    // exact copy outranks the superset; self never appears
+    assert(got.map(_._3).toSeq == Seq(102L, 101L))
+    assert(got.head._4 == 1.0 && got(1)._4 < 1.0 && got(1)._4 >= 0.2)
+    // k bound: ask for 1, get only the best
+    val top1 = Search.moreLikeThis(docs, "text", "doc_id", seeds, k = 1,
+        numHashes = 16, bands = 4, shingleN = 3, minJaccard = 0.2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top1 == Seq(102L))
+  }
 }
