@@ -1282,6 +1282,21 @@ object SparkEntry {
           (col("pred") === col("lang")).as("correct"))
     }),
 
+    "classify_nb_scored" -> ((s, dir) => {
+      // the deployment path: train once driver-side, score at scan
+      // speed via the codegen'd NbScore kernel — bit-identical to
+      // classify_nb by contract, so it shares that oracle
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", 4096)
+      TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id", model)
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred").as("pred_lang"),
+          round(col("nb_score"), 5).as("nb_score"),
+          (col("pred") === col("lang")).as("correct"))
+    }),
+
     "sample_weighted" -> ((s, dir) => {
       // keep probability ramps with document length: a 2000-char doc
       // always survives, a 200-char doc survives 10% of the time
@@ -1514,6 +1529,49 @@ object SparkEntry {
        |            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |          FROM bmsc WHERE score > 0)""".stripMargin
   }
+
+  /** Shared oracle for `classify_nb` (distributed operator) and
+    * `classify_nb_scored` (codegen'd kernel over the driver-trained
+    * model): the two paths are bit-identical by contract (spec-pinned
+    * in TextAnalysisSpec), so one SQL gates both. The Laplace-smoothed
+    * chain mirrors the Spark arithmetic exactly; per-(doc, label)
+    * log-likelihoods fold in POSITION order (list_sum(list(ll ORDER BY
+    * pos)) — the lm_score rule), so the argmax compares identical
+    * doubles in both engines. */
+  private val classifyNbSql: String =
+    """WITH tr AS (SELECT doc_id, lang,
+      |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |      FROM documents WHERE doc_id % 5 <> 0),
+      |te AS (SELECT doc_id, lang,
+      |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+      |      FROM documents WHERE doc_id % 5 = 0),
+      |trt AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 4096 AS bkt
+      |        FROM (SELECT lang, unnest(w) AS word FROM tr)),
+      |cnt AS (SELECT lang, bkt, count(*) AS n FROM trt GROUP BY 1, 2),
+      |tot AS (SELECT lang, count(*) AS t FROM trt GROUP BY 1),
+      |pri AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+      |ndall AS (SELECT count(*) AS total FROM tr),
+      |tet AS (SELECT doc_id, s.pos AS pos,
+      |          CAST('0x' || substr(md5(s.word), 1, 15) AS BIGINT) % 4096 AS bkt
+      |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+      |                i -> {'pos': i, 'word': w[CAST(i AS INT)]})) AS s FROM te)),
+      |ll AS (SELECT tet.doc_id, p.lang, tet.pos,
+      |         ln((coalesce(cnt.n, 0) + 1.0) / (tot.t + 4096)) AS ll
+      |       FROM tet CROSS JOIN pri p
+      |       LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.bkt = tet.bkt
+      |       JOIN tot ON tot.lang = p.lang),
+      |fold AS (SELECT doc_id, lang, list_sum(list(ll ORDER BY pos)) AS s
+      |         FROM ll GROUP BY 1, 2),
+      |sc AS (SELECT te.doc_id, p.lang,
+      |         ln(CAST(p.nd AS DOUBLE) / ndall.total) + coalesce(fold.s, 0.0) AS score
+      |       FROM te CROSS JOIN pri p CROSS JOIN ndall
+      |       LEFT JOIN fold ON fold.doc_id = te.doc_id AND fold.lang = p.lang),
+      |mx AS (SELECT doc_id, max(score) AS m FROM sc GROUP BY 1),
+      |win AS (SELECT sc.doc_id, min(sc.lang) AS pred, max(mx.m) AS score
+      |        FROM sc JOIN mx USING (doc_id) WHERE sc.score = mx.m GROUP BY 1)
+      |SELECT te.doc_id, win.pred AS pred_lang, round(win.score, 5) AS nb_score,
+      |       (win.pred = te.lang) AS correct
+      |FROM te JOIN win USING (doc_id)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "ann_lsh" ->
@@ -3252,44 +3310,12 @@ object SparkEntry {
          |SELECT s.doc_id, s.cluster_id, (s.doc_id = w.wid) AS keep, s.n_tokens
          |FROM scored s JOIN win w ON w.cluster_id = s.cluster_id""".stripMargin,
 
-    "classify_nb" ->
-      // the same Laplace-smoothed chain over the same md5-hashed
-      // buckets; per-(doc, label) log-likelihoods fold in POSITION
-      // order (list_sum(list(ll ORDER BY pos)) — the lm_score rule),
-      // so the argmax compares identical doubles in both engines
-      """WITH tr AS (SELECT doc_id, lang,
-        |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-        |      FROM documents WHERE doc_id % 5 <> 0),
-        |te AS (SELECT doc_id, lang,
-        |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-        |      FROM documents WHERE doc_id % 5 = 0),
-        |trt AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 4096 AS bkt
-        |        FROM (SELECT lang, unnest(w) AS word FROM tr)),
-        |cnt AS (SELECT lang, bkt, count(*) AS n FROM trt GROUP BY 1, 2),
-        |tot AS (SELECT lang, count(*) AS t FROM trt GROUP BY 1),
-        |pri AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
-        |ndall AS (SELECT count(*) AS total FROM tr),
-        |tet AS (SELECT doc_id, s.pos AS pos,
-        |          CAST('0x' || substr(md5(s.word), 1, 15) AS BIGINT) % 4096 AS bkt
-        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
-        |                i -> {'pos': i, 'word': w[CAST(i AS INT)]})) AS s FROM te)),
-        |ll AS (SELECT tet.doc_id, p.lang, tet.pos,
-        |         ln((coalesce(cnt.n, 0) + 1.0) / (tot.t + 4096)) AS ll
-        |       FROM tet CROSS JOIN pri p
-        |       LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.bkt = tet.bkt
-        |       JOIN tot ON tot.lang = p.lang),
-        |fold AS (SELECT doc_id, lang, list_sum(list(ll ORDER BY pos)) AS s
-        |         FROM ll GROUP BY 1, 2),
-        |sc AS (SELECT te.doc_id, p.lang,
-        |         ln(CAST(p.nd AS DOUBLE) / ndall.total) + coalesce(fold.s, 0.0) AS score
-        |       FROM te CROSS JOIN pri p CROSS JOIN ndall
-        |       LEFT JOIN fold ON fold.doc_id = te.doc_id AND fold.lang = p.lang),
-        |mx AS (SELECT doc_id, max(score) AS m FROM sc GROUP BY 1),
-        |win AS (SELECT sc.doc_id, min(sc.lang) AS pred, max(mx.m) AS score
-        |        FROM sc JOIN mx USING (doc_id) WHERE sc.score = mx.m GROUP BY 1)
-        |SELECT te.doc_id, win.pred AS pred_lang, round(win.score, 5) AS nb_score,
-        |       (win.pred = te.lang) AS correct
-        |FROM te JOIN win USING (doc_id)""".stripMargin,
+    "classify_nb" -> classifyNbSql,
+
+    "classify_nb_scored" ->
+      // the codegen'd kernel path is bit-identical to the batch
+      // operator by contract (spec-pinned), so it shares the oracle
+      classifyNbSql,
 
     "sample_weighted" ->
       // same md5-Bernoulli rule as sample_stratified, rate from the

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
+  StringType, StructField, StructType}
 
 /** Shannon entropy of a string's character distribution over a fixed
   * ASCII `alphabet`, in ONE pass over the bytes — the codegen'd
@@ -88,9 +89,68 @@ case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Per-row Naive Bayes scoring against a trained, driver-resident
+  * model — the scan-speed deployment form of
+  * [[graft.operators.TextAnalysis.naiveBayes]]: the model (per-label
+  * priors + a flattened [label][bucket] log-likelihood table, ≤
+  * labels × buckets doubles BY CONSTRUCTION) ships to executors as a
+  * codegen reference object, so classification is one map-side
+  * expression over the words array — no joins, no shuffles, and it
+  * runs unchanged inside a streaming micro-batch.
+  *
+  * Arithmetic is bit-identical to the batch operator: per label, the
+  * token log-likelihoods accumulate from 0.0 in ARRAY (= position)
+  * order and the prior is added LAST — the same fold the batch side's
+  * `prior + coalesce(Σ, 0.0)` computes — and the argmax keeps the
+  * FIRST maximal label index (labels are passed sorted, so ties break
+  * to the lexicographically first label, like the batch min(label)).
+  * Empty/null tokens are skipped, matching the batch tokenizer's
+  * non-empty filter. Output: struct(idx int, score double). */
+case class NbScore(child: Expression, lls: Array[Double],
+                   priors: Array[Double], buckets: Int)
+  extends UnaryExpression {
+
+  require(priors.nonEmpty, "NbScore needs at least one label")
+  require(buckets > 0, s"buckets must be > 0, got $buckets")
+  require(lls.length == priors.length * buckets,
+    s"lls length ${lls.length} != labels ${priors.length} x buckets $buckets")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("score", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nb_score requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextExprs.nbScore(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lls, priors, buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val llsRef = ctx.addReferenceObj("nbLls", lls, "double[]")
+    val priRef = ctx.addReferenceObj("nbPriors", priors, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextExprs.nbScore($a, $llsRef, $priRef, $buckets);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def charEntropyCol(s: Column, alphabet: String): Column =
     GraftBridge.toColumn(CharEntropy(GraftBridge.toExpression(s), alphabet))
+
+  def nbScoreCol(words: Column, lls: Array[Double], priors: Array[Double],
+                 buckets: Int): Column =
+    GraftBridge.toColumn(NbScore(GraftBridge.toExpression(words), lls, priors, buckets))
 
   def hashEmbedCol(words: Column, dim: Int): Column =
     GraftBridge.toColumn(HashEmbed(GraftBridge.toExpression(words), dim))
@@ -172,5 +232,37 @@ object TextExprs {
       j += 1
     }
     -acc
+  }
+
+  /** One-pass NB scoring both the interpreted and generated code
+    * call: per label, log-likelihoods accumulate from 0.0 in token
+    * order, prior added last; argmax keeps the FIRST maximal index.
+    * See [[NbScore]] for the bit-equality contract with the batch
+    * operator. */
+  def nbScore(words: org.apache.spark.sql.catalyst.util.ArrayData,
+              lls: Array[Double], priors: Array[Double],
+              buckets: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nl = priors.length
+    val acc = new Array[Double](nl)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        if (w.numBytes() > 0) {
+          val b = (hash60(w.getBytes) % buckets).toInt
+          var l = 0
+          while (l < nl) { acc(l) += lls(l * buckets + b); l += 1 }
+        }
+      }
+      i += 1
+    }
+    var l = 0
+    while (l < nl) { acc(l) = priors(l) + acc(l); l += 1 }
+    var best = 0
+    l = 1
+    while (l < nl) { if (acc(l) > acc(best)) best = l; l += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](best, acc(best)))
   }
 }

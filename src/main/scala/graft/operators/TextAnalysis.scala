@@ -576,4 +576,74 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(min(col("_lbl")).as("pred"), max(col("_mx")).as("nb_score"))
   }
+
+  /** A trained Naive Bayes model in deployment form: `labels` sorted
+    * ascending (ties in [[graft.functions.NbScore]] resolve to the
+    * first = lexicographically smallest, matching [[naiveBayes]]'s
+    * min-label rule), per-label ln priors, and the flattened
+    * [label][bucket] log-likelihood table. Driver-resident BY
+    * CONTRACT: ≤ labels × buckets doubles regardless of corpus
+    * size. */
+  case class NbModel(labels: Array[String], priors: Array[Double],
+                     lls: Array[Double], buckets: Int)
+
+  /** Train the [[naiveBayes]] model once and keep it driver-side —
+    * the deployment split of train-once/score-forever: training is
+    * the same distributed keyed count aggregation as [[naiveBayes]],
+    * and the collect is bounded by buckets × labels rows (the model,
+    * not the corpus). Scores from [[naiveBayesScoreAll]] over this
+    * model are bit-identical to [[naiveBayes]] run on the same
+    * train/test frames. */
+  def trainNaiveBayes(train: DataFrame, textCol: String, labelCol: String,
+                      buckets: Int): NbModel = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    val trTok = train.select(col(labelCol).as("_lbl"),
+        explode(filter(w(coalesce(col(textCol), lit(""))), t => t =!= "")).as("_t"))
+      .select(col("_lbl"), (Dedup.hash64(col("_t")) % buckets).as("_bkt"))
+    val cntRows = trTok.groupBy(col("_lbl"), col("_bkt"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1).toInt, r.getLong(2)))
+    val priRows = train.groupBy(col(labelCol).as("_lbl"))
+      .agg(count(lit(1)).as("_nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(priRows.nonEmpty, "trainNaiveBayes needs at least one labeled row")
+    val labels = priRows.map(_._1).sorted
+    val lidx = labels.zipWithIndex.toMap
+    val ndall = priRows.map(_._2).sum
+    val priors = labels.map(l =>
+      math.log(priRows.toMap.apply(l).toDouble / ndall))
+    val tots = new Array[Long](labels.length)
+    cntRows.foreach { case (l, _, n) => tots(lidx(l)) += n }
+    val lls = new Array[Double](labels.length * buckets)
+    var li = 0
+    while (li < labels.length) {
+      // zero-count buckets carry the smoothing floor ln(1/(tot+V)) —
+      // the same value the batch side's coalesce(n, 0) path computes
+      val floor = math.log(1.0 / (tots(li) + buckets))
+      java.util.Arrays.fill(lls, li * buckets, (li + 1) * buckets, floor)
+      li += 1
+    }
+    cntRows.foreach { case (l, b, n) =>
+      lls(lidx(l) * buckets + b) = math.log((n + 1.0) / (tots(lidx(l)) + buckets))
+    }
+    NbModel(labels, priors, lls, buckets)
+  }
+
+  /** Score every row against a trained [[NbModel]] at scan speed —
+    * ONE codegen'd map-side expression ([[graft.functions.NbScore]]),
+    * zero joins, zero shuffles, and it runs unchanged inside a
+    * streaming micro-batch (`Ingest.classifyStream`). Bit-identical
+    * to [[naiveBayes]]'s (pred, nb_score) on the same model inputs:
+    * same token-order fold, same prior placement, same first-maximal
+    * tie-break over the sorted label array. */
+  def naiveBayesScoreAll(df: DataFrame, textCol: String, idCol: String,
+                         model: NbModel): DataFrame =
+    df.select(col(idCol),
+        graft.functions.TextExprs.nbScoreCol(
+          w(coalesce(col(textCol), lit(""))),
+          model.lls, model.priors, model.buckets).as("_ps"))
+      .select(col(idCol),
+        element_at(array(model.labels.toSeq.map(lit): _*),
+          col("_ps.idx") + 1).as("pred"),
+        col("_ps.score").as("nb_score"))
 }

@@ -557,6 +557,20 @@ object Ingest {
       }.toDF()
   }
 
+  /** Streaming classification twin of
+    * [[graft.operators.TextAnalysis.naiveBayesScoreAll]]: score each
+    * arriving document against a TRAINED driver-side model
+    * ([[graft.operators.TextAnalysis.trainNaiveBayes]]) — the
+    * live-router / quality-gate deployment of the batch classifier.
+    * STATELESS by construction: scoring is one codegen'd map-side
+    * expression (the model ships as a plan reference object), so
+    * micro-batch boundaries and arrival order cannot move any score —
+    * the stream's rows are bit-identical to the batch operator's on
+    * the same input (spec-pinned). */
+  def classifyStream(docs: DataFrame, textCol: String, idCol: String,
+                     model: graft.operators.TextAnalysis.NbModel): DataFrame =
+    graft.operators.TextAnalysis.naiveBayesScoreAll(docs, textCol, idCol, model)
+
   case class FunnelEv(user_id: Long, ts: Timestamp, event_type: String)
   case class FunnelState(ts: Seq[Long])
   case class FunnelOut(user_id: Long, step: Int, ts: Timestamp)

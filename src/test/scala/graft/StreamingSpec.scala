@@ -703,4 +703,31 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("classifyStream scores arriving docs bit-identically to the batch classifier") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val train = Seq(("a", "aaa aaa aaa zz"), ("a", "aaa zz"),
+      ("b", "bbb bbb bbb zz"), ("b", "bbb zz")).toDF("lang", "text")
+    val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", 64)
+    val docs = Seq((1L, "aaa aaa"), (2L, "bbb"), (3L, ""),
+      (4L, "aaa bbb zz"))
+    val batch = TextAnalysis.naiveBayesScoreAll(
+        docs.toDF("doc_id", "text"), "text", "doc_id", model)
+      .as[(Long, String, Double)].collect().toSet
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.classifyStream(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", model)
+      .writeStream.format("memory").queryName("nbclass")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("nbclass")
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamed == batch && batch.size == 4)
+    } finally q.stop()
+  }
 }

@@ -349,4 +349,21 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id", "pred", "nb_score").as[(Long, String, Double)].collect().toSet
     assert(s1 == s2)
   }
+
+  test("naiveBayesScoreAll over a trained model is bit-identical to the batch operator") {
+    val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = all.filter(col("doc_id") % 5 =!= 0)
+    val test = all.filter(col("doc_id") % 5 === 0)
+    val batch = TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang", 512)
+      .select("doc_id", "pred", "nb_score")
+      .as[(Long, String, Double)].collect().toSet
+    val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", 512)
+    assert(model.labels.sameElements(model.labels.sorted))
+    assert(model.lls.length == model.labels.length * 512)
+    val kernel = TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id", model)
+      .select("doc_id", "pred", "nb_score")
+      .as[(Long, String, Double)].collect().toSet
+    // EXACT double equality — the kernel's fold order is the contract
+    assert(kernel == batch)
+  }
 }
