@@ -1230,6 +1230,29 @@ object SparkEntry {
           round(col("drift"), 6).as("drift"))
     }),
 
+    "mine_hard_negatives" -> ((s, dir) => {
+      // contrastive-training negatives: per anchor, the 3 nearest
+      // neighbors inside the (0.01, 0.45] angular band — dup-range
+      // pairs fall below the floor and are excluded by construction
+      AnnLsh.hardNegatives(Tables.embeddings(s, dir), "embedding", "vec_id",
+          k = 3, numTables = 20, bitsPerTable = 8, dim = 64, Knn.Cosine,
+          dMin = 0.01, dMax = 0.45)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+          round(col("dist"), 5).as("dist"))
+    }),
+
+    "embedding_drift" -> ((s, dir) => {
+      // vector-space drift dashboard: even vs odd labels stand in for
+      // "embeddings from model v1 vs v2" — per-dim mean shift on the
+      // 1e-6 integer grid so sums are engine-exact
+      Eval.embeddingDrift(Tables.embeddings(s, dir), "embedding",
+          pmod(col("label"), lit(2)).cast("string"), "0", "1")
+        .select(col("dim"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("drift"), 6).as("drift"))
+    }),
+
     "more_like_this" -> ((s, dir) => {
       // related-content retrieval: per seed doc, top-5 most-similar
       // corpus docs by exact shingle Jaccard, MinHash-band-blocked —
@@ -3253,6 +3276,54 @@ object SparkEntry {
         |SELECT word, cnt_a, cnt_b, round(rate_a, 6) AS rate_a,
         |  round(rate_b, 6) AS rate_b, round(abs(rate_a - rate_b), 6) AS drift
         |FROM rated ORDER BY abs(rate_a - rate_b) DESC, word ASC LIMIT 40""".stripMargin,
+
+    "mine_hard_negatives" ->
+      // the similarity_join forest chain with the band filter applied
+      // before ranking — same buckets, same angular arithmetic
+      s"""WITH planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(160) t(h)),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, k.vec_id
+         |         FROM keys k JOIN keys q ON k.tbl = q.tbl AND k.key = q.key
+         |         WHERE k.vec_id <> q.vec_id),
+         |d AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.v")} AS d
+         |      FROM cand c JOIN b ON b.vec_id = c.vec_id
+         |                  JOIN b q ON q.vec_id = c.qid),
+         |r AS (SELECT qid, vec_id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |      FROM d WHERE d > 0.01 AND d <= 0.45)
+         |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 3""".stripMargin,
+
+    "embedding_drift" ->
+      // same 1e-6 quantization, integer per-(dim, side) sums, means
+      // divided in the same fixed expression both engines
+      """WITH b AS (SELECT CAST(label % 2 AS VARCHAR) AS side,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT side, s.d AS dim, CAST(round(s.x * 1000000.0) AS BIGINT) AS qx
+        |      FROM (SELECT side, unnest(list_transform(range(1, len(v) + 1),
+        |              i -> {'d': i - 1, 'x': v[CAST(i AS INT)]})) AS s FROM b)),
+        |c AS (SELECT dim,
+        |        sum(CASE WHEN side = '0' THEN qx ELSE 0 END) AS sa,
+        |        sum(CASE WHEN side = '0' THEN 1 ELSE 0 END) AS na,
+        |        sum(CASE WHEN side = '1' THEN qx ELSE 0 END) AS sb,
+        |        sum(CASE WHEN side = '1' THEN 1 ELSE 0 END) AS nb
+        |      FROM e GROUP BY 1),
+        |m AS (SELECT dim, na, nb,
+        |        (CAST(sa AS DOUBLE) / na) / 1000000.0 AS mean_a,
+        |        (CAST(sb AS DOUBLE) / nb) / 1000000.0 AS mean_b
+        |      FROM c)
+        |SELECT dim, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+        |       round(abs(mean_a - mean_b), 6) AS drift
+        |FROM m""".stripMargin,
 
     "more_like_this" ->
       // the decontaminate_near band machinery with the corpus on both

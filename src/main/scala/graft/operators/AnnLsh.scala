@@ -489,8 +489,42 @@ object AnnLsh {
     * so float behavior is bit-identical. */
   def similarityJoin(df: DataFrame, vecCol: String, idCol: String, k: Int,
                      numTables: Int, bitsPerTable: Int, dim: Int,
-                     metric: Knn.Metric): DataFrame = {
+                     metric: Knn.Metric): DataFrame =
+    selfJoinTopK(df, vecCol, idCol, k, numTables, bitsPerTable, dim, metric,
+      band = None)
+
+  /** Hard-negative mining for contrastive training — per anchor, the
+    * k NEAREST neighbors whose distance falls in `(dMin, dMax]`: close
+    * enough to be informative negatives, far enough not to be
+    * positives/duplicates (the standard in-batch-negatives upgrade;
+    * dense-retrieval training recipes like DPR/ANCE are the public
+    * anchor). Exact duplicates sit at distance ~0 and fall below
+    * `dMin` by construction, so the positives a dedup pass would
+    * catch can never leak into the negative set.
+    *
+    * Same plan as [[similarityJoin]] (canonicalize-first forest
+    * blocking, canonical top-k before expansion, bounded TopKAgg) with
+    * the band filter applied at scoring time — the filter tightens the
+    * candidate frame BEFORE the top-k aggregates, it never widens
+    * anything. Output: (qid, idCol, rank, dist), nearest-in-band
+    * first. */
+  def hardNegatives(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                    numTables: Int, bitsPerTable: Int, dim: Int,
+                    metric: Knn.Metric, dMin: Double, dMax: Double): DataFrame = {
+    require(dMin < dMax, s"need dMin < dMax, got ($dMin, $dMax]")
+    selfJoinTopK(df, vecCol, idCol, k, numTables, bitsPerTable, dim, metric,
+      band = Some((dMin, dMax)))
+  }
+
+  private def selfJoinTopK(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                           numTables: Int, bitsPerTable: Int, dim: Int,
+                           metric: Knn.Metric,
+                           band: Option[(Double, Double)]): DataFrame = {
     import graft.functions.TopKAgg
+    def inBand(d: Column): Column = band match {
+      case Some((lo, hi)) => d > lo && d <= hi
+      case None => lit(true)
+    }
     val base = df.select(col(idCol), col(vecCol))
     // one vector-keyed agg (map-side partial min; a window would sort
     // and ship every row) — groups are (canonical id, member ids, vec)
@@ -512,6 +546,7 @@ object AnnLsh {
       .join(cvec.select(col("_cid").as("_cq"), col(vecCol).as("_qv")), Seq("_cq"))
       .select(col("_cq"), col("_cid"),
         Knn.distCol(metric, col(vecCol), col("_qv")).as("dist"))
+      .filter(inBand(col("dist")))
     // canonical-level top-k BEFORE expansion: k canonical neighbors
     // expand to >= k member candidates, so expanding only these keeps
     // the expanded frame at O(members x k) instead of O(members x
@@ -535,6 +570,7 @@ object AnnLsh {
     val selfd = canon.filter(col("_gsz") > 1)
       .select(col("_cid"),
         Knn.distCol(metric, col(vecCol), col(vecCol)).as("dist"))
+      .filter(inBand(col("dist")))
     val own = selfd
       .join(qm.withColumnRenamed("_cq", "_cid"), Seq("_cid"))
       .join(im, Seq("_cid"))

@@ -120,4 +120,47 @@ object Eval {
           lit(2.0) * col("precision") * col("recall") /
             (col("precision") + col("recall"))).otherwise(lit(0.0)))
   }
+
+  /** Embedding-space drift between two corpus slices — the vector
+    * twin of [[TextAnalysis.corpusDrift]]: per dimension, the mean
+    * coordinate in slice `sideA` vs slice `sideB` of `groupCol`, with
+    * `drift = |mean_a − mean_b|`. The check run when an embedding
+    * model version changes or a new crawl lands: a stable corpus
+    * drifts ~0 in every dimension; a model/domain shift concentrates
+    * mass in a few dimensions.
+    *
+    * Determinism: float coordinate sums are summation-order-dependent,
+    * so each coordinate QUANTIZES to a 1e-6 integer grid first
+    * (`round(x·1e6)` as long — the ann_ivf_trained grid rule); the
+    * per-(dim, side) sums are then integer-exact in any engine or
+    * partitioning, and the means divide those integers in one fixed
+    * expression. The grid is far coarser than double noise and far
+    * finer than any drift worth alerting on.
+    *
+    * Scale shape: the posexplode is map-side and the keyed agg's
+    * map-side partials collapse each partition to ≤ dim rows before
+    * the shuffle — the exchange moves O(dim × partitions) longs
+    * regardless of corpus size; output is dim rows. */
+  def embeddingDrift(df: DataFrame, vecCol: String,
+                     groupCol: org.apache.spark.sql.Column,
+                     sideA: String, sideB: String): DataFrame = {
+    require(sideA != sideB, "drift needs two distinct sides")
+    val sided = df.withColumn("_side",
+        when(groupCol === sideA, "a").when(groupCol === sideB, "b"))
+      .filter(col("_side").isNotNull)
+    val ex = sided.select(col("_side"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "_x")))
+      .select(col("_side"), col("dim"),
+        round(col("_x") * lit(1000000.0), 0).cast("long").as("_qx"))
+    ex.groupBy(col("dim")).agg(
+        sum(when(col("_side") === "a", col("_qx")).otherwise(0L)).as("_sa"),
+        sum(when(col("_side") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_side") === "b", col("_qx")).otherwise(0L)).as("_sb"),
+        sum(when(col("_side") === "b", 1L).otherwise(0L)).as("n_b"))
+      .withColumn("mean_a", (col("_sa").cast("double") / col("n_a")) / 1000000.0)
+      .withColumn("mean_b", (col("_sb").cast("double") / col("n_b")) / 1000000.0)
+      .select(col("dim"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        abs(col("mean_a") - col("mean_b")).as("drift"))
+  }
 }

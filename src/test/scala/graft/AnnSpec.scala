@@ -457,4 +457,30 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     repDirect.foreach { case (cell, rep) => assert(prof(cell)._3 == rep) }
   }
+
+  test("hardNegatives keeps only the band: dups below the floor, far pairs above the cap") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),   // exact dup of 1 -> dist ~0
+      (3L, Seq(math.cos(0.3 * math.Pi), math.sin(0.3 * math.Pi), 0.0, 0.0)), // 0.30
+      (4L, Seq(math.cos(0.6 * math.Pi), math.sin(0.6 * math.Pi), 0.0, 0.0))  // 0.60
+    ).toDF("vec_id", "embedding")
+    val got = AnnLsh.hardNegatives(vecs, "embedding", "vec_id", k = 5,
+        numTables = 30, bitsPerTable = 1, dim = 4, Knn.Cosine,
+        dMin = 0.01, dMax = 0.45)
+      .select("qid", "vec_id", "dist").as[(Long, Long, Double)].collect()
+    val pairs = got.map(r => (r._1, r._2)).toSet
+    // the in-band neighbor appears, both directions
+    assert(pairs.contains((1L, 3L)) && pairs.contains((3L, 1L)))
+    // the exact duplicate and the far pair never do
+    assert(!got.exists(r => Set(r._1, r._2) == Set(1L, 2L)))
+    assert(!got.exists(r => Set(r._1, r._2) == Set(1L, 4L)))
+    // every surviving distance is inside the band
+    assert(got.forall(r => r._3 > 0.01 && r._3 <= 0.45))
+    // and similarityJoin on the same corpus still reports the dup pair
+    val sj = AnnLsh.similarityJoin(vecs, "embedding", "vec_id", 3,
+        30, 1, 4, Knn.Cosine)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(sj.contains((1L, 2L)))
+  }
 }

@@ -138,4 +138,26 @@ class ObservabilitySpec extends SparkSpec {
     assert(res("s") == ("s", 4L, 1L, 2.0))
     assert(res("t") == ("t", 4L, 1L, 2.0))
   }
+
+  test("embeddingDrift reports per-dim mean shift on the integer grid, drops other sides") {
+    val rows = Seq(
+      ("a", Seq(1.0, 0.0)), ("a", Seq(3.0, 0.0)),   // mean (2.0, 0.0)
+      ("b", Seq(2.0, 4.0)),                          // mean (2.0, 4.0)
+      ("c", Seq(99.0, 99.0))                         // not a side -> dropped
+    ).toDF("grp", "embedding")
+    val got = Eval.embeddingDrift(rows, "embedding", col("grp"), "a", "b")
+      .select("dim", "n_a", "n_b", "mean_a", "mean_b", "drift")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 2)
+    assert(got(0) == ((0, 2L, 1L, 2.0, 2.0, 0.0)))
+    assert(got(1) == ((1, 2L, 1L, 0.0, 4.0, 4.0)))
+    // partitioning-independent: the quantized sums are integers
+    val again = Eval.embeddingDrift(rows.repartition(7), "embedding",
+        col("grp"), "a", "b")
+      .select("dim", "n_a", "n_b", "mean_a", "mean_b", "drift")
+      .as[(Int, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }

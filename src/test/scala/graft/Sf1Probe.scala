@@ -31,7 +31,14 @@ object Sf1Probe {
     // shuffles scale linearly, not quadratically; both variants now
     // share the agg+join shape (keep-first adds the first-occurrence
     // struct to the agg) and each gets its own ratio
-    "dedup_substring", "dedup_substring_keep")
+    "dedup_substring", "dedup_substring_keep",
+    // round-11 additions: NB training is two keyed aggs over 10x
+    // tokens (model stays buckets x labels); the kernel variant pays
+    // the same training cost but scores at scan speed; more_like_this
+    // band-blocks 10x seeds against a 10x corpus; keep_best re-runs
+    // the minhash pair chain + cluster-sized winner aggs at 10x
+    "classify_nb", "classify_nb_scored", "more_like_this",
+    "dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
