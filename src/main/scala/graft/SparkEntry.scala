@@ -120,6 +120,19 @@ object SparkEntry {
       path
     })
 
+  /** MinHash index over the dedup corpus (same build-once contract as
+    * the ANN/BM25 indexes): (band, key, id) rows + (sid, shs) hash
+    * sets — the corpus side of indexed retrieval/incremental probes. */
+  private def minhashIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|mhidx", { _ =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|mhidx".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/mh-$key"
+      Dedup.writeMinhashIndex(dedupCorpus(s, dir), "text", "doc_id", path)
+      path
+    })
+
   /** BM25 inverted index per corpus dir (same build-once contract as
     * the ANN indexes): term-bucket-partitioned postings + stats. */
   private def bm25IndexPath(s: SparkSession, dir: String): String =
@@ -1266,6 +1279,17 @@ object SparkEntry {
           col("doc_id"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "more_like_this_indexed" -> ((s, dir) => {
+      // the same retrieval over the PERSISTED MinHash index: seeds
+      // sign fresh, the corpus contributes zero text scans — results
+      // identical to the scan path (shared oracle)
+      val seeds = dedupCorpus(s, dir).filter(col("doc_id") % 50 === 0)
+      Search.moreLikeThisIndexed(s, minhashIndexPath(s, dir), seeds,
+          "text", "doc_id", k = 5, minJaccard = 0.2)
+        .select(col("qid"), col("rank").cast("long").as("rank"),
+          col("doc_id"), round(col("jaccard"), 5).as("jaccard"))
+    }),
+
     "dedup_keep_best" -> ((s, dir) => {
       // keep-BEST near-dup resolution: minhash pair-graph clusters,
       // keeper = most tokens (ties to min id). The corpus plants
@@ -1552,6 +1576,33 @@ object SparkEntry {
        |            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |          FROM bmsc WHERE score > 0)""".stripMargin
   }
+
+  /** Shared oracle for `more_like_this` (scan path) and
+    * `more_like_this_indexed` (persisted MinHash index probe): the
+    * decontaminate_near band machinery with the corpus on both sides;
+    * rank = (jaccard DESC, doc_id ASC) row_number — jaccard is an
+    * integer-derived ratio, so the cutoff agrees exactly in both
+    * engines, and the two Spark paths sign with the same family. */
+  private lazy val moreLikeThisSql: String =
+    s"""WITH $corpusSql,
+       |seedsrc AS (SELECT doc_id, text FROM corpus WHERE doc_id % 50 = 0),
+       |${mhBandChain("seedsrc", "q")},
+       |${mhBandChain("corpus", "c")},
+       |cand AS (SELECT DISTINCT q.doc_id AS qid, c.doc_id AS did
+       |         FROM qband q JOIN cband c USING (band, key)
+       |         WHERE q.doc_id <> c.doc_id),
+       |ver AS (SELECT cand.qid, cand.did,
+       |          len(list_intersect(a.hs, b.hs)) AS i,
+       |          len(a.hs) AS na, len(b.hs) AS nb
+       |        FROM cand JOIN qhs a ON a.doc_id = cand.qid
+       |                  JOIN chs b ON b.doc_id = cand.did),
+       |j AS (SELECT qid, did, i * 1.0 / (na + nb - i) AS jaccard FROM ver
+       |      WHERE i * 1.0 / (na + nb - i) >= 0.2),
+       |r AS (SELECT qid, did, jaccard,
+       |        row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, did ASC) AS rank
+       |      FROM j)
+       |SELECT qid, rank, did AS doc_id, round(jaccard, 5) AS jaccard
+       |FROM r WHERE rank <= 5""".stripMargin
 
   /** Shared oracle for `classify_nb` (distributed operator) and
     * `classify_nb_scored` (codegen'd kernel over the driver-trained
@@ -3325,29 +3376,13 @@ object SparkEntry {
         |       round(abs(mean_a - mean_b), 6) AS drift
         |FROM m""".stripMargin,
 
-    "more_like_this" ->
-      // the decontaminate_near band machinery with the corpus on both
-      // sides; rank = (jaccard DESC, doc_id ASC) row_number — jaccard
-      // is an integer-derived ratio, so the cutoff agrees exactly
-      s"""WITH $corpusSql,
-         |seedsrc AS (SELECT doc_id, text FROM corpus WHERE doc_id % 50 = 0),
-         |${mhBandChain("seedsrc", "q")},
-         |${mhBandChain("corpus", "c")},
-         |cand AS (SELECT DISTINCT q.doc_id AS qid, c.doc_id AS did
-         |         FROM qband q JOIN cband c USING (band, key)
-         |         WHERE q.doc_id <> c.doc_id),
-         |ver AS (SELECT cand.qid, cand.did,
-         |          len(list_intersect(a.hs, b.hs)) AS i,
-         |          len(a.hs) AS na, len(b.hs) AS nb
-         |        FROM cand JOIN qhs a ON a.doc_id = cand.qid
-         |                  JOIN chs b ON b.doc_id = cand.did),
-         |j AS (SELECT qid, did, i * 1.0 / (na + nb - i) AS jaccard FROM ver
-         |      WHERE i * 1.0 / (na + nb - i) >= 0.2),
-         |r AS (SELECT qid, did, jaccard,
-         |        row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, did ASC) AS rank
-         |      FROM j)
-         |SELECT qid, rank, did AS doc_id, round(jaccard, 5) AS jaccard
-         |FROM r WHERE rank <= 5""".stripMargin,
+    "more_like_this" -> moreLikeThisSql,
+
+    "more_like_this_indexed" ->
+      // the persisted index signs with the identical arithmetic as
+      // the scan path (the dedup_incremental oracle pins that
+      // family), so the indexed probe shares the scan path's oracle
+      moreLikeThisSql,
 
     "dedup_keep_best" ->
       // the split_safe closure over a corpus with truncated AND

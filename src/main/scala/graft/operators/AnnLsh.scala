@@ -521,9 +521,18 @@ object AnnLsh {
                            metric: Knn.Metric,
                            band: Option[(Double, Double)]): DataFrame = {
     import graft.functions.TopKAgg
-    def inBand(d: Column): Column = band match {
-      case Some((lo, hi)) => d > lo && d <= hi
-      case None => lit(true)
+    // the band is applied as a NULL-gate INSIDE the distance
+    // projection, never as a Filter node: a filter on the dist
+    // attribute gets pushed below the projection and into the join
+    // condition, substituting the full 64-dim distance expression
+    // into every predicate — measured 2x the whole query (the
+    // distance evaluated up to 3x per candidate). TopKAgg skips null
+    // inputs, so out-of-band rows drop at the aggregate without a
+    // single extra distance evaluation; within one projection the
+    // repeated subtree is codegen-CSE'd.
+    def gate(d: Column): Column = band match {
+      case Some((lo, hi)) => when(d > lo && d <= hi, d)
+      case None => d
     }
     val base = df.select(col(idCol), col(vecCol))
     // one vector-keyed agg (map-side partial min; a window would sort
@@ -545,8 +554,7 @@ object AnnLsh {
       .join(cvec, Seq("_cid"))
       .join(cvec.select(col("_cid").as("_cq"), col(vecCol).as("_qv")), Seq("_cq"))
       .select(col("_cq"), col("_cid"),
-        Knn.distCol(metric, col(vecCol), col("_qv")).as("dist"))
-      .filter(inBand(col("dist")))
+        gate(Knn.distCol(metric, col(vecCol), col("_qv"))).as("dist"))
     // canonical-level top-k BEFORE expansion: k canonical neighbors
     // expand to >= k member candidates, so expanding only these keeps
     // the expanded frame at O(members x k) instead of O(members x
@@ -569,8 +577,7 @@ object AnnLsh {
     // ... and groups with >1 member pair internally at self-distance
     val selfd = canon.filter(col("_gsz") > 1)
       .select(col("_cid"),
-        Knn.distCol(metric, col(vecCol), col(vecCol)).as("dist"))
-      .filter(inBand(col("dist")))
+        gate(Knn.distCol(metric, col(vecCol), col(vecCol))).as("dist"))
     val own = selfd
       .join(qm.withColumnRenamed("_cq", "_cid"), Seq("_cid"))
       .join(im, Seq("_cid"))

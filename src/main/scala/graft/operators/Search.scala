@@ -470,4 +470,59 @@ object Search {
       .select(col("qid"), (col("_pos") + 1).as("rank"),
         col("_t.id").as(idCol), (-col("_t.dist")).as("jaccard"))
   }
+
+  /** [[moreLikeThis]] over a PERSISTED MinHash index
+    * ([[graft.operators.Dedup.writeMinhashIndex]]) — the query-time
+    * retrieval shape: at 100 TB the difference between re-signing the
+    * archive per seed batch and reading its band keys + candidate
+    * hash sets from parquet. Only the SEED side hashes fresh; the
+    * corpus contributes zero text scans (the incremental-dedup probe
+    * posture, Dedup.incrementalNearDupIndexed). Deleted corpus docs
+    * never surface: both index halves anti-join the tombstone set.
+    *
+    * The index signs with the identical arithmetic as the scan path
+    * (the dedup_incremental oracle pins that family), so results
+    * equal [[moreLikeThis]] over the indexed corpus — spec-pinned. */
+  def moreLikeThisIndexed(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, seeds: DataFrame,
+                          textCol: String, idCol: String, k: Int,
+                          numHashes: Int = 16, bands: Int = 4,
+                          shingleN: Int = 3,
+                          minJaccard: Double = 0.1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val corpusBands = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$indexPath/bands").withColumnRenamed(idCol, "_cid"),
+      "_cid")
+    val corpusSets = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$indexPath/sets"), "sid")
+    val (as, bs) = Dedup.minhashConsts(numHashes)
+    val seedSets = Dedup.shingleSets(seeds, textCol, idCol, shingleN)
+    val seedSigs = seedSets.filter(size(col("shs")) > 0)
+      .select(col("sid").as("qid"),
+        graft.functions.SketchExprs.minhashSig(
+          transform(col("shs"), h => h % Dedup.MINHASH_M),
+          as, bs, Dedup.MINHASH_M).as("sig"))
+    val seedBands = Dedup.bandKeys(seedSigs, "qid", "qid",
+      bands, numHashes / bands)
+    // seeds are the small side by construction: band keys and hash
+    // sets broadcast onto the index partitions
+    val cand = corpusBands.join(broadcast(seedBands), Seq("band", "key"))
+      .filter(col("qid") =!= col("_cid"))
+      .select(col("qid"), col("_cid")).distinct()
+    val ver = cand
+      .join(corpusSets.select(col("sid").as("_cid"), col("shs").as("_sb")), "_cid")
+      .join(broadcast(seedSets.select(col("sid").as("qid"), col("shs").as("_sa"))),
+        "qid")
+      .withColumn("_inter",
+        size(array_intersect(col("_sa"), col("_sb"))).cast("long"))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_sa")) + size(col("_sb")) - col("_inter")))
+      .filter(col("jaccard") >= minJaccard)
+    ver.groupBy(col("qid"))
+      .agg(TopKAgg.topk(-col("jaccard"), col("_cid"), k).as("_top"))
+      .select(col("qid"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("qid"), (col("_pos") + 1).as("rank"),
+        col("_t.id").as(idCol), (-col("_t.dist")).as("jaccard"))
+  }
 }

@@ -169,4 +169,29 @@ class SearchSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(top1 == Seq(102L))
   }
+
+  test("moreLikeThisIndexed equals the scan path and honors tombstones") {
+    import graft.operators.{Dedup, IndexMaintenance}
+    val corpus = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val seeds = corpus.filter(col("doc_id") % 25 === 0)
+    val scan = Search.moreLikeThis(corpus, "text", "doc_id",
+        seeds.select("doc_id"), k = 4, minJaccard = 0.1)
+      .select("qid", "rank", "doc_id", "jaccard")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft-mlt").toString + "/idx"
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", path)
+    val indexed = Search.moreLikeThisIndexed(spark, path, seeds,
+        "text", "doc_id", k = 4, minJaccard = 0.1)
+      .select("qid", "rank", "doc_id", "jaccard")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(indexed == scan && scan.nonEmpty)
+    // tombstone a returned corpus doc: it must vanish from results
+    val victim = scan.head._3
+    IndexMaintenance.appendTombstones(spark, path, Seq(victim))
+    val after = Search.moreLikeThisIndexed(spark, path, seeds,
+        "text", "doc_id", k = 4, minJaccard = 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!after.contains(victim))
+  }
 }
