@@ -44,6 +44,24 @@ object SparkEntry {
       .repartition(s.sparkContext.defaultParallelism)
   }
 
+  /** Keep-best test corpus: originals + truncated variants (doc_id%5,
+    * +200000, last 5 words dropped) + EXTENDED variants (doc_id%11,
+    * +300000, 4 words appended) — the extended copies are the case a
+    * min-id/keep-first rule resolves wrong. Mirrored by the `kb` CTE
+    * in the dedup_keep_best / pipeline_curate_v2 oracles. */
+  private def kbCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val truncated = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text"))
+    val extended = docs.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(col("text"), lit(" appended trailer words here")).as("text"))
+    docs.unionByName(truncated).unionByName(extended)
+      .repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** Per-JVM scratch root for indexes a declared query builds once and
     * probes repeatedly (UUID-suffixed: no stale reuse across runs).
     * Cleaned up RECURSIVELY on JVM exit — File.deleteOnExit only
@@ -1279,6 +1297,38 @@ object SparkEntry {
           col("doc_id"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "pipeline_curate_v2" -> ((s, dir) => {
+      // END-TO-END curation with the round-11 operators: quality
+      // funnel -> trained-classifier language gate (NB must AGREE the
+      // doc is English — a second opinion over the stopword heuristic)
+      // -> quality-aware keep-BEST near-dedup (longest copy survives,
+      // not the arbitrary first) -> deterministic split. Proves the
+      // new operators COMPOSE, like pipeline_curate does for round 7's
+      val corpus = kbCorpus(s, dir)
+      val kept = TextAnalysis.filterFunnel(corpus, "text",
+          minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
+        .filter(col("verdict") === "kept")
+        .select(col("doc_id"), col("text")).persist()
+      val train = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      val gated = kept.join(
+          TextAnalysis.naiveBayes(train, kept, "text", "doc_id", "lang", 4096)
+            .filter(col("pred") === "en")
+            .select(col("doc_id"), col("pred").as("pred_lang")),
+          Seq("doc_id")).persist()
+      val pairs = Dedup.minhashPairs(gated, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      val scores = gated.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      val best = Dedup.dedupKeepBest(gated, "doc_id", pairs, scores, "n_tokens")
+      kept.unpersist(blocking = false)
+      best.filter(col("keep"))
+        .join(gated.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+          when(Dedup.hash64(concat(lit("cur2_"), col("doc_id").cast("string")))
+            % 1000000 < lit(0.1) * 1000000, "eval").otherwise("train").as("split"))
+    }),
+
     "more_like_this_indexed" -> ((s, dir) => {
       // the same retrieval over the PERSISTED MinHash index: seeds
       // sign fresh, the corpus contributes zero text scans — results
@@ -1296,16 +1346,7 @@ object SparkEntry {
       // truncated copies (keeper = the original) AND extended copies
       // (keeper = the HIGH-id longer version — the case any
       // keep-first/min-id rule gets wrong by construction)
-      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val w = split(col("text"), " ")
-      val truncated = docs.filter(col("doc_id") % 5 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"),
-          concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text"))
-      val extended = docs.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(col("text"), lit(" appended trailer words here")).as("text"))
-      val corpus = docs.unionByName(truncated).unionByName(extended)
-        .repartition(s.sparkContext.defaultParallelism)
+      val corpus = kbCorpus(s, dir)
       val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
         numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
       val scores = corpus.select(col("doc_id"),
@@ -1576,6 +1617,56 @@ object SparkEntry {
        |            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |          FROM bmsc WHERE score > 0)""".stripMargin
   }
+
+  /** The kb (keep-best) corpus CTE — SQL mirror of [[kbCorpus]]. */
+  private val kbSql: String =
+    """kb AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, array_to_string(w[1:greatest(len(w)-5, 1)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |  WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000, text || ' appended trailer words here'
+      |  FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  /** The NB scoring chain over an arbitrary test CTE `testSrc(doc_id,
+    * text)` — the classify_nb oracle's arithmetic with nb-prefixed CTE
+    * names so it composes inside larger chains (pipeline_curate_v2).
+    * Training side is fixed: documents with doc_id % 5 <> 0, matching
+    * the Spark side's train split. Emits `nbwin(doc_id, pred)`. */
+  private def nbGateChain(testSrc: String): String =
+    s"""nbtr AS (SELECT lang,
+       |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+       |      FROM documents WHERE doc_id % 5 <> 0),
+       |nbtrt AS (SELECT lang, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 4096 AS bkt
+       |        FROM (SELECT lang, unnest(w) AS word FROM nbtr)),
+       |nbcnt AS (SELECT lang, bkt, count(*) AS n FROM nbtrt GROUP BY 1, 2),
+       |nbtot AS (SELECT lang, count(*) AS t FROM nbtrt GROUP BY 1),
+       |nbpri AS (SELECT lang, count(*) AS nd FROM nbtr GROUP BY 1),
+       |nbnd AS (SELECT count(*) AS total FROM nbtr),
+       |nbte AS (SELECT doc_id,
+       |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+       |      FROM $testSrc),
+       |nbtet AS (SELECT doc_id, s.pos AS pos,
+       |          CAST('0x' || substr(md5(s.word), 1, 15) AS BIGINT) % 4096 AS bkt
+       |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+       |                i -> {'pos': i, 'word': w[CAST(i AS INT)]})) AS s FROM nbte)),
+       |nbll AS (SELECT nbtet.doc_id, p.lang, nbtet.pos,
+       |         ln((coalesce(nbcnt.n, 0) + 1.0) / (nbtot.t + 4096)) AS ll
+       |       FROM nbtet CROSS JOIN nbpri p
+       |       LEFT JOIN nbcnt ON nbcnt.lang = p.lang AND nbcnt.bkt = nbtet.bkt
+       |       JOIN nbtot ON nbtot.lang = p.lang),
+       |nbfold AS (SELECT doc_id, lang, list_sum(list(ll ORDER BY pos)) AS s
+       |         FROM nbll GROUP BY 1, 2),
+       |nbsc AS (SELECT t.doc_id, p.lang,
+       |         ln(CAST(p.nd AS DOUBLE) / nbnd.total) + coalesce(f.s, 0.0) AS score
+       |       FROM nbte t CROSS JOIN nbpri p CROSS JOIN nbnd
+       |       LEFT JOIN nbfold f ON f.doc_id = t.doc_id AND f.lang = p.lang),
+       |nbmx AS (SELECT doc_id, max(score) AS m FROM nbsc GROUP BY 1),
+       |nbwin AS (SELECT nbsc.doc_id, min(nbsc.lang) AS pred
+       |        FROM nbsc JOIN nbmx ON nbmx.doc_id = nbsc.doc_id
+       |        WHERE nbsc.score = nbmx.m GROUP BY 1)""".stripMargin
 
   /** Shared oracle for `more_like_this` (scan path) and
     * `more_like_this_indexed` (persisted MinHash index probe): the
@@ -3376,6 +3467,48 @@ object SparkEntry {
         |       round(abs(mean_a - mean_b), 6) AS drift
         |FROM m""".stripMargin,
 
+    "pipeline_curate_v2" ->
+      // the composition of the funnel fragment (over kb), the
+      // nb-prefixed classifier chain gating on pred = 'en', the
+      // keep-best closure + integer-score argmax, and the
+      // md5-Bernoulli split — each stage reads the previous
+      s"""WITH RECURSIVE $kbSql,
+         |fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM kb),
+         |fg AS (SELECT doc_id, len(w) AS n,
+         |  len(list_filter(w, t -> list_contains(${LangSql.en}, t)))::DOUBLE / len(w) AS stop,
+         |  ${LangSql.scoreCols}
+         |FROM fw),
+         |fv AS (SELECT doc_id, n, stop,
+         |         CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred
+         |       FROM fg),
+         |kept AS (SELECT k.doc_id, k.text FROM kb k JOIN fv USING (doc_id)
+         |         WHERE n IS NOT NULL AND n >= 20 AND n <= 90
+         |           AND lang_pred IN ('en') AND stop >= 0.02),
+         |${nbGateChain("kept")},
+         |gated AS (SELECT kept.doc_id, kept.text, nbwin.pred AS pred_lang
+         |          FROM kept JOIN nbwin USING (doc_id) WHERE nbwin.pred = 'en'),
+         |${minhashPairChain("gated")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (SELECT g.doc_id,
+         |             CAST(coalesce(l.cluster_id, g.doc_id) AS BIGINT) AS cluster_id,
+         |             len(list_filter(string_split(g.text, ' '), x -> x <> '')) AS n_tokens,
+         |             g.pred_lang
+         |           FROM gated g LEFT JOIN lab l ON l.id = g.doc_id),
+         |mxs AS (SELECT cluster_id, max(n_tokens) AS m FROM scored GROUP BY 1),
+         |wins AS (SELECT s.cluster_id, min(s.doc_id) AS wid
+         |        FROM scored s JOIN mxs ON mxs.cluster_id = s.cluster_id AND s.n_tokens = mxs.m
+         |        GROUP BY 1)
+         |SELECT s.doc_id, s.pred_lang, s.n_tokens,
+         |  CASE WHEN CAST('0x' || substr(md5('cur2_' || CAST(s.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |         % 1000000 < 0.1 * 1000000 THEN 'eval' ELSE 'train' END AS split
+         |FROM scored s JOIN wins w ON w.cluster_id = s.cluster_id AND s.doc_id = w.wid""".stripMargin,
+
     "more_like_this" -> moreLikeThisSql,
 
     "more_like_this_indexed" ->
@@ -3388,15 +3521,7 @@ object SparkEntry {
       // the split_safe closure over a corpus with truncated AND
       // extended variants; keeper = max token count then min id —
       // integer scores, so max-equality is exact in both engines
-      s"""WITH RECURSIVE kb AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 200000, array_to_string(w[1:greatest(len(w)-5, 1)], ' ')
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         |  WHERE doc_id % 5 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 300000, text || ' appended trailer words here'
-         |  FROM documents WHERE doc_id % 11 = 0),
+      s"""WITH RECURSIVE $kbSql,
          |${minhashPairChain("kb")},
          |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
          |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),

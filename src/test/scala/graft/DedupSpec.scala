@@ -643,6 +643,27 @@ class DedupSpec extends SparkSpec {
     assert(one == many && one.nonEmpty)
   }
 
+  test("pipeline_curate_v2 composition holds every stage's invariant end to end") {
+    val out = SparkEntry.queries("pipeline_curate_v2")(spark, sf0001)
+      .as[(Long, String, Long, String)].collect()
+    assert(out.nonEmpty)
+    // one row per kept doc, every one NB-gated English
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(_._2 == "en"))
+    // the keep-best stage is load-bearing: some extended (+300000)
+    // variants beat their shorter originals, and the beaten original
+    // is then absent from the kept set
+    val keptIds = out.map(_._1).toSet
+    val extendedKept = keptIds.filter(_ >= 300000L)
+    assert(extendedKept.nonEmpty)
+    extendedKept.foreach { e => assert(!keptIds.contains(e - 300000L),
+      s"original ${e - 300000L} survived alongside its longer copy $e") }
+    // split is the deterministic md5 rule, both sides populated at
+    // this corpus size
+    val sides = out.map(_._4).toSet
+    assert(sides.subsetOf(Set("train", "eval")) && sides.size == 2)
+  }
+
   test("dedupKeepBest keeps the highest-scored member, ties to min id, NULL scores lose") {
     val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L).toDF("doc_id")
     // clusters: {1,2,3} (chain), {10,11}, {30,31}; 20 is a singleton
