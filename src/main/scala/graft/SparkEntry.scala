@@ -779,6 +779,16 @@ object SparkEntry {
           round(col("est_distinct"), 4).as("est_distinct"))
     }),
 
+    "events_rolling_distinct" -> ((s, dir) => {
+      // rolling 7-day distinct users per observed day (the WAU line):
+      // each event fans out to the 7 target days it covers, one KMV
+      // agg absorbs the overlap — never w overlapping count-distincts
+      Events.rollingDistinct(Tables.events(s, dir), "ts", "user_id",
+          windowDays = 7, k = 64, seed = "roll0")
+        .select(col("day"), col("n_sketch"),
+          round(col("est_distinct"), 4).as("est_distinct"))
+    }),
+
     "sample_topk" -> ((s, dir) => {
       Sampling.exactSample(Tables.documents(s, dir), "doc_id",
           col("source"), k = 20, seed = "sk0")
@@ -1368,6 +1378,34 @@ object SparkEntry {
         .select(col("doc_id"), col("pred").as("pred_lang"),
           round(col("nb_score"), 5).as("nb_score"),
           (col("pred") === col("lang")).as("correct"))
+    }),
+
+    "quality_gopher" -> ((s, dir) => {
+      // the Gopher rule bundle as an auditable per-doc report; the
+      // word-count floor is 30 so the 20-90-token corpus splits
+      // meaningfully across the rules
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "text", "doc_id",
+          minWords = 30, maxWords = 100000)
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 5).as("mean_word_len"),
+          round(col("frac_alpha"), 5).as("frac_alpha"),
+          col("n_stop_distinct"), col("words_ok"), col("mwl_ok"),
+          col("alpha_ok"), col("stop_ok"), col("pass"))
+    }),
+
+    "classify_nb_report" -> ((s, dir) => {
+      // the classifier's deploy gate: confusion matrix over the
+      // held-out split (declared lang × predicted), integer counts —
+      // the eval-report twin of ann_recall_eval/dedup_eval
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang",
+          buckets = 4096)
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("pred_lang"), col("n"))
     }),
 
     "classify_nb_scored" -> ((s, dir) => {
@@ -3135,6 +3173,22 @@ object SparkEntry {
         |                 / 1152921504606846976.0) END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY event_type, day""".stripMargin,
 
+    "events_rolling_distinct" ->
+      // the events_kmv sketch rebuild, but per TARGET day over the
+      // trailing window: day t covers event days [t-6, t]; same
+      // 60-bit hash, same (k-1)/frac(h_k) arithmetic
+      """WITH days AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |h AS (SELECT DISTINCT d.day,
+        |    CAST('0x' || substr(md5('roll0_' || CAST(e.user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM events e JOIN days d
+        |    ON CAST(CAST(e.ts AS TIMESTAMP) AS DATE) BETWEEN d.day - 6 AND d.day),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY day ORDER BY hv) AS rn FROM h)
+        |SELECT day, count(*) AS n_sketch,
+        |  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |    ELSE 63.0 / (CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+        |                 / 1152921504606846976.0) END, 4) AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY day""".stripMargin,
+
     "sample_topk" ->
       // rank by double-cast hash then id: the Spark side's TopKAgg
       // orders (double, long) pairs, so the oracle must rank on the
@@ -3542,6 +3596,40 @@ object SparkEntry {
          |FROM scored s JOIN win w ON w.cluster_id = s.cluster_id""".stripMargin,
 
     "classify_nb" -> classifyNbSql,
+
+    "quality_gopher" ->
+      // same integer counts / integer-derived ratios; thresholds
+      // compare the identical doubles in both engines
+      s"""WITH t AS (SELECT doc_id,
+         |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+         |      FROM documents),
+         |m AS (SELECT doc_id, len(w) AS n_words,
+         |        CASE WHEN len(w) > 0
+         |          THEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+         |          ELSE 0.0 END AS mwl,
+         |        CASE WHEN len(w) > 0
+         |          THEN CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(w)
+         |          ELSE 0.0 END AS fa,
+         |        len(list_intersect(list_distinct(w), ${LangSql.en})) AS ns
+         |      FROM t)
+         |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         |  round(mwl, 5) AS mean_word_len, round(fa, 5) AS frac_alpha,
+         |  CAST(ns AS BIGINT) AS n_stop_distinct,
+         |  (n_words >= 30 AND n_words <= 100000) AS words_ok,
+         |  (mwl >= 3.0 AND mwl <= 10.0) AS mwl_ok,
+         |  (fa >= 0.8) AS alpha_ok,
+         |  (ns >= 2) AS stop_ok,
+         |  (n_words >= 30 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+         |    AND fa >= 0.8 AND ns >= 2) AS pass
+         |FROM m""".stripMargin,
+
+    "classify_nb_report" ->
+      // the classify_nb chain rolled up to the confusion matrix —
+      // integer counts, so the report is trivially engine-exact
+      s"""WITH nbout AS ($classifyNbSql)
+         |SELECT d.lang, nbout.pred_lang, count(*) AS n
+         |FROM nbout JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     "classify_nb_scored" ->
       // the codegen'd kernel path is bit-identical to the batch

@@ -214,6 +214,44 @@ object Events {
           .as("est_distinct")): _*)
   }
 
+  /** Rolling `windowDays`-day distinct count per observed day — the
+    * WAU/MAU dashboard line ("distinct users over the trailing 7
+    * days, for every day"). A naive formulation joins each day to its
+    * whole trailing window of raw events (w× the volume through a
+    * shuffle) or runs w overlapping `count(DISTINCT …)` jobs; here
+    * each event row fans out map-side to the `windowDays` target days
+    * it covers (the [[rangeJoin]] bucket trick) and the same
+    * [[graft.functions.KmvAgg]] buffer as [[kmvDistinct]] absorbs
+    * them — set semantics make the union of overlapping days exact,
+    * and the map-side partials keep ≤ k longs per (day, partition),
+    * so the shuffle is bounded regardless of volume or window width.
+    * Target days are restricted to days observed in the data (the
+    * dashboard's x-axis). Same exactly-reproducible estimate as
+    * [[kmvDistinct]]: exact under k distinct, (k−1)/frac(h_k) above. */
+  def rollingDistinct(df: DataFrame, tsCol: String, valueCol: String,
+                      windowDays: Int, k: Int, seed: String): DataFrame = {
+    require(windowDays > 0, s"windowDays must be > 0, got $windowDays")
+    val h = conv(substring(md5(concat(lit(seed + "_"),
+      col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val day = to_date(col(tsCol))
+    val contrib = df.select(day.as("_d"), h.as("_h"))
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("_i"),
+        col("_d"), col("_h"))
+      .select(date_add(col("_d"), col("_i")).as("day"), col("_h"))
+    val days = df.select(day.as("day")).distinct()
+    val kk = lit(k.toLong)
+    contrib.join(days, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(graft.functions.KmvAgg.kmv(col("_h"), k).as("_mins"))
+      .select(col("day"),
+        size(col("_mins")).cast("long").as("n_sketch"),
+        when(size(col("_mins")) < kk,
+            size(col("_mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("_mins"), k).cast("double") / lit(math.pow(2.0, 60))))
+          .as("est_distinct"))
+  }
+
   /** Top-k event-type TRANSITIONS (from → to between consecutive
     * events of the same user, ordered by (ts, id)) — the "what do
     * users do next" path dashboard behind funnel design. One

@@ -577,6 +577,45 @@ object TextAnalysis {
       .agg(min(col("_lbl")).as("pred"), max(col("_mx")).as("nb_score"))
   }
 
+  /** Gopher-style quality rule bundle (Rae et al. 2021, public): the
+    * standard pre-training document gate as per-rule booleans plus
+    * the conjunction, so a pipeline can AUDIT which rule drops each
+    * doc (the filter_funnel first-fail pattern, but all rules
+    * evaluated):
+    *
+    *  - `words_ok`: word count ∈ [minWords, maxWords];
+    *  - `mwl_ok`: mean word length ∈ [3, 10] characters;
+    *  - `alpha_ok`: ≥ 80% of words contain an alphabetic character;
+    *  - `stop_ok`: ≥ 2 DISTINCT English stopwords present (the
+    *    "real prose" signal);
+    *  - `pass` = all of the above.
+    *
+    * Pure map-side: one words array per row, integer counts and
+    * integer-derived ratios (sum of word lengths is an integer fold —
+    * order-independent), zero shuffles; NULL/empty text scores 0s and
+    * fails, keeping its row. */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val wcol = filter(w(coalesce(col(textCol), lit(""))), t => t =!= "")
+    val withW = df.select(col(idCol), wcol.as("_w"))
+    val n = size(col("_w"))
+    val sumLen = aggregate(col("_w"), lit(0L), (a, x) => a + length(x))
+    val nAlpha = size(filter(col("_w"), t => t.rlike("[a-zA-Z]")))
+    val nStop = size(array_intersect(array_distinct(col("_w")),
+      array(enStopwords.map(lit): _*)))
+    withW.select(col(idCol),
+        n.cast("long").as("n_words"),
+        when(n > 0, sumLen.cast("double") / n).otherwise(lit(0.0)).as("mean_word_len"),
+        when(n > 0, nAlpha.cast("double") / n).otherwise(lit(0.0)).as("frac_alpha"),
+        nStop.cast("long").as("n_stop_distinct"))
+      .withColumn("words_ok", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("mwl_ok", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("alpha_ok", col("frac_alpha") >= 0.8)
+      .withColumn("stop_ok", col("n_stop_distinct") >= 2)
+      .withColumn("pass",
+        col("words_ok") && col("mwl_ok") && col("alpha_ok") && col("stop_ok"))
+  }
+
   /** A trained Naive Bayes model in deployment form: `labels` sorted
     * ascending (ties in [[graft.functions.NbScore]] resolve to the
     * first = lexicographically smallest, matching [[naiveBayes]]'s

@@ -235,4 +235,31 @@ class EventsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(plan.contains("Window"), plan)
   }
+
+  test("rollingDistinct counts trailing-window distinct values for observed days only") {
+    def ts(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    val ev = Seq(
+      (ts("2024-01-01"), 1L), (ts("2024-01-01"), 2L),
+      (ts("2024-01-02"), 2L), (ts("2024-01-02"), 3L),
+      (ts("2024-01-03"), 4L),
+      (ts("2024-01-05"), 9L)
+    ).toDF("ts", "user_id")
+    val got = Events.rollingDistinct(ev, "ts", "user_id",
+        windowDays = 2, k = 64, seed = "t")
+      .select(col("day").cast("string"), col("n_sketch"), col("est_distinct"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // only observed days appear (no 2024-01-04 row)
+    assert(got.keySet ==
+      Set("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05"))
+    assert(got("2024-01-01") == ((2L, 2.0)))            // {1,2}
+    assert(got("2024-01-02") == ((3L, 3.0)))            // {1,2,3}
+    assert(got("2024-01-03") == ((3L, 3.0)))            // {2,3,4}
+    assert(got("2024-01-05") == ((1L, 1.0)))            // {9} — gap excluded
+    // the overlap union is set-semantics exact under any partitioning
+    val again = Events.rollingDistinct(ev.repartition(7), "ts", "user_id",
+        windowDays = 2, k = 64, seed = "t")
+      .select(col("day").cast("string"), col("n_sketch"), col("est_distinct"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == got)
+  }
 }

@@ -38,7 +38,10 @@ object Sf1Probe {
     // band-blocks 10x seeds against a 10x corpus; keep_best re-runs
     // the minhash pair chain + cluster-sized winner aggs at 10x
     "classify_nb", "classify_nb_scored", "more_like_this",
-    "dedup_keep_best")
+    "dedup_keep_best",
+    // indexed retrieval probe (index build amortized by builtIndexes,
+    // so the timed region is the probe) and the round-11 composition
+    "more_like_this_indexed", "pipeline_curate_v2")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -124,6 +127,14 @@ object Sf1Probe {
           s.read.parquet(s"$dir/embeddings.parquet")
             .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
           "embedding", "vec_id", 4, bitsFor(dir, 4), 64, tau = 0.99)
+      }),
+      "mine_hard_negatives" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.{AnnLsh, Knn}
+        AnnLsh.hardNegatives(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+          "embedding", "vec_id", 3, 20, bitsFor(dir, 8), 64, Knn.Cosine,
+          dMin = 0.01, dMax = 0.45)
       }))
     val qs = names.map(n => n -> SparkEntry.queries(n)) ++ scaled
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Unit =

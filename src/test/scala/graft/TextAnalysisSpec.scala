@@ -350,6 +350,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s1 == s2)
   }
 
+  test("gopherRules evaluates every rule independently and conjoins them") {
+    val fixture = Seq(
+      (1L, "the cat and dog sat on it to go up"),          // mwl 2.5 -> fails
+      (2L, "12 34 56 78 90 11"),                            // no alpha, no stopwords
+      (3L, null.asInstanceOf[String]),                      // empty -> all fail
+      (4L, "they walked the winding road and found that little house in evening light")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(fixture, "text", "doc_id",
+        minWords = 5, maxWords = 100)
+      .select("doc_id", "n_words", "words_ok", "mwl_ok", "alpha_ok", "stop_ok", "pass")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, true, false, true, true, false)))
+    assert(got(2L) == ((2L, 6L, true, false, false, false, false)))
+    assert(got(3L) == ((3L, 0L, false, false, false, false, false)))
+    assert(got(4L) == ((4L, 13L, true, true, true, true, true)))
+  }
+
   test("naiveBayesScoreAll over a trained model is bit-identical to the batch operator") {
     val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val train = all.filter(col("doc_id") % 5 =!= 0)
