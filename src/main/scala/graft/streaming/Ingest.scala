@@ -73,6 +73,48 @@ object Ingest {
           .as("est_distinct"))
   }
 
+  /** Live rolling `windowDays`-day distinct count — the streaming twin
+    * of [[graft.operators.Events.rollingDistinct]] (the WAU line on a
+    * live dashboard): each arriving event fans out STATELESSLY to the
+    * `windowDays` target days it covers (synthesized event time = the
+    * target day), and one watermarked daily [[graft.functions.KmvAgg]]
+    * per target day absorbs the overlap — ≤ k longs of state per open
+    * day. The watermark must span the window width plus the event
+    * lateness bound (a day's sketch accepts contributions from events
+    * up to `windowDays − 1` days before it, whose synthesized times
+    * run ahead of their arrival): pass e.g. "8 days" for a 7-day
+    * window with 1 day of lateness. Unlike the batch operator, the
+    * stream emits EVERY covered target day (it cannot know which
+    * future days will observe events); rows for days the batch
+    * operator reports are value-identical (spec-pinned — the sketch
+    * is set-semantics, so arrival order and batch boundaries cannot
+    * move it). */
+  def rollingDistinctStream(events: DataFrame, tsCol: String,
+                            valueCol: String, windowDays: Int,
+                            watermark: String, k: Int,
+                            seed: String): DataFrame = {
+    require(windowDays > 0, s"windowDays must be > 0, got $windowDays")
+    val h = conv(substring(md5(concat(lit(seed + "_"),
+      col(valueCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val kk = lit(k.toLong)
+    events
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("_i"),
+        col(tsCol), h.as("_h"))
+      .select(to_timestamp(date_add(to_date(col(tsCol)), col("_i"))).as("_t"),
+        col("_h"))
+      .withWatermark("_t", watermark)
+      .select(window(col("_t"), "1 day").as("w"), col("_h"))
+      .groupBy(col("w"))
+      .agg(graft.functions.KmvAgg.kmv(col("_h"), k).as("_mins"))
+      .select(col("w.start").cast("date").as("day"),
+        size(col("_mins")).cast("long").as("n_sketch"),
+        when(size(col("_mins")) < kk,
+            size(col("_mins")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("_mins"), k).cast("double") / lit(math.pow(2.0, 60))))
+          .as("est_distinct"))
+  }
+
   /** Live per-window sampled quantiles — the streaming twin of
     * [[graft.operators.Events.quantiles]]: the SAME
     * [[graft.functions.SampleValuesAgg]] buffer runs inside a

@@ -77,6 +77,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingDistinctStream matches the batch rolling distinct on observed days") {
+    implicit val sqlCtx = spark.sqlContext
+    def dts(d: String) = Timestamp.valueOf(s"$d 12:00:00")
+    val rows = Seq(
+      (dts("2024-01-01"), 1L), (dts("2024-01-01"), 2L),
+      (dts("2024-01-02"), 2L), (dts("2024-01-02"), 3L),
+      (dts("2024-01-03"), 4L),
+      (dts("2024-01-05"), 9L))
+    val mem = MemoryStream[(Timestamp, Long)]
+    val q = Ingest.rollingDistinctStream(mem.toDF().toDF("ts", "user_id"),
+        "ts", "user_id", windowDays = 2, watermark = "3 days", k = 64,
+        seed = "t")
+      .writeStream.format("memory").queryName("roll_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("roll_stream")
+        .select(col("day").cast("string"), col("n_sketch"), col("est_distinct"))
+        .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = graft.operators.Events.rollingDistinct(
+          rows.toDF("ts", "user_id"), "ts", "user_id",
+          windowDays = 2, k = 64, seed = "t")
+        .select(col("day").cast("string"), col("n_sketch"), col("est_distinct"))
+        .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // every batch-reported day is value-identical; the stream may
+      // additionally carry covered-but-unobserved days (2024-01-04,
+      // reached by the fan-out from day 3) — by design
+      batch.foreach { case (d, v) => assert(streamed.get(d).contains(v), d) }
+      assert(streamed.contains("2024-01-04"))
+    } finally q.stop()
+  }
+
   test("streaming sampled quantiles equal the batch operator on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long, Double)]
@@ -702,6 +737,45 @@ class StreamingSpec extends SparkSpec {
         .collect().toSet
       assert(streamed == batch)
     } finally q.stop()
+  }
+
+  test("classifyStream equals batch scoring on random corpora and random batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "zz")
+    for (trial <- 1 to 2) {
+      val train = (1 to 30).map { _ =>
+        val lbl = if (rnd.nextBoolean()) "a" else "b"
+        val words = (0 until 1 + rnd.nextInt(8))
+          .map(_ => vocab(rnd.nextInt(vocab.size)))
+        (lbl, words.mkString(" "))
+      }.toDF("lang", "text")
+      val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", 32)
+      val docs = (1L to 25L).map { id =>
+        val words = (0 until rnd.nextInt(6))
+          .map(_ => vocab(rnd.nextInt(vocab.size)))
+        (id, if (words.isEmpty && rnd.nextBoolean()) null else words.mkString(" "))
+      }
+      val batch = TextAnalysis.naiveBayesScoreAll(
+          docs.toDF("doc_id", "text"), "text", "doc_id", model)
+        .as[(Long, String, Double)].collect().toSet
+      val cut1 = 1 + rnd.nextInt(23); val cut2 = cut1 + rnd.nextInt(24 - cut1)
+      val batches = Seq(docs.take(cut1), docs.slice(cut1, cut2), docs.drop(cut2))
+      val mem = MemoryStream[(Long, String)]
+      val q = Ingest.classifyStream(mem.toDF().toDF("doc_id", "text"),
+          "text", "doc_id", model)
+        .writeStream.format("memory").queryName(s"prop_nb_$trial")
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        val streamed = spark.table(s"prop_nb_$trial")
+          .as[(Long, String, Double)].collect().toSet
+        // EXACT double equality across arbitrary batch boundaries —
+        // scoring is stateless and the fold order is per-row
+        assert(streamed == batch, s"nb trial $trial")
+      } finally q.stop()
+    }
   }
 
   test("classifyStream scores arriving docs bit-identically to the batch classifier") {
