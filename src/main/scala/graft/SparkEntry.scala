@@ -807,6 +807,27 @@ object SparkEntry {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }),
 
+    "sample_balanced" -> ((s, dir) => {
+      // class-balance by language: every lang contributes exactly
+      // min-class-count docs, chosen by the deterministic (hash, id)
+      // rank — the downsample step before training a label classifier
+      Sampling.balancedSample(Tables.documents(s, dir), "doc_id",
+          col("lang"), seed = "bal0")
+        .select(col("stratum"), col("doc_id"),
+          col("sample_rank").cast("long").as("sample_rank"))
+    }),
+
+    "mm_dedup" -> ((s, dir) => {
+      // exact content dedup over the binary payload column: re-crawled
+      // identical media (planted %7 copies) collapse by sha-256
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val media = docs.unionByName(copies)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.operators.Multimodal.binaryDedup(media, "payload", "doc_id")
+    }),
+
     "mm_features" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("payload", col("text").cast("binary"))
@@ -3188,6 +3209,31 @@ object SparkEntry {
         |    ELSE 63.0 / (CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
         |                 / 1152921504606846976.0) END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY day""".stripMargin,
+
+    "sample_balanced" ->
+      // sample_topk's rank machinery with k = the data-derived
+      // min-class-count cap
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |cap AS (SELECT min(n) AS k FROM c),
+        |h AS (SELECT lang AS stratum, doc_id,
+        |        CAST(CAST('0x' || substr(md5('bal0_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS hv
+        |      FROM documents),
+        |r AS (SELECT stratum, doc_id,
+        |        row_number() OVER (PARTITION BY stratum ORDER BY hv, doc_id) AS sample_rank
+        |      FROM h)
+        |SELECT stratum, doc_id, sample_rank FROM r, cap WHERE sample_rank <= cap.k""".stripMargin,
+
+    "mm_dedup" ->
+      // identical bytes -> identical sha-256 in both engines; keeper
+      // and keep flag are integer/string-exact
+      """WITH m AS (SELECT doc_id, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0),
+        |h AS (SELECT doc_id, sha256(text) AS checksum FROM m),
+        |c AS (SELECT checksum, min(doc_id) AS canonical_id FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.checksum, c.canonical_id,
+        |       (h.doc_id = c.canonical_id) AS keep
+        |FROM h JOIN c USING (checksum)""".stripMargin,
 
     "sample_topk" ->
       // rank by double-cast hash then id: the Spark side's TopKAgg

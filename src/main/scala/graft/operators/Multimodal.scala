@@ -157,4 +157,23 @@ object Multimodal {
   def frameSample(df: DataFrame, binCol: String, stride: Int): DataFrame =
     df.withColumn("sample",
       graft.functions.BinaryExprs.byteStride(col(binCol), stride))
+
+  /** Exact content dedup over a BINARY column — the multimodal twin
+    * of [[Dedup.exactDedup]]: identical image/audio/video payloads
+    * collapse by sha-256, keeper = min id. The first dedup pass every
+    * multimodal pipeline runs (identical bytes re-crawled under
+    * different ids), and the only one that needs no decoding at all.
+    *
+    * Scale shape: the hash is map-side over the payload bytes; the
+    * canonical winner is one keyed agg with map-side partial min
+    * (payloads themselves never shuffle — only (id, 64-char digest)
+    * rows move); the keep labeling is a digest-keyed equi-join. */
+  def binaryDedup(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), sha2(col(binCol), 256).as("checksum"))
+    val canon = hashed.groupBy(col("checksum"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    hashed.join(canon, Seq("checksum"))
+      .select(col(idCol), col("checksum"), col("canonical_id"),
+        (col(idCol) === col("canonical_id")).as("keep"))
+  }
 }

@@ -168,6 +168,32 @@ object Sampling {
         (col("_pos") + 1).as("sample_rank"))
   }
 
+  /** Class-balanced sampling: exactly `min-class-count` rows from
+    * EVERY stratum — the downsample-majority-classes step before
+    * training a classifier on skewed labels (the balance every
+    * `classify_nb`-style trainer wants). The cap is derived from the
+    * data (one keyed count job, broadcastable strata-sized result),
+    * then the sample is [[exactSample]]'s deterministic (hash, id)
+    * rank per stratum — seed-keyed, engine-reproducible, independent
+    * of partitioning, and the bounded TopKAgg keeps ≤ cap rows per
+    * stratum per partition map-side. */
+  def balancedSample(df: DataFrame, idCol: String, stratumCol: Column,
+                     seed: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val counts = df.groupBy(stratumCol.as("stratum"))
+      .agg(count(lit(1)).as("_n"))
+    // strata-sized by contract (a label column, not a key column)
+    val cap = counts.agg(min(col("_n"))).head().getLong(0).toInt
+    require(cap > 0, "balancedSample needs at least one row per stratum")
+    val h = Dedup.hash64(concat(lit(seed), lit("_"), col(idCol).cast("string")))
+    df.select(stratumCol.as("stratum"), col(idCol), h.cast("double").as("_h"))
+      .groupBy(col("stratum"))
+      .agg(TopKAgg.topk(col("_h"), col(idCol).cast("long"), cap).as("_top"))
+      .select(col("stratum"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("stratum"), col("_t.id").as(idCol),
+        (col("_pos") + 1).as("sample_rank"))
+  }
+
   /** Leakage-safe train/eval split: near-duplicate documents must
     * never straddle the boundary (a doc whose near-copy sits in the
     * training set leaks into eval), so the split unit is the near-dup

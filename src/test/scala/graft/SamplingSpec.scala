@@ -215,4 +215,21 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long, String)].collect()
     assert(other.map(r => r._1 -> r._3).toMap != bySide)
   }
+
+  test("balancedSample takes exactly min-class-count per stratum, deterministically") {
+    val df = (Seq.tabulate(5)(i => (i.toLong, "a")) ++
+      Seq((100L, "b"), (101L, "b")) ++
+      Seq.tabulate(3)(i => (200L + i, "c"))).toDF("doc_id", "lbl")
+    val got = Sampling.balancedSample(df, "doc_id", col("lbl"), "s1")
+      .select("stratum", "doc_id").as[(String, Long)].collect()
+    // cap = |b| = 2: every stratum contributes exactly 2 rows
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map("a" -> 2, "b" -> 2, "c" -> 2))
+    // partitioning-independent and a subset of the input
+    val again = Sampling.balancedSample(df.repartition(7), "doc_id",
+        col("lbl"), "s1")
+      .select("stratum", "doc_id").as[(String, Long)].collect()
+    assert(got.toSet == again.toSet)
+    assert(got.map(_._2).toSet.subsetOf(df.select("doc_id").as[Long].collect().toSet))
+  }
 }
