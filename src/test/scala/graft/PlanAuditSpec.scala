@@ -71,4 +71,47 @@ class PlanAuditSpec extends SparkSpec {
         s"$q should top-k via TakeOrderedAndProject:\n${plans(q)}")
     }
   }
+
+  test("kernel classifier scoring is a pure map plan: zero exchanges") {
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val model = TextAnalysis.trainNaiveBayes(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+      "text", "lang", 128)
+    val p = TextAnalysis.naiveBayesScoreAll(docs, "text", "doc_id", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"kernel scoring must ride the scan with no shuffle or join:\n$p")
+  }
+
+  test("indexed more-like-this reads index files only on the corpus side") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = graft.core.Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft-mlt-audit")
+      .toString + "/idx"
+    Dedup.writeMinhashIndex(corpus, "text", "doc_id", path)
+    // seeds arrive as an in-memory frame: every FileScan in the probe
+    // plan must then point at the INDEX, never at a corpus table —
+    // the "zero corpus text scans" contract
+    val seeds = Seq((3L, "some seed words here")).toDF("doc_id", "text")
+    val p = graft.operators.Search.moreLikeThisIndexed(spark, path, seeds,
+        "text", "doc_id", k = 3)
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("/idx")),
+      s"probe must scan only index files:\n${scans.mkString("\n")}")
+  }
+
+  test("map-side report operators plan at most their one keyed exchange") {
+    // quality_gopher is zero-shuffle; embedding_drift's only exchange
+    // is the (dim)-keyed agg with a map-side partial
+    val pg = plans("quality_gopher")
+    assert(!pg.contains("Exchange"), s"quality_gopher must be map-side:\n$pg")
+    val pd = plans("embedding_drift")
+    assert("Exchange".r.findAllIn(pd).size <= 2 && pd.contains("partial_"),
+      s"embedding_drift should be one keyed agg with partials:\n$pd")
+  }
 }
