@@ -807,6 +807,26 @@ object SparkEntry {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }),
 
+    "corpus_overlap" -> ((s, dir) => {
+      // "how much of the new crawl is already in the archive": slice
+      // src1 = archive, slice src2 + planted truncations of src1 %3
+      // docs = crawl — the overlap count is exactly those plants that
+      // verify above 0.5 Jaccard
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter(col("source") === "src1")
+        .select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val plants = a.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), greatest(size(w) - 4, lit(1)))).as("text"))
+      val b = docs.filter(col("source") === "src2")
+        .select(col("doc_id"), col("text")).unionByName(plants)
+      Dedup.corpusOverlap(a, "text", "doc_id", b, "text", "doc_id",
+          numHashes = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
+        .select(col("n_a"), col("n_b"), col("n_overlap"),
+          round(col("overlap_rate"), 6).as("overlap_rate"))
+    }),
+
     "sample_balanced" -> ((s, dir) => {
       // class-balance by language: every lang contributes exactly
       // min-class-count docs, chosen by the deterministic (hash, id)
@@ -3209,6 +3229,36 @@ object SparkEntry {
         |    ELSE 63.0 / (CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
         |                 / 1152921504606846976.0) END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY day""".stripMargin,
+
+    "corpus_overlap" ->
+      // the decontaminate_near band machinery between the two slices,
+      // rolled up to one row of integer counts + one fixed division
+      s"""WITH aslice AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+         |bslice AS (SELECT doc_id, text FROM documents WHERE source = 'src2'
+         |           UNION ALL
+         |           SELECT doc_id + 400000,
+         |                  array_to_string(w[1:greatest(len(w)-4, 1)], ' ')
+         |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |                 WHERE source = 'src1')
+         |           WHERE doc_id % 3 = 0),
+         |${mhBandChain("aslice", "a")},
+         |${mhBandChain("bslice", "b")},
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |         FROM aband a JOIN bband b USING (band, key)),
+         |ver AS (SELECT cand.ida,
+         |          len(list_intersect(x.hs, y.hs)) AS i,
+         |          len(x.hs) AS nx, len(y.hs) AS ny
+         |        FROM cand JOIN ahs x ON x.doc_id = cand.ida
+         |                  JOIN bhs y ON y.doc_id = cand.idb),
+         |hit AS (SELECT DISTINCT ida FROM ver
+         |        WHERE i * 1.0 / (nx + ny - i) >= 0.5),
+         |na AS (SELECT count(*) AS n_a FROM aslice),
+         |nb AS (SELECT count(*) AS n_b FROM bslice),
+         |nov AS (SELECT count(*) AS n_overlap FROM hit)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |  CAST(n_overlap AS BIGINT) AS n_overlap,
+         |  round(CAST(n_overlap AS DOUBLE) / n_a, 6) AS overlap_rate
+         |FROM na, nb, nov""".stripMargin,
 
     "sample_balanced" ->
       // sample_topk's rank machinery with k = the data-derived

@@ -632,6 +632,31 @@ object Dedup {
         col("_best.id_b").as("bench_id"), col("_best.jaccard").as("jaccard"))
   }
 
+  /** Cross-corpus near-dup overlap report — the one-row "how much of
+    * the new crawl is already in the archive" number a mixing
+    * decision starts from: the count and fraction of `a` docs with at
+    * least one verified near-dup (Jaccard ≥ `minJaccard`) in `b`.
+    * The roll-up of [[decontaminateNear]]'s per-doc matches plus both
+    * slice populations.
+    *
+    * Scale shape: the contact is the same band-key equi-join as
+    * [[decontaminateNear]] (bounded fanout, never all-pairs); the
+    * three counts are single-row aggs; the output is ONE row, and the
+    * rate divides integer counts in one fixed expression. */
+  def corpusOverlap(a: DataFrame, textCol: String, idCol: String,
+                    b: DataFrame, bTextCol: String, bIdCol: String,
+                    numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                    minJaccard: Double = 0.5): DataFrame = {
+    val matches = decontaminateNear(a, textCol, idCol, b, bTextCol, bIdCol,
+      numHashes, bands, shingleN, minJaccard)
+    val na = a.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val nov = matches.agg(count(lit(1)).as("n_overlap"))
+    na.crossJoin(nb).crossJoin(nov)
+      .select(col("n_a"), col("n_b"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_a")).as("overlap_rate"))
+  }
+
   /** Winnowed fingerprint windows per doc, exploded to (id, fp) —
     * the per-window variant of [[TextAnalysis.fingerprint]]: every
     * `window`-long run of shingle hashes contributes its minimum, so

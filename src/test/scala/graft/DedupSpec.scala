@@ -664,6 +664,23 @@ class DedupSpec extends SparkSpec {
     assert(sides.subsetOf(Set("train", "eval")) && sides.size == 2)
   }
 
+  test("corpusOverlap counts a-side docs with a verified near-dup in b") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "one two three four five six seven eight nine ten eleven twelve"
+    val a = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val b = Seq(
+      (10L, t1.split(" ").dropRight(2).mkString(" ")),  // near-dup of 1
+      (11L, "totally unrelated content with none of those words present here")
+    ).toDF("doc_id", "text")
+    val row = Dedup.corpusOverlap(a, "text", "doc_id", b, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].head()
+    assert(row == ((2L, 2L, 1L, 0.5)))
+    // symmetric direction: nothing in b's unrelated doc matches a
+    val rev = Dedup.corpusOverlap(b, "text", "doc_id", a, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].head()
+    assert(rev == ((2L, 2L, 1L, 0.5)))
+  }
+
   test("dedupKeepBest keeps the highest-scored member, ties to min id, NULL scores lose") {
     val corpus = Seq(1L, 2L, 3L, 10L, 11L, 20L, 30L, 31L).toDF("doc_id")
     // clusters: {1,2,3} (chain), {10,11}, {30,31}; 20 is a singleton
