@@ -807,6 +807,30 @@ object SparkEntry {
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
     }),
 
+    "dedup_minhash_sweep" -> ((s, dir) => {
+      // the band-configuration tuning sweep a pipeline runs before
+      // committing to a MinHash config: precision/recall/F1 of three
+      // (numHashes, bands) points against the exact-Jaccard truth —
+      // dedup_eval at one config, swept
+      val corpus = dedupCorpus(s, dir)
+      val truth = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+          n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
+        .select(col("id_a"), col("id_b")).persist()
+      Seq((16, 4), (16, 8), (8, 4)).map { case (nh, nb) =>
+        Eval.pairQuality(
+            Dedup.minhashPairs(corpus, "text", "doc_id", nh, nb,
+              shingleN = 3, threshold = 0.5)
+              .select(col("id_a"), col("id_b")),
+            truth)
+          .select(lit(nh).cast("long").as("num_hashes"),
+            lit(nb).cast("long").as("bands"),
+            col("tp"), col("fp"), col("fn"),
+            round(col("precision"), 5).as("precision"),
+            round(col("recall"), 5).as("recall"),
+            round(col("f1"), 5).as("f1"))
+      }.reduce(_ unionByName _)
+    }),
+
     "corpus_overlap" -> ((s, dir) => {
       // "how much of the new crawl is already in the archive": slice
       // src1 = archive, slice src2 + planted truncations of src1 %3
@@ -1696,6 +1720,55 @@ object SparkEntry {
        |            row_number() OVER (ORDER BY score DESC, doc_id) AS rank
        |          FROM bmsc WHERE score > 0)""".stripMargin
   }
+
+  /** Parameterized MinHash pair chain over shared `shl`/`hsh` CTEs
+    * (distinct shingle lists / hash sets from the corpus): signature
+    * with `numHashes` permutations, `bands` bands of `numHashes /
+    * bands` rows, verified at Jaccard ≥ 0.5 — the generalization of
+    * [[minhashPairChain]] the dedup_minhash_sweep oracle instantiates
+    * once per configuration. Emits `{p}pairs(id_a, id_b)`. */
+  private def mhPairChainParam(p: String, numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val (as, bs) = Dedup.minhashConsts(numHashes)
+    val aLit = as.mkString("[", ", ", "]")
+    val bLit = bs.mkString("[", ", ", "]")
+    s"""${p}sig AS (SELECT doc_id, list_transform(range($numHashes), j ->
+       |          list_min(list_transform(
+       |            list_transform(shs, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647),
+       |            h -> ($aLit[j+1] * h + $bLit[j+1]) % 2147483647))) AS sig
+       |        FROM shl WHERE len(shs) > 0),
+       |${p}band AS (SELECT doc_id, b.b AS band,
+       |              array_to_string(sig[($rows*b.b+1):($rows*b.b+$rows)], ',') AS key
+       |            FROM ${p}sig, range($bands) b(b)),
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM ${p}band a JOIN ${p}band b USING (band, key)
+       |         WHERE a.doc_id < b.doc_id),
+       |${p}pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+       |           len(a.hs) AS na, len(b.hs) AS nb
+       |    FROM ${p}cand c JOIN hsh a ON a.doc_id = c.id_a
+       |                JOIN hsh b ON b.doc_id = c.id_b)
+       |  WHERE i * 1.0 / (na + nb - i) >= 0.5)""".stripMargin
+  }
+
+  /** Per-config confusion + metric CTEs against the shared `tn` truth
+    * frame; emits `{p}m(tp, fp, fn, p, r)`. */
+  private def sweepMetrics(p: String): String =
+    s"""${p}pn AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+       |       FROM ${p}pairs),
+       |${p}j AS (SELECT p.id_a IS NOT NULL AS inp, t.id_a IS NOT NULL AS intr
+       |      FROM ${p}pn p FULL OUTER JOIN tn t
+       |        ON p.id_a = t.id_a AND p.id_b = t.id_b),
+       |${p}c AS (SELECT
+       |  CAST(sum(CASE WHEN inp AND intr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN inp AND NOT intr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN NOT inp AND intr THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM ${p}j),
+       |${p}m AS (SELECT tp, fp, fn,
+       |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p,
+       |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r
+       |  FROM ${p}c)""".stripMargin
 
   /** The kb (keep-best) corpus CTE — SQL mirror of [[kbCorpus]]. */
   private val kbSql: String =
@@ -3229,6 +3302,50 @@ object SparkEntry {
         |    ELSE 63.0 / (CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
         |                 / 1152921504606846976.0) END, 4) AS est_distinct
         |FROM r WHERE rn <= 64 GROUP BY day""".stripMargin,
+
+    "dedup_minhash_sweep" ->
+      // shared shingle/hash-set CTEs, one parameterized pair chain
+      // per configuration, the dedup_eval ngram chain as the shared
+      // truth, one metric row per config
+      s"""WITH $corpusSql,
+         |wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |          range(1, greatest(len(w)-1, 1)),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs FROM wt),
+         |hsh AS (SELECT doc_id, list_distinct(list_transform(shs,
+         |          s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS hs FROM shl),
+         |${mhPairChainParam("c1", 16, 4)},
+         |${mhPairChainParam("c2", 16, 8)},
+         |${mhPairChainParam("c3", 8, 4)},
+         |ngsh AS (SELECT doc_id, unnest(hs) AS sh FROM hsh),
+         |ngrare AS (SELECT sh FROM (SELECT sh, count(*) AS c FROM ngsh GROUP BY sh)
+         |           WHERE c <= greatest(20, ceil((SELECT count(*) FROM corpus) * 0.005))),
+         |ngf AS (SELECT doc_id, ngsh.sh FROM ngsh JOIN ngrare USING (sh)),
+         |ngcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM ngf a JOIN ngf b USING (sh) WHERE a.doc_id < b.doc_id),
+         |ng_pairs AS (SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b, len(list_intersect(a.hs, b.hs)) AS i,
+         |           len(a.hs) AS na, len(b.hs) AS nb
+         |    FROM ngcand c JOIN hsh a ON a.doc_id = c.id_a
+         |                  JOIN hsh b ON b.doc_id = c.id_b)
+         |  WHERE i * 1.0 / (na + nb - i) >= 0.6),
+         |tn AS (SELECT DISTINCT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b
+         |       FROM ng_pairs),
+         |${sweepMetrics("c1")},
+         |${sweepMetrics("c2")},
+         |${sweepMetrics("c3")}
+         |SELECT 16 AS num_hashes, 4 AS bands, tp, fp, fn,
+         |  round(p, 5) AS precision, round(r, 5) AS recall,
+         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 5) AS f1
+         |FROM c1m
+         |UNION ALL
+         |SELECT 16, 8, tp, fp, fn, round(p, 5), round(r, 5),
+         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 5)
+         |FROM c2m
+         |UNION ALL
+         |SELECT 8, 4, tp, fp, fn, round(p, 5), round(r, 5),
+         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 5)
+         |FROM c3m""".stripMargin,
 
     "corpus_overlap" ->
       // the decontaminate_near band machinery between the two slices,

@@ -664,6 +664,18 @@ class DedupSpec extends SparkSpec {
     assert(sides.subsetOf(Set("train", "eval")) && sides.size == 2)
   }
 
+  test("dedup_minhash_sweep reports one row per config; wider banding only raises recall") {
+    val rows = SparkEntry.queries("dedup_minhash_sweep")(spark, sf0001)
+      .select("num_hashes", "bands", "recall", "precision")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == 3)
+    val byCfg = rows.map(r => (r._1, r._2) -> r).toMap
+    // 16 hashes in 8 bands (2 rows/band) is strictly more permissive
+    // blocking than 16 in 4 (4 rows/band): its candidate set is a
+    // superset, so recall cannot drop
+    assert(byCfg((16L, 8L))._3 >= byCfg((16L, 4L))._3)
+  }
+
   test("corpusOverlap counts a-side docs with a verified near-dup in b") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val t2 = "one two three four five six seven eight nine ten eleven twelve"
