@@ -41,7 +41,12 @@ object Sf1Probe {
     "dedup_keep_best",
     // indexed retrieval probe (index build amortized by builtIndexes,
     // so the timed region is the probe) and the round-11 composition
-    "more_like_this_indexed", "pipeline_curate_v2")
+    "more_like_this_indexed", "pipeline_curate_v2",
+    // the continuation additions: map-side reports, balanced/binary
+    // dedup sampling, the rolling-WAU fanout, the overlap roll-up and
+    // the three-config sweep (3x pair chains + shared ngram truth)
+    "quality_gopher", "sample_balanced", "mm_dedup",
+    "events_rolling_distinct", "corpus_overlap", "dedup_minhash_sweep")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
