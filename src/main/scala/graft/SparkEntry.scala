@@ -268,6 +268,16 @@ object SparkEntry {
         round(aggregate(err, lit(0.0), (a, x) => a + x) / size(col("embedding")), 7).as("mean_err"))
     }),
 
+    "quantize_sweep" -> ((s, dir) => {
+      // the pick-your-width table: corpus mean/max reconstruction
+      // error at every lossy width the reference supports
+      Quantization.errorSweep(Tables.embeddings(s, dir), "embedding",
+          widths = Seq(4, 8, 16))
+        .select(col("bits"), col("n_vectors"),
+          round(col("mean_abs_err"), 9).as("mean_abs_err"),
+          round(col("max_err"), 7).as("max_err"))
+    }),
+
     "knn_quantized" -> ((s, dir) => {
       // the reference's storage contract: vectors live QUANTIZED (8-bit
       // codes, 4x narrower than floats on the scan) and search runs on
@@ -2148,6 +2158,22 @@ object SparkEntry {
         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> abs(x - (round((least(greatest(x, -1.0), 1.0) + 1.0) / 2.0 * 255.0) / 255.0 * 2.0 - 1.0))) AS err
         |  FROM embeddings)""".stripMargin,
+
+    "quantize_sweep" ->
+      // per-vector error sums fold in list order, quantize to the
+      // 1e-12 integer grid, corpus mean divides the exact integers
+      (Seq(4, 8, 16).map { bits =>
+        val l = (1 << bits) - 1
+        s"""SELECT $bits AS bits, count(*) AS n_vectors,
+           |  round((CAST(sum(qs) AS DOUBLE) / 1000000000000.0) / sum(d), 9) AS mean_abs_err,
+           |  round(max(mx), 7) AS max_err
+           |FROM (
+           |  SELECT CAST(round(list_sum(err) * 1000000000000.0) AS BIGINT) AS qs,
+           |         len(err) AS d, list_max(err) AS mx
+           |  FROM (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+           |          x -> abs(x - (round((least(greatest(x, -1.0), 1.0) + 1.0) / 2.0 * $l) / $l * 2.0 - 1.0))) AS err
+           |        FROM embeddings))""".stripMargin
+      }.mkString("\nUNION ALL\n")),
 
     "knn_quantized" ->
       s"""WITH b AS (SELECT vec_id, label,

@@ -49,4 +49,36 @@ object Quantization {
     transform(vec.cast("array<double>"), x =>
       abs(x - (round((clamp(x) + 1.0) / 2.0 * maxInt) / maxInt * 2.0 - 1.0)))
   }
+
+  /** Corpus-level reconstruction-error report per candidate bit
+    * width — the pick-your-width table consulted before freezing the
+    * storage quantization (the reference exposes the width as a
+    * per-collection option, collection.go:30): one row per width with
+    * the corpus mean and max absolute error.
+    *
+    * Determinism: the corpus-wide mean of float errors would be
+    * summation-order-dependent, so each vector's error sum (folded in
+    * ARRAY order — deterministic per row) quantizes to a 1e-12
+    * integer grid before the corpus agg; integer sums are exact in
+    * any engine/partitioning and the mean divides them in one fixed
+    * expression ([[graft.operators.Eval.embeddingDrift]]'s rule).
+    * `max` is order-free. One map-side pass + a single-row agg per
+    * width. */
+  def errorSweep(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                 widths: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(widths.nonEmpty, "errorSweep needs at least one width")
+    widths.map { bits =>
+      val err = reconstructionError(col(vecCol), bits)
+      df.select(
+          round(aggregate(err, lit(0.0), (a, x) => a + x) * 1e12, 0)
+            .cast("long").as("_qs"),
+          size(col(vecCol)).cast("long").as("_d"),
+          array_max(err).as("_mx"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("_qs")).as("_sq"),
+          sum(col("_d")).as("_dims"), max(col("_mx")).as("max_err"))
+        .select(lit(bits).cast("long").as("bits"), col("n_vectors"),
+          ((col("_sq").cast("double") / 1e12) / col("_dims")).as("mean_abs_err"),
+          col("max_err"))
+    }.reduce(_ unionByName _)
+  }
 }

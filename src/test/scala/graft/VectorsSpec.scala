@@ -53,4 +53,25 @@ class VectorsSpec extends SparkSpec {
       .head().getSeq[Int](0)
     assert(codes == Seq(0, 255))
   }
+
+  test("errorSweep: error shrinks with width, bounded by half a grid step, partitioning-independent") {
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.tabulate(8)(j => math.sin(i * 8 + j) * 0.9)))
+      .toDF("vec_id", "embedding")
+    val rows = Quantization.errorSweep(vecs, "embedding", Seq(4, 8, 16))
+      .select("bits", "n_vectors", "mean_abs_err", "max_err")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(4L, 8L, 16L))
+    assert(rows.forall(_._2 == 40L))
+    // error strictly shrinks as width grows; max stays within half a
+    // grid step (grid step = 2/(2^bits - 1))
+    assert(rows(0)._3 > rows(1)._3 && rows(1)._3 > rows(2)._3)
+    rows.foreach { case (bits, _, _, mx) =>
+      assert(mx <= 1.0 / ((1 << bits) - 1) + 1e-12, s"$bits-bit max $mx") }
+    val again = Quantization.errorSweep(vecs.repartition(7), "embedding",
+        Seq(4, 8, 16))
+      .select("bits", "n_vectors", "mean_abs_err", "max_err")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(again.toSeq == rows.toSeq)
+  }
 }
