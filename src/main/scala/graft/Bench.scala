@@ -72,14 +72,17 @@ object Bench {
       val ts = samples.getOrElse(name, Vector.empty)
       name -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }.toSeq
-    // ms precision, sorted most-expensive-first: the driver's artifact
-    // keeps only the JSON tail's last ~3.3 KB, so rounding + ordering
-    // ensure ALL per-query lines survive (and if one ever falls off,
-    // it's the cheapest, not an arbitrary prefix) — VERDICT r10 #4.
+    // ms precision, sorted cheapest-FIRST: the driver's artifact keeps
+    // only the output's last ~3.3 KB (the TAIL), so the queries map
+    // goes LAST in the JSON with the slowest lines at the very end —
+    // if the line is ever longer than the tail window, truncation
+    // drops the cheap lines and the front matter, never the expensive
+    // lines a reader wants first (VERDICT r11 #1; r10's fix sorted
+    // the wrong way and lost the ~30 slowest lines).
     def r3(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.sortBy { case (_, v) => -v }
+    val qs = results.sortBy(_._2)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -87,7 +90,48 @@ object Bench {
       .filter { case (k, _) => samples.getOrElse(k, Vector.empty).isEmpty }
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // Era-drift self-identification (VERDICT r11 #8): compare against
+    // the newest BENCH_r{N}.json already in the repo and emit the
+    // geometric-mean ratio plus ONLY the lines that moved >20% — a
+    // compact field (the full prev map is already on disk as the
+    // artifact itself, so re-emitting it would just crowd the tail
+    // window that item #1 exists to protect). Prev artifacts are
+    // tail-truncated by the driver, so parse "key":num pairs by regex
+    // rather than as strict JSON.
+    val vsPrev: String = try {
+      val benchRe = "BENCH_r(\\d+)\\.json".r
+      val repo = new java.io.File("/root/repo")
+      val prevFiles = Option(repo.listFiles()).getOrElse(Array.empty)
+        .flatMap { f => f.getName match {
+          case benchRe(n) => Some((n.toInt, f)); case _ => None } }
+      if (prevFiles.isEmpty) "null" else {
+        val (prevRound, prevFile) = prevFiles.maxBy(_._1)
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          prevFile.toPath), java.nio.charset.StandardCharsets.UTF_8)
+        val pairRe = "\"([A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)".r
+        val meta = Set("value", "sf", "total", "round", "geomean")
+        val prev = pairRe.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filterNot { case (k, _) => meta(k) }.toMap
+        val cur = results.toMap
+        val ratios = cur.keys.toSeq.sorted.flatMap { k =>
+          for (p <- prev.get(k); c = cur(k); if p > 0 && c > 0)
+            yield k -> c / p
+        }
+        if (ratios.isEmpty) "null" else {
+          val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+          def r2(v: Double) = BigDecimal(v).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toString
+          val shifted = ratios
+            .filter { case (_, r) => math.abs(math.log(r)) > math.log(1.2) }
+            .sortBy { case (_, r) => -math.abs(math.log(r)) }
+            .map { case (k, r) => "\"" + k + "\":" + r2(r) }
+            .mkString("{", ",", "}")
+          s"""{"round":$prevRound,"lines":${ratios.size},"geomean":${r2(geo)},"shifted_gt20pct":$shifted}"""
+        }
+      }
+    } catch { case _: Throwable => "null" }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","errors":$errJson,"vs_prev":$vsPrev,"queries":$qs}""")
     spark.stop()
   }
 }

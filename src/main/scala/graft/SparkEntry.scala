@@ -151,6 +151,22 @@ object SparkEntry {
       path
     })
 
+  /** MinHash index over the ARCHIVE slice (src1 documents) — the
+    * corpus side of the indexed overlap report (same build-once
+    * contract as the other indexes). */
+  private def overlapIndexPath(s: SparkSession, dir: String): String =
+    builtIndexes.computeIfAbsent(s"$dir|ovidx", { _ =>
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|ovidx".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/ov-$key"
+      Dedup.writeMinhashIndex(
+        Tables.documents(s, dir).filter(col("source") === "src1")
+          .select(col("doc_id"), col("text")),
+        "text", "doc_id", path)
+      path
+    })
+
   /** BM25 inverted index per corpus dir (same build-once contract as
     * the ANN indexes): term-bucket-partitioned postings + stats. */
   private def bm25IndexPath(s: SparkSession, dir: String): String =
@@ -823,9 +839,13 @@ object SparkEntry {
       // (numHashes, bands) points against the exact-Jaccard truth —
       // dedup_eval at one config, swept
       val corpus = dedupCorpus(s, dir)
+      // No construction-time persist (ADVICE r11 — it leaked cached
+      // blocks into the session): truth recurs as an identical subtree
+      // in each sweep arm of the single union plan, so ReuseExchange
+      // dedupes the expensive ngram-pair shuffle across arms.
       val truth = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
           n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
-        .select(col("id_a"), col("id_b")).persist()
+        .select(col("id_a"), col("id_b"))
       Seq((16, 4), (16, 8), (8, 4)).map { case (nh, nb) =>
         Eval.pairQuality(
             Dedup.minhashPairs(corpus, "text", "doc_id", nh, nb,
@@ -856,6 +876,28 @@ object SparkEntry {
       val b = docs.filter(col("source") === "src2")
         .select(col("doc_id"), col("text")).unionByName(plants)
       Dedup.corpusOverlap(a, "text", "doc_id", b, "text", "doc_id",
+          numHashes = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
+        .select(col("n_a"), col("n_b"), col("n_overlap"),
+          round(col("overlap_rate"), 6).as("overlap_rate"))
+    }),
+
+    "corpus_overlap_indexed" -> ((s, dir) => {
+      // the same report over the PERSISTED archive index: the
+      // recurring "new crawl vs archive" number without re-signing
+      // the archive per report — src1 contributes zero text scans
+      // (band keys + hash sets from parquet); shares corpus_overlap's
+      // oracle (path-equality contract)
+      val docs = Tables.documents(s, dir)
+      val a = docs.filter(col("source") === "src1")
+        .select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val plants = a.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), greatest(size(w) - 4, lit(1)))).as("text"))
+      val b = docs.filter(col("source") === "src2")
+        .select(col("doc_id"), col("text")).unionByName(plants)
+      Dedup.corpusOverlapIndexed(s, overlapIndexPath(s, dir), "doc_id",
+          b, "text", "doc_id",
           numHashes = 16, bands = 4, shingleN = 3, minJaccard = 0.5)
         .select(col("n_a"), col("n_b"), col("n_overlap"),
           round(col("overlap_rate"), 6).as("overlap_rate"))
@@ -1390,23 +1432,27 @@ object SparkEntry {
       // not the arbitrary first) -> deterministic split. Proves the
       // new operators COMPOSE, like pipeline_curate does for round 7's
       val corpus = kbCorpus(s, dir)
+      // No persist here: a declared-query builder returns an
+      // UNEXECUTED plan, so construction-time persist/unpersist either
+      // never takes effect or pins blocks for the whole session
+      // (ADVICE r11). kept/gated appear as identical subtrees inside
+      // the ONE final plan, where ReuseExchange dedupes their shuffles.
       val kept = TextAnalysis.filterFunnel(corpus, "text",
           minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
         .filter(col("verdict") === "kept")
-        .select(col("doc_id"), col("text")).persist()
+        .select(col("doc_id"), col("text"))
       val train = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
       val gated = kept.join(
           TextAnalysis.naiveBayes(train, kept, "text", "doc_id", "lang", 4096)
             .filter(col("pred") === "en")
             .select(col("doc_id"), col("pred").as("pred_lang")),
-          Seq("doc_id")).persist()
+          Seq("doc_id"))
       val pairs = Dedup.minhashPairs(gated, "text", "doc_id",
         numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
       val scores = gated.select(col("doc_id"),
         size(filter(split(col("text"), " "), t => t =!= ""))
           .cast("long").as("n_tokens"))
       val best = Dedup.dedupKeepBest(gated, "doc_id", pairs, scores, "n_tokens")
-      kept.unpersist(blocking = false)
       best.filter(col("keep"))
         .join(gated.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
@@ -1579,6 +1625,38 @@ object SparkEntry {
   private val minhashPairsCtes: String =
     s"""$corpusSql,
        |${minhashPairChain("corpus")}""".stripMargin
+
+  /** Shared by `corpus_overlap` AND `corpus_overlap_indexed`: the two
+    * paths must produce the identical one-row report (the indexed
+    * archive side reads persisted band keys/hash sets instead of
+    * re-signing), so they share one oracle verbatim. */
+  private def corpusOverlapSql: String =
+    s"""WITH aslice AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
+       |bslice AS (SELECT doc_id, text FROM documents WHERE source = 'src2'
+       |           UNION ALL
+       |           SELECT doc_id + 400000,
+       |                  array_to_string(w[1:greatest(len(w)-4, 1)], ' ')
+       |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |                 WHERE source = 'src1')
+       |           WHERE doc_id % 3 = 0),
+       |${mhBandChain("aslice", "a")},
+       |${mhBandChain("bslice", "b")},
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |         FROM aband a JOIN bband b USING (band, key)),
+       |ver AS (SELECT cand.ida,
+       |          len(list_intersect(x.hs, y.hs)) AS i,
+       |          len(x.hs) AS nx, len(y.hs) AS ny
+       |        FROM cand JOIN ahs x ON x.doc_id = cand.ida
+       |                  JOIN bhs y ON y.doc_id = cand.idb),
+       |hit AS (SELECT DISTINCT ida FROM ver
+       |        WHERE i * 1.0 / (nx + ny - i) >= 0.5),
+       |na AS (SELECT count(*) AS n_a FROM aslice),
+       |nb AS (SELECT count(*) AS n_b FROM bslice),
+       |nov AS (SELECT count(*) AS n_overlap FROM hit)
+       |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  CAST(n_overlap AS BIGINT) AS n_overlap,
+       |  round(CAST(n_overlap AS DOUBLE) / n_a, 6) AS overlap_rate
+       |FROM na, nb, nov""".stripMargin
 
   /** Prefixed MinHash band-key + hash-set CTEs over a source CTE
     * `src(doc_id, text)` — emits `{p}band` (doc_id, band, key) and
@@ -3373,35 +3451,13 @@ object SparkEntry {
          |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) ELSE 0.0 END, 5)
          |FROM c3m""".stripMargin,
 
-    "corpus_overlap" ->
-      // the decontaminate_near band machinery between the two slices,
-      // rolled up to one row of integer counts + one fixed division
-      s"""WITH aslice AS (SELECT doc_id, text FROM documents WHERE source = 'src1'),
-         |bslice AS (SELECT doc_id, text FROM documents WHERE source = 'src2'
-         |           UNION ALL
-         |           SELECT doc_id + 400000,
-         |                  array_to_string(w[1:greatest(len(w)-4, 1)], ' ')
-         |           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |                 WHERE source = 'src1')
-         |           WHERE doc_id % 3 = 0),
-         |${mhBandChain("aslice", "a")},
-         |${mhBandChain("bslice", "b")},
-         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         |         FROM aband a JOIN bband b USING (band, key)),
-         |ver AS (SELECT cand.ida,
-         |          len(list_intersect(x.hs, y.hs)) AS i,
-         |          len(x.hs) AS nx, len(y.hs) AS ny
-         |        FROM cand JOIN ahs x ON x.doc_id = cand.ida
-         |                  JOIN bhs y ON y.doc_id = cand.idb),
-         |hit AS (SELECT DISTINCT ida FROM ver
-         |        WHERE i * 1.0 / (nx + ny - i) >= 0.5),
-         |na AS (SELECT count(*) AS n_a FROM aslice),
-         |nb AS (SELECT count(*) AS n_b FROM bslice),
-         |nov AS (SELECT count(*) AS n_overlap FROM hit)
-         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-         |  CAST(n_overlap AS BIGINT) AS n_overlap,
-         |  round(CAST(n_overlap AS DOUBLE) / n_a, 6) AS overlap_rate
-         |FROM na, nb, nov""".stripMargin,
+    "corpus_overlap" -> corpusOverlapSql,
+
+    // the indexed variant shares the scan path's oracle verbatim: the
+    // path-equality contract (more_like_this_indexed pattern) — the
+    // archive side reads band keys + hash sets from parquet instead
+    // of re-signing, and must produce the identical one-row report
+    "corpus_overlap_indexed" -> corpusOverlapSql,
 
     "sample_balanced" ->
       // sample_topk's rank machinery with k = the data-derived
@@ -3739,8 +3795,11 @@ object SparkEntry {
 
     "embedding_drift" ->
       // same 1e-6 quantization, integer per-(dim, side) sums, means
-      // divided in the same fixed expression both engines
-      """WITH b AS (SELECT CAST(label % 2 AS VARCHAR) AS side,
+      // divided in the same fixed expression both engines. The side
+      // key uses ((label % 2) + 2) % 2 — the non-negative residue — so
+      // it matches Spark's pmod even if labels ever go negative
+      // (ADVICE r11: DuckDB's bare % is signed).
+      """WITH b AS (SELECT CAST(((label % 2) + 2) % 2 AS VARCHAR) AS side,
         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |e AS (SELECT side, s.d AS dim, CAST(round(s.x * 1000000.0) AS BIGINT) AS qx
         |      FROM (SELECT side, unnest(list_transform(range(1, len(v) + 1),

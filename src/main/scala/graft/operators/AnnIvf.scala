@@ -241,9 +241,12 @@ object AnnIvf {
     * nprobe/nlist of the data instead of re-assigning the corpus. */
   def writeIndexed(df: DataFrame, vecCol: String, idCol: String,
                    centroids: DataFrame, metric: Knn.Metric,
-                   path: String): Unit =
+                   path: String): Unit = {
     assign(df, vecCol, idCol, centroids, metric)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    Dedup.writeIndexConfig(df.sparkSession, path,
+      Seq("nlist" -> centroids.count(), "metric" -> Knn.metricCode(metric)))
+  }
 
   /** Approximate top-k against a [[writeIndexed]] table: the
     * `cell isin (...)` predicate prunes partitions at planning time
@@ -253,6 +256,8 @@ object AnnIvf {
                  vecCol: String, query: DataFrame, k: Int,
                  centroids: DataFrame, nprobe: Int, metric: Knn.Metric,
                  idCol: String): DataFrame = {
+    Dedup.validateIndexConfig(spark, path,
+      Seq("nlist" -> centroids.count(), "metric" -> Knn.metricCode(metric)))
     val probeCells = rankCells(centroids, query, nprobe, metric)
     IndexMaintenance.dropTombstoned(spark, path,
       spark.read.parquet(path).filter(col("cell").isin(probeCells: _*)), idCol)

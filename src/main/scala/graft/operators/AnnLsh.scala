@@ -70,15 +70,20 @@ object AnnLsh {
     * is a partition-pruned scan that reads bucketCount-th of the
     * corpus (check PartitionFilters in the probe plan). */
   def writeIndexed(df: DataFrame, vecCol: String, numPlanes: Int, dim: Int,
-                   path: String): Unit =
+                   path: String): Unit = {
     index(df, vecCol, numPlanes, dim)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    Dedup.writeIndexConfig(df.sparkSession, path,
+      Seq("num_planes" -> numPlanes.toLong, "dim" -> dim.toLong))
+  }
 
   /** Approximate top-k against a [[writeIndexed]] table: the bucket
     * predicate prunes partitions at planning time. */
   def knnIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                  vecCol: String, query: DataFrame, k: Int, numPlanes: Int,
                  dim: Int, metric: Knn.Metric, idCol: String): DataFrame = {
+    Dedup.validateIndexConfig(spark, path,
+      Seq("num_planes" -> numPlanes.toLong, "dim" -> dim.toLong))
     val q = query.withColumn("qbucket", bucketCol(col("qvec"), numPlanes, dim))
     val Array(qrow) = q.collect()
     val qbucket = qrow.getLong(qrow.fieldIndex("qbucket"))
@@ -342,10 +347,18 @@ object AnnLsh {
     * not a corpus scan. */
   def writeForestIndex(df: DataFrame, vecCol: String, idCol: String,
                        numTables: Int, bitsPerTable: Int, dim: Int,
-                       path: String): Unit =
+                       path: String): Unit = {
     indexForest(df, vecCol, numTables, bitsPerTable, dim)
       .select(col(idCol), explode(col("fkeys")).as("fkey"))
       .write.mode("overwrite").partitionBy("fkey").parquet(path)
+    Dedup.writeIndexConfig(df.sparkSession, path, forestConfig(
+      numTables, bitsPerTable, dim))
+  }
+
+  private def forestConfig(numTables: Int, bitsPerTable: Int,
+                           dim: Int): Seq[(String, Long)] =
+    Seq("num_tables" -> numTables.toLong,
+      "bits_per_table" -> bitsPerTable.toLong, "dim" -> dim.toLong)
 
   /** Append NEW rows to a [[writeForestIndex]] table (ingest path).
     * Deletes go through [[IndexMaintenance.appendTombstones]]; a
@@ -353,10 +366,16 @@ object AnnLsh {
     * IndexMaintenance scaladoc). */
   def appendForestIndex(df: DataFrame, vecCol: String, idCol: String,
                         numTables: Int, bitsPerTable: Int, dim: Int,
-                        path: String): Unit =
+                        path: String): Unit = {
+    // appending rows hashed under DIFFERENT parameters would corrupt
+    // the index silently (mixed key spaces in one table) — the worst
+    // of the mismatch family, so it fails fast too (ADVICE r11)
+    Dedup.validateIndexConfig(df.sparkSession, path, forestConfig(
+      numTables, bitsPerTable, dim))
     indexForest(df, vecCol, numTables, bitsPerTable, dim)
       .select(col(idCol), explode(col("fkeys")).as("fkey"))
       .write.mode("append").partitionBy("fkey").parquet(path)
+  }
 
   /** Forest top-k against a [[writeForestIndex]] table: read the
     * query's L key partitions (pruned at planning time), dedup the
@@ -367,6 +386,8 @@ object AnnLsh {
                        df: DataFrame, vecCol: String, query: DataFrame, k: Int,
                        numTables: Int, bitsPerTable: Int, dim: Int,
                        metric: Knn.Metric, idCol: String, probes: Int = 1): DataFrame = {
+    Dedup.validateIndexConfig(spark, indexPath, forestConfig(
+      numTables, bitsPerTable, dim))
     // multiprobe against the same persisted index: the extra keys are
     // just more pruned partitions to read — the index (L longs/row)
     // does not grow with probes, which is the multiprobe win: the
@@ -417,6 +438,8 @@ object AnnLsh {
                             bitsPerTable: Int, dim: Int, metric: Knn.Metric,
                             idCol: String, probes: Int = 1): DataFrame = {
     import graft.functions.MultiLshBuckets
+    Dedup.validateIndexConfig(spark, indexPath, forestConfig(
+      numTables, bitsPerTable, dim))
     val queryKeys =
       if (probes == 1)
         queries.select(col("qid"),

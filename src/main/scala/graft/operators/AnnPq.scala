@@ -169,7 +169,16 @@ object AnnPq {
     AnnIvf.assign(df, vecCol, idCol, centroids, metric)
       .select(cols: _*)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    Dedup.writeIndexConfig(df.sparkSession, path, pqConfig(model, residual = false))
   }
+
+  /** Sidecar params for a PQ index: codes packed under a different
+    * (m, k, dsub) — or plain codes probed as residual codes — decode
+    * to garbage distances silently, so the probes fail fast instead. */
+  private def pqConfig(model: Model, residual: Boolean): Seq[(String, Long)] =
+    Seq("pq_m" -> model.m.toLong, "pq_k" -> model.k.toLong,
+      "pq_dsub" -> model.dsub.toLong,
+      "residual" -> (if (residual) 1L else 0L))
 
   /** Approximate top-k against a [[writeIvfPqIndex]] table: rank
     * cells on the driver (zero jobs), prune to nprobe partitions,
@@ -179,6 +188,7 @@ object AnnPq {
   def knnIvfPq(spark: org.apache.spark.sql.SparkSession, path: String,
                query: DataFrame, k: Int, centroids: DataFrame, nprobe: Int,
                metric: Knn.Metric, model: Model, idCol: String): DataFrame = {
+    Dedup.validateIndexConfig(spark, path, pqConfig(model, residual = false))
     val probeCells = AnnIvf.rankCells(centroids, query, nprobe, metric)
     val lut = lookupTable(queryVector(query), model)
     val bits = bitsFor(model.k)
@@ -248,6 +258,7 @@ object AnnPq {
         encodeCol(col("_rv"), model), bits).as("pq_packed"))
     assigned.select(cols: _*)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    Dedup.writeIndexConfig(df.sparkSession, path, pqConfig(model, residual = true))
   }
 
   /** Probe a [[writeIvfPqResidualIndex]] table: ranks cells on the
@@ -261,6 +272,7 @@ object AnnPq {
                        query: DataFrame, k: Int, centroids: DataFrame,
                        nprobe: Int, metric: Knn.Metric, model: Model,
                        idCol: String): DataFrame = {
+    Dedup.validateIndexConfig(spark, path, pqConfig(model, residual = true))
     val qv = queryVector(query)
     val probeCells = AnnIvf.rankCells(centroids, query, nprobe, metric)
     val centMap = centroids

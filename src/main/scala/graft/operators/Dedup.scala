@@ -204,6 +204,45 @@ object Dedup {
 
   // ---------- incremental (delta-vs-corpus) ----------
 
+  /** Build-parameter sidecar location for a persisted index
+    * (underscore-prefixed, so Spark's file listing ignores it when
+    * the index root itself is read as parquet — the `_tombstones`
+    * convention). */
+  def indexConfigPath(path: String): String = s"$path/_config"
+
+  /** Persist the build parameters next to an index. An index probed
+    * with parameters different from those it was built with computes
+    * different band arithmetic / bucket layout and silently returns
+    * wrong candidates — so every writer records its config and every
+    * probe fails fast on mismatch (ADVICE r11). */
+  private[graft] def writeIndexConfig(spark: org.apache.spark.sql.SparkSession,
+                                      path: String,
+                                      params: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    params.toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(indexConfigPath(path))
+  }
+
+  /** Fail fast when a probe's parameters disagree with the stored
+    * build config. A missing sidecar (index written before the config
+    * convention) is tolerated; unknown stored keys are ignored so the
+    * config can grow fields without breaking old probes. */
+  private[graft] def validateIndexConfig(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expected: Seq[(String, Long)]): Unit = {
+    val cfg = new org.apache.hadoop.fs.Path(indexConfigPath(path))
+    val fs = cfg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cfg)) return
+    val stored = spark.read.parquet(indexConfigPath(path))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bad = expected.flatMap { case (k, v) =>
+      stored.get(k).filter(_ != v).map(sv => s"$k: built=$sv probed=$v") }
+    require(bad.isEmpty,
+      s"index at $path probed with parameters it was not built with " +
+        s"(${bad.mkString(", ")}) — rebuild the index or probe with " +
+        "the stored build parameters")
+  }
+
   /** Persist a MinHash probe index for [[incrementalNearDupIndexed]]:
     * `path/bands` holds one (band, key, idCol) row per band per doc
     * and `path/sets` the distinct shingle-hash arrays (sid, shs). The
@@ -230,6 +269,9 @@ object Dedup {
             transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
       bandKeys(sigs, idCol, idCol, bands, numHashes / bands)
         .write.mode("overwrite").parquet(s"$path/bands")
+      writeIndexConfig(df.sparkSession, path,
+        Seq("num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
+          "shingle_n" -> shingleN.toLong))
     } finally sets.unpersist(blocking = false)
   }
 
@@ -292,7 +334,10 @@ object Dedup {
                                 textCol: String, idCol: String,
                                 numHashes: Int = 16, bands: Int = 4,
                                 shingleN: Int = 3,
-                                threshold: Double = 0.5): DataFrame =
+                                threshold: Double = 0.5): DataFrame = {
+    validateIndexConfig(spark, indexPath,
+      Seq("num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
+        "shingle_n" -> shingleN.toLong))
     // deleted corpus docs must not claim delta docs as their dups:
     // both halves of the index anti-join the shared tombstone set
     incrementalCore(
@@ -302,6 +347,7 @@ object Dedup {
       IndexMaintenance.dropTombstoned(spark, indexPath,
         spark.read.parquet(s"$indexPath/sets"), "sid"),
       delta, textCol, idCol, numHashes, bands, shingleN, threshold)
+  }
 
   /** Shared core over a corpus band frame (cid, band, key) + set frame
     * (sid, shs), however obtained. */
@@ -657,6 +703,69 @@ object Dedup {
         (col("n_overlap").cast("double") / col("n_a")).as("overlap_rate"))
   }
 
+  /** [[corpusOverlap]] where side `a` (the archive) is a persisted
+    * [[writeMinhashIndex]] table: the recurring "how much of the new
+    * crawl is already archived" report with ZERO archive text scans —
+    * candidates come from the stored band keys, verification and the
+    * archive population count from the stored hash sets. The scan
+    * form re-signs BOTH corpora per call (VERDICT r11 #2's finding);
+    * at 100 TB this variant reads a few longs per archived doc
+    * instead. Tombstoned archive docs neither match nor count toward
+    * `n_a`. Results equal [[corpusOverlap]] over the indexed archive
+    * (same band arithmetic, same verification — the shared-oracle
+    * contract). */
+  def corpusOverlapIndexed(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, idCol: String,
+                           b: DataFrame, bTextCol: String, bIdCol: String,
+                           numHashes: Int = 16, bands: Int = 4,
+                           shingleN: Int = 3,
+                           minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    validateIndexConfig(spark, indexPath,
+      Seq("num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
+        "shingle_n" -> shingleN.toLong))
+    val corpusBands = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$indexPath/bands").withColumnRenamed(idCol, "cid"),
+      "cid")
+    val corpusSets = IndexMaintenance.dropTombstoned(spark, indexPath,
+      spark.read.parquet(s"$indexPath/sets"), "sid")
+    val (as, bs) = minhashConsts(numHashes)
+    // the crawl is the small side by construction: its band keys and
+    // hash sets broadcast onto the index partitions (the
+    // incrementalNearDupIndexed probe posture). No construction-time
+    // persist (this builder returns an unexecuted plan — ADVICE r11):
+    // bSets recurs as an identical subtree inside the one final plan,
+    // where ReuseExchange dedupes its shuffle.
+    val bSets = shingleSets(b, bTextCol, bIdCol, shingleN)
+    val bSigs = bSets.filter(size(col("shs")) > 0)
+      .select(col("sid").as("did"),
+        graft.functions.SketchExprs.minhashSig(
+          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+    val bBands = bandKeys(bSigs, "did", "did", bands, numHashes / bands)
+    val cand = corpusBands.join(broadcast(bBands), Seq("band", "key"))
+      .select(col("cid"), col("did")).distinct()
+    val ver = cand
+      .join(corpusSets.select(col("sid").as("cid"), col("shs").as("sa")), "cid")
+      .join(broadcast(bSets.select(col("sid").as("did"), col("shs").as("sb"))),
+        "did")
+      .filter(least(size(col("sa")), size(col("sb"))).cast("double") /
+        greatest(size(col("sa")), size(col("sb"))) >= minJaccard)
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+    // n_a from the stored sets (one row per archived doc); n_overlap =
+    // flagged archive docs, exactly corpusOverlap's grouped-id_a count
+    val na = corpusSets.agg(count(lit(1)).as("n_a"))
+    val nb = b.agg(count(lit(1)).as("n_b"))
+    val nov = ver.select(col("cid")).distinct()
+      .agg(count(lit(1)).as("n_overlap"))
+    na.crossJoin(nb).crossJoin(nov)
+      .select(col("n_a"), col("n_b"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_a")).as("overlap_rate"))
+  }
+
   /** Winnowed fingerprint windows per doc, exploded to (id, fp) —
     * the per-window variant of [[TextAnalysis.fingerprint]]: every
     * `window`-long run of shingle hashes contributes its minimum, so
@@ -849,10 +958,14 @@ object Dedup {
   def writeSubstringIndex(df: DataFrame, textCol: String, idCol: String,
                           path: String, minLen: Int = 8,
                           numBuckets: Int = 64): Unit =
+  {
     windowHashRows(df, textCol, idCol, minLen)
       .select(col("h")).distinct()
       .withColumn("bucket", pmod(col("h"), lit(numBuckets.toLong)))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    writeIndexConfig(df.sparkSession, path,
+      Seq("min_len" -> minLen.toLong, "num_buckets" -> numBuckets.toLong))
+  }
 
   /** Incremental ExactSubstr: spans of `delta` documents whose
     * `minLen`-word windows already occur in the INDEXED corpus — the
@@ -866,6 +979,8 @@ object Dedup {
                           indexPath: String, delta: DataFrame,
                           textCol: String, idCol: String, minLen: Int = 8,
                           numBuckets: Int = 64): DataFrame = {
+    validateIndexConfig(spark, indexPath,
+      Seq("min_len" -> minLen.toLong, "num_buckets" -> numBuckets.toLong))
     val winRows = windowHashRows(delta, textCol, idCol, minLen)
       .withColumn("bucket", pmod(col("h"), lit(numBuckets.toLong)))
     val buckets = winRows.select(col("bucket")).distinct()

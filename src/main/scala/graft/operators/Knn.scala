@@ -27,6 +27,13 @@ object Knn {
     case Euclidean => Vectors.euclideanDist(a, b)
   }
 
+  /** Stable numeric code for the index-config sidecar (an index built
+    * under one metric probed under another ranks silently wrong). */
+  private[graft] def metricCode(metric: Metric): Long = metric match {
+    case Cosine => 0L
+    case Euclidean => 1L
+  }
+
   /** Top-k nearest rows to `query` (a column-expression literal vector or a
     * 1-row broadcastable DataFrame with column `qvec`). Ties broken by id
     * for determinism.

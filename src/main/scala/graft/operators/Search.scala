@@ -166,6 +166,9 @@ object Search {
     withW.agg(count(lit(1)).as("n_docs"),
         sum(size(col("_w")).cast("long")).as("sum_dl"))
       .write.mode("overwrite").parquet(path + "_stats")
+    Dedup.writeIndexConfig(df.sparkSession, path,
+      Seq("num_buckets" -> numBuckets.toLong,
+        "positions" -> (if (positions) 1L else 0L)))
   }
 
   /** The driver-side twin of [[graft.operators.Dedup.hash64]] (md5
@@ -188,6 +191,10 @@ object Search {
                   statsFromDocs: Boolean = false): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "query terms must be non-empty and distinct")
+    // a numBuckets mismatch silently prunes to the WRONG partitions
+    // (terms look absent) — fail fast against the stored build config
+    Dedup.validateIndexConfig(spark, path,
+      Seq("num_buckets" -> numBuckets.toLong))
     // statsFromDocs: aggregate the streaming build's append-only
     // (id, dl) table — two longs per doc, one narrow scan — instead
     // of the batch build's frozen one-row stats parquet
@@ -269,6 +276,8 @@ object Search {
                     idCol: String, phrase: Seq[String], k: Int,
                     numBuckets: Int = 64): DataFrame = {
     require(phrase.size >= 2, "a phrase needs at least two words")
+    Dedup.validateIndexConfig(spark, path,
+      Seq("num_buckets" -> numBuckets.toLong, "positions" -> 1L))
     val buckets = phrase.distinct.map(t => hash64Local(t) % numBuckets).distinct
     val postings = IndexMaintenance.dropTombstoned(spark, path,
       spark.read.parquet(path)
@@ -491,6 +500,11 @@ object Search {
                           minJaccard: Double = 0.1): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    // probing with parameters the index was not built with would
+    // silently produce wrong candidates/ranks — fail fast instead
+    Dedup.validateIndexConfig(spark, indexPath,
+      Seq("num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
+        "shingle_n" -> shingleN.toLong))
     val corpusBands = IndexMaintenance.dropTombstoned(spark, indexPath,
       spark.read.parquet(s"$indexPath/bands").withColumnRenamed(idCol, "_cid"),
       "_cid")

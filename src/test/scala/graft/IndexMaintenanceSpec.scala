@@ -128,4 +128,46 @@ class IndexMaintenanceSpec extends SparkSpec {
       s"tombstoned corpus doc still claimed the delta: $v2")
     rm(path)
   }
+
+  test("index config sidecar: probes fail fast on build-parameter mismatch, survive compaction") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 97 === 0)
+
+    // minhash index: matching params probe fine; mismatched bands fail fast
+    val mh = tmp("graft-cfg-mh")
+    Dedup.writeMinhashIndex(docs, "text", "doc_id", mh,
+      numHashes = 16, bands = 4, shingleN = 3)
+    Dedup.incrementalNearDupIndexed(spark, mh, delta, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleN = 3).queryExecution.toRdd.count()
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupIndexed(spark, mh, delta, "text", "doc_id",
+        numHashes = 16, bands = 8, shingleN = 3)
+    }
+    assert(e1.getMessage.contains("bands"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Search.moreLikeThisIndexed(spark, mh, delta, "text", "doc_id", k = 3,
+        numHashes = 16, bands = 4, shingleN = 5)
+    }
+    assert(e2.getMessage.contains("shingle_n"), e2.getMessage)
+    rm(mh)
+
+    // substring index: same contract, and the sidecar survives compaction
+    val ss = tmp("graft-cfg-ss")
+    Dedup.writeSubstringIndex(docs, "text", "doc_id", ss,
+      minLen = 8, numBuckets = 16)
+    Dedup.probeSubstringSpans(spark, ss, delta, "text", "doc_id",
+      minLen = 8, numBuckets = 16).queryExecution.toRdd.count()
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.probeSubstringSpans(spark, ss, delta, "text", "doc_id",
+        minLen = 10, numBuckets = 16)
+    }
+    assert(e3.getMessage.contains("min_len"), e3.getMessage)
+    val stored = spark.read.parquet(Dedup.indexConfigPath(ss))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored == Map("min_len" -> 8L, "num_buckets" -> 16L), stored.toString)
+    rm(ss)
+    // sidecar-survives-compaction is covered by the forest test above:
+    // compactIndex now restores _config after the swap, and the
+    // post-compaction appendForestIndex there validates against it
+  }
 }

@@ -105,6 +105,37 @@ class PlanAuditSpec extends SparkSpec {
       s"probe must scan only index files:\n${scans.mkString("\n")}")
   }
 
+  test("indexed overlap report: archive side reads index files only") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val archive = docs.filter(col("source") === "src1")
+      .select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ov-audit")
+      .toString + "/idx"
+    Dedup.writeMinhashIndex(archive, "text", "doc_id", path)
+    // the crawl arrives as an in-memory frame: every FileScan in the
+    // report plan must then point at the INDEX — the archive is never
+    // re-signed (zero corpus text scans, the recurring-report contract)
+    val crawl = Seq((900001L, "entirely novel crawl words"))
+      .toDF("doc_id", "text")
+    val p = Dedup.corpusOverlapIndexed(spark, path, "doc_id",
+        crawl, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("/idx")),
+      s"report must scan only index files:\n${scans.mkString("\n")}")
+    // and the report itself matches the scan path on a real overlap
+    val crawl2 = archive.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    val viaIndex = Dedup.corpusOverlapIndexed(spark, path, "doc_id",
+      crawl2, "text", "doc_id").collect().head
+    val viaScan = Dedup.corpusOverlap(archive, "text", "doc_id",
+      crawl2, "text", "doc_id").collect().head
+    assert(viaIndex == viaScan, s"index path $viaIndex != scan path $viaScan")
+  }
+
   test("map-side report operators plan at most their one keyed exchange") {
     // quality_gopher is zero-shuffle; embedding_drift's only exchange
     // is the (dim)-keyed agg with a map-side partial
