@@ -49,7 +49,7 @@ object SparkEntry {
     * +300000, 4 words appended) — the extended copies are the case a
     * min-id/keep-first rule resolves wrong. Mirrored by the `kb` CTE
     * in the dedup_keep_best / pipeline_curate_v2 oracles. */
-  private def kbCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def kbCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val w = split(col("text"), " ")
     val truncated = docs.filter(col("doc_id") % 5 === 0)

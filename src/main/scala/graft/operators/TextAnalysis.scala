@@ -676,13 +676,14 @@ object TextAnalysis {
     * same token-order fold, same prior placement, same first-maximal
     * tie-break over the sorted label array. */
   def naiveBayesScoreAll(df: DataFrame, textCol: String, idCol: String,
-                         model: NbModel): DataFrame =
-    df.select(col(idCol),
-        graft.functions.TextExprs.nbScoreCol(
+                         model: NbModel, carry: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol) +: graft.functions.TextExprs.nbScoreCol(
           w(coalesce(col(textCol), lit(""))),
-          model.lls, model.priors, model.buckets).as("_ps"))
-      .select(col(idCol),
+          model.lls, model.priors, model.buckets).as("_ps") +:
+        carry.map(col): _*)
+      .select(col(idCol) +:
         element_at(array(model.labels.toSeq.map(lit): _*),
-          col("_ps.idx") + 1).as("pred"),
-        col("_ps.score").as("nb_score"))
+          col("_ps.idx") + 1).as("pred") +:
+        col("_ps.score").as("nb_score") +:
+        carry.map(col): _*)
 }

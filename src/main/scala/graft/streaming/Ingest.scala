@@ -613,6 +613,67 @@ object Ingest {
                      model: graft.operators.TextAnalysis.NbModel): DataFrame =
     graft.operators.TextAnalysis.naiveBayesScoreAll(docs, textCol, idCol, model)
 
+  /** Streaming curation twin of the `pipeline_curate_v2` composition,
+    * split the way a continuously-ingesting pipeline actually runs it:
+    *
+    *  - THIS stream is stages 1-2 — the quality funnel
+    *    ([[funnelStream]]: pure map-side, zero state) and the
+    *    trained-classifier gate ([[classifyStream]]'s codegen'd
+    *    kernel, stateless, bit-identical to the batch classifier) —
+    *    so documents are gated at ingest rate on every executor, and
+    *    micro-batch boundaries cannot move any verdict: the gated
+    *    row set is row-equal to the batch stages on the same input
+    *    regardless of how arrivals split (spec-pinned).
+    *  - Global resolution (near-dup keep-BEST + deterministic split)
+    *    needs corpus-wide cluster evidence no causal stream can have
+    *    (a better duplicate may arrive AFTER its cluster-mates were
+    *    emitted), so it runs as the periodic batch roll-up
+    *    [[curateResolve]] over the gated sink — the
+    *    paths/funnel/retention delta-sink pattern.
+    *
+    * Emits one row per gated doc: (idCol, textCol, pred_lang,
+    * n_tokens) — n_tokens computed in-stream with the identical
+    * expression the batch composition uses, so the resolve step never
+    * re-derives a score. */
+  def curateStream(docs: DataFrame, textCol: String, idCol: String,
+                   minTokens: Int, maxTokens: Int, keepLangs: Seq[String],
+                   minStop: Double,
+                   model: graft.operators.TextAnalysis.NbModel,
+                   gateLabel: String): DataFrame =
+    graft.operators.TextAnalysis.naiveBayesScoreAll(
+        funnelStream(docs, textCol, minTokens, maxTokens, keepLangs, minStop)
+          .filter(col("verdict") === "kept")
+          .select(col(idCol), col(textCol)),
+        textCol, idCol, model, carry = Seq(textCol))
+      .filter(col("pred") === gateLabel)
+      .select(col(idCol), col(textCol), col("pred").as("pred_lang"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+
+  /** Batch resolution over a [[curateStream]] sink: MinHash near-dup
+    * pairs over the gated corpus, quality-aware keep-best
+    * ([[graft.operators.Dedup.dedupKeepBest]] on the carried
+    * n_tokens), then the deterministic hash split — stages 3-4 of
+    * `pipeline_curate_v2`, verbatim. Given the sink equals the batch
+    * gate (the [[curateStream]] contract), this returns exactly the
+    * batch composition's rows. */
+  def curateResolve(candidates: DataFrame, textCol: String, idCol: String,
+                    numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                    threshold: Double = 0.5, evalFrac: Double = 0.1,
+                    splitSeed: String = "cur2_"): DataFrame = {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashPairs(candidates, textCol, idCol,
+      numHashes, bands, shingleN, threshold)
+    val scores = candidates.select(col(idCol), col("n_tokens"))
+    val best = Dedup.dedupKeepBest(candidates, idCol, pairs, scores, "n_tokens")
+    best.filter(col("keep"))
+      .join(candidates.select(col(idCol), col("pred_lang")), Seq(idCol))
+      .select(col(idCol), col("pred_lang"), col("n_tokens"),
+        when(Dedup.hash64(concat(lit(splitSeed), col(idCol).cast("string")))
+          % 1000000 < lit(evalFrac) * 1000000, "eval")
+          .otherwise("train").as("split"))
+  }
+
   case class FunnelEv(user_id: Long, ts: Timestamp, event_type: String)
   case class FunnelState(ts: Seq[Long])
   case class FunnelOut(user_id: Long, step: Int, ts: Timestamp)

@@ -804,4 +804,44 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch && batch.size == 4)
     } finally q.stop()
   }
+
+  test("curateStream + curateResolve equals pipeline_curate_v2 across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // the DECLARED batch composition is the contract — not a re-built
+    // stand-in: the stream path must reproduce its exact row set
+    val batch = SparkEntry.queries("pipeline_curate_v2")(spark, sf0001)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(batch.nonEmpty, "batch composition should keep documents")
+    // stream side: the same corpus arrives in three arbitrary
+    // micro-batches; the gate is the TRAINED kernel (bit-identical to
+    // the distributed classifier the batch query runs — its own pin)
+    val corpus = SparkEntry.kbCorpus(spark, sf0001)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val train = graft.core.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 0)
+    val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", 4096)
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.curateStream(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", minTokens = 20, maxTokens = 90,
+        keepLangs = Seq("en"), minStop = 0.02, model, gateLabel = "en")
+      .writeStream.format("memory").queryName("curate_sink")
+      .outputMode("append").start()
+    try {
+      val (c1, c2) = (corpus.size / 3, 2 * corpus.size / 3)
+      Seq(corpus.take(c1), corpus.slice(c1, c2), corpus.drop(c2))
+        .foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // materialize the sink as a concrete frame: a production sink is
+      // a parquet read (fresh relation per use); the memory-table View
+      // trips Spark's self-join dedup inside the resolve's keyed aggs
+      val sink = spark.table("curate_sink")
+        .as[(Long, String, String, Long)].collect().toSeq
+        .toDF("doc_id", "text", "pred_lang", "n_tokens")
+      val resolved = Ingest.curateResolve(sink, "text", "doc_id")
+        .as[(Long, String, Long, String)].collect().toSet
+      assert(resolved == batch,
+        s"stream+resolve diverged: only-stream=${(resolved -- batch).take(5)} " +
+          s"only-batch=${(batch -- resolved).take(5)}")
+    } finally q.stop()
+  }
 }
