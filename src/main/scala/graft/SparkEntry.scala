@@ -1529,6 +1529,37 @@ object SparkEntry {
         .select(col("lang"), col("pred_lang"), col("n"))
     }),
 
+    "classify_nb_unseen" -> ((s, dir) => {
+      // the deploy gate's blind-spot check: one label ('de') is
+      // WITHHELD from training, so the classifier can never predict
+      // it — the confusion rows show where those docs land, and
+      // label_trained flags the rows a deployment must treat as
+      // out-of-distribution (the reference scenario: score-time data
+      // drifts to a language the router was never trained on)
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 5 =!= 0 && col("lang") =!= "de")
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang",
+          buckets = 4096)
+        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("lang") =!= "de").as("label_trained"))
+    }),
+
+    "classify_nb_stats" -> ((s, dir) => {
+      // buckets-vs-vocabulary collision report for the deployed
+      // hashed-feature model: collisions merge unrelated tokens'
+      // evidence silently, so the gate reads this row before trusting
+      // the confusion matrix
+      TextAnalysis.nbBucketStats(
+          Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+          "text", buckets = 4096)
+        .select(col("n_buckets"), col("n_vocab"), col("n_occupied"),
+          col("n_excess"), round(col("collision_rate"), 6).as("collision_rate"))
+    }),
+
     "classify_nb_scored" -> ((s, dir) => {
       // the deployment path: train once driver-side, score at scan
       // speed via the codegen'd NbScore kernel — bit-identical to
@@ -1944,9 +1975,15 @@ object SparkEntry {
     * pos)) — the lm_score rule), so the argmax compares identical
     * doubles in both engines. */
   private val classifyNbSql: String =
-    """WITH tr AS (SELECT doc_id, lang,
+    classifyNbSqlWith("doc_id % 5 <> 0")
+
+  /** The classify_nb oracle chain with a caller-chosen train-split
+    * predicate — classify_nb uses the 4/5 split; classify_nb_unseen
+    * additionally withholds one label from training. */
+  private def classifyNbSqlWith(trainCond: String): String =
+    s"""WITH tr AS (SELECT doc_id, lang,
       |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
-      |      FROM documents WHERE doc_id % 5 <> 0),
+      |      FROM documents WHERE $trainCond),
       |te AS (SELECT doc_id, lang,
       |        list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
       |      FROM documents WHERE doc_id % 5 = 0),
@@ -3928,6 +3965,34 @@ object SparkEntry {
          |SELECT d.lang, nbout.pred_lang, count(*) AS n
          |FROM nbout JOIN documents d USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
+
+    "classify_nb_unseen" ->
+      // same chain with 'de' withheld from the train split: the CROSS
+      // JOIN over pri (trained labels only) makes 'de' unpredictable
+      // by construction in BOTH engines
+      s"""WITH nbout AS (${classifyNbSqlWith("doc_id % 5 <> 0 AND lang <> 'de'")})
+         |SELECT d.lang, nbout.pred_lang, count(*) AS n,
+         |  (d.lang <> 'de') AS label_trained
+         |FROM nbout JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "classify_nb_stats" ->
+      // same tokenization + 60-bit md5 hash % buckets; integer counts
+      // and one fixed division
+      """WITH v AS (SELECT DISTINCT word FROM (
+        |    SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '),
+        |      x -> x <> '')) AS word
+        |    FROM documents WHERE doc_id % 5 <> 0)),
+        |b AS (SELECT word,
+        |        CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 4096 AS bkt
+        |      FROM v)
+        |SELECT CAST(4096 AS BIGINT) AS n_buckets,
+        |  CAST(count(*) AS BIGINT) AS n_vocab,
+        |  CAST(count(DISTINCT bkt) AS BIGINT) AS n_occupied,
+        |  CAST(count(*) - count(DISTINCT bkt) AS BIGINT) AS n_excess,
+        |  round((count(*) - count(DISTINCT bkt)) * 1.0 / count(*), 6)
+        |    AS collision_rate
+        |FROM b""".stripMargin,
 
     "classify_nb_scored" ->
       // the codegen'd kernel path is bit-identical to the batch

@@ -148,13 +148,30 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     }
   }
 
+  /** Mutations serialize on this per-collection lock — the analogue of
+    * the reference's per-collection mutex (collection.go lock
+    * discipline). Every write is read-version-then-append: two
+    * unserialized writers could mint the SAME version for different
+    * batches and make "latest version per id" ambiguous, so the
+    * critical section spans both steps. Reads stay LOCK-FREE (the
+    * reference's RWMutex blocks them): committed parquet files become
+    * visible atomically, so a concurrent reader sees a consistent
+    * prefix of the mutation log. The one caveat is [[compact]] — it
+    * retires superseded generation dirs immediately, so a reader
+    * holding a plan over the OLD generation across a compaction can
+    * fail; schedule compaction like any merge-on-read maintenance
+    * window. On a multi-writer cluster this lock would be a
+    * transaction-log protocol instead (single-JVM serving façade
+    * contract). */
+  private val writeLock = new Object
+
   private def append(batch: DataFrame): Unit =
     batch.write.mode("append").parquet(dataPath())
 
   /** AddDocument upsert (collection.go:427): vectors are stored
     * quantized per options (lossy below 32 bits, like the
     * reference). */
-  def addDocuments(docs: DataFrame): Unit = {
+  def addDocuments(docs: DataFrame): Unit = writeLock.synchronized {
     val v = nextVersion()
     val vec = options.quantization match {
       case 32 => col("vector").cast("array<float>").cast("array<double>")
@@ -168,7 +185,7 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
 
   /** UpdateDocument metadata (collection.go:490): rewrite metadata,
     * keep the stored vector. */
-  def updateMetadata(id: Long, metadata: String): Unit = {
+  def updateMetadata(id: Long, metadata: String): Unit = writeLock.synchronized {
     val v = nextVersion()
     append(current().filter(col("id") === id)
       .select(col("id"), col("vector"), lit(metadata).as("metadata"),
@@ -176,7 +193,7 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   }
 
   /** RemoveDocument (collection.go:511): tombstone append. */
-  def removeDocuments(ids: Seq[Long]): Unit = {
+  def removeDocuments(ids: Seq[Long]): Unit = writeLock.synchronized {
     val v = nextVersion()
     append(spark.createDataFrame(ids.map(i => Tuple1(i))).toDF("id")
       .select(col("id").cast("long"), lit(null).cast("array<double>").as("vector"),
@@ -328,7 +345,7 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     * served — there is no delete-before-rename window (the old
     * implementation destroyed the only copy if it died between
     * `delete(dst)` and `rename(tmp, dst)`). */
-  def compact(): Unit = {
+  def compact(): Unit = writeLock.synchronized {
     val f = fs()
     val old = dataPath()
     val next = completeGens().maxOption.getOrElse(0) + 1

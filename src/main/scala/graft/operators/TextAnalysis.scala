@@ -675,6 +675,29 @@ object TextAnalysis {
     * to [[naiveBayes]]'s (pred, nb_score) on the same model inputs:
     * same token-order fold, same prior placement, same first-maximal
     * tie-break over the sorted label array. */
+  /** Hash-bucket collision report for a [[naiveBayes]] /
+    * [[trainNaiveBayes]] training corpus: vocabulary size vs occupied
+    * buckets and the excess (tokens sharing a bucket with another
+    * token) — the number a deploy gate reads before trusting a
+    * hashed-feature classifier, since collisions merge unrelated
+    * tokens' evidence silently. One row; the vocabulary distinct and
+    * the two counts are one keyed-agg pass (map-side partials), never
+    * a driver-side vocabulary. */
+  def nbBucketStats(train: DataFrame, textCol: String,
+                    buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    train.select(explode(filter(w(coalesce(col(textCol), lit(""))),
+        t => t =!= "")).as("_tok"))
+      .distinct()
+      .agg(count(lit(1)).as("n_vocab"),
+        countDistinct(Dedup.hash64(col("_tok")) % buckets).as("n_occupied"))
+      .select(lit(buckets.toLong).as("n_buckets"),
+        col("n_vocab"), col("n_occupied"),
+        (col("n_vocab") - col("n_occupied")).as("n_excess"),
+        ((col("n_vocab") - col("n_occupied")).cast("double") /
+          col("n_vocab")).as("collision_rate"))
+  }
+
   def naiveBayesScoreAll(df: DataFrame, textCol: String, idCol: String,
                          model: NbModel, carry: Seq[String] = Nil): DataFrame =
     df.select(col(idCol) +: graft.functions.TextExprs.nbScoreCol(

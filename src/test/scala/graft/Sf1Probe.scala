@@ -65,6 +65,13 @@ object Sf1Probe {
 
     if (!new java.io.File(s"$dst/documents.parquet").exists()) {
       println("[sf1probe] building /tmp/sf1rep (10x sf0.1, distinct content)")
+      // PINNED LAYOUT (round-12): hash-partition on the id + sort
+      // within partitions, so every rebuild lays out byte-identical
+      // parquet — the r11 cross-era band widening for the forest lines
+      // traced to a replica rebuild changing file layout (row-group
+      // boundaries move scan/shuffle granularity), which made eras
+      // incomparable. The md5 manifest below makes any future layout
+      // change loud instead of silent.
       val docs = spark.read.parquet(s"$src/documents.parquet")
       (0 until 10).map { n =>
         if (n == 0) docs
@@ -74,7 +81,8 @@ object Sf1Probe {
             w => concat(w, lit(s"_c$n"))), " ").as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
-        .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+        .repartition(32, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
       // perturbation 0.2/dim on unit-norm vectors moves copies to
       // cos ~ 0.6-0.7 from their original: genuinely DISTINCT content
       // (a 0.05 perturbation left every copy a near-dup above tau,
@@ -90,7 +98,8 @@ object Sf1Probe {
               .cast("float")).as("embedding"),
           col("label"))
       }.reduce(_ unionByName _)
-        .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+        .repartition(32, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       // events replicate 10x with DISTINCT users (ids shifted per
       // copy, timestamps kept): 10x the user population and event
       // volume, the growth axis every per-user events operator
@@ -103,11 +112,54 @@ object Sf1Probe {
           (col("user_id") + n * 10000000L).as("user_id"),
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _)
-        .repartition(32).write.mode("overwrite").parquet(s"$dst/events.parquet")
+        .repartition(32, col("event_id")).sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
           "orders", "lineitem"))
         spark.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    // Byte-level manifest over the probe tables: md5 of every data
+    // file, combined in sorted-name order. First build writes it;
+    // every later run verifies, so a replica whose BYTES differ from
+    // the era being compared against can never masquerade as the same
+    // dataset (VERDICT r11 #2 / SURVEY round-12 note).
+    locally {
+      def md5File(f: java.io.File): String = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+        val in = new java.io.FileInputStream(f)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { d.update(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        d.digest().map("%02x".format(_)).mkString
+      }
+      val combined = java.security.MessageDigest.getInstance("MD5")
+      for (t <- Seq("documents", "embeddings", "events")) {
+        val files = new java.io.File(s"$dst/$t.parquet").listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName)
+        files.foreach(f => combined.update(
+          (f.getName + ":" + md5File(f)).getBytes("UTF-8")))
+      }
+      val hash = combined.digest().map("%02x".format(_)).mkString
+      val manifest = java.nio.file.Paths.get(s"$dst/_replica.md5")
+      if (java.nio.file.Files.exists(manifest)) {
+        val stored = new String(java.nio.file.Files.readAllBytes(manifest),
+          "UTF-8").trim
+        if (stored == hash)
+          println(s"[sf1probe] replica bytes verified: $hash")
+        else
+          println(s"[sf1probe] WARNING replica bytes CHANGED: " +
+            s"stored=$stored now=$hash — ratios are NOT comparable to " +
+            "eras measured on the old bytes")
+      } else {
+        java.nio.file.Files.write(manifest, hash.getBytes("UTF-8"))
+        println(s"[sf1probe] replica manifest written: $hash")
+      }
     }
 
     // the forest-blocked operators follow the documented sizing rule
@@ -141,7 +193,13 @@ object Sf1Probe {
           "embedding", "vec_id", 3, 20, bitsFor(dir, 8), 64, Knn.Cosine,
           dMin = 0.01, dMax = 0.45)
       }))
-    val qs = names.map(n => n -> SparkEntry.queries(n)) ++ scaled
+    // optional name filter (any non-flag arg): probe just those lines
+    // — the cheap way to re-run an A/A pair on a few queries after a
+    // replica rebuild without paying the full ~14-min sweep
+    val only = args.filterNot(_ == "export-only").toSet
+    val allQs = names.map(n => n -> SparkEntry.queries(n)) ++ scaled
+    val qs = if (only.isEmpty) allQs
+      else allQs.filter { case (n, _) => only(n) }
     def run(fn: (SparkSession, String) => DataFrame, dir: String): Unit =
       fn(spark, dir).queryExecution.toRdd.count()
     qs.foreach { case (_, fn) =>
@@ -169,11 +227,12 @@ object Sf1Probe {
     if (!args.contains("export-only")) {
       val base = bench(src)
       val big = bench(dst)
-      (names ++ scaled.map(_._1)).foreach { n =>
+      qs.map(_._1).foreach { n =>
         println(f"[sf1probe] $n%-20s sf0.1=${base(n)}%6.2f s  sf1=${big(n)}%7.2f s  ratio=${big(n) / base(n)}%5.1f x")
       }
       println(f"[sf1probe] TOTAL sf0.1=${base.values.sum}%.1f s  sf1=${big.values.sum}%.1f s  ratio=${big.values.sum / base.values.sum}%.1f x")
     }
+    if (only.nonEmpty) { spark.stop(); return }
 
     // The actual 100 TB workflow end-to-end (VERDICT r10 #6): curation
     // -> loader-ready shards. Timed through the WRITE (plan execution

@@ -384,4 +384,39 @@ class TextAnalysisSpec extends SparkSpec {
     // EXACT double equality — the kernel's fold order is the contract
     assert(kernel == batch)
   }
+
+  test("withheld label: neither path can predict it, kernel still equals batch, stats row is exact") {
+    val all = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    // 'de' never trains: score-time data from an untrained language
+    // must land on SOME trained label, identically on both paths
+    val train = all.filter(col("doc_id") % 5 =!= 0 && col("lang") =!= "de")
+    val test = all.filter(col("doc_id") % 5 === 0)
+    val batch = TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang", 512)
+      .select("doc_id", "pred", "nb_score")
+      .as[(Long, String, Double)].collect().toSet
+    assert(batch.nonEmpty && !batch.exists(_._2 == "de"),
+      "an untrained label must be unpredictable")
+    val deDocs = test.filter(col("lang") === "de")
+      .select("doc_id").as[Long].collect().toSet
+    assert(deDocs.nonEmpty && deDocs.subsetOf(batch.map(_._1)),
+      "unseen-label docs must still score, not drop")
+    val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", 512)
+    assert(!model.labels.contains("de"))
+    val kernel = TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id", model)
+      .select("doc_id", "pred", "nb_score")
+      .as[(Long, String, Double)].collect().toSet
+    assert(kernel == batch)
+    // collision stats: recompute vocabulary/buckets brute-force
+    val stats = TextAnalysis.nbBucketStats(train, "text", 512)
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    val vocab = train.select(col("text")).as[String].collect()
+      .flatMap(t => Option(t).getOrElse("").split(" ")).filter(_.nonEmpty).toSet
+    val occupied = vocab.map(t => java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15),
+      16) % 512)
+    assert(stats == ((512L, vocab.size.toLong, occupied.size.toLong,
+      (vocab.size - occupied.size).toLong,
+      (vocab.size - occupied.size).toDouble / vocab.size)))
+  }
 }

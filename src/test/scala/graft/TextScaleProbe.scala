@@ -14,10 +14,10 @@ object TextScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
     val big = (0 until 10).map(s =>
         base.select((col("doc_id") + s * 1000000L).as("doc_id"), col("text"),
-          col("source")))
+          col("source"), col("lang")))
       .reduce(_ unionByName _).repartition(32).cache()
     println(s"[probe] docs big=${big.count()}")
     val one = base.repartition(32).cache(); one.count()
@@ -71,6 +71,54 @@ object TextScaleProbe {
         s"dedup_substring $tag")
       time(() => Dedup.duplicatedSpansKeepFirst(df, "text", "doc_id",
         minLen = 8), s"dedup_substring_keep $tag")
+    }
+    // keep-best + the curate-v2 composition at the SAME dup-torture
+    // shape (VERDICT r11 #5): with 10 exact copies of every doc, every
+    // near-dup cluster has >= 10 members, so keep-best's winner join
+    // fans out by cluster size and the pair graph approaches
+    // clusters x C(10,2) — the worst case for the CC driver guard and
+    // the cluster-keyed aggs
+    def keepBest(df: org.apache.spark.sql.DataFrame) = {
+      val pairs = Dedup.minhashPairs(df, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      val scores = df.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      Dedup.dedupKeepBest(df, "doc_id", pairs, scores, "n_tokens")
+    }
+    def curateV2(df: org.apache.spark.sql.DataFrame) = {
+      // the pipeline_curate_v2 stages over an arbitrary corpus frame:
+      // funnel -> trained-kernel gate (the deployment classifier,
+      // bit-equal to the distributed gate) -> keep-best + split via
+      // the streaming roll-up (stage-identical by the curate_stream
+      // contract). Training is INSIDE the timed region, as in the
+      // declared query.
+      val kept = TextAnalysis.filterFunnel(df, "text",
+          minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
+        .filter(col("verdict") === "kept")
+        .select(col("doc_id"), col("text"))
+      val model = TextAnalysis.trainNaiveBayes(
+        df.filter(col("doc_id") % 5 =!= 0), "text", "lang", 4096)
+      val gated = TextAnalysis.naiveBayesScoreAll(kept, "text", "doc_id",
+          model, carry = Seq("text"))
+        .filter(col("pred") === "en")
+        .select(col("doc_id"), col("text"), col("pred").as("pred_lang"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("long").as("n_tokens"))
+      graft.streaming.Ingest.curateResolve(gated, "text", "doc_id")
+    }
+    for ((df, tag) <- Seq((one, "1x"), (big, "10x"))) {
+      val nPairs = Dedup.minhashPairs(df, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5).count()
+      val kbPlan = keepBest(df)
+      kbPlan.queryExecution.toRdd.count()
+      val ep = kbPlan.queryExecution.executedPlan.toString
+      val joins = "(SortMergeJoin|BroadcastHashJoin)".r
+        .findAllIn(ep).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      println(s"[probe] keep_best $tag pair graph = $nPairs pairs, " +
+        s"executed joins = $joins")
+      time(() => keepBest(df), s"dedup_keep_best $tag")
+      time(() => curateV2(df), s"pipeline_curate_v2 $tag")
     }
     // similarityJoin and embeddingPairsForest are canonicalize-first
     // since round 8: 10 exact copies of every vector (the worst dup
