@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{AnnIvf, AnnLsh, AnnPq, Crud, Dedup, Embed, Eval, Events, Knn, Sampling, Search, TextAnalysis}
+import graft.operators.{AnnIvf, AnnLsh, AnnPq, Crud, Dedup, Embed, Eval, Events, Knn, Pca, Sampling, Search, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1611,6 +1611,38 @@ object SparkEntry {
         .orderBy(col("_rev").desc, col("l_orderkey"))
         .limit(10)
         .select(col("l_orderkey"), col("o_orderdate"), round(col("_rev"), 2).as("revenue"))
+    }),
+
+    "decontaminate_bloom" -> ((s, dir) => {
+      // the O(1)-per-gram deployment shape of `decontaminate`: the
+      // corpus never shuffles — verdicts come from a broadcast 4M-bit
+      // bloom bitmap compiled once from the benchmark; md5 positions
+      // make even the false positives engine-reproducible
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminateBloom(
+        docs.filter(col("source") =!= "src0"), "text", "doc_id",
+        docs.filter(col("source") === "src0"), "text",
+        n = 3, minHits = 3, mBits = 1 << 22)
+    }),
+
+    "embedding_covariance" -> ((s, dir) => {
+      // the one-pass sufficient statistics PCA fits from: every value
+      // derives from exact integer-grid sums in one fixed expression,
+      // so any engine reproduces the matrix bit-for-bit
+      Pca.covariance(Tables.embeddings(s, dir), "embedding", 64)
+        .select(col("i"), col("j"), col("n"), round(col("cov"), 10).as("cov"))
+    }),
+
+    "embedding_pca" -> ((s, dir) => {
+      // rotate the corpus into its principal axes: fit collects only
+      // the d x d stats (driver-sized by contract), projection is a
+      // pure map-side fold — no SQL oracle (eigensolve), properties
+      // pinned in PcaSpec; variance report in Pca.explainedVariance
+      val emb = Tables.embeddings(s, dir)
+      val model = Pca.fit(emb, "embedding", 64)
+      Pca.project(emb, "embedding", model, 8)
+        .select(Seq(col("vec_id")) ++
+          (0 until 8).map(k => round(col(s"pc$k"), 6).as(s"pc$k")): _*)
     })
   )
 
@@ -4039,6 +4071,55 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1998-06-01'
         |    AND l_shipdate > TIMESTAMP '1998-06-01'
         |  GROUP BY l_orderkey, o_orderdate
-        |  ORDER BY rev DESC, l_orderkey LIMIT 10)""".stripMargin
+        |  ORDER BY rev DESC, l_orderkey LIMIT 10)""".stripMargin,
+
+    "decontaminate_bloom" ->
+      // recompute the identical bit set: 60-bit md5 gram hashes, k=3
+      // positions from 8-hex-char windows of md5('bl0_' || hash), and
+      // a gram hits when all 3 positions are present; the bitmap and
+      // the position-set join are the same membership structure
+      """WITH crp AS (SELECT doc_id, string_split(text, ' ') AS w
+        |             FROM documents WHERE source <> 'src0'),
+        |ben AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
+        |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-1, 1)),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM ben),
+        |bh AS (SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM bsh),
+        |bp AS (SELECT DISTINCT
+        |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
+        |           % 4194304 AS pos
+        |       FROM bh, (VALUES (0), (1), (2)) t(t)),
+        |csh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+        |        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+        |                range(1, greatest(len(w)-1, 1)),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM crp)),
+        |cp AS (SELECT doc_id, h, t.t,
+        |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
+        |           % 4194304 AS pos
+        |       FROM csh, (VALUES (0), (1), (2)) t(t)),
+        |ghit AS (SELECT doc_id, h FROM cp JOIN bp USING (pos)
+        |         GROUP BY doc_id, h HAVING count(*) = 3),
+        |hits AS (SELECT doc_id, count(*) AS bloom_hits FROM ghit GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(h.bloom_hits, 0) AS bloom_hits,
+        |       coalesce(h.bloom_hits, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM crp) c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "embedding_covariance" ->
+      // same 1e-6 grid as embedding_drift; pair sums are exact
+      // integers (DuckDB sums BIGINT into HUGEINT, Spark into
+      // decimal(38,0)), and the covariance divides them in the
+      // identical fixed expression both engines
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, s.d AS d, CAST(round(s.x * 1000000.0) AS BIGINT) AS qx
+        |      FROM (SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+        |              i -> {'d': i - 1, 'x': v[CAST(i AS INT)]})) AS s FROM b)),
+        |p AS (SELECT a.d AS i, b2.d AS j, count(*) AS n, sum(a.qx * b2.qx) AS s
+        |      FROM e a JOIN e b2 ON a.vec_id = b2.vec_id AND a.d <= b2.d
+        |      GROUP BY 1, 2),
+        |m AS (SELECT d, sum(qx) AS s1 FROM e GROUP BY 1)
+        |SELECT p.i, p.j, CAST(p.n AS BIGINT) AS n,
+        |  round(CAST(p.s * p.n - mi.s1 * mj.s1 AS DOUBLE) /
+        |        (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) * 1e12), 10) AS cov
+        |FROM p JOIN m mi ON mi.d = p.i JOIN m mj ON mj.d = p.j""".stripMargin
   )
 }

@@ -637,6 +637,70 @@ object Dedup {
         (coalesce(col("bench_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Bloom-filter decontamination — the O(1)-per-gram deployment shape
+    * of [[decontaminate]]: the benchmark's shingle vocabulary compiles
+    * ONCE into an m-bit bloom bitmap (k=3 md5-derived bit positions
+    * per shingle, OR-merged — order-independent, so the bitmap is a
+    * pure function of the benchmark), and the corpus pass tests each
+    * doc's grams against the broadcast bitmap entirely map-side. At
+    * 100 TB this removes the corpus-side shuffle the equi-join form
+    * pays: the corpus never exchanges ANY rows — one scan, per-doc
+    * verdicts at full parallelism — and the bitmap's size is fixed by
+    * `mBits` (2^18 bits = 32 KiB default), NOT by benchmark size.
+    *
+    * Membership is deterministic (md5 positions, no RNG), so false
+    * positives are reproducible in any engine: the oracle recomputes
+    * the identical bit set and the identical verdicts. A gram hits
+    * when all k of its positions are set; a doc is contaminated when
+    * >= `minHits` of its distinct grams hit. Bloom semantics make the
+    * flag a SUPERSET of [[decontaminate]]'s at the same (n, minHits)
+    * (no false negatives — pinned in DedupSpec); size mBits >>
+    * k·|bench vocab| to keep the FP rate negligible.
+    *
+    * Plan shape: bench side is explode → distinct positions →
+    * word-indexed bit_or (≤ mBits/64 rows, bounded by the FILTER, not
+    * the data) → ONE single-row map_from_entries roll-up; corpus side
+    * is a broadcast of that row + one scan with HOF arithmetic. */
+  def decontaminateBloom(corpus: DataFrame, textCol: String, idCol: String,
+                         benchmark: DataFrame, benchTextCol: String,
+                         n: Int = 3, minHits: Int = 1,
+                         mBits: Int = 1 << 18): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+    val nWords = mBits / 64
+    // k=3 positions per shingle hash, each from 8 hex chars of one md5
+    def posSql(shExpr: String, t: Int): String =
+      s"cast(conv(substring(md5(concat('bl0_', cast($shExpr as string))), ${1 + 8 * t}, 8), 16, 10) as bigint) % $mBits"
+    val benchPos = benchmark
+      .select(words(col(benchTextCol)).as("_w"))
+      .select(explode(array_distinct(
+        transform(shinglesFromWords(col("_w"), n), s => hash64(s)))).as("sh"))
+      .select(explode(array((0 until 3).map(t => expr(posSql("sh", t))): _*)).as("pos"))
+      .distinct()
+    val bitmap = benchPos
+      .select((col("pos") / 64).cast("long").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("_bm"))
+      .select(transform(sequence(lit(0L), lit((nWords - 1).toLong)),
+        i => coalesce(element_at(col("_bm"), i), lit(0L))).as("bm"))
+    val hitSql = (0 until 3).map { t =>
+      val p = posSql("sh", t)
+      s"(shiftright(element_at(bm, cast(($p) div 64 as int) + 1), cast(($p) % 64 as int)) % 2) != 0"
+    }.mkString(" and ")
+    corpus
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("_w"))
+      .select(col("doc_id"), array_distinct(
+        transform(shinglesFromWords(col("_w"), n), s => hash64(s))).as("_shs"))
+      .crossJoin(broadcast(bitmap))
+      // coalesce: a NULL text has a NULL shingle array; it must report
+      // 0 hits (and survive), matching the equi-join form's left join
+      .select(col("doc_id"),
+        coalesce(size(expr(s"filter(_shs, sh -> $hitSql)")), lit(0))
+          .cast("long").as("bloom_hits"))
+      .select(col("doc_id"), col("bloom_hits"),
+        (col("bloom_hits") >= minHits).as("contaminated"))
+  }
+
   /** NEAR-duplicate decontamination — the fuzzy complement of
     * [[decontaminate]]: a benchmark document lightly edited before it
     * leaked into the corpus keeps high whole-document Jaccard even

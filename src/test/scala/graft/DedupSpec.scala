@@ -155,6 +155,51 @@ class DedupSpec extends SparkSpec {
     assert(byId.size == 3) // every corpus doc present, clean ones included
   }
 
+  test("decontaminateBloom: superset of exact hits, deterministic, NULL text survives") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sits still"),
+      (3L, "completely different words entirely here now"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      Tuple1("the quick brown fox jumps over a fence")
+    ).toDF("text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.decontaminateBloom(df, "text", "doc_id", bench, "text",
+          n = 3, minHits = 2, mBits = 1 << 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val bloom = run(corpus)
+    val exact = Dedup.decontaminate(corpus, "text", "doc_id", bench, "text",
+        n = 3, minHits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exact gram hit is a bloom hit
+    exact.foreach { case (id, hits) =>
+      assert(bloom(id)._1 >= hits, s"doc $id: bloom ${bloom(id)._1} < exact $hits") }
+    assert(bloom(1L)._2 && bloom(1L)._1 >= 2)
+    assert(bloom(4L) == ((0L, false)), "NULL text must report 0 hits and survive")
+    assert(bloom.size == 4)
+    // pure function of the inputs: partitioning cannot move a verdict
+    assert(run(corpus.repartition(7)) == bloom)
+  }
+
+  test("decontaminateBloom corpus side never shuffles (bitmap broadcast only)") {
+    val corpus = (0L until 200L).map(i => (i, s"doc $i body word${i % 9} tail"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("doc 3 body word3 tail")).toDF("text")
+    val df = Dedup.decontaminateBloom(corpus, "text", "doc_id", bench, "text",
+      n = 2, minHits = 1, mBits = 1 << 16)
+    // planning-pass plan (before AQE appends a final-plan section)
+    val plan = df.queryExecution.executedPlan.toString
+    // the only exchanges live in the bitmap build (bit_or keyed agg +
+    // the single-row roll-up); the corpus reaches its verdicts without
+    // exchanging any rows, and nothing sort-merge-joins
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val nEx = "ShuffleExchange|Exchange hashpartitioning|Exchange SinglePartition".r
+      .findAllIn(plan).length
+    assert(nEx <= 3, s"expected only bitmap-build exchanges, got $nEx:\n$plan")
+  }
+
   test("decontaminateNear flags edited benchmark copies, skips unrelated docs") {
     import spark.implicits._
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
