@@ -924,6 +924,27 @@ object SparkEntry {
       graft.operators.Multimodal.binaryDedup(media, "payload", "doc_id")
     }),
 
+    "mm_near_dedup" -> ((s, dir) => {
+      // near-dup media: exact copies, 8-byte-header re-encodes and
+      // tail-corrupted variants all land within a few sketch bits of
+      // their original; sliding 16-byte windows at stride 8 keep
+      // interior windows aligned across the header shift
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull)
+      val copies = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val prefixed = docs.filter(col("doc_id") % 5 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("HDRv2___"), col("text")).as("text"))
+      val suffixed = docs.filter(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit("XTRA")).as("text"))
+      val media = docs.unionByName(copies).unionByName(prefixed)
+        .unionByName(suffixed)
+        .withColumn("payload", col("text").cast("binary"))
+      graft.operators.Multimodal.binaryNearDup(media, "payload", "doc_id")
+    }),
+
     "mm_features" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
         .withColumn("payload", col("text").cast("binary"))
@@ -3540,6 +3561,34 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY stratum ORDER BY hv, doc_id) AS sample_rank
         |      FROM h)
         |SELECT stratum, doc_id, sample_rank FROM r, cap WHERE sample_rank <= cap.k""".stripMargin,
+
+    "mm_near_dedup" ->
+      // byte windows align to hex-pair windows, so the oracle hashes
+      // the identical uppercase-hex chunk forms; sketch, banding and
+      // Hamming verify mirror the dedup_simhash oracle
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, text FROM docs
+        |      UNION ALL SELECT doc_id + 100000, text FROM docs WHERE doc_id % 7 = 0
+        |      UNION ALL SELECT doc_id + 200000, 'HDRv2___' || text FROM docs WHERE doc_id % 5 = 1
+        |      UNION ALL SELECT doc_id + 300000, text || 'XTRA' FROM docs WHERE doc_id % 5 = 2),
+        |w AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |        octet_length(encode(text)) AS nb
+        |      FROM m WHERE octet_length(encode(text)) > 0),
+        |ch AS (SELECT doc_id, unnest(list_transform(
+        |         range(0, greatest((nb - 16) // 8, 0) + 1),
+        |         k -> substr(hx, k * 16 + 1, 32))) AS chunk FROM w),
+        |th AS (SELECT doc_id, CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS th FROM ch),
+        |bits AS (SELECT doc_id, i, sum(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM th, range(60) r(i) GROUP BY doc_id, i),
+        |sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |banded AS (SELECT doc_id, simhash, bb.b AS band, (simhash >> (bb.b * 10)) & 1023 AS key
+        |           FROM sim, range(6) bb(b)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |            bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |          FROM banded a JOIN banded b USING (band, key)
+        |          WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 5""".stripMargin,
 
     "mm_dedup" ->
       // identical bytes -> identical sha-256 in both engines; keeper

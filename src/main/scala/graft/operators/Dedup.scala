@@ -437,16 +437,30 @@ object Dedup {
   /** Near-dup pairs by SimHash: candidates share one of 4 15-bit bands,
     * verified with Hamming distance <= maxHamming. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 8): DataFrame = {
-    val sh = simhash(df, textCol, idCol)
+                   maxHamming: Int = 8): DataFrame =
+    simhashBandPairs(simhash(df, textCol, idCol), idCol, maxHamming)
+
+  /** Band join + Hamming verify over any (id, simhash, simbits) frame —
+    * shared by the text path ([[simhashPairs]]) and the binary payload
+    * path ([[Multimodal.binaryNearDup]]). Candidates share one of
+    * `bands` (60/bands)-bit bands of the 60-bit sketch. Recall is
+    * GUARANTEED for pairs with hamming < bands (pigeonhole: fewer
+    * flipped bits than bands leaves some band clean), so callers that
+    * set maxHamming < bands get an exhaustive result, not an LSH
+    * approximation. */
+  def simhashBandPairs(sh: DataFrame, idCol: String,
+                       maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 60 % bands == 0, s"bands must divide 60, got $bands")
+    val width = 60 / bands
     // explode the band index first (see lshCandidates for why), then
-    // slice the 15-bit band key out of the bit STRING — substring
-    // accepts column offsets where bit-shifts do not
+    // slice the band key out of the bit STRING — substring accepts
+    // column offsets where bit-shifts do not
     val banded = sh
       .select(col(idCol), col("simhash"), col("simbits"),
-        explode(typedlit((0 to 3).toList)).as("band"))
+        explode(typedlit((0 until bands).toList)).as("band"))
       .select(col(idCol), col("simhash"), col("band"),
-        col("simbits").substr(lit(46) - col("band") * 15, lit(15)).as("key"))
+        col("simbits").substr(lit(61 - width) - col("band") * width,
+          lit(width)).as("key"))
     val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band", "key"))

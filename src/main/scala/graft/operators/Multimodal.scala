@@ -176,4 +176,62 @@ object Multimodal {
       .select(col(idCol), col("checksum"), col("canonical_id"),
         (col(idCol) === col("canonical_id")).as("keep"))
   }
+
+  /** 60-bit SimHash over sliding byte windows of a binary payload —
+    * the NEAR-dup signature [[binaryDedup]]'s exact sha-256 can't
+    * give: a re-crawled file with a prepended header, a trailing
+    * corruption, or a truncation shares almost every window with the
+    * original, so the sketches land within a few bits.
+    *
+    * Windows are `window` bytes at stride `stride` (starts 1, 1+s,
+    * 2s+1, …): content shifted by any multiple of `stride` keeps every
+    * interior window aligned, so the signature tolerates fixed-size
+    * header insertions — choose stride to divide the header sizes the
+    * crawl actually sees (8 covers the common cases). Payloads shorter
+    * than one window hash as a single truncated window; EMPTY payloads
+    * are excluded by contract (an empty file matches everything or
+    * nothing — that call belongs to the exact pass).
+    *
+    * Each window is hashed via md5 of its UPPERCASE HEX form — byte
+    * windows align to hex-pair windows, which is what makes the
+    * sketch reproducible in engines whose md5 only takes strings.
+    * Entirely map-side: length arithmetic + one `transform` per row;
+    * the per-row cost is len/stride md5 calls, so at media scale size
+    * `stride` up (or chunk content-defined) before hashing terabytes.
+    */
+  def binarySimhash(df: DataFrame, binCol: String, idCol: String,
+                    window: Int = 16, stride: Int = 8): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val BITS = 60
+    val b = col(binCol)
+    val len = length(b)
+    val k = greatest(floor((len - lit(window)).cast("double") / lit(stride))
+      .cast("int"), lit(0))
+    val hs = transform(sequence(lit(0), k),
+      i => Dedup.hash64(upper(hex(b.substr(i * stride + 1, lit(window))))))
+    df.filter(len > 0)
+      .select(col(idCol), graft.functions.SketchExprs.simhash(hs).as("simhash"))
+      .select(col(idCol), lpad(bin(col("simhash")), BITS, "0").as("simbits"),
+        col("simhash"))
+  }
+
+  /** Near-duplicate pairs over binary payloads: [[binarySimhash]]
+    * sketches into the shared band join ([[Dedup.simhashBandPairs]]) —
+    * candidates collide on a band key, verified by full-sketch Hamming
+    * distance. The multimodal twin of `dedup_simhash`, and the second
+    * pass of a media dedup pipeline (after [[binaryDedup]] collapses
+    * byte-identical files).
+    *
+    * Defaults run in the EXHAUSTIVE regime: maxHamming (5) < bands
+    * (6), so by pigeonhole every qualifying pair shares a clean band —
+    * the result is the complete hamming-<=5 pair set, not an LSH
+    * sample. (A single header insertion flips ~half the sketch's
+    * zero-margin vote bits — a handful — so the guarantee is what
+    * makes small-edit variants reliably pair.) */
+  def binaryNearDup(df: DataFrame, binCol: String, idCol: String,
+                    window: Int = 16, stride: Int = 8,
+                    maxHamming: Int = 5, bands: Int = 6): DataFrame =
+    Dedup.simhashBandPairs(
+      binarySimhash(df, binCol, idCol, window, stride), idCol,
+      maxHamming, bands)
 }
