@@ -1646,6 +1646,27 @@ object SparkEntry {
         n = 3, minHits = 3, mBits = 1 << 22)
     }),
 
+    "entity_resolution" -> ((s, dir) => {
+      // catalog reconciliation: a "re-crawled" parts catalog whose
+      // names carry deterministic one-char deletions resolves back to
+      // the reference catalog — fuzzy work runs on DISTINCT names
+      // (vocabulary-sized), prefix/suffix blocks guarantee single-edit
+      // recall, levenshtein verifies, min-(dist,name) struct picks
+      val parts = Tables.table(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val pos = (col("p_partkey") % length(col("p_name"))) + 1
+      val dirty = parts.select(
+        (col("p_partkey") + 100000).as("id"),
+        when(col("p_partkey") % 3 === 0,
+          concat(col("p_name").substr(lit(1), pos - 1),
+            col("p_name").substr(pos + 1, lit(1000))))
+          .otherwise(col("p_name")).as("name"))
+      graft.operators.Entity.resolve(parts, "p_name", dirty, "id", "name",
+          maxDist = 2, graft.operators.Entity.prefixSuffixBlockers(3))
+        .select(col("entity_id"), col("name"), col("matched_name"),
+          col("dist").cast("long").as("dist"))
+    }),
+
     "embedding_covariance" -> ((s, dir) => {
       // the one-pass sufficient statistics PCA fits from: every value
       // derives from exact integer-grid sums in one fixed expression,
@@ -4121,6 +4142,34 @@ object SparkEntry {
         |    AND l_shipdate > TIMESTAMP '1998-06-01'
         |  GROUP BY l_orderkey, o_orderdate
         |  ORDER BY rev DESC, l_orderkey LIMIT 10)""".stripMargin,
+
+    "entity_resolution" ->
+      // identical typo arithmetic, identical prefix/suffix blocks,
+      // levenshtein is the classic unit-cost DP in both engines, and
+      // the best-match pick orders by the same (dist, name) total order
+      """WITH parts AS (SELECT p_partkey, p_name FROM part),
+        |dirty AS (SELECT p_partkey + 100000 AS id,
+        |    CASE WHEN p_partkey % 3 = 0 THEN
+        |      substring(p_name, 1, CAST((p_partkey % length(p_name)) + 1 AS INT) - 1) ||
+        |      substring(p_name, CAST((p_partkey % length(p_name)) + 1 AS INT) + 1, 1000)
+        |    ELSE p_name END AS name
+        |  FROM parts),
+        |ln AS (SELECT DISTINCT p_name AS name_l FROM parts WHERE p_name IS NOT NULL),
+        |rn AS (SELECT DISTINCT name AS name_r FROM dirty WHERE name IS NOT NULL),
+        |cand AS (SELECT DISTINCT name_l, name_r FROM (
+        |    SELECT l.name_l, r.name_r FROM ln l JOIN rn r
+        |      ON substring(l.name_l, 1, 3) = substring(r.name_r, 1, 3)
+        |    UNION ALL
+        |    SELECT l.name_l, r.name_r FROM ln l JOIN rn r
+        |      ON substring(l.name_l, length(l.name_l) - 2, 3) =
+        |         substring(r.name_r, length(r.name_r) - 2, 3))),
+        |m AS (SELECT name_l, name_r, levenshtein(name_l, name_r) AS dist FROM cand),
+        |mf AS (SELECT * FROM m WHERE dist <= 2),
+        |best AS (SELECT name_r, name_l AS matched_name, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY name_r ORDER BY dist, name_l) AS rnk
+        |    FROM mf) WHERE rnk = 1)
+        |SELECT d.id AS entity_id, d.name, b.matched_name, CAST(b.dist AS BIGINT) AS dist
+        |FROM dirty d LEFT JOIN best b ON b.name_r = d.name""".stripMargin,
 
     "decontaminate_bloom" ->
       // recompute the identical bit set: 60-bit md5 gram hashes, k=3
