@@ -276,6 +276,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
     }),
 
+    "knn_classify" -> ((s, dir) => {
+      // weak-supervision labeling: every 10th vector drops its label
+      // and takes the majority vote of its 10 nearest labeled
+      // neighbors; ties to the label of the single nearest neighbor
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      val labeled = emb.filter(col("vec_id") % 10 =!= 0)
+      Knn.knnClassify(labeled, queries, "embedding", "vec_id", "label",
+          k = 10, Knn.Cosine)
+        .select(col("qid"), col("pred_label"), col("votes"),
+          col("best_rank").cast("long").as("best_rank"))
+    }),
+
     "quantize" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val err = Quantization.reconstructionError(col("embedding"), 8)
@@ -1667,6 +1680,21 @@ object SparkEntry {
           col("dist").cast("long").as("dist"))
     }),
 
+    "sample_dsir" -> ((s, dir) => {
+      // "make the crawl look like the English slice": DSIR importance
+      // resampling (Xie et al. 2023) — hashed-n-gram models of target
+      // (lang='en') vs raw, per-doc log importance weight, Gumbel
+      // top-k draw; weights are one map-side fold over a broadcast
+      // one-row bucket→logratio map, zero corpus-side shuffles
+      val docs = Tables.table(s, dir, "documents")
+      val target = docs.filter(col("lang") === "en")
+      graft.operators.Sampling.dsirSample(docs, "doc_id", "text",
+          target, "text", k = 80, buckets = 4096)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("dsir_logw"), 5).as("dsir_logw"),
+          round(col("gumbel_key"), 5).as("gumbel_key"))
+    }),
+
     "embedding_covariance" -> ((s, dir) => {
       // the one-pass sufficient statistics PCA fits from: every value
       // derives from exact integer-grid sums in one fixed expression,
@@ -2334,6 +2362,25 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
          |      FROM d)
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
+
+    "knn_classify" ->
+      // identical retrieval (cosine brute force, (d, vec_id) rank
+      // order) and identical vote total order (votes DESC, best_rank,
+      // label)
+      s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |d AS (SELECT q.qid, e.vec_id, e.label, $cosDistSql AS d
+         |      FROM (SELECT * FROM embeddings WHERE vec_id % 10 <> 0) e, q),
+         |r AS (SELECT qid, vec_id, label,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |      FROM d),
+         |nn AS (SELECT * FROM r WHERE rank <= 10),
+         |v AS (SELECT qid, label, count(*) AS votes, min(rank) AS best_rank
+         |      FROM nn GROUP BY 1, 2),
+         |b AS (SELECT *, row_number() OVER (PARTITION BY qid
+         |        ORDER BY votes DESC, best_rank, label) AS rn FROM v)
+         |SELECT qid, label AS pred_label, votes, best_rank
+         |FROM b WHERE rn = 1""".stripMargin,
 
     "list_records" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
@@ -4170,6 +4217,51 @@ object SparkEntry {
         |    FROM mf) WHERE rnk = 1)
         |SELECT d.id AS entity_id, d.name, b.matched_name, CAST(b.dist AS BIGINT) AS dist
         |FROM dirty d LEFT JOIN best b ON b.name_r = d.name""".stripMargin,
+
+    "sample_dsir" ->
+      // identical hashed-gram models (60-bit md5 % 4096), identical
+      // Laplace ratios (all ln inputs integer-derived), and the
+      // per-doc sum assembled in gram-sequence order
+      // (list_sum(list(lr ORDER BY pos)) == the Spark side's ordered
+      // aggregate fold); Gumbel key from the shared md5 uniform
+      """WITH t AS (SELECT doc_id,
+        |       list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |     FROM documents),
+        |g AS (SELECT doc_id, list_concat(w,
+        |        CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)),
+        |            i -> w[CAST(i AS INT)] || ' ' || w[CAST(i + 1 AS INT)])
+        |          ELSE CAST([] AS VARCHAR[]) END) AS gs
+        |      FROM t),
+        |tb AS (SELECT CAST('0x' || substr(md5(x.gm), 1, 15) AS BIGINT) % 4096 AS bkt,
+        |         count(*) AS nt
+        |       FROM (SELECT unnest(g.gs) AS gm FROM g JOIN documents d USING (doc_id)
+        |             WHERE d.lang = 'en') x GROUP BY 1),
+        |rb AS (SELECT CAST('0x' || substr(md5(x.gm), 1, 15) AS BIGINT) % 4096 AS bkt,
+        |         count(*) AS nr
+        |       FROM (SELECT unnest(gs) AS gm FROM g) x GROUP BY 1),
+        |tt AS (SELECT sum(nt) AS t FROM tb), tr AS (SELECT sum(nr) AS r FROM rb),
+        |m AS (SELECT rb.bkt,
+        |        ln((coalesce(tb.nt, 0) + 1.0) / (coalesce(tt.t, 0) + 4096))
+        |          - ln((rb.nr + 1.0) / (tr.r + 4096)) AS lr
+        |      FROM rb LEFT JOIN tb USING (bkt), tt, tr),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(gs) + 1),
+        |        i -> {'pos': i, 'gm': gs[CAST(i AS INT)]})) AS s FROM g),
+        |p2 AS (SELECT doc_id, s.pos AS pos,
+        |         CAST('0x' || substr(md5(s.gm), 1, 15) AS BIGINT) % 4096 AS bkt
+        |       FROM p),
+        |sc AS (SELECT p2.doc_id, p2.pos, m.lr FROM p2 JOIN m USING (bkt)),
+        |agg AS (SELECT doc_id, count(*) AS n_grams,
+        |          list_sum(list(lr ORDER BY pos)) AS sw
+        |        FROM sc GROUP BY doc_id),
+        |wts AS (SELECT g.doc_id, coalesce(agg.n_grams, 0) AS n_grams,
+        |          coalesce(agg.sw, 0.0) AS logw
+        |        FROM g LEFT JOIN agg USING (doc_id)),
+        |keyed AS (SELECT doc_id, n_grams, logw,
+        |        logw - ln(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |          AS BIGINT) % 1000000 + 0.5) / 1000000)) AS gk
+        |      FROM wts)
+        |SELECT doc_id, n_grams, round(logw, 5) AS dsir_logw, round(gk, 5) AS gumbel_key
+        |FROM keyed ORDER BY gk DESC, doc_id LIMIT 80""".stripMargin,
 
     "decontaminate_bloom" ->
       // recompute the identical bit set: 60-bit md5 gram hashes, k=3

@@ -112,4 +112,41 @@ object Knn {
     }
     cursored.orderBy(col(idCol).asc).limit(limit)
   }
+
+  /** k-NN label propagation — the weak-supervision labeling step a
+    * curation pipeline runs when a small labeled seed set must fan its
+    * labels out to an unlabeled pool (semi-supervised corpus tagging):
+    * each query row takes the MAJORITY label among its k nearest
+    * labeled neighbors; ties break to the label holding the single
+    * nearest neighbor (min best-rank), then to the smaller label —
+    * a deterministic total order.
+    *
+    * Scale shape: neighbor retrieval is [[knnBatch]] (bounded TopKAgg
+    * — one shuffle of O(partitions × k) rows per query, never a
+    * corpus sort); labels attach by one equi-join on the LABELED side
+    * keyed by id; the vote is two keyed aggs over k-row groups plus a
+    * per-query window over ≤ |labels| vote rows — bounded per query,
+    * never corpus-wide. For query pools too large to broadcast, swap
+    * the retrieval stage for the LSH-bucketed `ann_batch`/forest path
+    * (same contract, approximate recall) — the vote machinery is
+    * retrieval-agnostic.
+    *
+    * Output: (qid, pred_label, votes, best_rank) per query row. */
+  def knnClassify(labeled: DataFrame, queries: DataFrame, vecCol: String,
+                  idCol: String, labelCol: String, k: Int,
+                  metric: Metric): DataFrame = {
+    val nn = knnBatch(labeled, vecCol,
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      k, metric, idCol)
+    val votes = nn
+      .join(labeled.select(col(idCol), col(labelCol).as("_nl")), Seq(idCol))
+      .groupBy(col("qid"), col("_nl"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("best_rank").asc, col("_nl").asc)
+    votes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("qid"), col("_nl").as("pred_label"),
+        col("votes"), col("best_rank"))
+  }
 }

@@ -267,4 +267,98 @@ object Sampling {
           lit("train"))
         .otherwise(lit("embargo")))
   }
+
+  /** DSIR importance weights (Data Selection via Importance
+    * Resampling, Xie et al., NeurIPS 2023 — public): score every raw
+    * document by how much more likely its hashed-n-gram profile is
+    * under the TARGET distribution than under the raw one,
+    * `log w(x) = Σ_grams [ln p_target(bucket) − ln p_raw(bucket)]`
+    * with Laplace-smoothed bag-of-hashed-grams models (unigrams +
+    * bigrams hashed into `buckets`). This is the published
+    * scale-proof recipe for "make 100 TB of crawl look like
+    * Wikipedia": both models are bucket-count tables, never
+    * vocabularies.
+    *
+    * Scale shape: both count tables are keyed aggs with map-side
+    * combine, bounded at ≤ `buckets` rows BY CONSTRUCTION regardless
+    * of corpus size; the model folds into a ONE-ROW bucket→logratio
+    * map (the decontaminate_bloom roll-up) that broadcasts onto the
+    * scoring pass, which is then PURE MAP-SIDE — each doc's weight is
+    * one order-pinned `aggregate` fold over its own gram sequence
+    * (unigrams in position order, then bigrams; plain SUM order is
+    * engine-unspecified), zero joins on doc-sized frames, zero
+    * corpus-side shuffles. All ln inputs are integer-derived ratios,
+    * so weights reproduce exactly across engines and partitionings.
+    *
+    * Output: (idCol, n_grams, dsir_logw) — one row per raw doc;
+    * token-less docs score 0.0 over 0 grams (weighting is a signal,
+    * not a filter). `dsir_logw` is NOT length-normalized, matching
+    * the paper (longer docs move further from 0). */
+  def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
+                  target: DataFrame, targetTextCol: String,
+                  buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    def gramsCol(tc: String): Column = {
+      val wv = filter(split(coalesce(col(tc), lit("")), " "), t => t =!= "")
+      concat(wv,
+        when(size(wv) >= 2,
+          transform(sequence(lit(1), size(wv) - 1),
+            i => concat_ws(" ", element_at(wv, i), element_at(wv, i + 1))))
+          .otherwise(array().cast("array<string>")))
+    }
+    def bucketCounts(df: DataFrame, tc: String): DataFrame =
+      df.select(explode(gramsCol(tc)).as("_g"))
+        .select((Dedup.hash64(col("_g")) % buckets).as("_bkt"))
+        .groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
+    val tCnt = bucketCounts(target, targetTextCol)
+    val rCnt = bucketCounts(raw, textCol)
+    // every gram the scoring pass looks up came from `raw`, so the
+    // raw-side count table covers every reachable bucket; target-side
+    // misses take the smoothing floor via coalesce
+    val model = rCnt.withColumnRenamed("_n", "_nr")
+      .join(tCnt.withColumnRenamed("_n", "_nt"), Seq("_bkt"), "left")
+      .crossJoin(broadcast(tCnt.agg(sum(col("_n")).as("_tt"))))
+      .crossJoin(broadcast(rCnt.agg(sum(col("_n")).as("_tr"))))
+      .select(col("_bkt"),
+        (log((coalesce(col("_nt"), lit(0L)) + lit(1.0))
+            / (coalesce(col("_tt"), lit(0L)) + lit(buckets)))
+          - log((col("_nr") + lit(1.0)) / (col("_tr") + lit(buckets))))
+          .as("_lr"))
+    // ≤ buckets rows by construction → one-row broadcast map
+    val modelRow = model
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("_bkt"), col("_lr"))))).as("_m"))
+    raw.select(col(idCol), gramsCol(textCol).as("_gs"))
+      .crossJoin(broadcast(modelRow))
+      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+        aggregate(
+          transform(col("_gs"),
+            g => element_at(col("_m"), Dedup.hash64(g) % buckets)),
+          lit(0.0), (a, x) => a + x).as("dsir_logw"))
+  }
+
+  /** DSIR resampling on top of [[dsirWeights]]: the paper's
+    * Gumbel-top-k trick — `key = log w(x) + Gumbel(0,1)` and take the
+    * k largest keys — draws EXACTLY the softmax-weighted sample
+    * without ever normalizing the weights (the normalizer is a
+    * corpus-wide constant that cancels in the ordering). The Gumbel
+    * noise is the deterministic md5 uniform used by every sampler in
+    * this file (`u = (hash64(id) mod M + 0.5) / M`, shifted off 0 and
+    * 1 so the double log is always finite), so the draw is
+    * reproducible across runs, engines, and partitionings.
+    *
+    * One TakeOrdered over map-side keys — no shuffle of the corpus,
+    * no window; ties break on id. Returns (idCol, n_grams,
+    * dsir_logw, gumbel_key) for the k selected docs. */
+  def dsirSample(raw: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String, k: Int,
+                 buckets: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val u = (Dedup.hash64(col(idCol).cast("string")) % M
+      + lit(0.5)).cast("double") / M
+    dsirWeights(raw, idCol, textCol, target, targetTextCol, buckets)
+      .withColumn("gumbel_key", col("dsir_logw") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -82,6 +82,45 @@ class KnnSpec extends SparkSpec {
     assert(codes < raw * 0.7, s"quantized parquet not narrower: $codes vs $raw")
   }
 
+  test("knnClassify: majority vote with nearest-neighbor tie-break, brute-force checked") {
+    import spark.implicits._
+    // planted geometry: two tight clusters on orthogonal axes with
+    // known labels, plus one query per cluster and one equidistant probe
+    def v(x: Double, y: Double): Array[Float] =
+      Array(x.toFloat, y.toFloat, 0f, 0f)
+    val labeled = (
+      (0 until 5).map(i => (i.toLong, v(1.0, 0.01 * i), 7)) ++   // cluster A, label 7
+      (0 until 5).map(i => (100L + i, v(0.01 * i, 1.0), 3))      // cluster B, label 3
+    ).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (1000L, v(1.0, 0.02), -1),   // deep in A
+      (1001L, v(0.02, 1.0), -1),   // deep in B
+      (1002L, v(1.0, 1.0), -1)     // equidistant: 5 votes each side
+    ).toDF("vec_id", "embedding", "label")
+    val got = Knn.knnClassify(labeled, queries, "embedding", "vec_id",
+        "label", k = 10, Knn.Cosine)
+      .select("qid", "pred_label", "votes").as[(Long, Int, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1000L)._1 == 7 && got(1001L)._1 == 3)
+    // k=10 over a 10-row labeled set: every query sees all labels,
+    // 5 votes each; the equidistant probe must break the tie by the
+    // single nearest neighbor, deterministically
+    assert(got(1002L)._2 == 5)
+    val nn = Knn.knnBatch(labeled, "embedding",
+        queries.filter(col("vec_id") === 1002L)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        1, Knn.Cosine, "vec_id")
+      .select("vec_id").as[Long].head()
+    val nnLabel = if (nn < 100L) 7 else 3
+    assert(got(1002L)._1 == nnLabel, s"tie must go to nearest ($nn)")
+    // partitioning independence
+    val again = Knn.knnClassify(labeled.repartition(5), queries, "embedding",
+        "vec_id", "label", k = 10, Knn.Cosine)
+      .select("qid", "pred_label", "votes").as[(Long, Int, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == got)
+  }
+
   implicit class SortedSeq(s: Seq[Long]) { def toSorted: Seq[Long] = s.sorted }
   implicit class SortedArr(s: Array[Long]) { def toSorted: Seq[Long] = s.toSeq.sorted }
 }

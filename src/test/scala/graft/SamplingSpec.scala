@@ -232,4 +232,67 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSet == again.toSet)
     assert(got.map(_._2).toSet.subsetOf(df.select("doc_id").as[Long].collect().toSet))
   }
+
+  test("dsirWeights matches a brute-force local model bit-for-bit") {
+    val raw = Seq((1L, "the cat sat"), (2L, "xq zr wk"),
+      (3L, "the dog sat"), (4L, ""), (5L, "the the")).toDF("doc_id", "text")
+    val target = Seq((10L, "the cat ran"), (11L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val B = 64
+    def grams(t: String): Seq[String] = {
+      val w = t.split(" ").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    def bkt(g: String): Long = graft.operators.AnnLsh.hash64Local(g) % B
+    val tCnt = Seq("the cat ran", "the dog ran").flatMap(grams)
+      .groupBy(bkt).view.mapValues(_.size.toLong).toMap
+    val rCnt = Seq("the cat sat", "xq zr wk", "the dog sat", "", "the the")
+      .flatMap(grams).groupBy(bkt).view.mapValues(_.size.toLong).toMap
+    val tt = tCnt.values.sum; val tr = rCnt.values.sum
+    def lr(b: Long): Double =
+      math.log((tCnt.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+        math.log((rCnt(b) + 1.0) / (tr + B))
+    def expect(t: String): Double =
+      grams(t).foldLeft(0.0)((a, g) => a + lr(bkt(g)))
+    val got = Sampling.dsirWeights(raw, "doc_id", "text", target, "text", B)
+      .select("doc_id", "n_grams", "dsir_logw").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((5L, expect("the cat sat"))))   // exact doubles:
+    assert(got(2L) == ((5L, expect("xq zr wk"))))      // same fold order
+    assert(got(4L) == ((0L, 0.0)))                     // empty text kept
+    assert(got(5L) == ((3L, expect("the the"))))
+    // directional signal: target-like docs outweigh vocabulary soup
+    assert(got(1L)._2 > got(2L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
+  test("dsirWeights is partitioning-independent; dsirSample is a deterministic top-k") {
+    val raw = (0L until 300L).map(i => (i,
+      if (i % 3 == 0) "alpha beta gamma delta" else "omega psi chi phi"))
+      .toDF("doc_id", "text")
+    val target = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    def w(d: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirWeights(d, "doc_id", "text", target, "text", 128)
+        .select("doc_id", "dsir_logw").as[(Long, Double)].collect().sorted.toSeq
+    assert(w(raw) == w(raw.repartition(11)))
+    val s1 = Sampling.dsirSample(raw, "doc_id", "text", target, "text",
+      k = 40, buckets = 128).select("doc_id").as[Long].collect().toSeq
+    val s2 = Sampling.dsirSample(raw.repartition(7), "doc_id", "text",
+      target, "text", k = 40, buckets = 128)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1.length == 40 && s1 == s2) // ordered top-k, stable
+    // Gumbel-top-k still favors target-like docs in aggregate
+    val hits = s1.count(_ % 3 == 0)
+    assert(hits > 30, s"target-like docs in sample: $hits/40")
+  }
+
+  test("dsir scoring pass never shuffles the corpus (broadcast-only plan)") {
+    val raw = (0L until 100L).map(i => (i, s"tok$i common words here"))
+      .toDF("doc_id", "text")
+    val target = raw.limit(10)
+    val plan = Sampling.dsirWeights(raw, "doc_id", "text", target, "text", 256)
+      .queryExecution.executedPlan.toString
+    // model attaches via broadcast; the corpus never sort-merge-joins
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
 }
