@@ -289,6 +289,24 @@ object SparkEntry {
           col("best_rank").cast("long").as("best_rank"))
     }),
 
+    "graph_pagerank" -> ((s, dir) => {
+      // source-quality prior from link structure: fixed-point integer
+      // PageRank over the undirected customer–supplier co-purchase
+      // graph (both edge directions), 5 iterations, top-20 nodes —
+      // exact BIGINT micro-units, engine- and partitioning-exact
+      val orders = Tables.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val cs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = cs.unionByName(
+        cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 5)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+    }),
+
     "quantize" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val err = Quantization.reconstructionError(col("embedding"), 8)
@@ -1833,6 +1851,33 @@ object SparkEntry {
     val en: String = sqlList(TextAnalysis.enStopwords)
   }
 
+  /** graph_pagerank oracle: the SAME fixed iteration count unrolled
+    * as chained CTEs — every operation is integer (floor division,
+    * integer sums), so each r_i matches the Spark frame exactly and
+    * the final ranks hash-match as BIGINTs. */
+  private def pagerankOracleSql(iters: Int): String = {
+    val S = "1000000000000"
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS (SELECT d.node,
+         |    ((15 * ($S // n.cnt)) // 100
+         |     + (85 * coalesce(s$i.sm, 0)) // 100) AS r
+         |  FROM deg d CROSS JOIN n
+         |  LEFT JOIN (SELECT e.dst AS nd, sum(p.r // dg.deg) AS sm
+         |             FROM r${i - 1} p JOIN e ON e.src = p.node
+         |             JOIN deg dg ON dg.node = p.node
+         |             GROUP BY e.dst) s$i ON s$i.nd = d.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+       |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |n AS (SELECT count(*) AS cnt FROM deg),
+       |r0 AS (SELECT node, ($S // n.cnt) AS r FROM deg, n),
+       |$chain
+       |SELECT node, CAST(r AS BIGINT) AS rank FROM r$iters
+       |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
   private val cosDistSql =
     """acos(least(greatest(
       |  list_dot_product(CAST(embedding AS DOUBLE[]), qvec) /
@@ -2381,6 +2426,8 @@ object SparkEntry {
          |        ORDER BY votes DESC, best_rank, label) AS rn FROM v)
          |SELECT qid, label AS pred_label, votes, best_rank
          |FROM b WHERE rn = 1""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracleSql(5),
 
     "list_records" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality for curation pipelines — the link-structure
+  * quality signal (Common Crawl-style domain ranking, citation-graph
+  * importance): which nodes does the random surfer keep landing on?
+  * The reference engine has no graph surface; a 100 TB corpus with a
+  * link/interaction graph needs one for source-quality priors.
+  *
+  * The iteration is FIXED-POINT INTEGER PageRank: ranks live in
+  * `scale`-denominated micro-units (BIGINT), every division is
+  * integer floor division, every sum is an integer sum. Floats would
+  * make per-node sums order-dependent (IEEE addition does not
+  * associate), so ranks would differ run-to-run under AQE
+  * re-partitioning and could never hash-match another engine;
+  * integers make the whole fixed iteration a pure function of the
+  * edge set — the repo-wide integer-grid rule (embedding_drift,
+  * corpus_drift) applied to an iterative algorithm. The floor-division
+  * mass leak is bounded by (outdeg per node per iteration) / scale —
+  * at scale 1e12 it is irrelevant to ranking and identical in every
+  * engine.
+  *
+  * Scale shape: one iteration = one equi-join of the rank frame with
+  * the (src-keyed) edge frame plus one keyed agg on dst — the classic
+  * Pregel-on-DataFrames round; both shuffles key on node id, so a
+  * pre-partitioned edge frame reuses its exchange across iterations.
+  * Node count and degree frames are computed once. Iterations are a
+  * FIXED small constant (the declared query unrolls the same count in
+  * SQL); for long chains at scale, `localCheckpoint` per round (the
+  * dedup_cluster pattern) caps lineage growth.
+  */
+object Graph {
+
+  /** Fixed-point PageRank over a directed edge list. Every node must
+    * appear as a source (feed an undirected graph as both directions —
+    * the bipartite co-purchase case); nodes reachable only as `dst`
+    * would dangle (their mass has nowhere to go) and are rejected by
+    * construction: ranks are defined over the src-node set.
+    *
+    * rank_0(v) = scale div N
+    * rank_i(v) = ((100-damp) * (scale div N)) div 100
+    *           + (damp * Σ_{u→v} (rank_{i-1}(u) div outdeg(u))) div 100
+    *
+    * Returns (node, rank) — exact BIGINT micro-units, reproducible
+    * across engines and partitionings. */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, scale: Long = 1000000000000L,
+               damp: Int = 85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    // src-keyed degree table doubles as the node set (contract above)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nRow = deg.agg(count(lit(1)).as("_n"))
+    val base = expr(s"((${100 - damp} * ($scale div _n)) div 100)")
+    var ranks = deg.crossJoin(broadcast(nRow))
+      .select(col("node"), expr(s"$scale div _n").as("rank"))
+    for (_ <- 1 to iterations) {
+      val sums = ranks
+        .join(deg, Seq("node"))
+        .select(col("node"), expr("rank div deg").as("_c"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node2"))
+        .agg(sum(col("_c")).as("_sm"))
+      ranks = deg.select(col("node")).crossJoin(broadcast(nRow))
+        .join(sums, col("node") === col("node2"), "left")
+        .select(col("node"),
+          (base + expr(s"(($damp * coalesce(_sm, 0L)) div 100)")).as("rank"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Fixed-point integer PageRank (operators/Graph.scala): bit-exact vs
+  * a local mirror of the same integer recurrence, structurally sane,
+  * and partitioning-independent. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // star + chain: hub "h" linked bidirectionally to a,b,c; chain c->d->h
+  private val rawEdges = Seq(
+    ("h", "a"), ("a", "h"), ("h", "b"), ("b", "h"),
+    ("h", "c"), ("c", "h"), ("c", "d"), ("d", "h"))
+
+  private def localPagerank(edges: Seq[(String, String)], iters: Int,
+                            scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = deg.keySet
+    val n = nodes.size
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val sums = e.groupBy(_._2).view
+        .mapValues(_.map { case (s, _) => r(s) / deg(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> ((15L * (scale / n)) / 100 + (85L * sums.getOrElse(v, 0L)) / 100)).toMap
+    }
+    r
+  }
+
+  test("pagerank matches the local integer recurrence exactly") {
+    val edges = rawEdges.toDF("src", "dst")
+    for (iters <- Seq(1, 3, 5)) {
+      val got = Graph.pagerank(edges, "src", "dst", iters)
+        .as[(String, Long)].collect().toMap
+      assert(got == localPagerank(rawEdges, iters), s"iters=$iters")
+    }
+  }
+
+  test("hub of the star ranks highest; ranks are partitioning-independent") {
+    val edges = rawEdges.toDF("src", "dst")
+    val r5 = Graph.pagerank(edges, "src", "dst", 5).as[(String, Long)]
+      .collect().toMap
+    assert(r5("h") == r5.values.max, r5.toString)
+    val again = Graph.pagerank(edges.repartition(7), "src", "dst", 5)
+      .as[(String, Long)].collect().toMap
+    assert(again == r5)
+    // duplicate edges collapse before degree counting
+    val dup = (rawEdges ++ rawEdges).toDF("src", "dst")
+    assert(Graph.pagerank(dup, "src", "dst", 5).as[(String, Long)]
+      .collect().toMap == r5)
+  }
+
+  test("total mass stays within the floor-division leak bound") {
+    val edges = rawEdges.toDF("src", "dst")
+    val scale = 1000000000000L
+    val total = Graph.pagerank(edges, "src", "dst", 5)
+      .agg(sum("rank")).as[Long].head()
+    // each iteration can leak at most (n + edges + 1 per division site)
+    // micro-units to floors; anything beyond a few thousand off scale
+    // would mean broken arithmetic, not rounding
+    assert(math.abs(total - scale) < 10000L, s"total=$total")
+  }
+}
