@@ -1553,6 +1553,21 @@ object SparkEntry {
           (col("pred") === col("lang")).as("correct"))
     }),
 
+    "classify_nb_calibration" -> ((s, dir) => {
+      // the reliability diagram next to the confusion matrix: softmax
+      // confidence of the NB gate vs empirical accuracy, 10 bins; the
+      // per-bin (accuracy − mean_conf) gap is the miscalibration the
+      // deploy gate reads before trusting "90% confident" verdicts
+      val docs = Tables.documents(s, dir)
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+      val test = docs.filter(col("doc_id") % 5 === 0)
+      TextAnalysis.nbCalibration(train, test, "text", "doc_id", "lang",
+          buckets = 4096, bins = 10)
+        .select(col("pred_label"), col("bin"), col("n"), col("n_correct"),
+          round(col("accuracy"), 5).as("accuracy"),
+          round(col("mean_conf"), 5).as("mean_conf"))
+    }),
+
     "quality_gopher" -> ((s, dir) => {
       // the Gopher rule bundle as an auditable per-doc report; the
       // word-count floor is 30 so the 20-90-token corpus splits
@@ -2428,6 +2443,31 @@ object SparkEntry {
          |FROM b WHERE rn = 1""".stripMargin,
 
     "graph_pagerank" -> pagerankOracleSql(5),
+
+    "classify_nb_calibration" ->
+      // the shared NB chain's nbsc/nbmx, then: softmax denominator as
+      // a label-ordered list_sum fold (== the Spark side's ordered
+      // aggregate), confidence snapped to the 1e-6 integer grid so
+      // bin membership is integer arithmetic and per-bin means are
+      // exact integer sums divided once
+      s"""WITH caltest AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |${nbGateChain("caltest")},
+         |nbz AS (SELECT nbsc.doc_id,
+         |          list_sum(list(exp(4.0 * (nbsc.score - nbmx.m) / (len(t.w) + 1.0))
+         |            ORDER BY nbsc.lang)) AS z,
+         |          min(CASE WHEN nbsc.score = nbmx.m THEN nbsc.lang END) AS pred
+         |        FROM nbsc JOIN nbmx ON nbmx.doc_id = nbsc.doc_id
+         |        JOIN nbte t ON t.doc_id = nbsc.doc_id GROUP BY 1),
+         |nbpd AS (SELECT z.doc_id, z.pred AS pred_label,
+         |           CAST(round(1000000.0 / z.z, 0) AS BIGINT) AS cq,
+         |           CASE WHEN z.pred = d.lang THEN 1 ELSE 0 END AS ok
+         |         FROM nbz z JOIN documents d USING (doc_id)),
+         |nbbn AS (SELECT pred_label, least((cq * 10) // 1000000, 9) AS bin, cq, ok
+         |         FROM nbpd)
+         |SELECT pred_label, bin, count(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
+         |       round(CAST(sum(ok) AS DOUBLE) / count(*), 5) AS accuracy,
+         |       round(CAST(sum(cq) AS DOUBLE) / (count(*) * 1000000.0), 5) AS mean_conf
+         |FROM nbbn GROUP BY pred_label, bin""".stripMargin,
 
     "list_records" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -534,6 +534,25 @@ object TextAnalysis {
     * docs score on priors alone and are never dropped. */
   def naiveBayes(train: DataFrame, test: DataFrame, textCol: String,
                  idCol: String, labelCol: String, buckets: Int): DataFrame = {
+    val scored = naiveBayesScores(train, test, textCol, idCol, labelCol, buckets)
+    // argmax with a deterministic tie-break: exact score equality is
+    // safe because both sides of the comparison are the same
+    // position-ordered fold of the same integer-derived ratios
+    val mx = scored.groupBy(col(idCol)).agg(max(col("_score")).as("_mx"))
+    scored.join(mx, Seq(idCol))
+      .filter(col("_score") === col("_mx"))
+      .groupBy(col(idCol))
+      .agg(min(col("_lbl")).as("pred"), max(col("_mx")).as("nb_score"))
+  }
+
+  /** The full per-(test row, label) NB log-likelihood frame behind
+    * [[naiveBayes]] — (idCol, _lbl, _score), one row per test doc per
+    * trained label (the argmax, softmax-confidence and calibration
+    * consumers all read this). Same scale contract: model frames are
+    * ≤ buckets × |labels| rows and broadcast; the fold is
+    * position-ordered. */
+  def naiveBayesScores(train: DataFrame, test: DataFrame, textCol: String,
+                       idCol: String, labelCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
     val trTok = train.select(col(labelCol).as("_lbl"),
         explode(filter(w(coalesce(col(textCol), lit(""))), t => t =!= "")).as("_t"))
@@ -562,19 +581,78 @@ object TextAnalysis {
         lit(0.0), (a, x) => a + x).as("_s"))
     // every (test doc × label) row must exist: token-less docs fold to
     // nothing and still need their prior row
-    val scored = test.select(col(idCol)).crossJoin(broadcast(labels))
+    test.select(col(idCol)).crossJoin(broadcast(labels))
       .join(folded, Seq(idCol, "_lbl"), "left")
       .select(col(idCol), col("_lbl"),
         (log(col("_nd").cast("double") / col("_ndall"))
           + coalesce(col("_s"), lit(0.0))).as("_score"))
-    // argmax with a deterministic tie-break: exact score equality is
-    // safe because both sides of the comparison are the same
-    // position-ordered fold of the same integer-derived ratios
+  }
+
+  /** Calibration report for the NB gate — the reliability diagram a
+    * deploy gate reads NEXT TO the confusion matrix: is a "90%
+    * confident" verdict right 90% of the time? Confidence is the
+    * TEMPERATURE-SCALED softmax of the per-label log-likelihoods
+    * (computed stably as `1 / Σ_l exp((s_l − s_max) / T)` with
+    * `T = (tokens + 1) / sharpness`, the winning label's tempered
+    * posterior mass). Two standard ingredients, both public: raw NB
+    * log-likelihood gaps grow linearly with document length, so the
+    * un-tempered softmax saturates to 1.0 for every multi-token doc
+    * (per-token normalization fixes that), and a scalar temperature
+    * knob is THE post-hoc calibration method (Guo et al., ICML 2017)
+    * — `sharpness` is its inverse, tuned so confidences use the
+    * diagram's range instead of piling into one bin. Docs land
+    * in `bins` equal-width confidence bins PER PREDICTED LABEL (the
+    * per-class reliability diagram — "which language is the gate
+    * overconfident about" is the question the router actually asks);
+    * each (label, bin) row reports its size, accuracy and mean
+    * confidence — the gap IS the miscalibration (expected calibration
+    * error = the n-weighted mean of |accuracy − mean_conf|, derivable
+    * row-wise).
+    *
+    * Engine-reproducibility: the softmax denominator is an
+    * order-pinned fold over the ≤ |labels| per-doc scores (label
+    * order — plain SUM order is engine-unspecified); confidence then
+    * snaps to the 1e-6 integer grid, so BIN MEMBERSHIP is integer
+    * arithmetic and per-bin mean confidence is an exact integer sum
+    * divided once — no float aggregation anywhere downstream.
+    *
+    * Scale shape: everything after [[naiveBayesScores]] is keyed aggs
+    * over ≤ |labels|-row groups plus one `bins`-row output agg —
+    * bounded per doc, never corpus-wide. */
+  def nbCalibration(train: DataFrame, test: DataFrame, textCol: String,
+                    idCol: String, labelCol: String, buckets: Int,
+                    bins: Int = 10, sharpness: Double = 4.0): DataFrame = {
+    require(bins > 0, s"bins must be > 0, got $bins")
+    require(sharpness > 0, s"sharpness must be > 0, got $sharpness")
+    val scored = naiveBayesScores(train, test, textCol, idCol, labelCol, buckets)
     val mx = scored.groupBy(col(idCol)).agg(max(col("_score")).as("_mx"))
-    scored.join(mx, Seq(idCol))
-      .filter(col("_score") === col("_mx"))
+    val toks = test.select(col(idCol),
+      size(filter(w(coalesce(col(textCol), lit(""))), t => t =!= "")).as("_nt"))
+    val perDoc = scored.join(mx, Seq(idCol)).join(toks, Seq(idCol))
       .groupBy(col(idCol))
-      .agg(min(col("_lbl")).as("pred"), max(col("_mx")).as("nb_score"))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(
+            struct(col("_lbl"), col("_score"), col("_mx"), col("_nt")))),
+            s => exp(lit(sharpness) * (s.getField("_score") - s.getField("_mx"))
+              / (s.getField("_nt") + lit(1.0)))),
+          lit(0.0), (a, x) => a + x).as("_z"),
+        min(when(col("_score") === col("_mx"), col("_lbl"))).as("pred"))
+    val binned = perDoc
+      .join(test.select(col(idCol), col(labelCol).as("_true")), Seq(idCol))
+      .select(col("pred").as("pred_label"),
+        expr("CAST(round(1000000.0 / _z, 0) AS BIGINT)").as("_cq"),
+        (col("pred") === col("_true")).cast("long").as("_ok"))
+      .select(col("pred_label"), col("_ok"), col("_cq"),
+        least(expr(s"(_cq * $bins) div 1000000"), lit(bins - 1).cast("long"))
+          .as("bin"))
+    binned.groupBy(col("pred_label"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("n_correct"),
+        sum(col("_cq")).as("_sq"))
+      .select(col("pred_label"), col("bin"), col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n")).as("accuracy"),
+        (col("_sq").cast("double") / (col("n") * lit(1000000.0)))
+          .as("mean_conf"))
   }
 
   /** Gopher-style quality rule bundle (Rae et al. 2021, public): the

@@ -419,4 +419,61 @@ class TextAnalysisSpec extends SparkSpec {
       (vocab.size - occupied.size).toLong,
       (vocab.size - occupied.size).toDouble / vocab.size)))
   }
+
+  test("nbCalibration: per-label bins match a local softmax mirror; separable corpus is confident-and-right") {
+    // planted signal: each label's docs repeat a distinctive token i
+    // times (i = doc index), so confidence genuinely varies by doc
+    val train = (
+      (1 to 6).map(i => ("a", ("aaa " * i).trim + " zz shared")) ++
+      (1 to 6).map(i => ("b", ("bbb " * i).trim + " zz shared")) ++
+      (1 to 6).map(i => ("c", ("ccc " * i).trim + " zz shared"))
+    ).toDF("lang", "text")
+    val test = (
+      (1 to 5).map(i => (i.toLong, "a", ("aaa " * i).trim + " shared")) ++
+      (1 to 5).map(i => (10L + i, "b", ("bbb " * i).trim + " shared")) ++
+      Seq((21L, "c", "zz"), (22L, "a", ""))   // ambiguous + token-less
+    ).toDF("doc_id", "lang", "text")
+    val B = 256
+    val got = TextAnalysis.nbCalibration(train, test, "text", "doc_id",
+        "lang", B, bins = 10, sharpness = 4.0)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // local mirror: per-doc tempered softmax over naiveBayesScores
+    val scores = TextAnalysis.naiveBayesScores(train, test, "text",
+        "doc_id", "lang", B)
+      .as[(Long, String, Double)].collect().groupBy(_._1)
+    val nTok = test.as[(Long, String, String)].collect()
+      .map(r => r._1 -> Option(r._3).getOrElse("").split(" ")
+        .count(_.nonEmpty)).toMap
+    val truth = test.as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val perDoc = scores.map { case (id, rows) =>
+      val mx = rows.map(_._3).max
+      val z = rows.sortBy(_._2).map(r =>
+        math.exp(4.0 * (r._3 - mx) / (nTok(id) + 1.0))).foldLeft(0.0)(_ + _)
+      val pred = rows.filter(_._3 == mx).map(_._2).min
+      val cq = BigDecimal(1000000.0 / z)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, pred, cq, if (pred == truth(id)) 1L else 0L)
+    }.toSeq
+    val expect = perDoc.groupBy { case (_, pred, cq, _) =>
+      (pred, math.min(cq * 10 / 1000000, 9L))
+    }.map { case (k, rows) =>
+      k -> ((rows.size.toLong, rows.map(_._4).sum,
+        rows.map(_._4).sum.toDouble / rows.size,
+        rows.map(_._3).sum.toDouble / (rows.size * 1000000.0)))
+    }
+    assert(got == expect)
+    // structure: multiple labels and bins actually populated, and the
+    // planted-signal rows are confident AND right
+    assert(got.keys.map(_._1).toSet.intersect(Set("a", "b")).size == 2)
+    val strong = got.filter { case ((l, bin), _) => bin >= 5 && l != "c" }
+    assert(strong.nonEmpty && strong.values.forall(_._3 == 1.0), got.toString)
+    // determinism across partitioning
+    val again = TextAnalysis.nbCalibration(train.repartition(5),
+        test.repartition(3), "text", "doc_id", "lang", B, 10, 4.0)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(again == got)
+  }
 }
