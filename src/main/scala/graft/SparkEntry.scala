@@ -1463,6 +1463,16 @@ object SparkEntry {
           round(col("drift"), 6).as("drift"))
     }),
 
+    "embedding_outliers" -> ((s, dir) => {
+      // embedding-space QA: the 25 vectors farthest from the corpus
+      // centroid with z-scores — grid-exact centroid, ordered distance
+      // folds, integer distance moments
+      Eval.embeddingOutliers(Tables.embeddings(s, dir), "embedding",
+          "vec_id", k = 25)
+        .select(col("vec_id"), round(col("dist2"), 6).as("dist2"),
+          round(col("zscore"), 5).as("zscore"))
+    }),
+
     "more_like_this" -> ((s, dir) => {
       // related-content retrieval: per seed doc, top-5 most-similar
       // corpus docs by exact shingle Jaccard, MinHash-band-blocked —
@@ -4065,6 +4075,37 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
          |      FROM d WHERE d > 0.01 AND d <= 0.45)
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 3""".stripMargin,
+
+    "embedding_outliers" ->
+      // identical grid: 1e-6 coordinate quantization, per-dim integer
+      // centroid sums, dim-ORDERED distance fold, distance re-snapped
+      // to the grid, HUGEINT moments, one fixed z expression; ranking
+      // is on the integer distance so the top-k set is engine-exact
+      """WITH q AS (SELECT vec_id,
+        |       list_transform(CAST(embedding AS DOUBLE[]),
+        |         x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv
+        |     FROM embeddings),
+        |p AS (SELECT vec_id, s.dim AS dim, s.qx AS qx
+        |      FROM (SELECT vec_id, unnest(list_transform(range(1, len(qv) + 1),
+        |              i -> {'dim': i - 1, 'qx': qv[CAST(i AS INT)]})) AS s FROM q)),
+        |mu AS (SELECT dim, (CAST(sum(qx) AS DOUBLE) / count(*)) / 1000000.0 AS m
+        |       FROM p GROUP BY 1),
+        |dd AS (SELECT p.vec_id, list_sum(list(
+        |         (CAST(p.qx AS DOUBLE) / 1000000.0 - mu.m)
+        |         * (CAST(p.qx AS DOUBLE) / 1000000.0 - mu.m) ORDER BY p.dim)) AS d2
+        |       FROM p JOIN mu USING (dim) GROUP BY 1),
+        |dq AS (SELECT vec_id, CAST(round(d2 * 1000000.0) AS BIGINT) AS dqv FROM dd),
+        |st AS (SELECT count(*) AS nn, sum(dqv) AS s1, sum(dqv * dqv) AS s2 FROM dq),
+        |zz AS (SELECT vec_id, dqv,
+        |         CAST(s1 AS DOUBLE) / nn AS m1, CAST(s2 AS DOUBLE) / nn AS m2
+        |       FROM dq, st),
+        |z AS (SELECT vec_id, dqv,
+        |        CASE WHEN m2 - m1 * m1 <= 0.0 THEN 0.0
+        |             ELSE (CAST(dqv AS DOUBLE) - m1) / sqrt(m2 - m1 * m1) END AS zscore
+        |      FROM zz)
+        |SELECT vec_id, round(CAST(dqv AS DOUBLE) / 1000000.0, 6) AS dist2,
+        |       round(zscore, 5) AS zscore
+        |FROM z ORDER BY dqv DESC, vec_id LIMIT 25""".stripMargin,
 
     "embedding_drift" ->
       // same 1e-6 quantization, integer per-(dim, side) sums, means

@@ -163,4 +163,65 @@ object Eval {
         col("mean_a"), col("mean_b"),
         abs(col("mean_a") - col("mean_b")).as("drift"))
   }
+
+  /** Embedding-space QA: the top-k vectors farthest from the corpus
+    * centroid, scored as a z-score of squared centroid distance —
+    * the "these rows were mis-embedded / belong to another
+    * distribution" report an embedding pipeline runs after every
+    * model change or crawl ingest (drift says WHETHER the corpus
+    * moved; this says WHICH rows sit outside it).
+    *
+    * Determinism: coordinates snap to the 1e-6 grid (the
+    * [[embeddingDrift]] rule) so centroid sums are integer-exact;
+    * each row's squared distance folds over dimensions IN INDEX ORDER
+    * (one fixed double expression per term) and itself snaps to the
+    * grid, so the corpus-wide distance moments are again exact
+    * integer sums (decimal(38,0) — overflow-free) and the z-scores /
+    * the (dist², id) ranking reproduce in any engine or partitioning.
+    *
+    * Scale shape: three passes, none corpus-shuffling — (1) per-dim
+    * centroid sums with map-side partials (≤ dim rows per partition
+    * move), rolled into a ONE-ROW dim→mean map broadcast; (2) pure
+    * map-side distance fold; (3) a single-row moment agg (broadcast
+    * back) + TakeOrdered top-k. The corpus never sorts globally and
+    * never joins anything data-sized. */
+  def embeddingOutliers(df: DataFrame, vecCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val q = df.select(col(idCol),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * lit(1000000.0), 0).cast("long")).as("_qv"))
+    val mu = q.select(posexplode(col("_qv")).as(Seq("dim", "_qx")))
+      .groupBy(col("dim"))
+      .agg(sum(col("_qx")).as("_s"), count(lit(1)).as("_n"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("dim"),
+        (col("_s").cast("double") / col("_n")) / lit(1000000.0))))).as("_mu"))
+    val d2 = q.crossJoin(broadcast(mu))
+      .select(col(idCol),
+        aggregate(
+          transform(col("_qv"), (x, i) => {
+            val d = x.cast("double") / lit(1000000.0) -
+              element_at(col("_mu"), i.cast("int"))
+            d * d
+          }),
+          lit(0.0), (a, v) => a + v).as("_d2"))
+      .select(col(idCol),
+        round(col("_d2") * lit(1000000.0), 0).cast("long").as("_dq"))
+    val st = d2.agg(count(lit(1)).as("_nn"),
+      sum(col("_dq").cast("decimal(38,0)")).as("_s1"),
+      sum((col("_dq") * col("_dq")).cast("decimal(38,0)")).as("_s2"))
+    d2.crossJoin(broadcast(st))
+      .select(col(idCol), col("_dq"),
+        (col("_s1").cast("double") / col("_nn")).as("_m1"),
+        (col("_s2").cast("double") / col("_nn")).as("_m2"))
+      .select(col(idCol), col("_dq"),
+        when(col("_m2") - col("_m1") * col("_m1") <= 0.0, lit(0.0))
+          .otherwise((col("_dq").cast("double") - col("_m1"))
+            / sqrt(col("_m2") - col("_m1") * col("_m1"))).as("zscore"))
+      .orderBy(col("_dq").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol),
+        (col("_dq").cast("double") / lit(1000000.0)).as("dist2"),
+        col("zscore"))
+  }
 }

@@ -160,4 +160,46 @@ class ObservabilitySpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(again == got)
   }
+
+  test("embeddingOutliers: planted outlier tops the ranking, values match a local mirror") {
+    // 20 vectors near the origin + one far outlier + one mild one
+    val rows = ((0L until 20L).map(i =>
+      (i, Seq(0.001 * i, -0.001 * i, 0.5))) ++
+      Seq((100L, Seq(5.0, 5.0, 5.0)), (101L, Seq(1.0, 1.0, 0.5)))
+    ).toDF("vec_id", "embedding")
+    val got = Eval.embeddingOutliers(rows, "embedding", "vec_id", k = 3)
+      .as[(Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(100L, 101L, 19L))
+    // local mirror of the grid arithmetic
+    val vecs = ((0L until 20L).map(i =>
+      i -> Seq(0.001 * i, -0.001 * i, 0.5)) ++
+      Seq(100L -> Seq(5.0, 5.0, 5.0), 101L -> Seq(1.0, 1.0, 0.5))).toMap
+    val q = vecs.view.mapValues(_.map(x => math.round(x * 1e6))).toMap
+    val n = q.size
+    val mu = (0 until 3).map(d => (q.values.map(_(d)).sum.toDouble / n) / 1e6)
+    val dq = q.view.mapValues { v =>
+      val d2 = (0 until 3).foldLeft(0.0) { (a, d) =>
+        val diff = v(d) / 1e6 - mu(d); a + diff * diff
+      }
+      math.round(d2 * 1e6)
+    }.toMap
+    val m1 = dq.values.sum.toDouble / n
+    val m2 = dq.values.map(x => x.toDouble * x).sum / n
+    def z(id: Long): Double = (dq(id) - m1) / math.sqrt(m2 - m1 * m1)
+    def r(v: Double, p: Int): Double =
+      BigDecimal(v).setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, dist2, zs) =>
+      assert(dist2 == dq(id).toDouble / 1e6, s"dist2 of $id")
+      assert(r(zs, 5) == r(z(id), 5), s"z of $id: $zs vs ${z(id)}")
+    }
+    // zero-variance corpus: z collapses to 0.0, no NaN/crash
+    val flat = (0L until 5L).map(i => (i, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val fz = Eval.embeddingOutliers(flat, "embedding", "vec_id", 5)
+      .as[(Long, Double, Double)].collect()
+    assert(fz.length == 5 && fz.forall(_._3 == 0.0))
+    // partitioning-independent
+    val again = Eval.embeddingOutliers(rows.repartition(7), "embedding",
+      "vec_id", 3).as[(Long, Double, Double)].collect()
+    assert(again.toSeq == got.toSeq)
+  }
 }

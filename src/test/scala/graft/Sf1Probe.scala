@@ -46,7 +46,21 @@ object Sf1Probe {
     // dedup sampling, the rolling-WAU fanout, the overlap roll-up and
     // the three-config sweep (3x pair chains + shared ngram truth)
     "quality_gopher", "sample_balanced", "mm_dedup",
-    "events_rolling_distinct", "corpus_overlap", "dedup_minhash_sweep")
+    "events_rolling_distinct", "corpus_overlap", "dedup_minhash_sweep",
+    // round-12 additions with corpus-sized inputs: DSIR (gram-count
+    // model build + map-side scoring), bloom decontamination (bitmap
+    // build bounded, corpus pass map-side), the NB calibration roll-up
+    // (chain + label-sized aggs), covariance/PCA (HOF fan-out +
+    // bounded partials), binary near-dup (sliding-window sketches),
+    // and the indexed overlap report (probe posture vs re-signing).
+    // NOT probed: entity_resolution / graph_pagerank (their
+    // part/orders/lineitem inputs are copied verbatim into the
+    // replica — no 10x axis to measure) and knn_classify (exact
+    // brute-force baseline is O(queries x corpus) BY DESIGN — its
+    // scale path is the ann_batch/forest retrieval, measured above)
+    "sample_dsir", "decontaminate_bloom", "classify_nb_calibration",
+    "embedding_covariance", "embedding_pca", "mm_near_dedup",
+    "corpus_overlap_indexed", "embedding_outliers")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
