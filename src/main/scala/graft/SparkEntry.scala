@@ -1118,6 +1118,23 @@ object SparkEntry {
         .select(col("doc_id"), col("n_ws_tokens"), col("n_subtokens"), col("n_chars_actual"))
     }),
 
+    "tokenize_bpe_train" -> ((s, dir) => {
+      // tokenizer vocabulary induction: 8 BPE merges learned from the
+      // corpus word vocabulary (Sennrich et al. 2016) — one corpus
+      // shuffle, then vocabulary-sized iterations
+      val (merges, _) = operators.Bpe.train(
+        Tables.documents(s, dir), "text", numMerges = 8)
+      operators.Bpe.mergeTable(s, merges)
+    }),
+
+    "tokenize_bpe_apply" -> ((s, dir) => {
+      // the learned tokenizer applied back to the corpus: top-20
+      // subword frequencies under the 8-merge vocabulary
+      val (_, vocab) = operators.Bpe.train(
+        Tables.documents(s, dir), "text", numMerges = 8)
+      operators.Bpe.topTokens(vocab, 20)
+    }),
+
     "doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("fp_min"), col("n_fp"))
@@ -3080,6 +3097,15 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
         |  length(text) AS n_chars_actual
         |FROM documents""".stripMargin,
+
+    // identical recurrence unrolled as CTEs (the pagerank pattern):
+    // per iteration, pair counts over the sep-packed vocabulary, the
+    // (count DESC, a, b) argmax, and the leftmost-greedy list_reduce
+    // merge fold — integer counts and a total tie order make every
+    // m_i engine-exact
+    "tokenize_bpe_train" -> operators.Bpe.trainOracleSql(8),
+
+    "tokenize_bpe_apply" -> operators.Bpe.applyOracleSql(8, 20),
 
     "doc_fingerprint" ->
       """WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1,0 +1,103 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer training: bit-equality to a local reference
+  * implementation of word-vocabulary BPE (Sennrich et al. 2016),
+  * leftmost-greedy merge semantics, deterministic tie-breaks,
+  * early exhaustion, partitioning independence. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local reference BPE over (word -> count): returns the merge list
+    * and the final token sequences. */
+  private def localBpe(vocab: Map[String, Long], numMerges: Int)
+      : (Seq[(String, String, Long)], Map[Seq[String], Long]) = {
+    var seqs: Map[Seq[String], Long] = vocab.toSeq
+      .map { case (w, c) => (w.map(_.toString): Seq[String]) -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val pairs = seqs.toSeq.flatMap { case (s, c) =>
+        s.zip(s.drop(1)).map(p => p -> c)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      if (pairs.isEmpty) done = true
+      else {
+        val ((a, b), pc) = pairs.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b, pc))
+        seqs = seqs.toSeq.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          s.foreach { t =>
+            if (out.nonEmpty && out.last == a && t == b)
+              out(out.length - 1) = a + b
+            else out += t
+          }
+          out.toSeq -> c
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        i += 1
+      }
+    }
+    (merges.result(), seqs)
+  }
+
+  test("train matches a local reference BPE on a small corpus") {
+    val docs = Seq(
+      "low lower lowest low low",
+      "new newer newest new lower",
+      "wide wider widest new new").toDF("text")
+    val (merges, vocab) = Bpe.train(docs, "text", numMerges = 6)
+    val words = docs.as[String].collect()
+      .flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val (expMerges, expSeqs) = localBpe(words, 6)
+    assert(merges.map(m => (m.a, m.b, m.count)) == expMerges)
+    val gotSeqs = vocab.select(col("seq"), col("cnt"))
+      .as[(String, Long)].collect()
+      .map { case (s, c) => s.split(Bpe.Sep).toSeq -> c }.toMap
+    assert(gotSeqs == expSeqs)
+  }
+
+  test("merge application is leftmost-greedy non-overlapping") {
+    // corpus of one word "aaaa" x3: merge 1 must be (a,a) with count 9
+    // (3 adjacent pairs x 3 occurrences), and application must yield
+    // [aa, aa] (greedy pairing), never [a, aa, a] or a triple
+    val docs = Seq("aaaa aaaa aaaa").toDF("text")
+    val (merges, vocab) = Bpe.train(docs, "text", numMerges = 1)
+    assert(merges.head.a == "a" && merges.head.b == "a" &&
+      merges.head.count == 9L)
+    val seqs = vocab.select("seq").as[String].collect()
+    assert(seqs.toSeq == Seq(Seq("aa", "aa").mkString(Bpe.Sep)))
+  }
+
+  test("tie-break is (count desc, a asc, b asc)") {
+    // "ab" and "ba" both appear twice; (a,b) wins on pair order
+    val docs = Seq("ab ab ba ba").toDF("text")
+    val (merges, _) = Bpe.train(docs, "text", numMerges = 2)
+    assert(merges(0).a == "a" && merges(0).b == "b")
+    assert(merges(1).a == "b" && merges(1).b == "a")
+  }
+
+  test("training stops early when no pairs remain") {
+    val docs = Seq("ab ab cd").toDF("text")
+    // after (a,b) and (c,d) every word is a single token
+    val (merges, _) = Bpe.train(docs, "text", numMerges = 10)
+    assert(merges.size == 2)
+    assert(merges.map(m => (m.a, m.b)) == Seq(("a", "b"), ("c", "d")))
+  }
+
+  test("merge table and top tokens are partitioning-independent") {
+    val docs = Tables.documents(spark, sf0001).limit(120)
+    val (m1, v1) = Bpe.train(docs, "text", 4)
+    val (m2, v2) = Bpe.train(docs.repartition(7), "text", 4)
+    assert(m1 == m2)
+    val t1 = Bpe.topTokens(v1, 10).as[(String, Long)].collect().toSeq
+    val t2 = Bpe.topTokens(v2, 10).as[(String, Long)].collect().toSeq
+    assert(t1 == t2)
+    // top-k cut is deterministic: strictly ordered by (cnt desc, token)
+    assert(t1 == t1.sortBy { case (tok, c) => (-c, tok) })
+  }
+}
