@@ -691,6 +691,38 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_nprobe_sweep" -> ((s, dir) => {
+      // the probe-width tuning table consulted before freezing an IVF
+      // deployment: recall@10 (micro-averaged over the query batch)
+      // vs candidate volume at nprobe in {1, 2, 4} — the
+      // dedup_minhash_sweep / quantize_sweep posture applied to the
+      // IVF recall/cost tradeoff. Index built once (amortized via
+      // builtIndexes); the exact arm and cell-size frame are shared
+      // subtrees across the three arms of the single union plan.
+      val emb = Tables.embeddings(s, dir)
+      val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+      val idx = ivfIndexPath(s, dir, centroids, variant = "seed8")
+      val indexed = s.read.parquet(idx)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Knn.knnBatch(emb, "embedding", qs, 10, Knn.Cosine, "vec_id")
+      val cellSizes = indexed.groupBy(col("cell"))
+        .agg(count(lit(1)).as("_cs"))
+      Seq(1, 2, 4).map { np =>
+        val approx = AnnIvf.knnBatch(indexed, "embedding", qs, 10,
+          centroids, np, Knn.Cosine, "vec_id")
+        val rec = graft.operators.Eval.recallAtK(exact, approx)
+          .agg(sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+        val cand = AnnIvf.probedCells(qs, centroids, np, Knn.Cosine)
+          .join(broadcast(cellSizes), Seq("cell"))
+          .agg(sum(col("_cs")).as("n_candidates"))
+        rec.crossJoin(cand)
+          .select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 5).as("recall"),
+            col("n_candidates"))
+      }.reduce(_ unionByName _)
+    }),
+
     "ann_ivf_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
@@ -1138,6 +1170,13 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("fp_min"), col("n_fp"))
+    }),
+
+    "corpus_cooccurrence" -> ((s, dir) => {
+      // skip-gram collocation statistics: directional word pairs
+      // within a 3-token forward window, PMI over exact counts
+      TextAnalysis.cooccurrence(Tables.documents(s, dir), "text",
+        window = 3, minCount = 20L)
     }),
 
     "q1_agg" -> ((s, dir) => {
@@ -1961,6 +2000,53 @@ object SparkEntry {
   }
 
   /** Angular distance between two DOUBLE[] SQL expressions. */
+  /** ann_nprobe_sweep oracle: the shared exact arm (brute-force
+    * top-10) and seed-8 IVF assignment, then per-nprobe the SAME
+    * probe/candidate/top-10 CTEs as the ann_ivf_batch oracle plus a
+    * probed-cell-size roll-up — one row per configuration. */
+  private def nprobeSweepSql(nps: Seq[Int]): String = {
+    val per = nps.map { np =>
+      s"""probe$np AS (SELECT qid, cell FROM (
+         |    SELECT q.qid, cent.cell,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY ${angSql("cent.c", "q.qvec")}, cent.cell) AS rn
+         |    FROM cent, q) WHERE rn <= $np),
+         |ad$np AS (SELECT p.qid, a.vec_id, ${angSql("a.v", "q.qvec")} AS d
+         |      FROM assigned a JOIN probe$np p USING (cell) JOIN q ON q.qid = p.qid),
+         |ar$np AS (SELECT qid, vec_id FROM (
+         |      SELECT qid, vec_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |      FROM ad$np) WHERE rank <= 10),
+         |row$np AS (SELECT $np AS nprobe,
+         |      (SELECT count(*) FROM er) AS n_exact,
+         |      (SELECT CAST(count(*) AS BIGINT)
+         |       FROM er JOIN ar$np USING (qid, vec_id)) AS n_hit,
+         |      (SELECT CAST(sum(cs) AS BIGINT)
+         |       FROM probe$np JOIN cellsize USING (cell)) AS n_candidates)"""
+        .stripMargin
+    }
+    val prefix =
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cell, v AS c FROM b WHERE vec_id < 8),
+         |adist AS (SELECT b.vec_id, b.v, cent.cell, ${angSql("b.v", "cent.c")} AS cd
+         |          FROM b, cent),
+         |assigned AS (SELECT vec_id, v, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM adist) WHERE rn = 1),
+         |cellsize AS (SELECT cell, count(*) AS cs FROM assigned GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM b WHERE vec_id < 5),
+         |ed AS (SELECT q.qid, b.vec_id, ${angSql("b.v", "q.qvec")} AS d FROM b, q),
+         |er AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |         FROM ed) WHERE rank <= 10)""".stripMargin
+    val rows = nps.map(np =>
+      s"SELECT nprobe, n_exact, n_hit, " +
+        s"round(CAST(n_hit AS DOUBLE) / n_exact, 5) AS recall, n_candidates " +
+        s"FROM row$np").mkString("\nUNION ALL\n")
+    (prefix +: per).mkString("", ",\n", "\n") + rows
+  }
+
   private def angSql(a: String, b: String): String =
     s"acos(least(greatest(list_dot_product($a, $b) / " +
       s"(sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), -1.0), 1.0)) / pi()"
@@ -2350,6 +2436,8 @@ object SparkEntry {
          |r AS (SELECT qid, vec_id, d,
          |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
+
+    "ann_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
 
     "ann_ivf_batch" ->
       // per-query probe = same (dist, cell) ranking as the ann_ivf
@@ -3106,6 +3194,30 @@ object SparkEntry {
     "tokenize_bpe_train" -> operators.Bpe.trainOracleSql(8),
 
     "tokenize_bpe_apply" -> operators.Bpe.applyOracleSql(8, 20),
+
+    // same window arithmetic (forward partners i+1..i+window on the
+    // 1-based grid), integer counts, one fixed lift expression, pmi
+    // rounded at 5 dp — the events_pmi determinism rule
+    "corpus_cooccurrence" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '),
+        |             w -> len(w) > 0) AS l FROM documents),
+        |uni AS (SELECT w, count(*) AS cw
+        |        FROM (SELECT unnest(l) AS w FROM t) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cw) AS BIGINT) AS tt FROM uni),
+        |p AS (SELECT s.a AS word_a, s.b AS word_b, count(*) AS pair_count
+        |      FROM (SELECT unnest(flatten(list_transform(range(1, len(l) + 1),
+        |              i -> list_transform(l[CAST(i + 1 AS INT):CAST(i + 3 AS INT)],
+        |                y -> {'a': l[CAST(i AS INT)], 'b': y})))) AS s
+        |            FROM t)
+        |      GROUP BY 1, 2
+        |      HAVING count(*) >= 20)
+        |SELECT word_a, word_b, ua.cw AS count_a, ub.cw AS count_b, pair_count,
+        |  round((CAST(pair_count AS DOUBLE) * tt) /
+        |        (CAST(ua.cw AS DOUBLE) * ub.cw), 5) AS lift,
+        |  round(ln((CAST(pair_count AS DOUBLE) * tt) /
+        |           (CAST(ua.cw AS DOUBLE) * ub.cw)), 5) AS pmi
+        |FROM p JOIN uni ua ON p.word_a = ua.w
+        |       JOIN uni ub ON p.word_b = ub.w, tt""".stripMargin,
 
     "doc_fingerprint" ->
       """WITH wt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -115,25 +115,37 @@ object AnnIvf {
     * TopKAgg]], so the one shuffle moves O(partitions × queries × k)
     * rows. `indexed` is [[assign]] output or a [[writeIndexed]]
     * read; `queries` is (qid, qvec), driver-sized, any qid type. */
-  def knnBatch(indexed: DataFrame, vecCol: String, queries: DataFrame, k: Int,
-               centroids: DataFrame, nprobe: Int, metric: Knn.Metric,
-               idCol: String): DataFrame = {
-    import graft.functions.TopKAgg
+  /** The (qid, qvec, cell) probe frame for a query batch: each
+    * query's `nprobe` nearest cells by centroid distance, ranked
+    * inside ONE expression on the query frame (centroid unroll —
+    * zero shuffles, ties break (dist, cell) like [[rankCells]]).
+    * Shared by [[knnBatch]] and the nprobe tuning sweep, so the
+    * sweep's candidate-cost accounting probes EXACTLY the cells the
+    * search does. */
+  def probedCells(queries: DataFrame, centroids: DataFrame, nprobe: Int,
+                  metric: Knn.Metric): DataFrame = {
     val cents: Array[(Long, Seq[Double])] = centroids
       .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "knnBatch needs at least one centroid")
+    require(cents.nonEmpty, "probedCells needs at least one centroid")
     require(nprobe > 0 && nprobe <= cents.length,
       s"nprobe must be in [1, ${cents.length}], got $nprobe")
     val ranked = array_sort(array(cents.map { case (cell, cv) =>
       struct(Knn.distCol(metric, col("qvec"), typedlit(cv)).as("d"),
         lit(cell).as("c"))
     }: _*))
-    val probed = queries
+    queries
       .select(col("qid"), col("qvec"),
         explode(transform(slice(ranked, 1, nprobe), s => s.getField("c")))
           .as("cell"))
+  }
+
+  def knnBatch(indexed: DataFrame, vecCol: String, queries: DataFrame, k: Int,
+               centroids: DataFrame, nprobe: Int, metric: Knn.Metric,
+               idCol: String): DataFrame = {
+    import graft.functions.TopKAgg
+    val probed = probedCells(queries, centroids, nprobe, metric)
     // static partition pruning: the probed-cell union is ≤ queries ×
     // nprobe values, collected from the driver-sized query frame
     val cellUnion = probed.select(col("cell")).distinct()

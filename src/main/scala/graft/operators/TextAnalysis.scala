@@ -191,6 +191,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-level windowed word co-occurrence with PMI — the
+    * skip-gram statistics an embedding-training step consumes
+    * (word2vec-style) and the collocation dashboard ("which words
+    * travel together in THIS corpus") read before building phrase
+    * vocabularies. For each token, every token up to `window`
+    * positions AFTER it forms a directional (a, b) pair; PMI is
+    * ln(P(a,b) / (P(a)·P(b))) over pair/unigram/total counts.
+    *
+    * Scale shape: pair generation is PURE MAP-SIDE — a nested HOF
+    * over each document's own token array (doc_len × window structs
+    * per doc, no posexplode self-join); pair and unigram counts are
+    * keyed aggs whose key spaces are the pair/word vocabularies,
+    * never corpus-sized. The count joins key the PAIR-vocabulary
+    * frame by word (Spark broadcasts the unigram side when small,
+    * sort-merge otherwise — both vocabulary-scale); the total rides
+    * in as a broadcast single row. `minCount` bounds the output to
+    * pairs with corpus support (and kills the low-count PMI noise
+    * that dominates unfiltered rankings).
+    *
+    * Determinism: all counts are exact integers; lift divides doubles
+    * in one fixed expression and pmi = round(ln(lift), 5) — the
+    * [[graft.operators.Events#typeCooccurrence]] rule, oracle-stable. */
+  def cooccurrence(df: DataFrame, textCol: String, window: Int,
+                   minCount: Long): DataFrame = {
+    require(window > 0, s"window must be > 0, got $window")
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val base = df.select(toks.as("_l"))
+    val uni = base.select(explode(col("_l")).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_cw"))
+    val tot = uni.agg(sum(col("_cw")).as("_tt"))
+    val pairs = base
+      .select(explode(flatten(transform(col("_l"), (x, i) =>
+        transform(slice(col("_l"), i + lit(2), lit(window)), y =>
+          struct(x.as("a"), y.as("b")))))).as("_p"))
+      .groupBy(col("_p.a").as("word_a"), col("_p.b").as("word_b"))
+      .agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val lift = (col("pair_count").cast("double") * col("_tt")) /
+      (col("_ca").cast("double") * col("_cb"))
+    pairs
+      .join(uni.select(col("_w").as("word_a"), col("_cw").as("_ca")),
+        Seq("word_a"))
+      .join(uni.select(col("_w").as("word_b"), col("_cw").as("_cb")),
+        Seq("word_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("word_a"), col("word_b"),
+        col("_ca").as("count_a"), col("_cb").as("count_b"),
+        col("pair_count"), round(lift, 5).as("lift"),
+        round(log(lift), 5).as("pmi"))
+  }
+
   /** Remove boilerplate: cut every document into non-overlapping
     * `chunkWords`-word chunks, count each chunk's document frequency
     * corpus-wide, and rebuild the text keeping only chunks seen in at

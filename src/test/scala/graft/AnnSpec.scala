@@ -401,6 +401,32 @@ class AnnSpec extends SparkSpec {
     assert(res.size == 10 && res == res.sorted)
   }
 
+  test("probedCells ranks each query's nprobe nearest cells; candidate accounting is exact") {
+    val cent = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
+    val qs = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // per query, probedCells at nprobe must equal rankCells' prefix
+    for (np <- Seq(1, 2, 4)) {
+      val got = AnnIvf.probedCells(qs, cent, np, Knn.Cosine)
+        .select("qid", "cell").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L until 3L).foreach { qid =>
+        val one = qs.filter(col("qid") === qid)
+        val exp = AnnIvf.rankCells(cent, one, np, Knn.Cosine).toSet
+        assert(got(qid) == exp, s"np=$np qid=$qid")
+      }
+    }
+    // candidate volume = sum of probed cell sizes, grows with nprobe,
+    // and at nprobe = nlist covers queries x corpus exactly
+    val assigned = AnnIvf.assign(emb, "embedding", "vec_id", cent, Knn.Cosine)
+    val sizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("cs"))
+    def cand(np: Int): Long = AnnIvf.probedCells(qs, cent, np, Knn.Cosine)
+      .join(sizes, Seq("cell")).agg(sum(col("cs"))).as[Long].head()
+    val vols = Seq(1, 2, 4, 8).map(cand)
+    assert(vols == vols.sorted && vols.distinct == vols)
+    assert(vols.last == 3L * emb.count())
+  }
+
   test("recallAtK counts approximate hits per query against exact ground truth") {
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
       .toDF("qid", "vec_id")

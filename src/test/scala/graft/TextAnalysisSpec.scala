@@ -476,4 +476,43 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
     assert(again == got)
   }
+
+  test("cooccurrence: exact windowed pair counts, PMI vs local mirror") {
+    // "x y" always adjacent (high PMI), "x z" never within window 2
+    val docs = Seq(
+      "x y a b c", "x y b a c", "a x y c b",
+      "c b a x y", "a b c x y", "q q q q z").toDF("text")
+    val got = TextAnalysis.cooccurrence(docs, "text", window = 2,
+        minCount = 1L)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // local mirror of the forward-window pair walk
+    val texts = docs.as[String].collect().map(_.split(" ").toSeq)
+    val uni = texts.flatten.groupMapReduce(identity)(_ => 1L)(_ + _)
+    val tt = uni.values.sum
+    val exp = texts.flatMap { l =>
+      l.indices.flatMap(i =>
+        (i + 1 to math.min(i + 2, l.length - 1)).map(j => (l(i), l(j))))
+    }.groupMapReduce(identity)(_ => 1L)(_ + _)
+    def r5(v: Double) = BigDecimal(v)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == exp.keySet)
+    got.foreach { case ((a, b), (ca, cb, pc, lift, pmi)) =>
+      assert(ca == uni(a) && cb == uni(b) && pc == exp((a, b)))
+      val el = pc.toDouble * tt / (uni(a).toDouble * uni(b))
+      assert(lift == r5(el) && pmi == r5(math.log(el)), s"($a,$b)")
+    }
+    // "x y" adjacent in every doc -> top PMI among x-pairs; (x, z)
+    // never co-occurs within the window
+    assert(got.contains(("x", "y")) && !got.contains(("x", "z")))
+    // minCount floors the output
+    val floored = TextAnalysis.cooccurrence(docs, "text", 2, 5L)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+    assert(floored.forall(_._5 >= 5L))
+    // partitioning-independent
+    val again = TextAnalysis.cooccurrence(docs.repartition(7), "text", 2, 1L)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(again == got)
+  }
 }
