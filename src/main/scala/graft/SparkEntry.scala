@@ -1167,6 +1167,14 @@ object SparkEntry {
       operators.Bpe.topTokens(vocab, 20)
     }),
 
+    "tokenize_bpe_stats" -> ((s, dir) => {
+      // the go/no-go report after training: vocab size, token volume,
+      // fertility and compression under the learned merges
+      val (merges, vocab) = operators.Bpe.train(
+        Tables.documents(s, dir), "text", numMerges = 8)
+      operators.Bpe.vocabStats(vocab, merges.size)
+    }),
+
     "doc_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("fp_min"), col("n_fp"))
@@ -1445,6 +1453,22 @@ object SparkEntry {
     "shuffle_shards" -> ((s, dir) => {
       Sampling.shuffleShards(Tables.documents(s, dir), "doc_id", "seed7", 16)
         .select(col("doc_id"), col("shuffle_key"), col("shard"), col("shard_pos"))
+    }),
+
+    "sample_epoch_plan" -> ((s, dir) => {
+      // the GPT-3-style mixing table: per source, available docs vs
+      // target mass, split into full epochs + fractional remainder
+      Sampling.epochPlan(Tables.documents(s, dir), col("source"),
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budgetDocs = 200L)
+    }),
+
+    "sample_epochs" -> ((s, dir) => {
+      // the plan materialized: scarce high-weight sources repeat for
+      // floor(rate) epochs plus an md5-Bernoulli fractional epoch,
+      // each copy tagged with its epoch index
+      Sampling.epochMix(Tables.documents(s, dir), "doc_id", col("source"),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), budgetDocs = 200L)
+        .select(col("doc_id"), col("source"), col("epoch"))
     }),
 
     "sample_mix" -> ((s, dir) => {
@@ -3195,6 +3219,8 @@ object SparkEntry {
 
     "tokenize_bpe_apply" -> operators.Bpe.applyOracleSql(8, 20),
 
+    "tokenize_bpe_stats" -> operators.Bpe.statsOracleSql(8),
+
     // same window arithmetic (forward partners i+1..i+window on the
     // 1-based grid), integer counts, one fixed lift expression, pmi
     // rounded at 5 dp — the events_pmi determinism rule
@@ -4097,6 +4123,43 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY shuffle_key % 16
         |                     ORDER BY shuffle_key, doc_id) AS shard_pos
         |FROM h""".stripMargin,
+
+    // weights cast to DOUBLE explicitly (DuckDB decimal literals
+    // would otherwise run DECIMAL arithmetic where Spark runs IEEE
+    // double — floor/frac sit right on those boundaries); same
+    // (w * budget) / n op order as the Spark side
+    "sample_epoch_plan" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_docs,
+        |        CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                    WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |                    WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+        |                    ELSE CAST(0.0 AS DOUBLE) END AS weight FROM c)
+        |SELECT source, n_docs, weight,
+        |  round(weight * 200 / n_docs, 5) AS rate,
+        |  CAST(floor(weight * 200 / n_docs) AS BIGINT) AS full_epochs,
+        |  round(weight * 200 / n_docs - floor(weight * 200 / n_docs), 5) AS frac_rate
+        |FROM r WHERE weight > 0""".stripMargin,
+
+    "sample_epochs" ->
+      // reps = floor(rate) + the stratified md5-Bernoulli at the
+      // fractional remainder; each kept doc unnests its epoch range
+      """WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT s,
+        |        (CASE s WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |                WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+        |                WHEN 'src2' THEN CAST(0.2 AS DOUBLE)
+        |                ELSE CAST(0.0 AS DOUBLE) END * 200) / n AS rate
+        |      FROM c),
+        |d AS (SELECT doc_id, source, rate,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |          % 1000000 AS hv
+        |      FROM documents JOIN r ON source = r.s WHERE rate > 0),
+        |e AS (SELECT doc_id, source,
+        |        CAST(floor(rate) AS BIGINT)
+        |        + CASE WHEN hv < (rate - floor(rate)) * 1000000 THEN 1 ELSE 0 END AS reps
+        |      FROM d)
+        |SELECT doc_id, source, unnest(range(reps)) AS epoch FROM e WHERE reps >= 1""".stripMargin,
 
     "sample_mix" ->
       // identical IEEE arithmetic on both sides: rate = least(1, w *

@@ -121,6 +121,50 @@ object Bpe {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(k)
 
+  /** The go/no-go report read after training: vocabulary size, corpus
+    * token volume under the learned merges, and the fertility
+    * (tokens per word) / compression (chars per token) ratios a
+    * tokenizer is judged by before freezing. One map-side pass over
+    * the merged vocabulary (chars per word = string length minus the
+    * separators — integer arithmetic) + two vocabulary-sized aggs;
+    * ratios divide exact integers in one fixed expression each. */
+  def vocabStats(mergedVocab: DataFrame, numMerges: Int): DataFrame = {
+    val toks = split(col("seq"), Sep)
+    val totals = mergedVocab
+      .select(col("cnt"), size(toks).as("_nt"),
+        (length(col("seq")) - (size(toks) - 1)).as("_nc"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("_nt")).as("n_tokens"),
+        sum(col("cnt") * col("_nc")).as("n_chars"))
+    val types = mergedVocab
+      .select(explode(toks).as("_t"))
+      .agg(countDistinct(col("_t")).as("n_token_types"))
+    totals.crossJoin(types)
+      .select(lit(numMerges).as("n_merges"), col("n_token_types"),
+        col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 5)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 5)
+          .as("compression"))
+  }
+
+  /** Full oracle SQL for [[vocabStats]] over the trained vocabulary. */
+  def statsOracleSql(numMerges: Int): String =
+    oracleCtes(numMerges) +
+      s"""
+         |SELECT $numMerges AS n_merges,
+         |  (SELECT count(DISTINCT t) FROM
+         |    (SELECT unnest(string_split(seq, chr(1))) AS t
+         |     FROM v$numMerges)) AS n_token_types,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt * len(string_split(seq, chr(1)))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(cnt * (len(seq) - (len(string_split(seq, chr(1))) - 1))) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(cnt * len(string_split(seq, chr(1)))) AS DOUBLE)
+         |        / sum(cnt), 5) AS fertility,
+         |  round(CAST(sum(cnt * (len(seq) - (len(string_split(seq, chr(1))) - 1))) AS DOUBLE)
+         |        / sum(cnt * len(string_split(seq, chr(1)))), 5) AS compression
+         |FROM v$numMerges""".stripMargin
+
   /** DuckDB oracle for `train`: the identical recurrence unrolled as
     * chained CTEs (the `pagerankOracleSql` pattern) — v0 is the char
     * vocabulary, each iteration derives pair counts p_i, the 1-row

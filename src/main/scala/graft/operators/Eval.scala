@@ -191,17 +191,23 @@ object Eval {
     val q = df.select(col(idCol),
       transform(col(vecCol).cast("array<double>"),
         x => round(x * lit(1000000.0), 0).cast("long")).as("_qv"))
+    // the centroid travels as a dim-ORDERED ARRAY, not a map: inside
+    // the per-row fold an array element is O(1) (zip_with walks both
+    // arrays once) where a map lookup is a linear scan per element —
+    // O(d²) interpreted evals per row, measured minutes-per-pass at
+    // the sf1 probe before the rewrite
     val mu = q.select(posexplode(col("_qv")).as(Seq("dim", "_qx")))
       .groupBy(col("dim"))
       .agg(sum(col("_qx")).as("_s"), count(lit(1)).as("_n"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("dim"),
-        (col("_s").cast("double") / col("_n")) / lit(1000000.0))))).as("_mu"))
+      .agg(array_sort(collect_list(struct(col("dim"),
+        ((col("_s").cast("double") / col("_n")) / lit(1000000.0)).as("m"))))
+        .as("_ms"))
+      .select(transform(col("_ms"), s => s.getField("m")).as("_mu"))
     val d2 = q.crossJoin(broadcast(mu))
       .select(col(idCol),
         aggregate(
-          transform(col("_qv"), (x, i) => {
-            val d = x.cast("double") / lit(1000000.0) -
-              element_at(col("_mu"), i.cast("int"))
+          zip_with(col("_qv"), col("_mu"), (x, m) => {
+            val d = x.cast("double") / lit(1000000.0) - m
             d * d
           }),
           lit(0.0), (a, v) => a + v).as("_d2"))

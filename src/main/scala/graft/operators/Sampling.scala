@@ -89,6 +89,62 @@ object Sampling {
     }.toMap
   }
 
+  /** Per-stratum weight expression for a driver-declared mixture:
+    * strata fold in sorted key order so the when-chain (and therefore
+    * the plan and every derived rate) is a pure function of the map. */
+  private def weightCol(stratumCol: Column,
+                        weights: Map[String, Double]): Column =
+    weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(stratumCol === k, lit(w)).otherwise(acc)
+    }
+
+  /** Epoch-aware mixture PLAN: per stratum, the docs available, the
+    * target weight, the raw rate = weight·budget / n, and its split
+    * into full epochs + fractional remainder — the GPT-3-style mixing
+    * table ("Wikipedia: 3.4 epochs") that [[mixRates]] deliberately
+    * refuses to express (it caps at 1.0; upsampling is a repeat-read
+    * policy). One strata-sized keyed count; everything after is
+    * arithmetic on that frame. */
+  def epochPlan(df: DataFrame, stratumCol: Column,
+                weights: Map[String, Double], budgetDocs: Long): DataFrame =
+    df.groupBy(stratumCol.as("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", weightCol(col("source"), weights))
+      .filter(col("weight") > 0.0)
+      .withColumn("_rate", col("weight") * budgetDocs / col("n_docs"))
+      .select(col("source"), col("n_docs"), col("weight"),
+        round(col("_rate"), 5).as("rate"),
+        floor(col("_rate")).as("full_epochs"),
+        round(col("_rate") - floor(col("_rate")), 5).as("frac_rate"))
+
+  /** Materialize the epoch-aware mixture: every doc of stratum s
+    * repeats floor(rate_s) times, plus one extra epoch decided by the
+    * [[stratified]] md5-Bernoulli at the fractional remainder — so
+    * expected volume per stratum is exactly weight·budget, scarce
+    * high-weight sources upsample by REPETITION (each copy tagged
+    * with its `epoch` index for curriculum-aware shuffling), and
+    * membership is reproducible across runs/engines/partitionings.
+    *
+    * Scale shape: one strata-sized keyed count; rates broadcast back
+    * onto the scan; repetition is a map-side `sequence` explode —
+    * fanout is the epoch count, bounded by the declared mixture, and
+    * the corpus never shuffles. */
+  def epochMix(df: DataFrame, idCol: String, stratumCol: Column,
+               weights: Map[String, Double], budgetDocs: Long): DataFrame = {
+    val rates = df.groupBy(stratumCol.as("_s")).agg(count(lit(1)).as("_n"))
+      .select(col("_s"),
+        (weightCol(col("_s"), weights) * budgetDocs / col("_n")).as("_rate"))
+      .filter(col("_rate") > 0.0)
+    val h = Dedup.hash64(col(idCol).cast("string")) % M
+    val frac = col("_rate") - floor(col("_rate"))
+    df.join(broadcast(rates), stratumCol === col("_s"))
+      .withColumn("_reps",
+        floor(col("_rate")) + when(h < frac * M, 1L).otherwise(0L))
+      .filter(col("_reps") >= 1L)
+      .select(df.col("*"),
+        explode(sequence(lit(0L), col("_reps") - 1)).as("epoch"))
+      .drop("_s", "_rate", "_reps")
+  }
+
   /** Pack documents into fixed-size token windows ("sequence packing"
     * for LLM training): concatenate each group's docs in stable id
     * order and assign every doc the window its FIRST token lands in

@@ -89,6 +89,29 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.a, m.b)) == Seq(("a", "b"), ("c", "d")))
   }
 
+  test("vocabStats reports exact token/char volumes and ratios") {
+    val docs = Seq("low low lower", "new newer lower").toDF("text")
+    val (merges, vocab) = Bpe.train(docs, "text", numMerges = 3)
+    val got = Bpe.vocabStats(vocab, merges.size)
+      .as[(Int, Long, Long, Long, Long, Double, Double)].head()
+    // local mirror over the final sequences
+    val seqs = vocab.select("seq", "cnt").as[(String, Long)].collect()
+      .map { case (s, c) => s.split(Bpe.Sep).toSeq -> c }
+    val nWords = seqs.map(_._2).sum
+    val nTokens = seqs.map { case (s, c) => s.length * c }.sum
+    val nChars = seqs.map { case (s, c) => s.map(_.length).sum * c }.sum
+    val nTypes = seqs.flatMap(_._1).distinct.length.toLong
+    def r5(v: Double) = BigDecimal(v)
+      .setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((merges.size, nTypes, nWords, nTokens, nChars,
+      r5(nTokens.toDouble / nWords), r5(nChars.toDouble / nTokens))))
+    // chars never change under merges; tokens shrink strictly while
+    // merges apply, so compression > 1 and fertility < raw chars/word
+    assert(nChars == docs.as[String].collect()
+      .flatMap(_.split(" ")).map(_.length).sum)
+    assert(got._7 > 1.0)
+  }
+
   test("merge table and top tokens are partitioning-independent") {
     val docs = Tables.documents(spark, sf0001).limit(120)
     val (m1, v1) = Bpe.train(docs, "text", 4)

@@ -295,4 +295,49 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(800))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
+
+  test("epochMix repeats docs floor(rate) times plus a Bernoulli fractional epoch") {
+    // 4 docs per source; weights/budget give rates a=2.0, b=1.5, c=0.25
+    val docs = (0L until 12L).map(i =>
+      (i, Seq("a", "b", "c")((i % 3).toInt))).toDF("doc_id", "src")
+    val w = Map("a" -> 0.5, "b" -> 0.375, "c" -> 0.0625)
+    val got = Sampling.epochMix(docs, "doc_id", col("src"), w, budgetDocs = 16L)
+      .select(col("doc_id"), col("src"), col("epoch"))
+      .as[(Long, String, Long)].collect().toSeq
+    val bySrc = got.groupBy(_._2)
+    // a: rate 2.0 exactly -> every a-doc appears exactly twice (epochs 0, 1)
+    val aDocs = (0L until 12L).filter(_ % 3 == 0)
+    assert(bySrc("a").groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap ==
+      aDocs.map(_ -> Seq(0L, 1L)).toMap)
+    // b: every b-doc has epoch 0; extras (epoch 1) only via the
+    // md5-Bernoulli at frac 0.5 — mirror it locally
+    def hv(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString.take(15), 16) % 1000000L
+    }
+    val bDocs = (0L until 12L).filter(_ % 3 == 1)
+    bDocs.foreach { id =>
+      val eps = bySrc("b").filter(_._1 == id).map(_._3).sorted
+      val expect = if (hv(id) < (1.5 - 1.0) * 1000000L) Seq(0L, 1L) else Seq(0L)
+      assert(eps == expect, s"doc $id")
+    }
+    // c: rate 0.25 < 1 -> pure Bernoulli, no epoch beyond 0
+    val cRows = bySrc.getOrElse("c", Seq.empty)
+    assert(cRows.forall(_._3 == 0L))
+    val cDocs = (0L until 12L).filter(_ % 3 == 2)
+    assert(cRows.map(_._1).toSet == cDocs.filter(id => hv(id) < 250000L).toSet)
+    // partitioning-independent
+    val again = Sampling.epochMix(docs.repartition(5), "doc_id", col("src"),
+        w, 16L).select(col("doc_id"), col("src"), col("epoch"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(again.sorted == got.sorted)
+    // the plan agrees with the materialization's shape
+    val plan = Sampling.epochPlan(docs, col("src"), w, 16L)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(plan("a") == (("a", 4L, 0.5, 2.0, 2L, 0.0)))
+    assert(plan("b") == (("b", 4L, 0.375, 1.5, 1L, 0.5)))
+    assert(plan("c") == (("c", 4L, 0.0625, 0.25, 0L, 0.25)))
+  }
 }

@@ -60,7 +60,13 @@ object Sf1Probe {
     // scale path is the ann_batch/forest retrieval, measured above)
     "sample_dsir", "decontaminate_bloom", "classify_nb_calibration",
     "embedding_covariance", "embedding_pca", "mm_near_dedup",
-    "corpus_overlap_indexed", "embedding_outliers")
+    "corpus_overlap_indexed", "embedding_outliers",
+    // BPE touches the corpus once (word-vocab groupBy) then iterates
+    // on the vocabulary — which GROWS 10x here (copy-suffixed words),
+    // the worst case for the iteration cost; cooccurrence fans out
+    // window x tokens pairs map-side; the nprobe sweep re-runs three
+    // probe widths over the 10x index
+    "tokenize_bpe_train", "corpus_cooccurrence", "ann_nprobe_sweep")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
