@@ -1566,6 +1566,48 @@ object SparkEntry {
           col("doc_id"), round(col("jaccard"), 5).as("jaccard"))
     }),
 
+    "pipeline_pretrain_v3" -> ((s, dir) => {
+      // END-TO-END pretraining-data assembly with the round-12
+      // operators: quality funnel -> BLOOM benchmark decontamination
+      // (the O(1)-per-gram deployment shape — the src0 benchmark
+      // docs inside the crawl die here) -> quality-aware keep-BEST
+      // near-dedup -> epoch-aware source mixture (scarce high-weight
+      // sources repeat, tagged by epoch) -> deterministic split.
+      // Proves the round-12 operators COMPOSE, as curate_v2 does for
+      // round 11's. Every stage is the §2-verified operator reading
+      // the previous frame; shared subtrees dedupe via ReuseExchange.
+      val docs = Tables.documents(s, dir)
+      val corpus = dedupCorpus(s, dir)
+      val kept = TextAnalysis.filterFunnel(corpus, "text",
+          minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
+        .filter(col("verdict") === "kept")
+        .select(col("doc_id"), col("text"))
+      val flags = Dedup.decontaminateBloom(kept, "text", "doc_id",
+        docs.filter(col("source") === "src0"), "text",
+        n = 3, minHits = 3, mBits = 1 << 22)
+      val clean = kept.join(
+        flags.filter(col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minhashPairs(clean, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      val scores = clean.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      val best = Dedup.dedupKeepBest(clean, "doc_id", pairs, scores, "n_tokens")
+      // copies carry +100000/+200000 id offsets; the base id recovers
+      // the source stratum for the mixture
+      val survivors = best.filter(col("keep"))
+        .join(docs.select(col("doc_id").as("_base"), col("source")),
+          pmod(col("doc_id"), lit(100000L)) === col("_base"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      Sampling.epochMix(survivors, "doc_id", col("source"),
+          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), budgetDocs = 120L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"),
+          when(Dedup.hash64(concat(lit("v3_"), col("doc_id").cast("string")))
+            % 1000000 < lit(0.1) * 1000000, "eval").otherwise("train")
+            .as("split"))
+    }),
+
     "pipeline_curate_v2" -> ((s, dir) => {
       // END-TO-END curation with the round-11 operators: quality
       // funnel -> trained-classifier language gate (NB must AGREE the
@@ -4333,6 +4375,86 @@ object SparkEntry {
         |       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
         |       round(abs(mean_a - mean_b), 6) AS drift
         |FROM m""".stripMargin,
+
+    "pipeline_pretrain_v3" ->
+      // the composition of the funnel fragment (over the dedup
+      // corpus), the bloom position-set membership, the keep-best
+      // closure + integer-score argmax, the epoch-mix floor/frac
+      // arithmetic and the md5-Bernoulli split — each stage reads
+      // the previous, every fragment verbatim from its own oracle
+      s"""WITH RECURSIVE $corpusSql,
+         |fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |fg AS (SELECT doc_id, len(w) AS n,
+         |  len(list_filter(w, t -> list_contains(${LangSql.en}, t)))::DOUBLE / len(w) AS stop,
+         |  ${LangSql.scoreCols}
+         |FROM fw),
+         |fv AS (SELECT doc_id, n, stop,
+         |         CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred
+         |       FROM fg),
+         |kept AS (SELECT c.doc_id, c.text FROM corpus c JOIN fv USING (doc_id)
+         |         WHERE n IS NOT NULL AND n >= 20 AND n <= 90
+         |           AND lang_pred IN ('en') AND stop >= 0.02),
+         |ben AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |          range(1, greatest(len(w)-1, 1)),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM ben),
+         |bh AS (SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM bsh),
+         |bp AS (SELECT DISTINCT
+         |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
+         |           % 4194304 AS pos
+         |       FROM bh, (VALUES (0), (1), (2)) t(t)),
+         |kw AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+         |csh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |                range(1, greatest(len(w)-1, 1)),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM kw)),
+         |cp AS (SELECT doc_id, h, t.t,
+         |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
+         |           % 4194304 AS pos
+         |       FROM csh, (VALUES (0), (1), (2)) t(t)),
+         |ghit AS (SELECT doc_id, h FROM cp JOIN bp USING (pos)
+         |         GROUP BY doc_id, h HAVING count(*) = 3),
+         |bhits AS (SELECT doc_id, count(*) AS bloom_hits FROM ghit GROUP BY doc_id),
+         |clean AS (SELECT k.doc_id, k.text FROM kept k LEFT JOIN bhits h USING (doc_id)
+         |          WHERE coalesce(h.bloom_hits, 0) < 3),
+         |${minhashPairChain("clean")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (SELECT c.doc_id,
+         |             CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
+         |             CAST(len(list_filter(string_split(c.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |           FROM clean c LEFT JOIN lab l ON l.id = c.doc_id),
+         |mxs AS (SELECT cluster_id, max(n_tokens) AS m FROM scored GROUP BY 1),
+         |wins AS (SELECT s.cluster_id, min(s.doc_id) AS wid
+         |        FROM scored s JOIN mxs ON mxs.cluster_id = s.cluster_id AND s.n_tokens = mxs.m
+         |        GROUP BY 1),
+         |surv AS (SELECT s.doc_id, s.n_tokens, d.source
+         |         FROM scored s JOIN wins w2 ON w2.cluster_id = s.cluster_id AND s.doc_id = w2.wid
+         |         JOIN documents d ON d.doc_id = s.doc_id % 100000),
+         |scnt AS (SELECT source AS s2, count(*) AS n FROM surv GROUP BY 1),
+         |srate AS (SELECT s2,
+         |        (CASE s2 WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+         |                 WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
+         |                 WHEN 'src3' THEN CAST(0.2 AS DOUBLE)
+         |                 ELSE CAST(0.0 AS DOUBLE) END * 120) / n AS rate
+         |      FROM scnt),
+         |se AS (SELECT doc_id, source, n_tokens, rate,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |          % 1000000 AS hv
+         |      FROM surv JOIN srate ON source = srate.s2 WHERE rate > 0),
+         |sreps AS (SELECT doc_id, source, n_tokens,
+         |        CAST(floor(rate) AS BIGINT)
+         |        + CASE WHEN hv < (rate - floor(rate)) * 1000000 THEN 1 ELSE 0 END AS reps
+         |      FROM se)
+         |SELECT doc_id, source, n_tokens, unnest(range(reps)) AS epoch,
+         |  CASE WHEN CAST('0x' || substr(md5('v3_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |         % 1000000 < 0.1 * 1000000 THEN 'eval' ELSE 'train' END AS split
+         |FROM sreps WHERE reps >= 1""".stripMargin,
 
     "pipeline_curate_v2" ->
       // the composition of the funnel fragment (over kb), the

@@ -690,13 +690,24 @@ object Dedup {
         transform(shinglesFromWords(col("_w"), n), s => hash64(s)))).as("sh"))
       .select(explode(array((0 until 3).map(t => expr(posSql("sh", t))): _*)).as("pos"))
       .distinct()
+    // Dense-array assembly via a zero-word union — NOT a map probed
+    // per index: the previous map_from_entries + element_at-in-lambda
+    // shape hit BOTH HOF traps at once (CollapseProject inlined the
+    // map build into the per-element lambda, and each probe linearly
+    // scanned the entries) — the sf1 probe measured the one-row
+    // bitmap stage pinned at 100% CPU for minutes. Here every word
+    // 0..nWords-1 is present by construction (bit_or with the zero
+    // row is the identity), the struct sort runs once, and the
+    // lambda touches only its own element.
+    val zeroWords = benchmark.sparkSession.range(nWords)
+      .select(col("id").as("w"), lit(0L).as("m"))
     val bitmap = benchPos
       .select((col("pos") / 64).cast("long").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("m"))
+      .unionByName(zeroWords)
       .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("_bm"))
-      .select(transform(sequence(lit(0L), lit((nWords - 1).toLong)),
-        i => coalesce(element_at(col("_bm"), i), lit(0L))).as("bm"))
+      .agg(array_sort(collect_list(struct(col("w"), col("m")))).as("_e"))
+      .select(transform(col("_e"), s => s.getField("m")).as("bm"))
     val hitSql = (0 until 3).map { t =>
       val p = posSql("sh", t)
       s"(shiftright(element_at(bm, cast(($p) div 64 as int) + 1), cast(($p) % 64 as int)) % 2) != 0"

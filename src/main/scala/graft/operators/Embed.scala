@@ -30,10 +30,15 @@ object Embed {
       .select(col(idCol), col("bucket"), (col("c") / col("nrm")).as("weight"))
   }
 
-  /** Dense representation: (idCol, embedding array<double>[dim]). The
-    * bucket→weight map materializes IN the aggregate, so the assembly
-    * lambda reads an attribute (map_from_entries inside the lambda
-    * would rebuild the map per dimension). */
+  /** Dense representation: (idCol, embedding array<double>[dim]).
+    * The element_at-on-map inside the lambda costs O(dim) per lookup
+    * (map probes are linear entry scans, and CollapseProject can
+    * inline the map build into the lambda) — acceptable ONLY because
+    * the per-doc map is bounded by `dim` (≤ a few hundred), so the
+    * whole assembly is O(dim²) per doc regardless of corpus size.
+    * Corpus-sized or mBits-sized constants must use the dense-array
+    * shape instead (see decontaminateBloom / dsirWeights — §4 HOF
+    * trap). */
   def embedDense(df: DataFrame, textCol: String, idCol: String, dim: Int): DataFrame =
     embedSparse(df, textCol, idCol, dim)
       .groupBy(col(idCol))

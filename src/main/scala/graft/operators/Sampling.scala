@@ -380,16 +380,26 @@ object Sampling {
             / (coalesce(col("_tt"), lit(0L)) + lit(buckets)))
           - log((col("_nr") + lit(1.0)) / (col("_tr") + lit(buckets))))
           .as("_lr"))
-    // ≤ buckets rows by construction → one-row broadcast map
-    val modelRow = model
-      .agg(map_from_entries(array_sort(
-        collect_list(struct(col("_bkt"), col("_lr"))))).as("_m"))
+    // ≤ buckets rows by construction → one-row broadcast DENSE ARRAY
+    // (bucket-ordered; unreachable buckets hold 0.0 and are never
+    // looked up). A map here cost O(buckets) per gram — element_at
+    // on a map is a linear entry scan inside the interpreted HOF, so
+    // scoring paid |doc grams| × buckets comparisons per doc (the
+    // sf1 probe caught the corpus task pinned for minutes); the
+    // array index is O(1) and bit-identical.
+    val zeroBuckets = raw.sparkSession.range(buckets)
+      .select(col("id").as("_bkt"), lit(0.0).as("_lr"))
+    val modelRow = model.unionByName(zeroBuckets)
+      .groupBy(col("_bkt")).agg(sum(col("_lr")).as("_lr"))
+      .agg(array_sort(collect_list(struct(col("_bkt"), col("_lr")))).as("_me"))
+      .select(transform(col("_me"), s => s.getField("_lr")).as("_m"))
     raw.select(col(idCol), gramsCol(textCol).as("_gs"))
       .crossJoin(broadcast(modelRow))
       .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
         aggregate(
           transform(col("_gs"),
-            g => element_at(col("_m"), Dedup.hash64(g) % buckets)),
+            g => element_at(col("_m"),
+              (Dedup.hash64(g) % buckets).cast("int") + 1)),
           lit(0.0), (a, x) => a + x).as("dsir_logw"))
   }
 
