@@ -66,7 +66,8 @@ object Sf1Probe {
     // the worst case for the iteration cost; cooccurrence fans out
     // window x tokens pairs map-side; the nprobe sweep re-runs three
     // probe widths over the 10x index
-    "tokenize_bpe_train", "corpus_cooccurrence", "ann_nprobe_sweep")
+    "tokenize_bpe_train", "corpus_cooccurrence", "ann_nprobe_sweep",
+    "pipeline_pretrain_v3")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
