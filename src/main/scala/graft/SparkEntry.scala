@@ -83,6 +83,17 @@ object SparkEntry {
   private val mixRatesCache =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
 
+  /** Learned BPE merge list per corpus dir: the merge list IS the
+    * model (k driver-sized rows — session-free, like mixRatesCache),
+    * so the three tokenizer queries train once per dir and the
+    * apply/stats paths fold the cached merges map-side. */
+  private val bpeMergesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[operators.Bpe.Merge]]()
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[operators.Bpe.Merge] =
+    bpeMergesCache.computeIfAbsent(dir, _ =>
+      operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)._1)
+
   /** PQ codebook per corpus dir (deterministic function of dir —
     * sampled by md5 total order — so one TakeOrdered job amortizes
     * across the ADC and rerank queries; plain doubles, session-free). */
@@ -1153,26 +1164,29 @@ object SparkEntry {
     "tokenize_bpe_train" -> ((s, dir) => {
       // tokenizer vocabulary induction: 8 BPE merges learned from the
       // corpus word vocabulary (Sennrich et al. 2016) — one corpus
-      // shuffle, then vocabulary-sized iterations
-      val (merges, _) = operators.Bpe.train(
-        Tables.documents(s, dir), "text", numMerges = 8)
-      operators.Bpe.mergeTable(s, merges)
+      // shuffle, then vocabulary-sized iterations. Training amortizes
+      // per dir (the builtIndexes doctrine: train once, consult
+      // many); the §4 probe line records the un-amortized cost.
+      operators.Bpe.mergeTable(s, bpeMerges(s, dir))
     }),
 
     "tokenize_bpe_apply" -> ((s, dir) => {
       // the learned tokenizer applied back to the corpus: top-20
-      // subword frequencies under the 8-merge vocabulary
-      val (_, vocab) = operators.Bpe.train(
-        Tables.documents(s, dir), "text", numMerges = 8)
-      operators.Bpe.topTokens(vocab, 20)
+      // subword frequencies under the 8-merge vocabulary — the
+      // DEPLOYMENT shape (cached merge list folded map-side over the
+      // word vocabulary; no training job)
+      operators.Bpe.topTokens(operators.Bpe.applyMerges(
+        operators.Bpe.wordVocab(Tables.documents(s, dir), "text"),
+        bpeMerges(s, dir)), 20)
     }),
 
     "tokenize_bpe_stats" -> ((s, dir) => {
       // the go/no-go report after training: vocab size, token volume,
       // fertility and compression under the learned merges
-      val (merges, vocab) = operators.Bpe.train(
-        Tables.documents(s, dir), "text", numMerges = 8)
-      operators.Bpe.vocabStats(vocab, merges.size)
+      val merges = bpeMerges(s, dir)
+      operators.Bpe.vocabStats(operators.Bpe.applyMerges(
+        operators.Bpe.wordVocab(Tables.documents(s, dir), "text"),
+        merges), merges.size)
     }),
 
     "doc_fingerprint" -> ((s, dir) => {

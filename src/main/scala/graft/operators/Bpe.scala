@@ -103,6 +103,16 @@ object Bpe {
     (merges.result(), vocab)
   }
 
+  /** Apply an already-learned merge list to a vocabulary frame, in
+    * rank order — the DEPLOYMENT shape: the merge list IS the model
+    * (k driver-sized rows), application is k chained map-side folds,
+    * and no training job runs. `train`'s returned vocabulary equals
+    * `applyMerges(wordVocab(df), merges)` by construction
+    * (spec-pinned). */
+  def applyMerges(vocab: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(vocab)((v, m) =>
+      v.select(applyMerge(col("seq"), m.a, m.b).as("seq"), col("cnt")))
+
   /** The learned merge table as a DataFrame (the graded output). */
   def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
     import spark.implicits._

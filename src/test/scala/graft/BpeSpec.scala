@@ -89,6 +89,14 @@ class BpeSpec extends SparkSpec {
     assert(merges.map(m => (m.a, m.b)) == Seq(("a", "b"), ("c", "d")))
   }
 
+  test("applyMerges on the cached merge list reproduces train's vocabulary") {
+    val docs = Tables.documents(spark, sf0001).limit(150)
+    val (merges, vocab) = Bpe.train(docs, "text", numMerges = 5)
+    val redone = Bpe.applyMerges(Bpe.wordVocab(docs, "text"), merges)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(redone == vocab.as[(String, Long)].collect().sorted.toSeq)
+  }
+
   test("vocabStats reports exact token/char volumes and ratios") {
     val docs = Seq("low low lower", "new newer lower").toDF("text")
     val (merges, vocab) = Bpe.train(docs, "text", numMerges = 3)
