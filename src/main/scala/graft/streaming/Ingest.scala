@@ -388,6 +388,17 @@ object Ingest {
     graft.operators.TextAnalysis.filterFunnel(
       docs, textCol, minTokens, maxTokens, keepLangs, minStop)
 
+  /** Streaming twin of [[graft.operators.TextAnalysis.gopherRules]]:
+    * the Gopher rule bundle over a document ingest stream. Every
+    * rule is a per-row signal (pure map-side), so like
+    * [[funnelStream]] it rides the stream with ZERO state — verdicts
+    * at ingest rate, bit-identical to the batch gate regardless of
+    * micro-batch splits (spec-pinned). */
+  def gopherStream(docs: DataFrame, textCol: String, idCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs, textCol, idCol,
+      minWords, maxWords)
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState:
     * emits a session when no event arrives within the gap (processing-
     * time timeout). State per user is O(1). Pass

@@ -199,6 +199,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gopherStream verdicts match the batch rule bundle across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(60)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.gopherStream(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", minWords = 30)
+      .select("doc_id", "pass")
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      // two arbitrary splits — stateless, so boundaries cannot matter
+      mem.addData(docs.take(17): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(17): _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_stream").as[(Long, Boolean)]
+        .collect().toMap
+      val batch = graft.operators.TextAnalysis.gopherRules(
+          docs.toDF("doc_id", "text"), "text", "doc_id", minWords = 30)
+        .select("doc_id", "pass").as[(Long, Boolean)]
+        .collect().toMap
+      assert(got == batch)
+      // the gate discriminates on this slice (not vacuously uniform
+      // pass): at minWords=30 some docs fail the word floor
+      assert(got.nonEmpty && got.values.exists(!_))
+    } finally q.stop()
+  }
+
   test("nearDupStream alerts on verified corpus near-dups, stays silent on novel docs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
