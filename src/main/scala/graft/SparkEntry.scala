@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{Quantization, Vectors}
-import graft.operators.{AnnIvf, AnnLsh, AnnPq, Crud, Dedup, Embed, Eval, Events, Knn, Pca, Sampling, Search, TextAnalysis}
+import graft.operators.{AnnIvf, AnnLsh, AnnPq, Boost, Crud, Dedup, Embed, Eval, Events, Knn, Pca, Sampling, Search, TextAnalysis}
 import graft.query.FilterCompiler
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1788,6 +1788,32 @@ object SparkEntry {
           (col("pred") === col("lang")).as("correct"))
     }),
 
+    "classify_boost" -> ((s, dir) => {
+      // rule distillation by exact-integer AdaBoost: learn the relaxed
+      // quality gate (n_words >= 30 AND >= 1 distinct stopword — the
+      // full Gopher bundle is degenerate on this corpus: no doc has 2
+      // distinct stopwords) as a 3-stump committee, then score the
+      // held-out fifth. The committee must recover an AND of two
+      // thresholds — exactly what a single stump (or the NB family's
+      // linear scores) cannot express; held-out agreement vs the rule
+      // labels is the distillation fidelity a deployment reads
+      val sig = Tables.documents(s, dir).select(col("doc_id"),
+          size(filter(split(coalesce(col("text"), lit("")), " "),
+            t => t =!= "")).as("n_words"),
+          size(array_intersect(
+            array_distinct(split(coalesce(col("text"), lit("")), " ")),
+            array(TextAnalysis.enStopwords.map(lit): _*))).as("n_stop"))
+        .withColumn("y",
+          (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
+      val tr = sig.filter(col("doc_id") % 5 =!= 0)
+      val te = sig.filter(col("doc_id") % 5 === 0)
+      val model = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
+        rounds = 3)
+      Boost.scoreStumps(te, model, Seq("doc_id", "y"))
+        .select(col("doc_id"), col("y").cast("long").as("label"),
+          col("pred"), (col("y").cast("long") === col("pred")).as("agree"))
+    }),
+
     "sample_weighted" -> ((s, dir) => {
       // keep probability ramps with document length: a 2000-char doc
       // always survives, a 200-char doc survives 10% of the time
@@ -2037,6 +2063,63 @@ object SparkEntry {
        |$chain
        |SELECT node, CAST(r AS BIGINT) AS rank FROM r$iters
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** classify_boost oracle: exact-integer AdaBoost training unrolled
+    * as chained CTEs (the pagerank rule applied to a learner) — every
+    * quantity is an integer (HUGEINT weights, floor-div renorm,
+    * integer cross-product vote), so stump selection and every
+    * held-out prediction match the Spark run bit-for-bit. */
+  private def boostOracleSql(rounds: Int): String = {
+    val R = "1000000000000"
+    val fv = "(CASE WHEN c.f = 'n_words' THEN s.f_n_words ELSE s.f_n_stop END)"
+    def sv(t: Int) =
+      s"(CASE WHEN s$t.f = 'n_words' THEN s.f_n_words ELSE s.f_n_stop END)"
+    val chain = (1 to rounds).map { t =>
+      val p = t - 1
+      s"""err$t AS (SELECT c.f, c.theta,
+         |      sum(CASE WHEN (CASE WHEN $fv >= c.theta THEN 1 ELSE -1 END)
+         |               <> (CASE WHEN s.y = 1 THEN 1 ELSE -1 END) THEN s.w ELSE CAST(0 AS HUGEINT) END) AS errpos,
+         |      sum(s.w) AS wtot
+         |    FROM w$p s CROSS JOIN cand c GROUP BY 1, 2),
+         |st$t AS (SELECT f, theta, pol, greatest(err, 1) AS eps, greatest(wtot - err, 1) AS rest FROM (
+         |      SELECT f, theta, 1 AS pol, errpos AS err, wtot FROM err$t
+         |      UNION ALL SELECT f, theta, -1 AS pol, wtot - errpos AS err, wtot FROM err$t)
+         |    ORDER BY err, f, theta, pol LIMIT 1),
+         |u$t AS (SELECT s.doc_id, s.y, s.f_n_words, s.f_n_stop,
+         |      s.w * (CASE WHEN (CASE WHEN ${sv(t)} >= s$t.theta THEN s$t.pol ELSE -s$t.pol END)
+         |                       = (CASE WHEN s.y = 1 THEN 1 ELSE -1 END)
+         |             THEN s$t.eps ELSE s$t.rest END) AS u
+         |    FROM w$p s CROSS JOIN st$t s$t),
+         |d$t AS (SELECT greatest(sum(u) // $R, 1) AS d FROM u$t),
+         |w$t AS (SELECT doc_id, y, f_n_words, f_n_stop, u // d AS w FROM u$t CROSS JOIN d$t)""".stripMargin
+    }.mkString(",\n")
+    def hv(t: Int) =
+      s"(CASE WHEN (CASE WHEN s$t.f = 'n_words' THEN s.f_n_words ELSE s.f_n_stop END) >= s$t.theta THEN s$t.pol ELSE -s$t.pol END)"
+    val a = (1 to rounds).map(t =>
+      s"(CASE WHEN ${hv(t)} = 1 THEN s$t.rest ELSE s$t.eps END)").mkString(" * ")
+    val b = (1 to rounds).map(t =>
+      s"(CASE WHEN ${hv(t)} = 1 THEN s$t.eps ELSE s$t.rest END)").mkString(" * ")
+    val joins = (1 to rounds).map(t => s"CROSS JOIN st$t s$t").mkString(" ")
+    s"""WITH sig AS (SELECT doc_id,
+       |          CAST(len(w) AS HUGEINT) AS f_n_words,
+       |          CAST(len(list_intersect(list_distinct(w), ${LangSql.en})) AS HUGEINT) AS f_n_stop,
+       |          CASE WHEN len(w) >= 30 AND len(list_intersect(list_distinct(w), ${LangSql.en})) >= 1 THEN 1 ELSE 0 END AS y
+       |        FROM (SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w FROM documents)),
+       |tr AS (SELECT * FROM sig WHERE doc_id % 5 <> 0),
+       |te AS (SELECT * FROM sig WHERE doc_id % 5 = 0),
+       |cand AS (
+       |  SELECT 'n_words' AS f, theta FROM (SELECT DISTINCT f_n_words AS theta FROM tr
+       |    UNION ALL SELECT max(f_n_words) + 1 FROM tr)
+       |  UNION ALL
+       |  SELECT 'n_stop' AS f, theta FROM (SELECT DISTINCT f_n_stop AS theta FROM tr
+       |    UNION ALL SELECT max(f_n_stop) + 1 FROM tr)),
+       |w0 AS (SELECT doc_id, y, f_n_words, f_n_stop, CAST(1 AS HUGEINT) AS w FROM tr),
+       |$chain
+       |SELECT s.doc_id, CAST(s.y AS BIGINT) AS label,
+       |  CAST(CASE WHEN $a > $b THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  (s.y = (CASE WHEN $a > $b THEN 1 ELSE 0 END)) AS agree
+       |FROM te s $joins""".stripMargin
   }
 
   private val cosDistSql =
@@ -4612,6 +4695,8 @@ object SparkEntry {
       // the codegen'd kernel path is bit-identical to the batch
       // operator by contract (spec-pinned), so it shares the oracle
       classifyNbSql,
+
+    "classify_boost" -> boostOracleSql(3),
 
     "sample_weighted" ->
       // same md5-Bernoulli rule as sample_stratified, rate from the

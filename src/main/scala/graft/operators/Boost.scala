@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AdaBoost over decision stumps — the rule-distillation learner: turn
+  * an expensive document gate (a rule bundle, a human-labeled slice)
+  * into a 3-row committee a stream can evaluate map-side. The
+  * reference engine has no learner surface; a curation pipeline needs
+  * one to deploy cheap gates (Freund & Schapire 1997 is the public
+  * anchor; stumps-over-quality-signals is the classic weak-learner
+  * choice).
+  *
+  * The whole algorithm runs in EXACT INTEGER ARITHMETIC — no
+  * transcendentals anywhere, unlike textbook AdaBoost:
+  *
+  *  - doc weights start at 1 and update MULTIPLICATIVELY by the round's
+  *    integer error mass: correct docs scale by `eps` (the weighted
+  *    mistake sum), wrong docs by `rest` (the weighted correct sum).
+  *    Scaling every doc by an integer keeps the weight RATIOS exactly
+  *    the textbook ones (uniform scale cancels in the next round's
+  *    error ratio) while never leaving the integers;
+  *  - weights renormalize each round by floor-dividing by
+  *    `D = max(sum // rScale, 1)`, pinning total mass near `rScale` so
+  *    every intermediate product stays inside decimal(38,0) at ANY
+  *    corpus size (w ≤ rScale, factor ≤ rScale ⇒ product ≤ rScale²);
+  *    docs whose weight floors to 0 carry < 1/rScale of the mass;
+  *  - the final vote `sign(Σ_t α_t h_t)` with `α_t = ln(rest_t/eps_t)`
+  *    is decided WITHOUT computing any logarithm: it is the comparison
+  *    of the two integer cross-products Π rest vs Π eps split by each
+  *    stump's verdict — exact, engine-reproducible, ≤ rScale^rounds
+  *    (3 rounds at rScale 1e12 = 1e36 < decimal(38,0)).
+  *
+  * Everything is therefore a pure function of the signal frame — the
+  * trained stumps and every prediction reproduce bit-for-bit across
+  * engines and partitionings (all sums are integer sums), which is
+  * what lets a DuckDB oracle restate training end-to-end.
+  *
+  * Scale shape: one training round = ONE aggregation over the corpus
+  * crossed with the broadcast candidate frame (candidates are
+  * per-feature DISTINCT signal values — value-vocabulary-sized, never
+  * corpus-sized; integer quality signals like word counts keep it
+  * small) plus one scalar renorm agg. Doc weights are NEVER
+  * distributed state: the weight at round t is a map-side fold over
+  * the (t-1)-row driver model, recomputed from the signal columns —
+  * the trainNaiveBayes/Pca.fit collect contract applies to the 1-row
+  * argmin and renorm scalars only. Scoring a trained model is one
+  * map-side expression per row, zero joins — it rides a streaming
+  * micro-batch unchanged.
+  */
+object Boost {
+
+  /** One boosting round: threshold stump `h(v) = pol if v >= theta
+    * else -pol` on `feature`, with its clamped integer error mass
+    * `eps`, correct mass `rest`, and the weight renorm divisor the
+    * NEXT round's weights floor-divide by. */
+  case class Stump(feature: String, theta: Long, pol: Int,
+                   eps: Long, rest: Long, renorm: Long)
+
+  /** The trained committee. Driver-resident by contract: `rounds`
+    * rows of six scalars. */
+  case class BoostModel(features: Seq[String], stumps: Seq[Stump])
+
+  private def yy = "(CASE WHEN _y = 1 THEN 1 ELSE -1 END)"
+
+  /** SQL expression for the doc weight after the given stumps, as a
+    * map-side fold over the model constants: decimal(38,0) product,
+    * integral `div` renorm, re-cast for the next round. */
+  private def wSql(stumps: Seq[Stump]): String =
+    stumps.foldLeft("CAST(1 AS DECIMAL(38,0))") { (acc, s) =>
+      val h = s"(CASE WHEN ${s.feature} >= ${s.theta}L THEN ${s.pol} ELSE ${-s.pol} END)"
+      val f = s"(CASE WHEN $h = $yy THEN ${s.eps}L ELSE ${s.rest}L END)"
+      s"CAST((($acc * $f) div ${s.renorm}L) AS DECIMAL(38,0))"
+    }
+
+  /** Train `rounds` stumps over the integer signal columns `features`
+    * of `signals` against the 0/1 `labelCol`. Runs 2 Spark jobs per
+    * round (candidate-error argmin + renorm scalar), each collecting a
+    * driver-bounded result (1 row). */
+  def trainStumps(signals: DataFrame, labelCol: String, features: Seq[String],
+                  rounds: Int, rScale: Long = 1000000000000L): BoostModel = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(features.nonEmpty, "trainStumps needs at least one feature")
+    require(math.pow(rScale.toDouble, rounds.toDouble) < 1e38,
+      s"rScale^rounds must stay inside decimal(38,0): $rScale^$rounds")
+    val sig = signals.select(
+      features.map(f => col(f).cast("long").as(f)) :+
+        col(labelCol).cast("int").as("_y"): _*)
+    // candidate thresholds: per-feature distinct values plus a
+    // max+1 sentinel (its always-false stump, with polarity flipped,
+    // is the constant classifier boosting needs to express AND-rules)
+    val cands = features.map { f =>
+      sig.select(col(f).as("theta")).distinct()
+        .union(sig.agg((max(col(f)) + 1).as("theta")))
+        .select(lit(f).as("_f"), col("theta"))
+    }.reduce(_ union _)
+    val candFeature = s"(CASE _f ${features.map(f => s"WHEN '$f' THEN $f").mkString(" ")} END)"
+    var model = List.empty[Stump]
+    for (_ <- 1 to rounds) {
+      val werr = sig.withColumn("_w", expr(wSql(model.reverse)))
+        .crossJoin(broadcast(cands))
+        .select(col("_f"), col("theta"),
+          expr(s"CASE WHEN (CASE WHEN $candFeature >= theta THEN 1 ELSE -1 END) <> $yy " +
+            "THEN _w ELSE CAST(0 AS DECIMAL(38,0)) END").as("_e"),
+          col("_w"))
+        .groupBy(col("_f"), col("theta"))
+        .agg(sum(col("_e")).as("_errpos"), sum(col("_w")).as("_wtot"))
+      val both = werr.select(col("_f"), col("theta"), lit(1).as("pol"),
+          col("_errpos").as("err"), col("_wtot"))
+        .union(werr.select(col("_f"), col("theta"), lit(-1).as("pol"),
+          (col("_wtot") - col("_errpos")).as("err"), col("_wtot")))
+      val top = both.orderBy(col("err").asc, col("_f").asc, col("theta").asc,
+          col("pol").asc)
+        .limit(1).head()
+      val (f, th, pol) = (top.getString(0), top.getLong(1), top.getInt(2))
+      val (err, wtot) = (BigInt(top.getDecimal(3).toBigInteger),
+        BigInt(top.getDecimal(4).toBigInteger))
+      // clamp both masses to >= 1: a perfect stump would otherwise
+      // zero every weight (and its vote ratio would be undefined)
+      val eps = err.max(1).toLong
+      val rest = (wtot - err).max(1).toLong
+      // un-renormalized next-round mass stays a decimal product (it
+      // can reach rScale² — the renorm divisor is what brings each
+      // weight back under rScale, where the fold's `div` lands)
+      val hS = s"(CASE WHEN $f >= ${th}L THEN $pol ELSE ${-pol} END)"
+      val uSql = s"(${wSql(model.reverse)} * " +
+        s"(CASE WHEN $hS = $yy THEN ${eps}L ELSE ${rest}L END))"
+      val uSum = BigInt(sig.agg(sum(expr(uSql)).as("_s"))
+        .head().getDecimal(0).toBigInteger)
+      val d = (uSum / rScale).max(1).toLong
+      model = Stump(f, th, pol, eps, rest, renorm = d) :: model
+    }
+    BoostModel(features, model.reverse)
+  }
+
+  /** SQL expressions for the exact integer vote: the two
+    * cross-products compared in place of `sign(Σ α_t h_t)`. */
+  private def voteSql(m: BoostModel): (String, String) = {
+    def side(keepOnPlus: Stump => Long, keepOnMinus: Stump => Long): String =
+      m.stumps.map { s =>
+        val h = s"(CASE WHEN ${s.feature} >= ${s.theta}L THEN ${s.pol} ELSE ${-s.pol} END)"
+        s"(CASE WHEN $h = 1 THEN CAST(${keepOnPlus(s)} AS DECIMAL(38,0)) " +
+          s"ELSE CAST(${keepOnMinus(s)} AS DECIMAL(38,0)) END)"
+      }.mkString(" * ")
+    (side(_.rest, _.eps), side(_.eps, _.rest))
+  }
+
+  /** Score rows with a trained committee: pure map-side, zero joins —
+    * `pred` = 1 iff the exact integer vote favors the positive class
+    * (ties vote 0). Keeps `keep` plus the signal columns it reads. */
+  def scoreStumps(df: DataFrame, model: BoostModel,
+                  keep: Seq[String]): DataFrame = {
+    val (a, b) = voteSql(model)
+    df.select(keep.map(col) :+
+      expr(s"CASE WHEN $a > $b THEN 1L ELSE 0L END").as("pred"): _*)
+  }
+}
