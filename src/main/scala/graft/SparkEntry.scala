@@ -935,6 +935,16 @@ object SparkEntry {
       }.reduce(_ unionByName _)
     }),
 
+    "source_similarity" -> ((s, dir) => {
+      // the full pairwise "which feeds duplicate which" matrix over
+      // the 20 declared sources — bottom-256 shingle sketches, one
+      // keyed agg over the corpus, 190 output rows
+      Dedup.sourceSimilarity(Tables.documents(s, dir), "text", "source",
+          shingleN = 3, k = 256)
+        .select(col("source_a"), col("source_b"), col("n_common"),
+          col("n_merged"), round(col("jaccard_est"), 6).as("jaccard_est"))
+    }),
+
     "corpus_overlap" -> ((s, dir) => {
       // "how much of the new crawl is already in the archive": slice
       // src1 = archive, slice src2 + planted truncations of src1 %3
@@ -4010,6 +4020,26 @@ object SparkEntry {
          |FROM c3m""".stripMargin,
 
     "corpus_overlap" -> corpusOverlapSql,
+
+    "source_similarity" ->
+      // same md5 shingle hashes; the bottom-k sketch rebuilds with
+      // DISTINCT + row_number (the events_kmv rule), the merged
+      // bottom-k with list ops — set semantics make both exact
+      """WITH wt AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |shl AS (SELECT source, unnest(list_distinct(list_transform(
+        |          range(1, greatest(len(w)-1, 1)),
+        |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s FROM wt),
+        |hs AS (SELECT DISTINCT source, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM shl),
+        |rk AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+        |sk AS (SELECT source, list(h ORDER BY h) AS sl FROM rk WHERE rn <= 256 GROUP BY source),
+        |m AS (SELECT a.source AS source_a, b.source AS source_b, a.sl AS sa, b.sl AS sb,
+        |        list_sort(list_distinct(a.sl || b.sl))[1:256] AS mg
+        |      FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT source_a, source_b,
+        |  CAST(len(list_filter(mg, x -> list_contains(sa, x) AND list_contains(sb, x))) AS BIGINT) AS n_common,
+        |  CAST(len(mg) AS BIGINT) AS n_merged,
+        |  round(CAST(len(list_filter(mg, x -> list_contains(sa, x) AND list_contains(sb, x))) AS DOUBLE) / len(mg), 6) AS jaccard_est
+        |FROM m""".stripMargin,
 
     // the indexed variant shares the scan path's oracle verbatim: the
     // path-equality contract (more_like_this_indexed pattern) — the

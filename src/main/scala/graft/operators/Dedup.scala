@@ -792,6 +792,45 @@ object Dedup {
         (col("n_overlap").cast("double") / col("n_a")).as("overlap_rate"))
   }
 
+  /** Pairwise source-to-source content similarity matrix — the
+    * "which feeds duplicate which" dashboard a mixing decision reads
+    * next to [[corpusOverlap]]'s one-row rate: estimated shingle-set
+    * Jaccard for EVERY pair of `groupCol` values, via bottom-k
+    * sketches (the [[graft.functions.KmvAgg]] k-minimum-values
+    * buffer, Broder 1997's public estimator). For each source the k
+    * smallest distinct shingle hashes are its sketch; for a pair, the
+    * k smallest of the merged sketch are an unbiased sample of the
+    * union, and the fraction also present in both sketches estimates
+    * the Jaccard — EXACT whenever the union holds < k distinct
+    * shingles (the sketch then is the set).
+    *
+    * Scale shape: the corpus contributes ONE keyed agg whose map side
+    * keeps ≤ k longs per (source, partition) — no shingle ever
+    * shuffles more than once and no pair of corpora ever joins on
+    * content; the pairwise stage runs on the |sources|-row sketch
+    * frame (array built-ins, broadcast self-join). md5-derived hashes
+    * and set semantics make every estimate bit-identical across
+    * engines and partitionings. */
+  def sourceSimilarity(df: DataFrame, textCol: String, groupCol: String,
+                       shingleN: Int = 3, k: Int = 256): DataFrame = {
+    val sk = df.select(col(groupCol).as("_g"), words(col(textCol)).as("_w"))
+      .select(col("_g"), explode(array_distinct(
+        transform(shinglesFromWords(col("_w"), shingleN), s => hash64(s)))).as("_h"))
+      .groupBy(col("_g"))
+      .agg(graft.functions.KmvAgg.kmv(col("_h"), k).as("_sk"))
+    val a = sk.select(col("_g").as("source_a"), col("_sk").as("_sa"))
+    val b = sk.select(col("_g").as("source_b"), col("_sk").as("_sb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("_mg", slice(array_sort(array_union(col("_sa"), col("_sb"))), 1, k))
+      .select(col("source_a"), col("source_b"),
+        size(filter(col("_mg"), h =>
+          array_contains(col("_sa"), h) && array_contains(col("_sb"), h)))
+          .cast("long").as("n_common"),
+        size(col("_mg")).cast("long").as("n_merged"))
+      .withColumn("jaccard_est",
+        col("n_common").cast("double") / col("n_merged"))
+  }
+
   /** [[corpusOverlap]] where side `a` (the archive) is a persisted
     * [[writeMinhashIndex]] table: the recurring "how much of the new
     * crawl is already archived" report with ZERO archive text scans —

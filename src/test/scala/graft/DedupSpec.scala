@@ -760,4 +760,33 @@ class DedupSpec extends SparkSpec {
     assert(cl(1L) == 1L && cl(2L) == 1L && cl(3L) == 1L)
     assert(cl(10L) == 10L && cl(11L) == 10L && cl(20L) == 20L)
   }
+
+  test("sourceSimilarity: exact Jaccard in the small-union regime") {
+    // two sources sharing exactly one 3-shingle universe member
+    val docs = Seq(
+      (1L, "a b c d e", "s1"),     // shingles: "a b c","b c d","c d e"
+      (2L, "a b c x y", "s2"),     // shingles: "a b c","b c x","c x y"
+      (3L, "p q r s t", "s3")      // disjoint from both
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceSimilarity(docs, "text", "source", shingleN = 3, k = 16)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // union(s1, s2) = 5 shingles, intersection = 1 -> exact 1/5
+    assert(got(("s1", "s2")) == ((1L, 5L, 0.2)))
+    assert(got(("s1", "s3"))._1 == 0L && got(("s2", "s3"))._1 == 0L)
+    assert(got.size == 3)
+  }
+
+  test("sourceSimilarity: identical sources read 1.0; partitioning-independent") {
+    val base = (0L until 40L).map(i => (i, s"tok${i % 7} w$i x$i y$i z$i common tail words here"))
+    val docs = (base.map { case (i, t) => (i, t, "ga") } ++
+      base.map { case (i, t) => (i + 1000, t, "gb") }).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceSimilarity(docs, "text", "source", shingleN = 3, k = 32)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head._5 == 1.0, got.head.toString)
+    val again = Dedup.sourceSimilarity(docs.repartition(7), "text", "source",
+      shingleN = 3, k = 32).as[(String, String, Long, Long, Double)].collect()
+    assert(got.toSet == again.toSet)
+  }
 }
