@@ -1807,12 +1807,7 @@ object SparkEntry {
       // thresholds — exactly what a single stump (or the NB family's
       // linear scores) cannot express; held-out agreement vs the rule
       // labels is the distillation fidelity a deployment reads
-      val sig = Tables.documents(s, dir).select(col("doc_id"),
-          size(filter(split(coalesce(col("text"), lit("")), " "),
-            t => t =!= "")).as("n_words"),
-          size(array_intersect(
-            array_distinct(split(coalesce(col("text"), lit("")), " ")),
-            array(TextAnalysis.enStopwords.map(lit): _*))).as("n_stop"))
+      val sig = Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
         .withColumn("y",
           (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
       val tr = sig.filter(col("doc_id") % 5 =!= 0)
@@ -1822,6 +1817,23 @@ object SparkEntry {
       Boost.scoreStumps(te, model, Seq("doc_id", "y"))
         .select(col("doc_id"), col("y").cast("long").as("label"),
           col("pred"), (col("y").cast("long") === col("pred")).as("agree"))
+    }),
+
+    "classify_boost_report" -> ((s, dir) => {
+      // the distilled gate's deploy gate: held-out confusion matrix
+      // (rule label × committee verdict), integer counts — read next
+      // to classify_nb_report before trusting the cheap gate
+      val sig = Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
+        .withColumn("y",
+          (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
+      val tr = sig.filter(col("doc_id") % 5 =!= 0)
+      val te = sig.filter(col("doc_id") % 5 === 0)
+      val model = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
+        rounds = 3)
+      Boost.scoreStumps(te, model, Seq("doc_id", "y"))
+        .groupBy(col("y").cast("long").as("label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("label"), col("pred"), col("n"))
     }),
 
     "sample_weighted" -> ((s, dir) => {
@@ -4727,6 +4739,12 @@ object SparkEntry {
       classifyNbSql,
 
     "classify_boost" -> boostOracleSql(3),
+
+    "classify_boost_report" ->
+      // shared training chain, rolled up to the confusion matrix
+      s"""WITH bo AS (${boostOracleSql(3)})
+         |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+         |FROM bo GROUP BY 1, 2""".stripMargin,
 
     "sample_weighted" ->
       // same md5-Bernoulli rule as sample_stratified, rate from the

@@ -50,6 +50,18 @@ import org.apache.spark.sql.functions._
   */
 object Boost {
 
+  /** The integer quality signals the distilled gate reads: word count
+    * and distinct-English-stopword count — per-row, map-side, shared
+    * by the batch query and the zero-state streaming twin
+    * ([[graft.streaming.Ingest.boostGateStream]]). */
+  def qualitySignals(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      size(filter(split(coalesce(col(textCol), lit("")), " "),
+        t => t =!= "")).as("n_words"),
+      size(array_intersect(
+        array_distinct(split(coalesce(col(textCol), lit("")), " ")),
+        array(TextAnalysis.enStopwords.map(lit): _*))).as("n_stop"))
+
   /** One boosting round: threshold stump `h(v) = pol if v >= theta
     * else -pol` on `feature`, with its clamped integer error mass
     * `eps`, correct mass `rest`, and the weight renorm divisor the

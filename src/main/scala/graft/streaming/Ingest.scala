@@ -399,6 +399,20 @@ object Ingest {
     graft.operators.TextAnalysis.gopherRules(docs, textCol, idCol,
       minWords, maxWords)
 
+  /** The distilled [[graft.operators.Boost]] gate at ingest rate: the
+    * quality signals are per-row computations and the stump committee
+    * vote is one map-side integer expression over the driver-trained
+    * model — ZERO state, so verdicts are bit-identical to the batch
+    * scorer regardless of micro-batch splits (spec-pinned). This is
+    * the deployment the rule-distillation trade exists for: the
+    * expensive labeling runs once in batch, the cheap committee rides
+    * every stream. */
+  def boostGateStream(docs: DataFrame, textCol: String, idCol: String,
+                      model: graft.operators.Boost.BoostModel): DataFrame =
+    graft.operators.Boost.scoreStumps(
+      graft.operators.Boost.qualitySignals(docs, textCol, idCol),
+      model, Seq(idCol))
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState:
     * emits a session when no event arrives within the gap (processing-
     * time timeout). State per user is O(1). Pass

@@ -228,6 +228,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("boostGateStream verdicts match the batch committee across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Boost
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(60)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // train in batch on the slice's own relaxed-gate labels
+    val sig = Boost.qualitySignals(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .withColumn("y", (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
+    val model = Boost.trainStumps(sig, "y", Seq("n_words", "n_stop"), rounds = 3)
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.boostGateStream(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", model)
+      .writeStream.format("memory").queryName("boost_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(23): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(23): _*)
+      q.processAllAvailable()
+      val got = spark.table("boost_stream").as[(Long, Long)].collect().toMap
+      val batch = Boost.scoreStumps(sig, model, Seq("doc_id"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == batch)
+      // the gate discriminates on this slice (both verdicts occur)
+      assert(got.values.toSet == Set(0L, 1L))
+    } finally q.stop()
+  }
+
   test("nearDupStream alerts on verified corpus near-dups, stays silent on novel docs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup
