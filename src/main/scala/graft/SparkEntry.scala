@@ -1249,6 +1249,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_trans"), round(col("lm_nll"), 5).as("lm_nll"))
     }),
 
+    "perplexity_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail triage over the corpus LM: thresholds
+      // from the deterministic 256-sample quantiles, means from exact
+      // integer-grid sums — 3 rows a mixing decision reads
+      TextAnalysis.perplexityBuckets(Tables.documents(s, dir), "text",
+          "doc_id", sampleK = 256)
+        .select(col("bucket"), col("n_docs"),
+          round(col("mean_nll"), 5).as("mean_nll"),
+          round(col("share"), 6).as("share"))
+    }),
+
     "text_entropy" -> ((s, dir) => {
       TextAnalysis.charEntropy(Tables.documents(s, dir), "text", "doc_id")
         .select(col("doc_id"), round(col("char_entropy"), 5).as("char_entropy"))
@@ -3869,6 +3880,44 @@ object SparkEntry {
         |SELECT t.doc_id, coalesce(agg.n_trans, 0) AS n_trans,
         |       round(coalesce(agg.s / agg.n_trans, 0.0), 5) AS lm_nll
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "perplexity_buckets" ->
+      // the lm_score chain snapped to the 1e-6 grid, thresholds from
+      // the same k-min-hash sample reconstruction as events_quantiles,
+      // bucket means as exact integer sums divided once
+      """WITH t AS (SELECT doc_id,
+        |       list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+        |     FROM documents),
+        |uni AS (SELECT word, count(*) AS nw
+        |        FROM (SELECT unnest(w) AS word FROM t) GROUP BY word),
+        |v AS (SELECT count(*) AS vs FROM uni),
+        |p AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i ->
+        |        {'pos': i, 'prev': w[CAST(i AS INT)], 'cur': w[CAST(i+1 AS INT)]})) AS s
+        |      FROM t),
+        |p2 AS (SELECT doc_id, s.pos AS pos, s.prev AS prev, s.cur AS cur FROM p),
+        |bi AS (SELECT prev, cur, count(*) AS npc FROM p2 GROUP BY 1, 2),
+        |sc AS (SELECT p2.doc_id, p2.pos, -ln((bi.npc + 1.0) / (uni.nw + v.vs)) AS nll
+        |       FROM p2 JOIN bi USING (prev, cur) JOIN uni ON uni.word = p2.prev, v),
+        |agg AS (SELECT doc_id, count(*) AS n_trans, list_sum(list(nll ORDER BY pos)) AS s
+        |        FROM sc GROUP BY doc_id),
+        |sn AS (SELECT t.doc_id,
+        |         CAST(round(coalesce(agg.s / agg.n_trans, 0.0) * 1000000, 0) AS BIGINT) AS q
+        |       FROM t LEFT JOIN agg USING (doc_id)),
+        |hh AS (SELECT doc_id, q,
+        |         CAST(CAST('0x' || substr(md5('ppl0_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS hv
+        |       FROM sn),
+        |r AS (SELECT *, row_number() OVER (ORDER BY hv, doc_id) AS rn FROM hh),
+        |s2 AS (SELECT list(CAST(q AS DOUBLE) ORDER BY CAST(q AS DOUBLE)) AS vs FROM r WHERE rn <= 256),
+        |th AS (SELECT vs[CAST(floor((1.0/3) * (len(vs) - 1)) AS INT) + 1] AS t33,
+        |              vs[CAST(floor((2.0/3) * (len(vs) - 1)) AS INT) + 1] AS t67 FROM s2),
+        |tot AS (SELECT count(*) AS n_total FROM sn),
+        |b AS (SELECT doc_id, q,
+        |        CASE WHEN q <= t33 THEN 'head' WHEN q <= t67 THEN 'middle' ELSE 'tail' END AS bucket
+        |      FROM sn, th)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round((CAST(sum(q) AS DOUBLE) / count(*)) / 1000000.0, 5) AS mean_nll,
+        |  round(CAST(count(*) AS DOUBLE) / n_total, 6) AS share
+        |FROM b, tot GROUP BY bucket, n_total""".stripMargin,
 
     "pipeline_curate" ->
       // the composition of the funnel, exact-dedup, decontaminate and

@@ -350,20 +350,54 @@ object Sampling {
     * token-less docs score 0.0 over 0 grams (weighting is a signal,
     * not a filter). `dsir_logw` is NOT length-normalized, matching
     * the paper (longer docs move further from 0). */
+  /** The DSIR gram sequence: unigrams in position order, then
+    * bigrams — shared by training, scoring, and the deployment
+    * paths so their folds stay bit-identical. */
+  private def dsirGrams(tc: String): Column = {
+    val wv = filter(split(coalesce(col(tc), lit("")), " "), t => t =!= "")
+    concat(wv,
+      when(size(wv) >= 2,
+        transform(sequence(lit(1), size(wv) - 1),
+          i => concat_ws(" ", element_at(wv, i), element_at(wv, i + 1))))
+        .otherwise(array().cast("array<string>")))
+  }
+
   def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String,
                   buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
-    def gramsCol(tc: String): Column = {
-      val wv = filter(split(coalesce(col(tc), lit("")), " "), t => t =!= "")
-      concat(wv,
-        when(size(wv) >= 2,
-          transform(sequence(lit(1), size(wv) - 1),
-            i => concat_ws(" ", element_at(wv, i), element_at(wv, i + 1))))
-          .otherwise(array().cast("array<string>")))
-    }
+    val modelRow = dsirModelRow(raw, textCol, target, targetTextCol, buckets)
+    raw.select(col(idCol), dsirGrams(textCol).as("_gs"))
+      .crossJoin(broadcast(modelRow))
+      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
+        aggregate(
+          transform(col("_gs"),
+            g => element_at(col("_m"),
+              (Dedup.hash64(g) % buckets).cast("int") + 1)),
+          lit(0.0), (a, x) => a + x).as("dsir_logw"))
+  }
+
+  /** Train the DSIR model once, driver-side: the dense bucket-ordered
+    * logratio array [[dsirWeights]] broadcasts, collected under the
+    * model-sized contract (exactly `buckets` doubles regardless of
+    * corpus size — the trainNaiveBayes split). Feed it to
+    * [[dsirScoreAll]] to score any frame — including a streaming
+    * micro-batch ([[graft.streaming.Ingest.dsirStream]]) — without
+    * re-reading either training corpus. */
+  def trainDsir(raw: DataFrame, textCol: String, target: DataFrame,
+                targetTextCol: String, buckets: Int = 4096): Array[Double] = {
+    require(buckets > 0, s"buckets must be > 0, got $buckets")
+    dsirModelRow(raw, textCol, target, targetTextCol, buckets)
+      .head().getSeq[Double](0).toArray
+  }
+
+  /** The one-row dense model array behind [[dsirWeights]] /
+    * [[trainDsir]] — factored so both read the identical plan. */
+  private def dsirModelRow(raw: DataFrame, textCol: String,
+                           target: DataFrame, targetTextCol: String,
+                           buckets: Int): DataFrame = {
     def bucketCounts(df: DataFrame, tc: String): DataFrame =
-      df.select(explode(gramsCol(tc)).as("_g"))
+      df.select(explode(dsirGrams(tc)).as("_g"))
         .select((Dedup.hash64(col("_g")) % buckets).as("_bkt"))
         .groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
     val tCnt = bucketCounts(target, targetTextCol)
@@ -389,16 +423,26 @@ object Sampling {
     // array index is O(1) and bit-identical.
     val zeroBuckets = raw.sparkSession.range(buckets)
       .select(col("id").as("_bkt"), lit(0.0).as("_lr"))
-    val modelRow = model.unionByName(zeroBuckets)
+    model.unionByName(zeroBuckets)
       .groupBy(col("_bkt")).agg(sum(col("_lr")).as("_lr"))
       .agg(array_sort(collect_list(struct(col("_bkt"), col("_lr")))).as("_me"))
       .select(transform(col("_me"), s => s.getField("_lr")).as("_m"))
-    raw.select(col(idCol), gramsCol(textCol).as("_gs"))
-      .crossJoin(broadcast(modelRow))
+  }
+
+  /** Score any frame against a trained DSIR model: the model rides
+    * the plan as ONE array literal, the weight is the same
+    * order-pinned map-side fold as [[dsirWeights]] — zero joins, zero
+    * shuffles, bit-identical by construction (spec-pinned), and it
+    * runs unchanged inside a streaming micro-batch. */
+  def dsirScoreAll(df: DataFrame, idCol: String, textCol: String,
+                   model: Array[Double]): DataFrame = {
+    require(model.nonEmpty, "dsirScoreAll needs a non-empty model")
+    val buckets = model.length
+    df.select(col(idCol), dsirGrams(textCol).as("_gs"))
       .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
         aggregate(
           transform(col("_gs"),
-            g => element_at(col("_m"),
+            g => element_at(typedlit(model.toSeq),
               (Dedup.hash64(g) % buckets).cast("int") + 1)),
           lit(0.0), (a, x) => a + x).as("dsir_logw"))
   }

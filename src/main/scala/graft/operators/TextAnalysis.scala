@@ -532,6 +532,59 @@ object TextAnalysis {
         coalesce(col("_s") / col("n_trans"), lit(0.0)).as("lm_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    * split the corpus into head / middle / tail thirds by language-
+    * model NLL — the standard "keep the fluent third, inspect the
+    * middle, drop the tail" triage before mixing. Thresholds are the
+    * 1/3 and 2/3 quantiles of the corpus NLL distribution read off a
+    * deterministic fixed-size sample (the
+    * [[graft.functions.SampleValuesAgg]] buffer — the events_quantiles
+    * machinery applied corpus-wide), NOT a corpus sort: a
+    * percent_rank/ntile window would shuffle and sort every row
+    * through one task chain at 100 TB; the sample keeps ≤ `sampleK`
+    * (hash, value) pairs per partition and one reduce row.
+    *
+    * Engine-reproducibility: per-doc NLL snaps to the 1e-6 integer
+    * grid BEFORE anything cross-doc — bucket membership is integer
+    * comparison against sampled thresholds and each bucket's mean is
+    * an exact integer sum divided once (cross-doc float sums would be
+    * order-dependent). Low NLL = fluent = head.
+    *
+    * Output: one row per bucket — (bucket, n_docs, mean_nll, share). */
+  def perplexityBuckets(df: DataFrame, textCol: String, idCol: String,
+                        sampleK: Int = 256,
+                        seed: String = "ppl0"): DataFrame = {
+    require(sampleK >= 2, s"sampleK must be >= 2, got $sampleK")
+    val snapped = lmScore(df, textCol, idCol)
+      .select(col(idCol),
+        expr("CAST(round(lm_nll * 1000000, 0) AS BIGINT)").as("_q"))
+    val h = conv(substring(md5(concat(lit(seed + "_"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val th = snapped
+      .select(h.cast("double").cast("long").as("_h"),
+        col("_q").cast("double").as("_v"))
+      .agg(graft.functions.SampleValuesAgg
+        .sampleValues(col("_h"), col("_v"), sampleK).as("_vs"))
+      .select(
+        element_at(col("_vs"),
+          (floor(lit(1.0 / 3) * (size(col("_vs")) - 1)) + 1).cast("int")).as("_t33"),
+        element_at(col("_vs"),
+          (floor(lit(2.0 / 3) * (size(col("_vs")) - 1)) + 1).cast("int")).as("_t67"))
+    val tot = snapped.agg(count(lit(1)).as("_n_total"))
+    snapped.crossJoin(broadcast(th)).crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        when(col("_q") <= col("_t33"), "head")
+          .when(col("_q") <= col("_t67"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"), col("_n_total"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_q").cast("decimal(38,0)")).as("_sq"))
+      .select(col("bucket"), col("n_docs"),
+        (col("_sq").cast("double") / col("n_docs") / lit(1000000.0))
+          .as("mean_nll"),
+        (col("n_docs").cast("double") / col("_n_total")).as("share"))
+  }
+
   def corpusDrift(df: DataFrame, textCol: String, groupCol: Column,
                   sideA: String, sideB: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

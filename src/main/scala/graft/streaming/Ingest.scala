@@ -413,6 +413,19 @@ object Ingest {
       graft.operators.Boost.qualitySignals(docs, textCol, idCol),
       model, Seq(idCol))
 
+  /** DSIR importance weighting at ingest rate: the bucket→logratio
+    * model trains ONCE in batch ([[graft.operators.Sampling.trainDsir]]
+    * — both training corpora reduce to bucket-count tables) and rides
+    * every micro-batch as one array literal; each document's log
+    * weight is the same order-pinned map-side fold as the batch
+    * operator — ZERO state, zero joins, spec-pinned bit-equal to
+    * [[graft.operators.Sampling.dsirWeights]] regardless of
+    * micro-batch splits. The continuous half of "make the crawl look
+    * like the target": weigh documents the moment they arrive. */
+  def dsirStream(docs: DataFrame, textCol: String, idCol: String,
+                 model: Array[Double]): DataFrame =
+    graft.operators.Sampling.dsirScoreAll(docs, idCol, textCol, model)
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState:
     * emits a session when no event arrives within the gap (processing-
     * time timeout). State per user is O(1). Pass

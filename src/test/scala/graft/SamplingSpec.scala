@@ -285,6 +285,26 @@ class SamplingSpec extends SparkSpec {
     assert(hits > 30, s"target-like docs in sample: $hits/40")
   }
 
+  test("trainDsir + dsirScoreAll: the deployment split is bit-equal to dsirWeights") {
+    val raw = (0L until 120L).map(i => (i,
+      if (i % 4 == 0) "alpha beta gamma delta" else s"omega psi chi phi t$i"))
+      .toDF("doc_id", "text")
+    val target = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val model = Sampling.trainDsir(raw, "text", target, "text", buckets = 128)
+    assert(model.length == 128)
+    val batch = Sampling.dsirWeights(raw, "doc_id", "text", target, "text", 128)
+      .select("doc_id", "n_grams", "dsir_logw")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val deployed = Sampling.dsirScoreAll(raw, "doc_id", "text", model)
+      .select("doc_id", "n_grams", "dsir_logw")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(deployed == batch)
+    // the deployed plan is join-free: the model is a literal
+    val plan = Sampling.dsirScoreAll(raw, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(600))
+  }
+
   test("dsir scoring pass never shuffles the corpus (broadcast-only plan)") {
     val raw = (0L until 100L).map(i => (i, s"tok$i common words here"))
       .toDF("doc_id", "text")

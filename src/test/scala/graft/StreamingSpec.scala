@@ -256,6 +256,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsirStream weights match the batch operator across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(50)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val raw = docs.toDF("doc_id", "text")
+    val target = raw.filter(col("doc_id") % 2 === 0)
+    val model = Sampling.trainDsir(raw, "text", target, "text", buckets = 256)
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.dsirStream(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", model)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(19): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(19): _*)
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream").as[(Long, Long, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = Sampling.dsirWeights(raw, "doc_id", "text", target, "text", 256)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch)
+      assert(got.values.map(_._2).toSet.size > 1) // weights discriminate
+    } finally q.stop()
+  }
+
   test("nearDupStream alerts on verified corpus near-dups, stays silent on novel docs") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Dedup

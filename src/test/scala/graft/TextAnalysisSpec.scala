@@ -515,4 +515,33 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6, r._7))).toMap
     assert(again == got)
   }
+
+  test("perplexityBuckets: fluent docs land in head, thirds partition the corpus") {
+    // three NLL tiers: 30 copies of a fluent pattern (lowest NLL), 20
+    // copies of a rarer pattern (middle), 10 unique-gibberish docs
+    // whose once-seen transitions all share the highest NLL
+    val fluent = (0L until 30L).map(i =>
+      (i, "the cat sat on the mat and the dog sat on the rug"))
+    val mid = (30L until 50L).map(i =>
+      (i, "a bird flew over a tree while a fish swam below it"))
+    val noise = (50L until 60L).map(i =>
+      (i, s"zq$i xv$i wk$i jp$i qg$i bn$i md$i lr$i ts$i hf$i"))
+    val corpus = (fluent ++ mid ++ noise).toDF("doc_id", "text")
+    val got = TextAnalysis.perplexityBuckets(corpus, "text", "doc_id",
+        sampleK = 64)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.values.map(_._1).sum == 60L)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+    // each tier is internally NLL-identical, so buckets = tiers
+    assert(got("head")._1 == 30L && got("middle")._1 == 20L
+      && got("tail")._1 == 10L, got.toString)
+    assert(got("head")._2 < got("tail")._2)
+    // deterministic under repartitioning
+    val again = TextAnalysis.perplexityBuckets(corpus.repartition(7),
+        "text", "doc_id", sampleK = 64)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == got)
+  }
 }
