@@ -552,6 +552,26 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
     }),
 
+    "dedup_cluster_stats" -> ((s, dir) => {
+      // the "how duplicated is my corpus" dashboard: cluster-size
+      // histogram over the near-dup components plus the singleton row
+      // (docs in no pair) — the numbers a dedup budget is set from
+      val corpus = dedupCorpus(s, dir)
+      val cc = Dedup.connectedComponents(
+        Dedup.minhashPairs(corpus, "text", "doc_id",
+          numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5))
+      val hist = cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("_sz"))
+        .groupBy(col("_sz").cast("long").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      // pair-graph components have >= 2 members, so size 1 is free
+      val singles = corpus.agg(count(lit(1)).as("_nt"))
+        .crossJoin(broadcast(cc.agg(count(lit(1)).as("_nc"))))
+        .select(lit(1L).as("cluster_size"),
+          (col("_nt") - col("_nc")).as("n_clusters"))
+      hist.unionByName(singles)
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(dedupCorpus(s, dir), "text", "doc_id", maxHamming = 8)
         .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
@@ -1566,6 +1586,28 @@ object SparkEntry {
           round(col("dist"), 5).as("dist"))
     }),
 
+    "mine_triplets" -> ((s, dir) => {
+      // the (anchor, positive, hard-negative) training rows an
+      // embedding fine-tune consumes: planted near-dups (the
+      // dedup_embedding perturbation) supply positives at dist <=
+      // 0.15, natural neighbors in (0.15, 0.45] supply 2 negatives
+      val emb = Tables.embeddings(s, dir)
+      val vd = col("embedding").cast("array<double>")
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"),
+          col("label"))
+      val corpus = emb.select(col("vec_id"), vd.as("embedding"), col("label"))
+        .unionByName(perturbed)
+      AnnLsh.mineTriplets(corpus, "embedding", "vec_id", kNeg = 2,
+          numTables = 20, bitsPerTable = 8, dim = 64, Knn.Cosine,
+          dPos = 0.15, dNegMin = 0.15, dNegMax = 0.45)
+        .select(col("anchor_id"), col("pos_id"),
+          round(col("pos_dist"), 5).as("pos_dist"), col("neg_id"),
+          col("neg_rank").cast("long").as("neg_rank"),
+          round(col("neg_dist"), 5).as("neg_dist"))
+    }),
+
     "embedding_drift" -> ((s, dir) => {
       // vector-space drift dashboard: even vs odd labels stand in for
       // "embeddings from model v1 vs v2" — per-dim mean shift on the
@@ -1951,6 +1993,18 @@ object SparkEntry {
       Pca.project(emb, "embedding", model, 8)
         .select(Seq(col("vec_id")) ++
           (0 until 8).map(k => round(col(s"pc$k"), 6).as(s"pc$k")): _*)
+    }),
+
+    "embedding_whiten" -> ((s, dir) => {
+      // PCA-whitening ahead of PQ: the projection scaled to unit
+      // variance per axis — same no-SQL-oracle contract as
+      // embedding_pca (eigensolve); PcaSpec pins unit variance,
+      // projection consistency and partitioning independence
+      val emb = Tables.embeddings(s, dir)
+      val model = Pca.fit(emb, "embedding", 64)
+      Pca.whiten(emb, "embedding", model, 8)
+        .select(Seq(col("vec_id")) ++
+          (0 until 8).map(k => round(col(s"wpc$k"), 6).as(s"wpc$k")): _*)
     })
   )
 
@@ -3102,6 +3156,23 @@ object SparkEntry {
          |          UNION
          |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
          |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      // the dedup_cluster closure rolled to a size histogram, plus
+      // the singleton row from two scalar counts
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |szs AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1)
+         |SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM szs GROUP BY sz
+         |UNION ALL
+         |SELECT 1, (SELECT count(*) FROM corpus) - (SELECT count(*) FROM cc)""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $corpusSql,
@@ -4506,6 +4577,44 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
          |      FROM d WHERE d > 0.01 AND d <= 0.45)
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 3""".stripMargin,
+
+    "mine_triplets" ->
+      // the hard-negatives forest chain over the planted corpus, with
+      // both bands ranked from the same distance frame and joined on
+      // the anchor
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |corpus AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_concat([v[1] + 0.1], v[2:len(v)])
+         |  FROM base WHERE vec_id % 10 = 0),
+         |planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(160) t(h)),
+         |b AS (SELECT vec_id, v FROM corpus),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, k.vec_id
+         |         FROM keys k JOIN keys q ON k.tbl = q.tbl AND k.key = q.key
+         |         WHERE k.vec_id <> q.vec_id),
+         |d AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.v")} AS d
+         |      FROM cand c JOIN b ON b.vec_id = c.vec_id
+         |                  JOIN b q ON q.vec_id = c.qid),
+         |pos AS (SELECT qid, vec_id, d,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |       FROM d WHERE d > 0.0 AND d <= 0.15),
+         |neg AS (SELECT qid, vec_id, d,
+         |         row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |       FROM d WHERE d > 0.15 AND d <= 0.45)
+         |SELECT p.qid AS anchor_id, p.vec_id AS pos_id, round(p.d, 5) AS pos_dist,
+         |  n.vec_id AS neg_id, n.rank AS neg_rank, round(n.d, 5) AS neg_dist
+         |FROM pos p JOIN neg n USING (qid)
+         |WHERE p.rank = 1 AND n.rank <= 2""".stripMargin,
 
     "embedding_outliers" ->
       // identical grid: 1e-6 coordinate quantization, per-dim integer

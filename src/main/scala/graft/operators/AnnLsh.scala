@@ -539,6 +539,40 @@ object AnnLsh {
       band = Some((dMin, dMax)))
   }
 
+  /** Contrastive-training TRIPLET mining — the (anchor, positive,
+    * hard negative) rows an embedding fine-tune consumes (the
+    * DPR/ANCE data shape): per anchor, its nearest in-band positive
+    * (distance in `(0, dPos]` — a near-dup, never a byte-identical
+    * vector, which carries no training signal) crossed with its
+    * `kNeg` nearest hard negatives (distance in `(dNegMin, dNegMax]`,
+    * the [[hardNegatives]] band). Anchors lacking either side yield
+    * no triplet — mining, not labeling.
+    *
+    * Scale shape: both sides are the [[similarityJoin]]
+    * canonicalize-first forest plan with different NULL-gate bands;
+    * inside the one joined plan their identical blocking subtrees
+    * (canonical agg, forest keys, candidate distinct) dedupe via
+    * ReuseExchange, so the second band pays only its distance
+    * projection and top-k aggregates. The final join keys on the
+    * anchor id over frames already bounded at ≤ 1 and ≤ kNeg rows
+    * per anchor. */
+  def mineTriplets(df: DataFrame, vecCol: String, idCol: String, kNeg: Int,
+                   numTables: Int, bitsPerTable: Int, dim: Int,
+                   metric: Knn.Metric, dPos: Double, dNegMin: Double,
+                   dNegMax: Double): DataFrame = {
+    require(dPos > 0 && dPos <= dNegMin && dNegMin < dNegMax,
+      s"need 0 < dPos <= dNegMin < dNegMax, got ($dPos, $dNegMin, $dNegMax)")
+    val pos = selfJoinTopK(df, vecCol, idCol, 1, numTables, bitsPerTable,
+        dim, metric, band = Some((0.0, dPos)))
+      .select(col("qid").as("anchor_id"), col(idCol).as("pos_id"),
+        col("dist").as("pos_dist"))
+    val neg = selfJoinTopK(df, vecCol, idCol, kNeg, numTables, bitsPerTable,
+        dim, metric, band = Some((dNegMin, dNegMax)))
+      .select(col("qid").as("anchor_id"), col(idCol).as("neg_id"),
+        col("rank").as("neg_rank"), col("dist").as("neg_dist"))
+    pos.join(neg, Seq("anchor_id"))
+  }
+
   private def selfJoinTopK(df: DataFrame, vecCol: String, idCol: String, k: Int,
                            numTables: Int, bitsPerTable: Int, dim: Int,
                            metric: Knn.Metric,

@@ -219,6 +219,34 @@ object Pca {
     df.select(df.columns.map(col) ++ projCols: _*)
   }
 
+  /** PCA-whitening: [[project]] onto the top `p` axes, then scale
+    * each coordinate by `1/sqrt(λ_k + eps)` so every output dimension
+    * carries unit variance — the standard preprocessing before
+    * product quantization (isotropic coordinates stop PQ codebooks
+    * from spending all their centroids on the dominant axis; Jégou et
+    * al. 2011's PQ assumes balanced energy) and before cosine-based
+    * near-dup thresholds that assume no axis dominates.
+    *
+    * Same execution contract as [[project]]: pure map-side, the model
+    * rides the plan as array literals, each output coordinate is one
+    * order-pinned fold then one multiply by a driver-computed scale —
+    * deterministic across engines and partitionings (sqrt is
+    * IEEE-exact). `eps` guards zero-variance axes. */
+  def whiten(df: DataFrame, vecCol: String, model: Model, p: Int,
+             eps: Double = 1e-9): DataFrame = {
+    require(p > 0 && p <= model.components.length,
+      s"p must be in [1, ${model.components.length}]")
+    require(eps > 0, s"eps must be > 0, got $eps")
+    val projected = project(df, vecCol, model, p)
+    val scaled = (0 until p).map { k =>
+      (col(s"pc$k") * lit(1.0 / math.sqrt(model.eigenvalues(k) + eps)))
+        .as(s"wpc$k")
+    }
+    val pcNames = (0 until p).map(k => s"pc$k").toSet
+    projected.select(
+      projected.columns.filterNot(pcNames.contains).map(col) ++ scaled: _*)
+  }
+
   /** Explained-variance report over the fitted model — the "how many
     * dimensions carry signal" dashboard: one row per component with
     * its eigenvalue, variance share, and the cumulative share. */

@@ -509,4 +509,39 @@ class AnnSpec extends SparkSpec {
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     assert(sj.contains((1L, 2L)))
   }
+
+  test("mineTriplets pairs the in-band positive with hard negatives per anchor") {
+    // angles on the unit circle: 1 at 0, 5 a near-dup at 0.05pi,
+    // 3 an in-band negative at 0.30pi, 4 beyond the cap at 0.60pi
+    def at(t: Double) = Seq(math.cos(t * math.Pi), math.sin(t * math.Pi), 0.0, 0.0)
+    val vecs = Seq(
+      (1L, at(0.0)), (5L, at(0.05)), (3L, at(0.30)), (4L, at(0.60))
+    ).toDF("vec_id", "embedding")
+    val got = AnnLsh.mineTriplets(vecs, "embedding", "vec_id", kNeg = 3,
+        numTables = 30, bitsPerTable = 1, dim = 4, Knn.Cosine,
+        dPos = 0.15, dNegMin = 0.15, dNegMax = 0.45)
+      .select("anchor_id", "pos_id", "pos_dist", "neg_id", "neg_dist")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    // anchors with both a positive and an in-band negative: 1 and 5
+    assert(got.map(_._1).toSet == Set(1L, 5L), got.mkString(", "))
+    got.foreach { case (a, p, pd, n, nd) =>
+      assert(Set(1L, 5L).contains(p) && p != a)
+      assert(pd > 0.0 && pd <= 0.15, s"pos_dist=$pd")
+      assert(n == 3L && nd > 0.15 && nd <= 0.45, s"neg=($n, $nd)")
+    }
+    // partitioning-independent
+    val again = AnnLsh.mineTriplets(vecs.repartition(5), "embedding", "vec_id",
+        kNeg = 3, numTables = 30, bitsPerTable = 1, dim = 4, Knn.Cosine,
+        dPos = 0.15, dNegMin = 0.15, dNegMax = 0.45)
+      .select("anchor_id", "pos_id", "pos_dist", "neg_id", "neg_dist")
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(again.toSet == got.toSet)
+    // the shared blocking subtrees dedupe inside the one joined plan
+    // (AQE materializes reuse only in the final plan, so execute first)
+    val dfq = AnnLsh.mineTriplets(vecs, "embedding", "vec_id", 3,
+        30, 1, 4, Knn.Cosine, 0.15, 0.15, 0.45)
+    dfq.collect()
+    val plan = dfq.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan.take(600))
+  }
 }

@@ -113,4 +113,35 @@ class PcaSpec extends SparkSpec {
     assert(cums.sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-12))
     assert(math.abs(cums.last - 1.0) < 1e-9)
   }
+
+  test("whiten: unit variance per axis, scaled projection, partitioning-independent") {
+    val p = 3
+    val m = Pca.fit(cloud, "embedding", dim)
+    val w = Pca.whiten(cloud, "embedding", m, p)
+    val cols = w.columns
+    assert((0 until p).forall(k => cols.contains(s"wpc$k")) && !cols.exists(_.startsWith("pc0")))
+    val rows = w.select(Seq(col("vec_id")) ++ (0 until p).map(k => col(s"wpc$k")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to p).map(r.getDouble).toSeq).toMap
+    // whitened coordinate = projected coordinate / sqrt(eigenvalue + eps)
+    val proj = Pca.project(cloud, "embedding", m, p)
+      .select(Seq(col("vec_id")) ++ (0 until p).map(k => col(s"pc$k")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to p).map(r.getDouble).toSeq).toMap
+    rows.foreach { case (id, ws) =>
+      (0 until p).foreach { k =>
+        assert(ws(k) == proj(id)(k) * (1.0 / math.sqrt(m.eigenvalues(k) + 1e-9)), s"id=$id k=$k")
+      }
+    }
+    // population variance of each whitened axis is ~1 (up to the fit grid)
+    val n = rows.size
+    (0 until p).foreach { k =>
+      val xs = rows.values.toSeq.map(_(k))
+      val mean = xs.sum / n
+      val varK = xs.map(x => (x - mean) * (x - mean)).sum / n
+      assert(math.abs(varK - 1.0) < 1e-3, s"var(wpc$k) = $varK")
+    }
+    val again = Pca.whiten(cloud.repartition(7), "embedding", m, p)
+      .select(Seq(col("vec_id")) ++ (0 until p).map(k => col(s"wpc$k")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to p).map(r.getDouble).toSeq).toMap
+    assert(again == rows)
+  }
 }
