@@ -30,6 +30,46 @@ object SparkEntry {
     * copies (doc_id % 7, shifted +100000) + truncated near-dups
     * (doc_id % 5, last 5 words dropped, shifted +200000). Mirrored by
     * the `corpus` CTE in the oracles. */
+  /** The pretrain_v3 stage frames, shared by the composition query
+    * and the pipeline_report stage-count funnel. */
+  private case class PretrainStages(corpus: DataFrame, kept: DataFrame,
+                                    clean: DataFrame, survivors: DataFrame,
+                                    mixed: DataFrame)
+
+  private def pretrainV3Stages(s: SparkSession, dir: String): PretrainStages = {
+    val docs = Tables.documents(s, dir)
+    val corpus = dedupCorpus(s, dir)
+    val kept = TextAnalysis.filterFunnel(corpus, "text",
+        minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
+      .filter(col("verdict") === "kept")
+      .select(col("doc_id"), col("text"))
+    val flags = Dedup.decontaminateBloom(kept, "text", "doc_id",
+      docs.filter(col("source") === "src0"), "text",
+      n = 3, minHits = 3, mBits = 1 << 22)
+    val clean = kept.join(
+      flags.filter(col("contaminated")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val pairs = Dedup.minhashPairs(clean, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+    val scores = clean.select(col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= ""))
+        .cast("long").as("n_tokens"))
+    val best = Dedup.dedupKeepBest(clean, "doc_id", pairs, scores, "n_tokens")
+    // copies carry +100000/+200000 id offsets; the base id recovers
+    // the source stratum for the mixture
+    val survivors = best.filter(col("keep"))
+      .join(docs.select(col("doc_id").as("_base"), col("source")),
+        pmod(col("doc_id"), lit(100000L)) === col("_base"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+    val mixed = Sampling.epochMix(survivors, "doc_id", col("source"),
+        Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), budgetDocs = 120L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"),
+        when(Dedup.hash64(concat(lit("v3_"), col("doc_id").cast("string")))
+          % 1000000 < lit(0.1) * 1000000, "eval").otherwise("train")
+          .as("split"))
+    PretrainStages(corpus, kept, clean, survivors, mixed)
+  }
+
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") % 7 === 0)
@@ -1653,36 +1693,28 @@ object SparkEntry {
       // Proves the round-12 operators COMPOSE, as curate_v2 does for
       // round 11's. Every stage is the §2-verified operator reading
       // the previous frame; shared subtrees dedupe via ReuseExchange.
-      val docs = Tables.documents(s, dir)
-      val corpus = dedupCorpus(s, dir)
-      val kept = TextAnalysis.filterFunnel(corpus, "text",
-          minTokens = 20, maxTokens = 90, keepLangs = Seq("en"), minStop = 0.02)
-        .filter(col("verdict") === "kept")
-        .select(col("doc_id"), col("text"))
-      val flags = Dedup.decontaminateBloom(kept, "text", "doc_id",
-        docs.filter(col("source") === "src0"), "text",
-        n = 3, minHits = 3, mBits = 1 << 22)
-      val clean = kept.join(
-        flags.filter(col("contaminated")).select(col("doc_id")),
-        Seq("doc_id"), "left_anti")
-      val pairs = Dedup.minhashPairs(clean, "text", "doc_id",
-        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
-      val scores = clean.select(col("doc_id"),
-        size(filter(split(col("text"), " "), t => t =!= ""))
-          .cast("long").as("n_tokens"))
-      val best = Dedup.dedupKeepBest(clean, "doc_id", pairs, scores, "n_tokens")
-      // copies carry +100000/+200000 id offsets; the base id recovers
-      // the source stratum for the mixture
-      val survivors = best.filter(col("keep"))
-        .join(docs.select(col("doc_id").as("_base"), col("source")),
-          pmod(col("doc_id"), lit(100000L)) === col("_base"))
-        .select(col("doc_id"), col("source"), col("n_tokens"))
-      Sampling.epochMix(survivors, "doc_id", col("source"),
-          Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2), budgetDocs = 120L)
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("epoch"),
-          when(Dedup.hash64(concat(lit("v3_"), col("doc_id").cast("string")))
-            % 1000000 < lit(0.1) * 1000000, "eval").otherwise("train")
-            .as("split"))
+      pretrainV3Stages(s, dir).mixed
+    }),
+
+    "pipeline_report" -> ((s, dir) => {
+      // the "where did my data go" funnel report every pipeline run
+      // logs: one row per pretrain_v3 stage with its surviving row
+      // count — raw corpus through funnel, decontamination, keep-best
+      // dedup, the epoch mixture, and the final split sizes. Each
+      // stage count is a single-row agg over the shared chain
+      // (ReuseExchange dedupes the common subtrees in the one plan)
+      val st = pretrainV3Stages(s, dir)
+      def row(ord: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"))
+          .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
+            col("n_rows"))
+      row(0, "corpus", st.corpus)
+        .unionByName(row(1, "funnel_kept", st.kept))
+        .unionByName(row(2, "decontaminated", st.clean))
+        .unionByName(row(3, "dedup_survivors", st.survivors))
+        .unionByName(row(4, "mixed", st.mixed))
+        .unionByName(row(5, "train", st.mixed.filter(col("split") === "train")))
+        .unionByName(row(6, "eval", st.mixed.filter(col("split") === "eval")))
     }),
 
     "pipeline_curate_v2" -> ((s, dir) => {
@@ -1870,6 +1902,31 @@ object SparkEntry {
       Boost.scoreStumps(te, model, Seq("doc_id", "y"))
         .select(col("doc_id"), col("y").cast("long").as("label"),
           col("pred"), (col("y").cast("long") === col("pred")).as("agree"))
+    }),
+
+    "classify_boost_sweep" -> ((s, dir) => {
+      // the committee-size tuning table (the minhash/quantize/nprobe
+      // sweep pattern applied to the learner): held-out fidelity at
+      // rounds = 1, 2, 3. AdaBoost is greedy-sequential, so the
+      // smaller committees are PREFIXES of the 3-round model — one
+      // training run serves every arm
+      val sig = Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
+        .withColumn("y",
+          (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
+      val tr = sig.filter(col("doc_id") % 5 =!= 0)
+      val te = sig.filter(col("doc_id") % 5 === 0)
+      val full = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
+        rounds = 3)
+      (1 to 3).map { r =>
+        val m = Boost.BoostModel(full.features, full.stumps.take(r))
+        Boost.scoreStumps(te, m, Seq("doc_id", "y"))
+          .agg(count(lit(1)).as("n_test"),
+            sum((col("y").cast("long") === col("pred")).cast("long"))
+              .as("n_correct"))
+          .select(lit(r.toLong).as("rounds"), col("n_test"), col("n_correct"),
+            round(col("n_correct").cast("double") / col("n_test"), 6)
+              .as("accuracy"))
+      }.reduce(_ unionByName _)
     }),
 
     "classify_boost_report" -> ((s, dir) => {
@@ -2158,6 +2215,33 @@ object SparkEntry {
     * integer cross-product vote), so stump selection and every
     * held-out prediction match the Spark run bit-for-bit. */
   private def boostOracleSql(rounds: Int): String = {
+    val (chain, a, b, joins) = boostChainSql(rounds)
+    s"""$chain
+       |SELECT s.doc_id, CAST(s.y AS BIGINT) AS label,
+       |  CAST(CASE WHEN $a > $b THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  (s.y = (CASE WHEN $a > $b THEN 1 ELSE 0 END)) AS agree
+       |FROM te s $joins""".stripMargin
+  }
+
+  /** classify_boost_sweep oracle: one training chain, three prefix
+    * votes — the committee at rounds 1..r is the first r stumps. */
+  private def boostSweepOracleSql(rounds: Int): String = {
+    val (chain, _, _, _) = boostChainSql(rounds)
+    val arms = (1 to rounds).map { r =>
+      val (_, a, b, joins) = boostChainSql(rounds, voteRounds = r)
+      s"""SELECT CAST($r AS BIGINT) AS rounds, CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN s.y = (CASE WHEN $a > $b THEN 1 ELSE 0 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  round(CAST(sum(CASE WHEN s.y = (CASE WHEN $a > $b THEN 1 ELSE 0 END) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+         |FROM te s $joins""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$chain\n$arms"
+  }
+
+  /** Shared builder: the training CTE chain plus the vote-product
+    * expressions over the first `voteRounds` stumps. */
+  private def boostChainSql(rounds: Int,
+                            voteRounds: Int = -1): (String, String, String, String) = {
+    val vr = if (voteRounds > 0) voteRounds else rounds
     val R = "1000000000000"
     val fv = "(CASE WHEN c.f = 'n_words' THEN s.f_n_words ELSE s.f_n_stop END)"
     def sv(t: Int) =
@@ -2183,12 +2267,12 @@ object SparkEntry {
     }.mkString(",\n")
     def hv(t: Int) =
       s"(CASE WHEN (CASE WHEN s$t.f = 'n_words' THEN s.f_n_words ELSE s.f_n_stop END) >= s$t.theta THEN s$t.pol ELSE -s$t.pol END)"
-    val a = (1 to rounds).map(t =>
+    val a = (1 to vr).map(t =>
       s"(CASE WHEN ${hv(t)} = 1 THEN s$t.rest ELSE s$t.eps END)").mkString(" * ")
-    val b = (1 to rounds).map(t =>
+    val b = (1 to vr).map(t =>
       s"(CASE WHEN ${hv(t)} = 1 THEN s$t.eps ELSE s$t.rest END)").mkString(" * ")
-    val joins = (1 to rounds).map(t => s"CROSS JOIN st$t s$t").mkString(" ")
-    s"""WITH sig AS (SELECT doc_id,
+    val joins = (1 to vr).map(t => s"CROSS JOIN st$t s$t").mkString(" ")
+    val chainSql = s"""WITH sig AS (SELECT doc_id,
        |          CAST(len(w) AS HUGEINT) AS f_n_words,
        |          CAST(len(list_intersect(list_distinct(w), ${LangSql.en})) AS HUGEINT) AS f_n_stop,
        |          CASE WHEN len(w) >= 30 AND len(list_intersect(list_distinct(w), ${LangSql.en})) >= 1 THEN 1 ELSE 0 END AS y
@@ -2202,12 +2286,86 @@ object SparkEntry {
        |  SELECT 'n_stop' AS f, theta FROM (SELECT DISTINCT f_n_stop AS theta FROM tr
        |    UNION ALL SELECT max(f_n_stop) + 1 FROM tr)),
        |w0 AS (SELECT doc_id, y, f_n_words, f_n_stop, CAST(1 AS HUGEINT) AS w FROM tr),
-       |$chain
-       |SELECT s.doc_id, CAST(s.y AS BIGINT) AS label,
-       |  CAST(CASE WHEN $a > $b THEN 1 ELSE 0 END AS BIGINT) AS pred,
-       |  (s.y = (CASE WHEN $a > $b THEN 1 ELSE 0 END)) AS agree
-       |FROM te s $joins""".stripMargin
+       |$chain""".stripMargin
+    (chainSql, a, b, joins)
   }
+
+  /** Shared CTE chain for pipeline_pretrain_v3 / pipeline_report:
+    * ends in the `mixed` frame (epoch-tagged, split-labeled). */
+  private lazy val pretrainV3Ctes: String =
+    s"""WITH RECURSIVE $corpusSql,
+       |fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |fg AS (SELECT doc_id, len(w) AS n,
+         |  len(list_filter(w, t -> list_contains(${LangSql.en}, t)))::DOUBLE / len(w) AS stop,
+         |  ${LangSql.scoreCols}
+         |FROM fw),
+         |fv AS (SELECT doc_id, n, stop,
+         |         CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred
+         |       FROM fg),
+         |kept AS MATERIALIZED (SELECT c.doc_id, c.text FROM corpus c JOIN fv USING (doc_id)
+         |         WHERE n IS NOT NULL AND n >= 20 AND n <= 90
+         |           AND lang_pred IN ('en') AND stop >= 0.02),
+         |ben AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
+         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+         |          range(1, greatest(len(w)-1, 1)),
+         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM ben),
+         |bh AS (SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM bsh),
+         |bp AS (SELECT DISTINCT
+         |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
+         |           % 4194304 AS pos
+         |       FROM bh, (VALUES (0), (1), (2)) t(t)),
+         |kw AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+         |csh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |                range(1, greatest(len(w)-1, 1)),
+         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM kw)),
+         |cp AS (SELECT doc_id, h, t.t,
+         |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
+         |           % 4194304 AS pos
+         |       FROM csh, (VALUES (0), (1), (2)) t(t)),
+         |ghit AS (SELECT doc_id, h FROM cp JOIN bp USING (pos)
+         |         GROUP BY doc_id, h HAVING count(*) = 3),
+         |bhits AS (SELECT doc_id, count(*) AS bloom_hits FROM ghit GROUP BY doc_id),
+         |clean AS MATERIALIZED (SELECT k.doc_id, k.text FROM kept k LEFT JOIN bhits h USING (doc_id)
+         |          WHERE coalesce(h.bloom_hits, 0) < 3),
+         |${minhashPairChain("clean")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |scored AS (SELECT c.doc_id,
+         |             CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
+         |             CAST(len(list_filter(string_split(c.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+         |           FROM clean c LEFT JOIN lab l ON l.id = c.doc_id),
+         |mxs AS (SELECT cluster_id, max(n_tokens) AS m FROM scored GROUP BY 1),
+         |wins AS (SELECT s.cluster_id, min(s.doc_id) AS wid
+         |        FROM scored s JOIN mxs ON mxs.cluster_id = s.cluster_id AND s.n_tokens = mxs.m
+         |        GROUP BY 1),
+         |surv AS MATERIALIZED (SELECT s.doc_id, s.n_tokens, d.source
+         |         FROM scored s JOIN wins w2 ON w2.cluster_id = s.cluster_id AND s.doc_id = w2.wid
+         |         JOIN documents d ON d.doc_id = s.doc_id % 100000),
+         |scnt AS (SELECT source AS s2, count(*) AS n FROM surv GROUP BY 1),
+         |srate AS (SELECT s2,
+         |        (CASE s2 WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+         |                 WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
+         |                 WHEN 'src3' THEN CAST(0.2 AS DOUBLE)
+         |                 ELSE CAST(0.0 AS DOUBLE) END * 120) / n AS rate
+         |      FROM scnt),
+         |se AS (SELECT doc_id, source, n_tokens, rate,
+         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |          % 1000000 AS hv
+         |      FROM surv JOIN srate ON source = srate.s2 WHERE rate > 0),
+         |sreps AS (SELECT doc_id, source, n_tokens,
+         |        CAST(floor(rate) AS BIGINT)
+         |        + CASE WHEN hv < (rate - floor(rate)) * 1000000 THEN 1 ELSE 0 END AS reps
+         |      FROM se),
+         |mixed AS MATERIALIZED (SELECT doc_id, source, n_tokens, unnest(range(reps)) AS epoch,
+         |  CASE WHEN CAST('0x' || substr(md5('v3_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |         % 1000000 < 0.1 * 1000000 THEN 'eval' ELSE 'train' END AS split
+         |FROM sreps WHERE reps >= 1)""".stripMargin
 
   private val cosDistSql =
     """acos(least(greatest(
@@ -4679,79 +4837,22 @@ object SparkEntry {
       // closure + integer-score argmax, the epoch-mix floor/frac
       // arithmetic and the md5-Bernoulli split — each stage reads
       // the previous, every fragment verbatim from its own oracle
-      s"""WITH RECURSIVE $corpusSql,
-         |fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-         |fg AS (SELECT doc_id, len(w) AS n,
-         |  len(list_filter(w, t -> list_contains(${LangSql.en}, t)))::DOUBLE / len(w) AS stop,
-         |  ${LangSql.scoreCols}
-         |FROM fw),
-         |fv AS (SELECT doc_id, n, stop,
-         |         CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred
-         |       FROM fg),
-         |kept AS (SELECT c.doc_id, c.text FROM corpus c JOIN fv USING (doc_id)
-         |         WHERE n IS NOT NULL AND n >= 20 AND n <= 90
-         |           AND lang_pred IN ('en') AND stop >= 0.02),
-         |ben AS (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
-         |bsh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
-         |          range(1, greatest(len(w)-1, 1)),
-         |          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM ben),
-         |bh AS (SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h FROM bsh),
-         |bp AS (SELECT DISTINCT
-         |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
-         |           % 4194304 AS pos
-         |       FROM bh, (VALUES (0), (1), (2)) t(t)),
-         |kw AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
-         |csh AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
-         |        FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-         |                range(1, greatest(len(w)-1, 1)),
-         |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh FROM kw)),
-         |cp AS (SELECT doc_id, h, t.t,
-         |         CAST('0x' || substr(md5('bl0_' || CAST(h AS VARCHAR)), 1 + 8*t.t, 8) AS BIGINT)
-         |           % 4194304 AS pos
-         |       FROM csh, (VALUES (0), (1), (2)) t(t)),
-         |ghit AS (SELECT doc_id, h FROM cp JOIN bp USING (pos)
-         |         GROUP BY doc_id, h HAVING count(*) = 3),
-         |bhits AS (SELECT doc_id, count(*) AS bloom_hits FROM ghit GROUP BY doc_id),
-         |clean AS (SELECT k.doc_id, k.text FROM kept k LEFT JOIN bhits h USING (doc_id)
-         |          WHERE coalesce(h.bloom_hits, 0) < 3),
-         |${minhashPairChain("clean")},
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
-         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
-         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
-         |reach AS (SELECT id, id AS r FROM cnodes
-         |          UNION
-         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
-         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-         |scored AS (SELECT c.doc_id,
-         |             CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id,
-         |             CAST(len(list_filter(string_split(c.text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
-         |           FROM clean c LEFT JOIN lab l ON l.id = c.doc_id),
-         |mxs AS (SELECT cluster_id, max(n_tokens) AS m FROM scored GROUP BY 1),
-         |wins AS (SELECT s.cluster_id, min(s.doc_id) AS wid
-         |        FROM scored s JOIN mxs ON mxs.cluster_id = s.cluster_id AND s.n_tokens = mxs.m
-         |        GROUP BY 1),
-         |surv AS (SELECT s.doc_id, s.n_tokens, d.source
-         |         FROM scored s JOIN wins w2 ON w2.cluster_id = s.cluster_id AND s.doc_id = w2.wid
-         |         JOIN documents d ON d.doc_id = s.doc_id % 100000),
-         |scnt AS (SELECT source AS s2, count(*) AS n FROM surv GROUP BY 1),
-         |srate AS (SELECT s2,
-         |        (CASE s2 WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
-         |                 WHEN 'src2' THEN CAST(0.3 AS DOUBLE)
-         |                 WHEN 'src3' THEN CAST(0.2 AS DOUBLE)
-         |                 ELSE CAST(0.0 AS DOUBLE) END * 120) / n AS rate
-         |      FROM scnt),
-         |se AS (SELECT doc_id, source, n_tokens, rate,
-         |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-         |          % 1000000 AS hv
-         |      FROM surv JOIN srate ON source = srate.s2 WHERE rate > 0),
-         |sreps AS (SELECT doc_id, source, n_tokens,
-         |        CAST(floor(rate) AS BIGINT)
-         |        + CASE WHEN hv < (rate - floor(rate)) * 1000000 THEN 1 ELSE 0 END AS reps
-         |      FROM se)
-         |SELECT doc_id, source, n_tokens, unnest(range(reps)) AS epoch,
-         |  CASE WHEN CAST('0x' || substr(md5('v3_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-         |         % 1000000 < 0.1 * 1000000 THEN 'eval' ELSE 'train' END AS split
-         |FROM sreps WHERE reps >= 1""".stripMargin,
+      s"""$pretrainV3Ctes
+         |SELECT doc_id, source, n_tokens, epoch, split FROM mixed""".stripMargin,
+
+    "pipeline_report" ->
+      // the same chain, rolled to one count per stage
+      s"""$pretrainV3Ctes
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_ord, 'corpus' AS stage,
+         |    (SELECT count(*) FROM corpus) AS n_rows
+         |  UNION ALL SELECT 1, 'funnel_kept', (SELECT count(*) FROM kept)
+         |  UNION ALL SELECT 2, 'decontaminated', (SELECT count(*) FROM clean)
+         |  UNION ALL SELECT 3, 'dedup_survivors', (SELECT count(*) FROM surv)
+         |  UNION ALL SELECT 4, 'mixed', (SELECT count(*) FROM mixed)
+         |  UNION ALL SELECT 5, 'train', (SELECT count(*) FROM mixed WHERE split = 'train')
+         |  UNION ALL SELECT 6, 'eval', (SELECT count(*) FROM mixed WHERE split = 'eval'))""".stripMargin,
+
 
     "pipeline_curate_v2" ->
       // the composition of the funnel fragment (over kb), the
@@ -4897,6 +4998,8 @@ object SparkEntry {
       classifyNbSql,
 
     "classify_boost" -> boostOracleSql(3),
+
+    "classify_boost_sweep" -> boostSweepOracleSql(3),
 
     "classify_boost_report" ->
       // shared training chain, rolled up to the confusion matrix

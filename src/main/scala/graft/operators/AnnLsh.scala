@@ -548,28 +548,78 @@ object AnnLsh {
     * the [[hardNegatives]] band). Anchors lacking either side yield
     * no triplet — mining, not labeling.
     *
-    * Scale shape: both sides are the [[similarityJoin]]
-    * canonicalize-first forest plan with different NULL-gate bands;
-    * inside the one joined plan their identical blocking subtrees
-    * (canonical agg, forest keys, candidate distinct) dedupe via
-    * ReuseExchange, so the second band pays only its distance
-    * projection and top-k aggregates. The final join keys on the
-    * anchor id over frames already bounded at ≤ 1 and ≤ kNeg rows
-    * per anchor. */
+    * Scale shape: ONE [[similarityJoin]]-style canonicalize-first
+    * forest pass serves BOTH bands — the candidate frame and the
+    * distance projection are computed once, and each band is a
+    * NULL-gate on its own TopKAgg INPUT inside the shared aggregate
+    * (the selfJoinTopK no-Filter rule: out-of-band rows die inside
+    * the aggregate without re-deriving the distance). The first cut
+    * of this operator ran the forest pass twice (once per band); at
+    * the sf1 probe the doubled candidate working set fell off the
+    * executor-memory cliff (143x the sf0.1 time, GC thrash) — the
+    * single-pass shape is not an optimization but the difference
+    * between scaling and not. The final join keys on the anchor id
+    * over frames already bounded at ≤ 1 and ≤ kNeg rows per
+    * anchor. */
   def mineTriplets(df: DataFrame, vecCol: String, idCol: String, kNeg: Int,
                    numTables: Int, bitsPerTable: Int, dim: Int,
                    metric: Knn.Metric, dPos: Double, dNegMin: Double,
                    dNegMax: Double): DataFrame = {
+    import graft.functions.TopKAgg
     require(dPos > 0 && dPos <= dNegMin && dNegMin < dNegMax,
       s"need 0 < dPos <= dNegMin < dNegMax, got ($dPos, $dNegMin, $dNegMax)")
-    val pos = selfJoinTopK(df, vecCol, idCol, 1, numTables, bitsPerTable,
-        dim, metric, band = Some((0.0, dPos)))
-      .select(col("qid").as("anchor_id"), col(idCol).as("pos_id"),
-        col("dist").as("pos_dist"))
-    val neg = selfJoinTopK(df, vecCol, idCol, kNeg, numTables, bitsPerTable,
-        dim, metric, band = Some((dNegMin, dNegMax)))
-      .select(col("qid").as("anchor_id"), col(idCol).as("neg_id"),
-        col("rank").as("neg_rank"), col("dist").as("neg_dist"))
+    val base = df.select(col(idCol), col(vecCol))
+    val groups = base.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as("_cid"), collect_list(col(idCol)).as("_mids"))
+    val members = groups.select(col("_cid"), explode(col("_mids")).as(idCol))
+    val canon = groups
+      .select(col("_cid"), col(vecCol), size(col("_mids")).as("_gsz"))
+    val ckeys = indexForest(canon, vecCol, numTables, bitsPerTable, dim)
+      .select(col("_cid"), explode(col("fkeys")).as("fkey"))
+    val ccand = ckeys
+      .join(ckeys.select(col("_cid").as("_cq"), col("fkey")), "fkey")
+      .filter(col("_cid") =!= col("_cq"))
+      .select(col("_cq"), col("_cid")).distinct()
+    val cvec = canon.select(col("_cid"), col(vecCol))
+    val cscored = ccand
+      .join(cvec, Seq("_cid"))
+      .join(cvec.select(col("_cid").as("_cq"), col(vecCol).as("_qv")), Seq("_cq"))
+      .select(col("_cq"), col("_cid"),
+        Knn.distCol(metric, col(vecCol), col("_qv")).as("dist"))
+    def gPos(d: Column): Column = when(d > 0.0 && d <= dPos, d)
+    def gNeg(d: Column): Column = when(d > dNegMin && d <= dNegMax, d)
+    // canonical-level top-k per band, both from the ONE scored frame
+    val ctops = cscored.groupBy(col("_cq")).agg(
+      TopKAgg.topk(gPos(col("dist")), col("_cid"), 1).as("_ctp"),
+      TopKAgg.topk(gNeg(col("dist")), col("_cid"), kNeg).as("_ctn"))
+    val qm = members.select(col(idCol).as("qid"), col("_cid").as("_cq"))
+    val im = members.select(col(idCol).as("_mid"), col("_cid"))
+    val selfD = canon.filter(col("_gsz") > 1)
+      .select(col("_cid"),
+        Knn.distCol(metric, col(vecCol), col(vecCol)).as("dist"))
+    def arm(ctCol: String, g: Column => Column, k: Int): DataFrame = {
+      val ct = ctops.select(col("_cq"), explode(col(ctCol)).as("_t"))
+        .select(col("_cq"), col("_t.id").as("_cid"), col("_t.dist").as("dist"))
+      val cross = ct.join(qm, Seq("_cq")).join(im, Seq("_cid"))
+        .select(col("qid"), col("_mid"), col("dist"))
+      val own = selfD
+        .select(col("_cid"), g(col("dist")).as("dist"))
+        .join(qm.withColumnRenamed("_cq", "_cid"), Seq("_cid"))
+        .join(im, Seq("_cid"))
+        .filter(col("qid") =!= col("_mid"))
+        .select(col("qid"), col("_mid"), col("dist"))
+      cross.unionByName(own)
+        .groupBy(col("qid"))
+        .agg(TopKAgg.topk(col("dist"), col("_mid"), k).as("top"))
+        .select(col("qid").as("anchor_id"),
+          posexplode(col("top")).as(Seq("_pos", "_t")))
+    }
+    val pos = arm("_ctp", gPos, 1)
+      .select(col("anchor_id"), col("_t.id").as("pos_id"),
+        col("_t.dist").as("pos_dist"))
+    val neg = arm("_ctn", gNeg, kNeg)
+      .select(col("anchor_id"), col("_t.id").as("neg_id"),
+        (col("_pos") + 1).as("neg_rank"), col("_t.dist").as("neg_dist"))
     pos.join(neg, Seq("anchor_id"))
   }
 

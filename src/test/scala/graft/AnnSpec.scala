@@ -536,8 +536,9 @@ class AnnSpec extends SparkSpec {
       .select("anchor_id", "pos_id", "pos_dist", "neg_id", "neg_dist")
       .as[(Long, Long, Double, Long, Double)].collect()
     assert(again.toSet == got.toSet)
-    // the shared blocking subtrees dedupe inside the one joined plan
-    // (AQE materializes reuse only in the final plan, so execute first)
+    // single-pass dual-band plan: the shared candidate/vector
+    // subtrees dedupe via reuse inside the one joined plan (AQE
+    // materializes reuse only in the final plan, so execute first)
     val dfq = AnnLsh.mineTriplets(vecs, "embedding", "vec_id", 3,
         30, 1, 4, Knn.Cosine, 0.15, 0.15, 0.45)
     dfq.collect()

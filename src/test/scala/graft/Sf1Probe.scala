@@ -67,7 +67,20 @@ object Sf1Probe {
     // window x tokens pairs map-side; the nprobe sweep re-runs three
     // probe widths over the 10x index
     "tokenize_bpe_train", "corpus_cooccurrence", "ann_nprobe_sweep",
-    "pipeline_pretrain_v3")
+    "pipeline_pretrain_v3",
+    // second-continuation additions with a 10x axis: boost training
+    // (3 rounds x corpus-crossed-candidate agg — the candidate frame
+    // grows with distinct word counts), the source sketch matrix (one
+    // KMV agg over 10x shingles), CCNet bucketing (the lm_score chain
+    // + sampled thresholds), the cluster histogram (CC at 10x pairs)
+    // and whitening (map-side folds). mine_triplets probes via the
+    // SCALED entry below: like every forest-family line, its bucket
+    // bits must grow with corpus size to hold per-bucket occupancy
+    // constant — probing the sf0.1-tuned 8 bits at sf1 measured the
+    // saturated-forest shape (1.25e8 candidates from 22k vectors,
+    // 143x), not data growth
+    "classify_boost", "source_similarity", "perplexity_buckets",
+    "dedup_cluster_stats", "embedding_whiten")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -213,6 +226,19 @@ object Sf1Probe {
             .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
           "embedding", "vec_id", 3, 20, bitsFor(dir, 8), 64, Knn.Cosine,
           dMin = 0.01, dMax = 0.45)
+      }),
+      "mine_triplets" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.{AnnLsh, Knn}
+        // the declared query's planted corpus, with scaled bits
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val vd = col("embedding").cast("array<double>")
+        val perturbed = emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 10000).as("vec_id"),
+            concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"))
+        val corpus = emb.select(col("vec_id"), vd.as("embedding"))
+          .unionByName(perturbed)
+        AnnLsh.mineTriplets(corpus, "embedding", "vec_id", 2, 20,
+          bitsFor(dir, 8), 64, Knn.Cosine, 0.15, 0.15, 0.45)
       }))
     // optional name filter (any non-flag arg): probe just those lines
     // — the cheap way to re-run an A/A pair on a few queries after a
