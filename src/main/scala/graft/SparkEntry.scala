@@ -929,6 +929,14 @@ object SparkEntry {
           round(col("zscore"), 5).as("zscore"), col("is_anomaly"))
     }),
 
+    "events_forecast" -> ((s, dir) => {
+      // next-week volume line per event type: Holt level+trend over
+      // the gap-filled daily series, h = 1..7
+      Events.forecast(Tables.events(s, dir), "ts", "event_type", horizon = 7)
+        .select(col("event_type"), col("h"),
+          round(col("forecast"), 5).as("forecast"))
+    }),
+
     "events_kmv" -> ((s, dir) => {
       // daily distinct users per event type via the KMV sketch — the
       // bounded-shuffle replacement for count(DISTINCT …); exact for
@@ -2015,6 +2023,15 @@ object SparkEntry {
           maxDist = 2, graft.operators.Entity.prefixSuffixBlockers(3))
         .select(col("entity_id"), col("name"), col("matched_name"),
           col("dist").cast("long").as("dist"))
+    }),
+
+    "sample_length_strata" -> ((s, dir) => {
+      // equal counts from every document-length quartile: quantile
+      // thresholds from the deterministic 256-sample, 25 docs per bin
+      // by the seed-keyed (hash, id) rank
+      Sampling.quantileStrata(Tables.documents(s, dir), "doc_id",
+          "n_chars", bins = 4, perBin = 25)
+        .select(col("doc_id"), col("value"), col("bin"), col("sample_rank"))
     }),
 
     "sample_dsir" -> ((s, dir) => {
@@ -4210,6 +4227,34 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.event_type, d.u_events
         |FROM events e JOIN d USING (user_id)""".stripMargin,
 
+    "events_forecast" ->
+      // the same sequential recurrence unrolled as a RECURSIVE CTE
+      // with SCALAR l/b columns — NOT a list_reduce struct fold:
+      // DuckDB 1.0 mis-evaluates coupled struct fields in reduce
+      // lambdas (minimal repro: (acc,x) -> {l: acc.l+x.l, b: acc.b +
+      // 0.5*(acc.l+x.l)} over [1,2,3] returns b=7.5, correct 5.0).
+      // l' is written out twice verbatim (as on the Spark side) so
+      // both engines compute the identical doubles; 0.5/0.25/0.75
+      // are exact binary fractions, literals e-noted so DuckDB parses
+      // DOUBLE not DECIMAL
+      """WITH RECURSIVE d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |             count(*) AS n FROM events GROUP BY 1, 2),
+        |rng AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+        |cal AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM rng),
+        |f AS (SELECT c.event_type, c.day, CAST(coalesce(d.n, 0) AS DOUBLE) AS x
+        |      FROM cal c LEFT JOIN d USING (event_type, day)),
+        |s AS (SELECT event_type, list(x ORDER BY day) AS vs FROM f GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, vs, 1 AS i, vs[1] AS l, 0.0e0 AS b FROM s
+        |  UNION ALL
+        |  SELECT event_type, vs, i + 1,
+        |    0.5e0 * vs[i + 1] + 0.5e0 * (l + b),
+        |    0.25e0 * ((0.5e0 * vs[i + 1] + 0.5e0 * (l + b)) - l) + 0.75e0 * b
+        |  FROM rec WHERE i < len(vs))
+        |SELECT event_type, h.h AS h, round(r.l + h.h * r.b, 5) AS forecast
+        |FROM rec r, (SELECT unnest(range(1, 8)) AS h) h
+        |WHERE r.i = len(r.vs)""".stripMargin,
+
     "events_anomaly" ->
       // moment arithmetic mirrors the Spark side op-for-op: integer
       // sums, then CAST(..)/n divisions in the same order — z-scores
@@ -4389,6 +4434,28 @@ object SparkEntry {
         |SELECT h.doc_id, h.checksum, c.canonical_id,
         |       (h.doc_id = c.canonical_id) AS keep
         |FROM h JOIN c USING (checksum)""".stripMargin,
+
+    "sample_length_strata" ->
+      // thresholds from the events_quantiles sample reconstruction
+      // (distinct hash stream), bins by strict-greater HOF count,
+      // draw by the sample_topk (hash, id) rank per bin
+      """WITH v AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
+        |th0 AS (SELECT doc_id, v,
+        |          CAST(CAST('0x' || substr(md5('qs0_t_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS hv
+        |        FROM v),
+        |r AS (SELECT *, row_number() OVER (ORDER BY hv, doc_id) AS rn FROM th0),
+        |s2 AS (SELECT list(v ORDER BY v) AS vs FROM r WHERE rn <= 256),
+        |th AS (SELECT list_transform(range(1, 4), i ->
+        |         vs[CAST(floor((CAST(i AS DOUBLE) / 4) * (len(vs) - 1)) AS INT) + 1]) AS ths FROM s2),
+        |b AS (SELECT doc_id, v, CAST(len(list_filter(ths, t -> v > t)) AS BIGINT) AS bin FROM v, th),
+        |d AS (SELECT doc_id, v, bin,
+        |        CAST(CAST('0x' || substr(md5('qs0_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) AS dh
+        |      FROM b),
+        |sel AS (SELECT doc_id, v, bin,
+        |          row_number() OVER (PARTITION BY bin ORDER BY dh, doc_id) AS sample_rank
+        |        FROM d)
+        |SELECT doc_id, v AS value, bin, sample_rank
+        |FROM sel WHERE sample_rank <= 25""".stripMargin,
 
     "sample_topk" ->
       // rank by double-cast hash then id: the Spark side's TopKAgg

@@ -414,6 +414,58 @@ object Events {
       .drop("_n", "_s", "_s2", "_mean", "_var")
   }
 
+  /** Daily-volume forecast per event type — Holt's double exponential
+    * smoothing (level + trend), the standard next-week capacity line
+    * under the [[volumeAnomaly]] dashboard. Calendar gaps fill with 0
+    * (a day with no events IS zero volume), so the recurrence runs on
+    * a regular daily grid.
+    *
+    * Engine-reproducibility: the smoothing recurrence is an
+    * order-pinned fold over the day-ordered series (plain SUM order
+    * would not matter here — the fold is inherently sequential — but
+    * the ORDER must pin: array_sort by day, then one `aggregate`
+    * pass); α = 0.5 and β = 0.25 are exact binary fractions and every
+    * step is the same IEEE expression in both engines, so forecasts
+    * hash-match. Per-type state is (level, trend) — O(1); group size
+    * is the CALENDAR span in days (never event volume), so the fold
+    * is bounded at any scale.
+    *
+    * Output: (typeCol, h, forecast) for h = 1..horizon, forecast =
+    * level + h·trend. */
+  def forecast(df: DataFrame, tsCol: String, typeCol: String,
+               horizon: Int): DataFrame = {
+    require(horizon > 0, s"horizon must be > 0, got $horizon")
+    val daily = df.groupBy(col(typeCol).as("_t"), to_date(col(tsCol)).as("_d"))
+      .agg(count(lit(1)).as("_n"))
+    val rng = daily.groupBy(col("_t"))
+      .agg(min(col("_d")).as("_d0"), max(col("_d")).as("_d1"))
+    val cal = rng.select(col("_t"), explode(sequence(col("_d0"), col("_d1"))).as("_d"))
+    val filled = cal.join(daily, Seq("_t", "_d"), "left")
+      .select(col("_t"), col("_d"), coalesce(col("_n"), lit(0L)).cast("double").as("_x"))
+    val series = filled.groupBy(col("_t"))
+      .agg(array_sort(collect_list(struct(col("_d"), col("_x")))).as("_s"))
+      .select(col("_t"), transform(col("_s"), s => s.getField("_x")).as("_vs"))
+    // l' appears twice in the update (once for itself, once inside the
+    // trend step) — written out verbatim both times so the oracle's
+    // identical duplication computes the identical doubles
+    def lNext(acc: Column, x: Column): Column =
+      lit(0.5) * x + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+    val state = aggregate(
+      slice(col("_vs"), lit(2), greatest(size(col("_vs")) - 1, lit(0))),
+      struct(element_at(col("_vs"), 1).as("l"), lit(0.0).as("b")),
+      (acc, x) => struct(
+        lNext(acc, x).as("l"),
+        (lit(0.25) * (lNext(acc, x) - acc.getField("l"))
+          + lit(0.75) * acc.getField("b")).as("b")))
+    series.select(col("_t"), state.getField("l").as("_l"),
+        state.getField("b").as("_b"))
+      .select(col("_t").as(typeCol),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("h"),
+        col("_l"), col("_b"))
+      .select(col(typeCol), col("h"),
+        (col("_l") + col("h") * col("_b")).as("forecast"))
+  }
+
   /** Funnel summary: users reaching step ≥ i, per step — the
     * conversion curve [[funnel]]'s per-user frame rolls up to. */
   def funnelCounts(df: DataFrame, tsCol: String, userCol: String,

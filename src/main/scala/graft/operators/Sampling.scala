@@ -224,6 +224,50 @@ object Sampling {
         (col("_pos") + 1).as("sample_rank"))
   }
 
+  /** Quantile-stratified sampling over a NUMERIC column — the
+    * distribution-balanced draw ([[balancedSample]] balances a label;
+    * this balances a measurement): split the value range into `bins`
+    * equal-population strata at sampled quantile thresholds, then
+    * draw exactly `perBin` rows from each — the "equal counts from
+    * every length/score band" sample an eval set or an annotation
+    * batch is built from.
+    *
+    * Scale shape: thresholds come from the deterministic
+    * [[graft.functions.SampleValuesAgg]] k-min-hash sample (≤
+    * `sampleK` pairs per partition, one reduce row — never a corpus
+    * sort); bin assignment is one map-side HOF comparison against the
+    * broadcast (bins−1)-entry threshold array (ties: a value equal to
+    * a threshold falls in the LOWER bin); the draw is
+    * [[exactSample]]'s seed-keyed (hash, id) rank per bin — bounded
+    * TopKAgg, ≤ perBin rows per bin per partition map-side. Both hash
+    * streams are md5-derived and distinct (threshold sampling vs
+    * draw), so the whole output is engine- and
+    * partitioning-reproducible. */
+  def quantileStrata(df: DataFrame, idCol: String, valCol: String,
+                     bins: Int, perBin: Int, sampleK: Int = 256,
+                     seed: String = "qs0"): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(perBin > 0, s"perBin must be > 0, got $perBin")
+    require(sampleK >= bins, s"sampleK must be >= bins, got $sampleK")
+    val base = df.filter(col(valCol).isNotNull)
+      .select(col(idCol), col(valCol).cast("double").as("_v"))
+    val hT = Dedup.hash64(concat(lit(seed + "_t_"), col(idCol).cast("string")))
+    val th = base.select(hT.cast("double").cast("long").as("_h"), col("_v"))
+      .agg(graft.functions.SampleValuesAgg
+        .sampleValues(col("_h"), col("_v"), sampleK).as("_vs"))
+      .select(transform(sequence(lit(1), lit(bins - 1)),
+        i => element_at(col("_vs"),
+          (floor(i.cast("double") / bins * (size(col("_vs")) - 1)) + 1)
+            .cast("int"))).as("_ths"))
+    val binned = base.crossJoin(broadcast(th))
+      .select(col(idCol), col("_v"),
+        size(filter(col("_ths"), t => col("_v") > t)).cast("long").as("bin"))
+    exactSample(binned, idCol, col("bin"), perBin, seed)
+      .join(binned.select(col(idCol), col("_v").as("value")), Seq(idCol))
+      .select(col(idCol), col("value"), col("stratum").as("bin"),
+        col("sample_rank"))
+  }
+
   /** Class-balanced sampling: exactly `min-class-count` rows from
     * EVERY stratum — the downsample-majority-classes step before
     * training a classifier on skewed labels (the balance every

@@ -262,4 +262,37 @@ class EventsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(again == got)
   }
+
+  test("forecast: Holt recurrence matches a local mirror, fills calendar gaps") {
+    import java.sql.Timestamp
+    // type "a": days 1,2,4 (day 3 is a gap -> 0); type "b": steady 2/day
+    def ts(day: Int, k: Int) = Timestamp.valueOf(f"2024-01-$day%02d 0$k:00:00")
+    val rows =
+      (1 to 3).map(k => ("a", ts(1, k))) ++
+      (1 to 2).map(k => ("a", ts(2, k))) ++
+      (1 to 4).map(k => ("a", ts(4, k))) ++
+      (1 to 2).flatMap(d => (1 to 2).map(k => ("b", ts(d, k))))
+    val df = rows.toDF("event_type", "ts")
+    val got = Events.forecast(df, "ts", "event_type", horizon = 3)
+      .as[(String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def holt(xs: Seq[Double]): (Double, Double) = {
+      var l = xs.head; var b = 0.0
+      xs.tail.foreach { x =>
+        val ln = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (ln - l) + 0.75 * b
+        l = ln
+      }
+      (l, b)
+    }
+    val (la, ba) = holt(Seq(3.0, 2.0, 0.0, 4.0)) // gap day counted as 0
+    val (lb, bb) = holt(Seq(2.0, 2.0))
+    (1 to 3).foreach { h =>
+      assert(got(("a", h.toLong)) == la + h * ba, s"a h=$h")
+      assert(got(("b", h.toLong)) == lb + h * bb, s"b h=$h")
+    }
+    val again = Events.forecast(df.repartition(5), "ts", "event_type", 3)
+      .as[(String, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(again == got)
+  }
 }

@@ -316,6 +316,29 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("quantileStrata: equal-population bins, exact per-bin draw, partitioning-independent") {
+    val rows = (0L until 200L).map(i => (i, (i * 7) % 200))
+    val df = rows.toDF("id", "v")
+    val got = Sampling.quantileStrata(df, "id", "v", bins = 4, perBin = 6,
+        sampleK = 256)
+      .as[(Long, Double, Long, Int)].collect()
+    assert(got.length == 24)
+    val byBin = got.groupBy(_._3)
+    assert(byBin.keySet == Set(0L, 1L, 2L, 3L))
+    byBin.values.foreach(b => assert(b.length == 6))
+    // bins are value-ordered and non-overlapping
+    val ranges = byBin.toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.map(_._2).min, xs.map(_._2).max) }
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => assert(hi < lo, ranges.toString)
+      case _ =>
+    }
+    val again = Sampling.quantileStrata(df.repartition(7), "id", "v",
+        bins = 4, perBin = 6, sampleK = 256)
+      .as[(Long, Double, Long, Int)].collect()
+    assert(again.toSet == got.toSet)
+  }
+
   test("epochMix repeats docs floor(rate) times plus a Bernoulli fractional epoch") {
     // 4 docs per source; weights/budget give rates a=2.0, b=1.5, c=0.25
     val docs = (0L until 12L).map(i =>

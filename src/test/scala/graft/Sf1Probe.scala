@@ -80,7 +80,11 @@ object Sf1Probe {
     // saturated-forest shape (1.25e8 candidates from 22k vectors,
     // 143x), not data growth
     "classify_boost", "source_similarity", "perplexity_buckets",
-    "dedup_cluster_stats", "embedding_whiten")
+    "dedup_cluster_stats", "embedding_whiten",
+    // quantile strata (sample agg + TopKAgg draw over 10x docs),
+    // Holt forecast (daily grid over 10x events), the stage-count
+    // funnel (the v3 chain + 7 single-row aggs)
+    "sample_length_strata", "events_forecast", "pipeline_report")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
