@@ -1712,17 +1712,33 @@ object SparkEntry {
       // stage count is a single-row agg over the shared chain
       // (ReuseExchange dedupes the common subtrees in the one plan)
       val st = pretrainV3Stages(s, dir)
-      def row(ord: Int, name: String, df: DataFrame): DataFrame =
-        df.agg(count(lit(1)).as("n_rows"))
-          .select(lit(ord.toLong).as("stage_ord"), lit(name).as("stage"),
-            col("n_rows"))
-      row(0, "corpus", st.corpus)
-        .unionByName(row(1, "funnel_kept", st.kept))
-        .unionByName(row(2, "decontaminated", st.clean))
-        .unionByName(row(3, "dedup_survivors", st.survivors))
-        .unionByName(row(4, "mixed", st.mixed))
-        .unionByName(row(5, "train", st.mixed.filter(col("split") === "train")))
-        .unionByName(row(6, "eval", st.mixed.filter(col("split") === "eval")))
+      // TWO aggregation arms, not one per stage: the early stages are
+      // nested prefixes of one chain, so counting them via a doc-spine
+      // join + conditional sums executes the chain once, and the
+      // mixed/train/eval trio is one agg over the mixture frame; the
+      // 7 output rows then EXPLODE from the single joined row
+      // (map-side). The naive 7-branch union re-planned the chain per
+      // branch: 19 s at sf0.1; this shape lands at ~1.2x the
+      // composition itself (10.7 vs 9.1 s), the floor without caching
+      val early = st.corpus.select(col("doc_id"))
+        .join(st.kept.select(col("doc_id"), lit(1L).as("_k")), Seq("doc_id"), "left")
+        .join(st.clean.select(col("doc_id"), lit(1L).as("_c")), Seq("doc_id"), "left")
+        .join(st.survivors.select(col("doc_id"), lit(1L).as("_s")), Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("_n0"), sum(col("_k")).as("_n1"),
+          sum(col("_c")).as("_n2"), sum(col("_s")).as("_n3"))
+      val late = st.mixed.agg(count(lit(1)).as("_n4"),
+        sum((col("split") === "train").cast("long")).as("_n5"),
+        sum((col("split") === "eval").cast("long")).as("_n6"))
+      early.crossJoin(late)
+        .select(explode(array(
+          struct(lit(0L).as("stage_ord"), lit("corpus").as("stage"), col("_n0").as("n_rows")),
+          struct(lit(1L).as("stage_ord"), lit("funnel_kept").as("stage"), coalesce(col("_n1"), lit(0L)).as("n_rows")),
+          struct(lit(2L).as("stage_ord"), lit("decontaminated").as("stage"), coalesce(col("_n2"), lit(0L)).as("n_rows")),
+          struct(lit(3L).as("stage_ord"), lit("dedup_survivors").as("stage"), coalesce(col("_n3"), lit(0L)).as("n_rows")),
+          struct(lit(4L).as("stage_ord"), lit("mixed").as("stage"), col("_n4").as("n_rows")),
+          struct(lit(5L).as("stage_ord"), lit("train").as("stage"), coalesce(col("_n5"), lit(0L)).as("n_rows")),
+          struct(lit(6L).as("stage_ord"), lit("eval").as("stage"), coalesce(col("_n6"), lit(0L)).as("n_rows")))).as("_r"))
+        .select(col("_r.stage_ord"), col("_r.stage"), col("_r.n_rows"))
     }),
 
     "pipeline_curate_v2" -> ((s, dir) => {

@@ -145,4 +145,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(pd).size <= 2 && pd.contains("partial_"),
       s"embedding_drift should be one keyed agg with partials:\n$pd")
   }
+
+  test("round-12 continuation: committee scoring is exchange-free; sampled-threshold queries never global-sort") {
+    // the trained stump committee rides the plan as literals — the
+    // held-out scoring pass must be a pure scan-side projection
+    val boost = plans("classify_boost")
+    assert(!boost.contains("Exchange") && !boost.contains("Join"), boost.take(600))
+    // quantile thresholds come from the bounded sample agg, never a
+    // corpus range-partitioned sort
+    for (q <- Seq("perplexity_buckets", "sample_length_strata",
+        "source_similarity", "dedup_cluster_stats", "events_forecast"))
+      assert(!plans(q).contains("rangepartitioning"),
+        s"$q plans a global sort:\n${plans(q).take(600)}")
+  }
 }
