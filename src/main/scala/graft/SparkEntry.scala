@@ -712,6 +712,38 @@ object SparkEntry {
         .select(col("vec_id"), col("label"), round(col("dist"), 5).as("dist"))
     }),
 
+    "ann_bits_sweep" -> ((s, dir) => {
+      // the bucket-WIDTH tuning table — the knob that keeps forest
+      // candidate volume sub-quadratic as the corpus grows (the
+      // mine_triplets sf1 finding: bits must rise with corpus size to
+      // hold per-bucket occupancy constant): recall@10 vs candidate
+      // volume at bitsPerTable in {2, 4, 8}, 20 tables; the fourth
+      // tuning sweep (minhash bands, quantize widths, IVF probes)
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Knn.knnBatch(emb, "embedding", qs, 10, Knn.Cosine, "vec_id")
+      Seq(2, 4, 8).map { bits =>
+        val approx = AnnLsh.knnForestBatch(emb, "embedding", qs, 10,
+          numTables = 20, bitsPerTable = bits, dim = 64, Knn.Cosine, "vec_id")
+        val rec = Eval.recallAtK(exact, approx)
+          .agg(sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
+        val fk = AnnLsh.indexForest(emb.select(col("vec_id"), col("embedding")),
+            "embedding", 20, bits, 64)
+          .select(col("vec_id"), explode(col("fkeys")).as("fkey"))
+        val qk = fk.join(broadcast(qs.select(col("qid"))),
+            col("vec_id") === col("qid"))
+          .select(col("qid"), col("fkey"))
+        val cand = fk.join(qk, Seq("fkey"))
+          .select(col("qid"), col("vec_id")).distinct()
+          .agg(count(lit(1)).as("n_candidates"))
+        rec.crossJoin(cand)
+          .select(lit(bits.toLong).as("bits"), col("n_exact"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_exact"), 5).as("recall"),
+            col("n_candidates"))
+      }.reduce(_ unionByName _)
+    }),
+
     "ann_forest_batch" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 5)
@@ -2445,6 +2477,53 @@ object SparkEntry {
     * top-10) and seed-8 IVF assignment, then per-nprobe the SAME
     * probe/candidate/top-10 CTEs as the ann_ivf_batch oracle plus a
     * probed-cell-size roll-up — one row per configuration. */
+  /** ann_bits_sweep oracle: per-bits forest chains (planes, keys with
+    * `(tbl << bits) | bucket` packing, candidate distinct, top-10)
+    * against the shared brute-force arm; candidate volume counts the
+    * distinct (qid, corpus id) contact pairs. */
+  private def bitsSweepSql(allBits: Seq[Int], numTables: Int): String = {
+    val per = allBits.map { bits =>
+      s"""p$bits AS (
+         |  SELECT h, h // $bits AS tbl, h % $bits AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(${numTables * bits}) t(h)),
+         |k$bits AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << $bits) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, p$bits GROUP BY vec_id, tbl),
+         |qk$bits AS (SELECT vec_id AS qid, tbl, key FROM k$bits WHERE vec_id < 5),
+         |c$bits AS (SELECT DISTINCT qk.qid, k.vec_id
+         |         FROM k$bits k JOIN qk$bits qk ON k.tbl = qk.tbl AND k.key = qk.key),
+         |d$bits AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.qvec")} AS d
+         |      FROM c$bits c JOIN b ON b.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+         |a$bits AS (SELECT qid, vec_id FROM (
+         |      SELECT qid, vec_id,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |      FROM d$bits) WHERE rank <= 10),
+         |row$bits AS (SELECT CAST($bits AS BIGINT) AS bits,
+         |      (SELECT count(*) FROM er) AS n_exact,
+         |      (SELECT CAST(count(*) AS BIGINT)
+         |       FROM er JOIN a$bits USING (qid, vec_id)) AS n_hit,
+         |      (SELECT CAST(count(*) AS BIGINT) FROM c$bits) AS n_candidates)"""
+        .stripMargin
+    }
+    val prefix =
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qvec FROM b WHERE vec_id < 5),
+         |ed AS (SELECT q.qid, b.vec_id, ${angSql("b.v", "q.qvec")} AS d FROM b, q),
+         |er AS (SELECT qid, vec_id FROM (
+         |         SELECT qid, vec_id,
+         |           row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank
+         |         FROM ed) WHERE rank <= 10)""".stripMargin
+    val rows = allBits.map(bits =>
+      s"SELECT bits, n_exact, n_hit, " +
+        s"round(CAST(n_hit AS DOUBLE) / n_exact, 5) AS recall, n_candidates " +
+        s"FROM row$bits").mkString("\nUNION ALL\n")
+    (prefix +: per).mkString("", ",\n", "\n") + rows
+  }
+
   private def nprobeSweepSql(nps: Seq[Int]): String = {
     val per = nps.map { np =>
       s"""probe$np AS (SELECT qid, cell FROM (
@@ -2879,6 +2958,8 @@ object SparkEntry {
          |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 5""".stripMargin,
 
     "ann_nprobe_sweep" -> nprobeSweepSql(Seq(1, 2, 4)),
+
+    "ann_bits_sweep" -> bitsSweepSql(Seq(2, 4, 8), numTables = 20),
 
     "ann_ivf_batch" ->
       // per-query probe = same (dist, cell) ranking as the ann_ivf
