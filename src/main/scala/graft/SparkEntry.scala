@@ -1349,6 +1349,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_trans"), round(col("lm_nll"), 5).as("lm_nll"))
     }),
 
+    "corpus_heavy_hitters" -> ((s, dir) => {
+      // every word holding >= 0.1% of the corpus, with exact counts:
+      // the bounded-state Misra-Gries candidate pass + exact recount
+      // — the template/boilerplate vocabulary dashboard at a shuffle
+      // cost of <= k counters per partition, never the vocabulary
+      val words = Tables.documents(s, dir)
+        .select(explode(filter(split(coalesce(col("text"), lit("")), " "),
+          t => t =!= "")).as("w"))
+      TextAnalysis.heavyHitters(words, col("w"), minSharePpm = 1000)
+        .select(col("value"), col("n_occ"), round(col("share"), 6).as("share"))
+    }),
+
     "perplexity_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail triage over the corpus LM: thresholds
       // from the deterministic 256-sample quantiles, means from exact
@@ -4223,6 +4235,18 @@ object SparkEntry {
         |SELECT t.doc_id, coalesce(agg.n_trans, 0) AS n_trans,
         |       round(coalesce(agg.s / agg.n_trans, 0.0), 5) AS lm_nll
         |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "corpus_heavy_hitters" ->
+      // the determinism argument in action: the oracle is the PLAIN
+      // exact group-by + integer-threshold filter — the MG candidate
+      // pass provably cannot change the output
+      """WITH w AS (SELECT unnest(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')) AS v
+        |          FROM documents),
+        |n AS (SELECT count(*) AS n FROM w),
+        |c AS (SELECT v, count(*) AS n_occ FROM w GROUP BY v)
+        |SELECT v AS value, n_occ,
+        |  round(CAST(n_occ AS DOUBLE) / n.n, 6) AS share
+        |FROM c, n WHERE n_occ * 1000000 >= n.n * 1000""".stripMargin,
 
     "perplexity_buckets" ->
       // the lm_score chain snapped to the 1e-6 grid, thresholds from

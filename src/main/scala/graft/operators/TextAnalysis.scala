@@ -585,6 +585,48 @@ object TextAnalysis {
         (col("n_docs").cast("double") / col("_n_total")).as("share"))
   }
 
+  /** EXACT heavy hitters over any value column with a BOUNDED-STATE
+    * candidate pass — every value whose share of the corpus is ≥
+    * `minSharePpm` parts-per-million, with its exact count. The plain
+    * `groupBy(value)` answer ships the whole value VOCABULARY through
+    * the shuffle (at 100 TB the vocabulary is the cost); here the
+    * map side carries ≤ k Misra–Gries counters per partition
+    * ([[graft.functions.MgAgg]]), the ≤ k surviving candidates
+    * broadcast back, and only candidate rows are exactly recounted
+    * (a keyed agg over ≤ k keys).
+    *
+    * Determinism argument (the reason this is oracle-stateable even
+    * though the sketch is not): the MG summary is order-dependent —
+    * WHICH below-threshold values survive varies with partitioning —
+    * but the MG guarantee (any value with frequency > n/(k+1)
+    * survives; k = slack/share keeps n/(k+1) under the threshold)
+    * means the candidate set always CONTAINS every true heavy hitter.
+    * The exact recount + integer threshold filter then erase the
+    * nondeterministic extras: the OUTPUT is a pure function of the
+    * data. The oracle is the plain exact GROUP BY + HAVING — no MG
+    * at all.
+    *
+    * The threshold compare is integer-exact: `count · 1e6 ≥ n · ppm`. */
+  def heavyHitters(df: DataFrame, valueCol: Column, minSharePpm: Long,
+                   slack: Int = 4): DataFrame = {
+    require(minSharePpm > 0 && minSharePpm <= 1000000L,
+      s"minSharePpm must be in (0, 1e6], got $minSharePpm")
+    require(slack >= 2, s"slack must be >= 2, got $slack")
+    val k = math.min(slack * 1000000L / minSharePpm + 1, 1L << 20).toInt
+    val vals = df.select(valueCol.cast("string").as("_v"))
+      .filter(col("_v").isNotNull)
+    val cands = vals
+      .agg(graft.functions.MgAgg.candidates(col("_v"), k).as("_c"))
+      .select(explode(col("_c")).as("_v"))
+    val n = vals.agg(count(lit(1)).as("_n"))
+    vals.join(broadcast(cands), Seq("_v"))
+      .groupBy(col("_v")).agg(count(lit(1)).as("n_occ"))
+      .crossJoin(broadcast(n))
+      .filter(col("n_occ") * lit(1000000L) >= col("_n") * lit(minSharePpm))
+      .select(col("_v").as("value"), col("n_occ"),
+        (col("n_occ").cast("double") / col("_n")).as("share"))
+  }
+
   def corpusDrift(df: DataFrame, textCol: String, groupCol: Column,
                   sideA: String, sideB: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")

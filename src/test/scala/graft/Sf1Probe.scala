@@ -84,7 +84,10 @@ object Sf1Probe {
     // quantile strata (sample agg + TopKAgg draw over 10x docs),
     // Holt forecast (daily grid over 10x events), the stage-count
     // funnel (the v3 chain + 7 single-row aggs)
-    "sample_length_strata", "events_forecast", "pipeline_report")
+    "sample_length_strata", "events_forecast", "pipeline_report",
+    // heavy hitters: 10x tokens through <= k MG counters/partition,
+    // then the candidate-only recount
+    "corpus_heavy_hitters", "ann_bits_sweep")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -544,4 +544,36 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(again == got)
   }
+
+  test("heavyHitters: exact counts, partitioning-independent despite the MG sketch") {
+    val hot = (0 until 3).flatMap(i => Seq.fill(100)(s"hot$i"))
+    val cold = (0 until 500).map(j => s"cold$j")
+    val df = scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+      .shuffle(hot ++ cold).toDF("w")
+    val got = TextAnalysis.heavyHitters(df, col("w"), minSharePpm = 100000)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    // 3 hot values at 100/800 = 12.5% each; every cold is 1/800
+    assert(got == Map("hot0" -> 100L, "hot1" -> 100L, "hot2" -> 100L))
+    for (parts <- Seq(1, 5, 17)) {
+      val again = TextAnalysis.heavyHitters(df.repartition(parts), col("w"),
+          minSharePpm = 100000)
+        .as[(String, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+      assert(again == got, s"parts=$parts")
+    }
+  }
+
+  test("MgAgg candidate buffer is bounded and never drops a true heavy hitter") {
+    import graft.functions.MgAgg
+    val k = 9
+    val rows = ((0 until 40).map(_ => "heavy") ++
+      (0 until 300).map(i => s"noise${i % 60}"))
+    // 340 rows; heavy = 40 > 340/(k+1) = 34, so it MUST survive
+    for (parts <- Seq(1, 4, 13)) {
+      val cands = rows.toDF("v").repartition(parts)
+        .agg(MgAgg.candidates(col("v"), k).as("c"))
+        .select(explode(col("c")).as("v")).as[String].collect()
+      assert(cands.length <= k, s"parts=$parts size=${cands.length}")
+      assert(cands.contains("heavy"), s"parts=$parts cands=${cands.mkString(",")}")
+    }
+  }
 }
