@@ -1847,6 +1847,33 @@ object SparkEntry {
       Dedup.dedupKeepBest(corpus, "doc_id", pairs, scores, "n_tokens")
     }),
 
+    "classify_centroid" -> ((s, dir) => {
+      // nearest-centroid label router over the embedding space: one
+      // prototype per label from the train split, held-out fifth
+      // scored by map-side argmin against the broadcast prototypes
+      val emb = Tables.embeddings(s, dir)
+      val tr = emb.filter(col("vec_id") % 5 =!= 0)
+      val te = emb.filter(col("vec_id") % 5 === 0)
+      Knn.centroidClassify(tr, te, "embedding", "vec_id", "label")
+        .join(te.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("vec_id"), col("pred"),
+          round(col("dist2"), 6).as("dist2"), col("label"),
+          (col("pred") === col("label")).as("correct"))
+    }),
+
+    "dedup_soft" -> ((s, dir) => {
+      // soft dedup: keep every doc, weight = 1/cluster_size — the
+      // SlimPajama-style alternative to dropping (the crawl
+      // frequency IS sometimes the quality signal); planted copies
+      // form clusters whose members split one doc's worth of weight
+      val corpus = dedupCorpus(s, dir)
+      val pairs = Dedup.minhashPairs(corpus, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      Dedup.dedupSoft(corpus, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_id"), col("dup_count"),
+          round(col("weight"), 6).as("weight"))
+    }),
+
     "classify_nb" -> ((s, dir) => {
       // supervised language check: train hashed-unigram Naive Bayes on
       // 4/5 of the corpus's declared lang labels, score the held-out
@@ -5115,6 +5142,49 @@ object SparkEntry {
          |        GROUP BY 1)
          |SELECT s.doc_id, s.cluster_id, (s.doc_id = w.wid) AS keep, s.n_tokens
          |FROM scored s JOIN win w ON w.cluster_id = s.cluster_id""".stripMargin,
+
+    "classify_centroid" ->
+      // identical grid: 1e-6 coordinate snap, exact integer centroid
+      // sums divided once, dim-ordered list_sum fold, (d2, label)
+      // argmin tie order
+      s"""WITH b AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qb AS (SELECT vec_id, label,
+         |         list_transform(v, x -> CAST(round(x * 1000000.0) AS BIGINT)) AS qv FROM b),
+         |tr AS (SELECT * FROM qb WHERE vec_id % 5 <> 0),
+         |te AS (SELECT * FROM qb WHERE vec_id % 5 = 0),
+         |ex AS (SELECT label AS lbl, d.d AS dim, qv[d.d + 1] AS qx FROM tr, range(64) d(d)),
+         |ct AS (SELECT lbl, dim, sum(qx) AS s, count(*) AS n FROM ex GROUP BY 1, 2),
+         |cent AS (SELECT lbl, list((CAST(s AS DOUBLE) / n) / 1000000.0 ORDER BY dim) AS c
+         |         FROM ct GROUP BY lbl),
+         |sc AS (SELECT t.vec_id, c.lbl,
+         |         list_sum(list_transform(range(64), i ->
+         |           ((CAST(t.qv[i + 1] AS DOUBLE) / 1000000.0) - c.c[i + 1])
+         |           * ((CAST(t.qv[i + 1] AS DOUBLE) / 1000000.0) - c.c[i + 1]))) AS d2
+         |       FROM te t, cent c),
+         |best AS (SELECT vec_id, lbl, d2,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, lbl) AS rn FROM sc)
+         |SELECT b2.vec_id, b2.lbl AS pred, round(b2.d2, 6) AS dist2, te.label,
+         |  (b2.lbl = te.label) AS correct
+         |FROM best b2 JOIN te ON te.vec_id = b2.vec_id WHERE b2.rn = 1""".stripMargin,
+
+    "dedup_soft" ->
+      // the dedup_cluster closure + one cluster-size count; weight
+      // divides exact integers, rounded 6dp on both sides
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |labeled AS (SELECT c.doc_id,
+         |              CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS cluster_id
+         |            FROM corpus c LEFT JOIN lab l ON l.id = c.doc_id),
+         |szs AS (SELECT cluster_id, count(*) AS dup_count FROM labeled GROUP BY 1)
+         |SELECT x.doc_id, x.cluster_id, s.dup_count,
+         |  round(1.0e0 / s.dup_count, 6) AS weight
+         |FROM labeled x JOIN szs s USING (cluster_id)""".stripMargin,
 
     "classify_nb" -> classifyNbSql,
 

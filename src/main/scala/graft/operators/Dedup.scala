@@ -1463,6 +1463,35 @@ object Dedup {
         col("_score").as(scoreCol))
   }
 
+  /** SOFT dedup: keep every document but DOWNWEIGHT duplicates —
+    * each doc's training weight is `1 / cluster_size` over the
+    * near-dup components, so a 10-copies cluster contributes one
+    * document's worth of gradient in aggregate (the SlimPajama-style
+    * alternative to dropping: dropping loses the distributional
+    * signal that a document was crawled 10× — sometimes that IS the
+    * quality signal). Singletons weigh 1.0.
+    *
+    * Scale shape: [[connectedComponents]] over the pair-graph-sized
+    * frame, one cluster-keyed count (map-side partials over
+    * cluster-sized groups), weights attach by one equi-join back to
+    * the corpus spine. The weight divides two exact integers, so it
+    * reproduces in any engine. Output: (idCol, cluster_id, dup_count,
+    * weight) — one row per corpus doc. */
+  def dedupSoft(corpus: DataFrame, idCol: String, pairs: DataFrame,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val clusters = connectedComponents(
+      pairs.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
+    val cid = coalesce(col("cluster_id"), col(idCol).cast("long"))
+    val labeled = corpus.select(col(idCol))
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), cid.as("cluster_id"))
+    val sizes = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("dup_count"))
+    labeled.join(sizes, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("dup_count"),
+        (lit(1.0) / col("dup_count")).as("weight"))
+  }
+
   /** Corpus-wide keep-FIRST passage dedup (the C4/RefinedWeb repeated-
     * span rule): cut every document into non-overlapping `chunkWords`-
     * word chunks, keep only the globally EARLIEST occurrence of each

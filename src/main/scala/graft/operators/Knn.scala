@@ -149,4 +149,49 @@ object Knn {
       .select(col("qid"), col("_nl").as("pred_label"),
         col("votes"), col("best_rank"))
   }
+
+  /** Nearest-CENTROID (prototype) classifier — the cheapest label
+    * router over an embedding space: one mean vector per label, a
+    * prediction is one map-side argmin over the broadcast prototypes
+    * (Rocchio / nearest-class-mean; the shape production systems
+    * deploy when [[knnClassify]]'s per-query retrieval is too
+    * expensive). Training is ONE keyed agg bounded at labels × dim
+    * rows regardless of corpus size; scoring never shuffles the
+    * corpus.
+    *
+    * Engine-reproducibility: coordinates snap to the 1e-6 integer
+    * grid (the embedding_drift rule) so each centroid coordinate is
+    * an exact integer sum divided once; the squared distance is a
+    * dim-ordered zip_with fold; argmin breaks ties on the smaller
+    * label via one struct-min — no window, no float re-derivation.
+    *
+    * Output: (idCol, pred, dist2) — one row per query row. */
+  def centroidClassify(train: DataFrame, test: DataFrame, vecCol: String,
+                       idCol: String, labelCol: String): DataFrame = {
+    def grid(c: Column): Column =
+      transform(c.cast("array<double>"),
+        x => round(x * lit(1000000.0), 0).cast("long"))
+    val cent = train.select(col(labelCol).as("_lbl"), grid(col(vecCol)).as("_qv"))
+      .select(col("_lbl"), posexplode(col("_qv")).as(Seq("dim", "_qx")))
+      .groupBy(col("_lbl"), col("dim"))
+      .agg(sum(col("_qx")).as("_s"), count(lit(1)).as("_n"))
+      .groupBy(col("_lbl"))
+      .agg(array_sort(collect_list(struct(col("dim"),
+        ((col("_s").cast("double") / col("_n")) / lit(1000000.0)).as("m"))))
+        .as("_ms"))
+      .select(col("_lbl"), transform(col("_ms"), s => s.getField("m")).as("_c"))
+    test.select(col(idCol), grid(col(vecCol)).as("_qv"))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol), col("_lbl"),
+        aggregate(
+          zip_with(col("_qv"), col("_c"), (x, m) => {
+            val d = x.cast("double") / lit(1000000.0) - m
+            d * d
+          }),
+          lit(0.0), (a, v) => a + v).as("_d2"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("_d2"), col("_lbl"))).as("_best"))
+      .select(col(idCol), col("_best._lbl").as("pred"),
+        col("_best._d2").as("dist2"))
+  }
 }

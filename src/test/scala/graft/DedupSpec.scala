@@ -789,4 +789,18 @@ class DedupSpec extends SparkSpec {
       shingleN = 3, k = 32).as[(String, String, Long, Long, Double)].collect()
     assert(got.toSet == again.toSet)
   }
+
+  test("dedupSoft splits one document of weight across each cluster") {
+    val corpus = Seq(1L, 2L, 3L, 10L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupSoft(corpus, "doc_id", pairs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.size == 5)
+    Seq(1L, 2L, 3L).foreach(id => assert(got(id) == ((1L, 3L, 1.0 / 3))))
+    assert(got(10L) == ((10L, 1L, 1.0)) && got(20L) == ((20L, 1L, 1.0)))
+    // cluster weights sum to one document each
+    val totals = got.values.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    totals.values.foreach(t => assert(math.abs(t - 1.0) < 1e-12))
+  }
 }

@@ -123,4 +123,24 @@ class KnnSpec extends SparkSpec {
 
   implicit class SortedSeq(s: Seq[Long]) { def toSorted: Seq[Long] = s.sorted }
   implicit class SortedArr(s: Array[Long]) { def toSorted: Seq[Long] = s.toSeq.sorted }
+
+  test("centroidClassify: planted clusters recovered, ties to smaller label, partition-proof") {
+    // two tight clusters on orthogonal axes; labels follow clusters
+    val tr = ((0L until 20L).map(i => (i, Seq(1.0 + 0.001 * i, 0.0, 0.0, 0.0), 1)) ++
+      (20L until 40L).map(i => (i, Seq(0.0, 1.0 + 0.001 * i, 0.0, 0.0), 2)))
+      .toDF("vec_id", "embedding", "label")
+    val te = Seq(
+      (100L, Seq(0.9, 0.1, 0.0, 0.0)),   // near cluster 1
+      (101L, Seq(0.1, 0.9, 0.0, 0.0)),   // near cluster 2
+      (102L, Seq(0.0, 0.0, 1.0, 0.0))    // equidistant -> smaller label
+    ).toDF("vec_id", "embedding")
+    val got = Knn.centroidClassify(tr, te, "embedding", "vec_id", "label")
+      .select("vec_id", "pred").as[(Long, Int)].collect().toMap
+    assert(got(100L) == 1 && got(101L) == 2)
+    assert(got(102L) == 1, s"tie should break to the smaller label: $got")
+    val again = Knn.centroidClassify(tr.repartition(7), te.repartition(3),
+        "embedding", "vec_id", "label")
+      .select("vec_id", "pred").as[(Long, Int)].collect().toMap
+    assert(again == got)
+  }
 }

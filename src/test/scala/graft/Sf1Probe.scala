@@ -87,7 +87,10 @@ object Sf1Probe {
     "sample_length_strata", "events_forecast", "pipeline_report",
     // heavy hitters: 10x tokens through <= k MG counters/partition,
     // then the candidate-only recount
-    "corpus_heavy_hitters", "ann_bits_sweep")
+    "corpus_heavy_hitters", "ann_bits_sweep",
+    // soft dedup re-runs the pair chain + one size count; the
+    // centroid router is one bounded agg + map-side scoring
+    "dedup_soft", "classify_centroid")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
