@@ -257,6 +257,28 @@ object SparkEntry {
     * concurrent callers until the one build finishes. Keyed by an md5
     * of the FULL dir path — sanitized-name keying collided for paths
     * differing only in stripped characters. */
+  /** Co-bucketed orders/lineitem tables per corpus dir (8 buckets on
+    * the order keys), written once — the build-once contract of
+    * [[ivfIndexPath]] applied to table layout. Returns the catalog
+    * table names. */
+  private def bucketedQ3Tables(s: SparkSession, dir: String): (String, String) = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|bucketq3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val (ordT, liT) = (s"graft_bko_$key", s"graft_bkl_$key")
+    // keyed on the CATALOG, not the static cache: tables are
+    // session-scoped (a fresh session in this JVM must rebuild)
+    synchronized {
+      if (!s.catalog.tableExists(ordT) || !s.catalog.tableExists(liT)) {
+        graft.sources.Sources.writeBucketed(Tables.orders(s, dir), ordT,
+          s"$indexRoot/bko-$key", "o_orderkey", numBuckets = 8)
+        graft.sources.Sources.writeBucketed(Tables.lineitem(s, dir), liT,
+          s"$indexRoot/bkl-$key", "l_orderkey", numBuckets = 8)
+      }
+    }
+    (ordT, liT)
+  }
+
   private def ivfIndexPath(s: SparkSession, dir: String,
                            centroids: DataFrame, variant: String): String =
     // memoize per (dir, variant) FIRST: both centroid sources are
@@ -2059,6 +2081,34 @@ object SparkEntry {
           col("top_label"), col("top_label_n"))
     }),
 
+    "q3_join_bucketed" -> ((s, dir) => {
+      // q3 over CO-BUCKETED fact tables: orders and lineitem are
+      // written once per dir as Hive-bucketed tables on their order
+      // keys, so the join starts from the required distribution and
+      // the two join-side shuffles vanish from the plan (SourcesSpec
+      // pins the exchange count; the pay-the-shuffle-once posture
+      // every repeated fact-fact join wants at 100 TB). Same rows as
+      // q3_join — the shared-oracle path-equality contract
+      val (ordT, liT) = bucketedQ3Tables(s, dir)
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = s.table(ordT)
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = s.table(liT)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("_rev"))
+        .orderBy(col("_rev").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("o_orderdate"), round(col("_rev"), 2).as("revenue"))
+    }),
+
     "q3_join" -> ((s, dir) => {
       val cutoff = lit("1998-06-01").cast("timestamp")
       val cust = Tables.customer(s, dir)
@@ -2470,6 +2520,18 @@ object SparkEntry {
          |  CASE WHEN CAST('0x' || substr(md5('v3_' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
          |         % 1000000 < 0.1 * 1000000 THEN 'eval' ELSE 'train' END AS split
          |FROM sreps WHERE reps >= 1)""".stripMargin
+
+  private val q3JoinSql: String =
+    """SELECT l_orderkey, o_orderdate, round(rev, 2) AS revenue FROM (
+        |  SELECT l_orderkey, o_orderdate,
+        |    sum(l_extendedprice * (1.0 - l_discount)) AS rev
+        |  FROM customer, orders, lineitem
+        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |    AND l_orderkey = o_orderkey
+        |    AND o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY l_orderkey, o_orderdate
+        |  ORDER BY rev DESC, l_orderkey LIMIT 10)""".stripMargin
 
   private val cosDistSql =
     """acos(least(greatest(
@@ -5295,17 +5357,12 @@ object SparkEntry {
          |SELECT cell, n_vectors, rep_id, top_label, top_label_n
          |FROM tot JOIN top USING (cell)""".stripMargin,
 
-    "q3_join" ->
-      """SELECT l_orderkey, o_orderdate, round(rev, 2) AS revenue FROM (
-        |  SELECT l_orderkey, o_orderdate,
-        |    sum(l_extendedprice * (1.0 - l_discount)) AS rev
-        |  FROM customer, orders, lineitem
-        |  WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |    AND l_orderkey = o_orderkey
-        |    AND o_orderdate < TIMESTAMP '1998-06-01'
-        |    AND l_shipdate > TIMESTAMP '1998-06-01'
-        |  GROUP BY l_orderkey, o_orderdate
-        |  ORDER BY rev DESC, l_orderkey LIMIT 10)""".stripMargin,
+    "q3_join_bucketed" ->
+      // bucketing is a physical layout: the rows are q3_join's —
+      // shared oracle is the path-equality contract
+      q3JoinSql,
+
+    "q3_join" -> q3JoinSql,
 
     "entity_resolution" ->
       // identical typo arithmetic, identical prefix/suffix blocks,

@@ -81,4 +81,21 @@ object Sources {
     graft.operators.Sampling.shuffleShards(df, idCol, seed, numShards)
       .sortWithinPartitions(col("shard"), col("shard_pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Hive-bucketed external table: rows hash-partition into
+    * `numBuckets` files by `keyCol` at WRITE time, so every future
+    * equi-join or aggregation keyed on `keyCol` against a co-bucketed
+    * table starts from the required distribution — the join-side
+    * Exchange disappears from the plan (SourcesSpec pins it). This is
+    * the pay-the-shuffle-once posture for fact tables joined on the
+    * same key by every query: at 100 TB the repeated join shuffle IS
+    * the cost, and bucketing amortizes it into one write.
+    * `sortBy(keyCol)` additionally leaves each bucket file
+    * key-sorted. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    keyCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
 }

@@ -96,4 +96,31 @@ class SourcesSpec extends SparkSpec {
       assert(rows.map(_._3).toSeq.sorted == (1L to rows.size).toSeq, s"shard $sh")
     }
   }
+
+  test("co-bucketed tables join without the join-side shuffles") {
+    import graft.sources.Sources
+    val dirb = java.nio.file.Files.createTempDirectory("graft-bk").toFile.getAbsolutePath
+    val ord = graft.core.Tables.orders(spark, sf0001)
+    val li = graft.core.Tables.lineitem(spark, sf0001)
+    Sources.writeBucketed(ord, "bk_ord_spec", s"$dirb/ord", "o_orderkey", 4)
+    Sources.writeBucketed(li, "bk_li_spec", s"$dirb/li", "l_orderkey", 4)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    }
+    def joined(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      l.select("l_orderkey", "l_extendedprice")
+        .join(o.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val plain = joined(ord, li)
+    val bucketed = joined(spark.table("bk_ord_spec"), spark.table("bk_li_spec"))
+    // same rows either way; the bucketed plan needs strictly fewer
+    // hash-partitioning exchanges (the two join-side shuffles vanish;
+    // bucketing even satisfies the groupBy's l_orderkey distribution)
+    assert(bucketed.collect().toSet == plain.collect().toSet)
+    val (ep, eb) = (exchanges(plain), exchanges(bucketed))
+    assert(eb < ep, s"bucketed=$eb plain=$ep")
+  }
 }
