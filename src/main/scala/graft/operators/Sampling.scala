@@ -446,29 +446,33 @@ object Sampling {
         .groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
     val tCnt = bucketCounts(target, targetTextCol)
     val rCnt = bucketCounts(raw, textCol)
-    // every gram the scoring pass looks up came from `raw`, so the
-    // raw-side count table covers every reachable bucket; target-side
-    // misses take the smoothing floor via coalesce
-    val model = rCnt.withColumnRenamed("_n", "_nr")
+    // the model covers the FULL bucket range, not just raw-seen
+    // buckets (ADVICE r12): trainDsir/dsirScoreAll/Ingest.dsirStream
+    // score NEW documents whose grams can land in buckets the raw
+    // corpus never populated — those must hold the Laplace-smoothed
+    // logratio with nr = 0 (target-only buckets score target-like,
+    // both-unseen buckets the neutral ln((tr+B)/(tt+B)) constant),
+    // not a silent 0.0. Buckets the batch path looks up (raw-seen)
+    // compute exactly the values they always did.
+    val model = raw.sparkSession.range(buckets)
+      .select(col("id").as("_bkt"))
+      .join(rCnt.withColumnRenamed("_n", "_nr"), Seq("_bkt"), "left")
       .join(tCnt.withColumnRenamed("_n", "_nt"), Seq("_bkt"), "left")
       .crossJoin(broadcast(tCnt.agg(sum(col("_n")).as("_tt"))))
       .crossJoin(broadcast(rCnt.agg(sum(col("_n")).as("_tr"))))
       .select(col("_bkt"),
         (log((coalesce(col("_nt"), lit(0L)) + lit(1.0))
             / (coalesce(col("_tt"), lit(0L)) + lit(buckets)))
-          - log((col("_nr") + lit(1.0)) / (col("_tr") + lit(buckets))))
+          - log((coalesce(col("_nr"), lit(0L)) + lit(1.0))
+            / (coalesce(col("_tr"), lit(0L)) + lit(buckets))))
           .as("_lr"))
-    // ≤ buckets rows by construction → one-row broadcast DENSE ARRAY
-    // (bucket-ordered; unreachable buckets hold 0.0 and are never
-    // looked up). A map here cost O(buckets) per gram — element_at
-    // on a map is a linear entry scan inside the interpreted HOF, so
-    // scoring paid |doc grams| × buckets comparisons per doc (the
-    // sf1 probe caught the corpus task pinned for minutes); the
-    // array index is O(1) and bit-identical.
-    val zeroBuckets = raw.sparkSession.range(buckets)
-      .select(col("id").as("_bkt"), lit(0.0).as("_lr"))
-    model.unionByName(zeroBuckets)
-      .groupBy(col("_bkt")).agg(sum(col("_lr")).as("_lr"))
+    // exactly `buckets` rows by construction → one-row broadcast
+    // DENSE ARRAY (bucket-ordered). A map here cost O(buckets) per
+    // gram — element_at on a map is a linear entry scan inside the
+    // interpreted HOF, so scoring paid |doc grams| × buckets
+    // comparisons per doc (the sf1 probe caught the corpus task
+    // pinned for minutes); the array index is O(1) and bit-identical.
+    model
       .agg(array_sort(collect_list(struct(col("_bkt"), col("_lr")))).as("_me"))
       .select(transform(col("_me"), s => s.getField("_lr")).as("_m"))
   }

@@ -109,6 +109,42 @@ class BoostSpec extends SparkSpec {
     got.foreach { case (id, y, pred) => assert(pred == y.toLong, s"id=$id") }
   }
 
+  test("high-cardinality feature: candidate cap binds, grid stays bounded, rule still learned") {
+    // a length-in-chars-like signal: ~2000 distinct values, far over
+    // a cap of 16 — the exact-distinct candidate set would be 2000+
+    // thetas; the quantile grid must stay <= cap while still letting
+    // boosting find the planted threshold region
+    val rows = (0L until 2000L).map { i =>
+      val a = i * 13 % 1999            // ~1999 distinct values
+      (i, a, i % 2, if (a >= 1000) 1 else 0)
+    }
+    val df = rows.toDF("id", "a", "b", "y")
+    val m = Boost.trainStumps(df, "y", Seq("a", "b"), rounds = 3,
+      maxCandidates = 16)
+    // committee accuracy: the sampled grid cannot split at exactly
+    // 1000, but a nearby quantile threshold gets close
+    val got = Boost.scoreStumps(df, m, Seq("id", "y"))
+      .as[(Long, Int, Long)].collect()
+    val acc = got.count { case (_, y, p) => y.toLong == p }.toDouble / got.length
+    assert(acc >= 0.9, s"acc=$acc")
+    // determinism under repartitioning (the sampled thresholds are
+    // k-min-hash derived, not partition-order derived)
+    val m7 = Boost.trainStumps(df.repartition(7), "y", Seq("a", "b"),
+      rounds = 3, maxCandidates = 16)
+    assert(m7.stumps == m.stumps)
+  }
+
+  test("cap does not bind on low-cardinality features: stumps unchanged vs uncapped") {
+    val df = planted.toDF("id", "a", "b", "y")
+    val uncapped = Boost.trainStumps(df, "y", Seq("a", "b"), rounds = 3,
+      maxCandidates = 1000000)
+    val default = Boost.trainStumps(df, "y", Seq("a", "b"), rounds = 3)
+    val tight = Boost.trainStumps(df, "y", Seq("a", "b"), rounds = 3,
+      maxCandidates = 90) // planted `a` has ~90 distinct values <= 90
+    assert(default.stumps == uncapped.stumps)
+    assert(tight.stumps == uncapped.stumps)
+  }
+
   test("single-class data picks a constant stump via the sentinel") {
     val rows = (0L until 20L).map(i => (i, i % 5, i % 2, 1))
     val df = rows.toDF("id", "a", "b", "y")

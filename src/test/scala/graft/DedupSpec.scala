@@ -803,4 +803,23 @@ class DedupSpec extends SparkSpec {
     val totals = got.values.groupBy(_._1).view.mapValues(_.map(_._3).sum)
     totals.values.foreach(t => assert(math.abs(t - 1.0) < 1e-12))
   }
+
+  test("dedupSoft raises on a non-long-castable id instead of collapsing singletons") {
+    // string ids that cast to NULL would silently merge every
+    // singleton into one NULL cluster (ADVICE r12); the operator must
+    // fail loudly instead. Long-castable STRING ids stay fine.
+    val ok = Seq("1", "2", "10").toDF("doc_id")
+    val okPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.dedupSoft(ok, "doc_id", okPairs)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(got("10") == 1.0 && got("1") == 0.5 && got("2") == 0.5)
+    val bad = Seq("doc-a", "doc-b", "doc-c").toDF("doc_id")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val ex = intercept[Exception] {
+      Dedup.dedupSoft(bad, "doc_id", noPairs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("long-castable")), ex.toString)
+  }
 }

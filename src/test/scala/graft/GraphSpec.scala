@@ -53,6 +53,27 @@ class GraphSpec extends SparkSpec {
       .collect().toMap == r5)
   }
 
+  test("20-iteration chain: checkpointed == unchunked, plan stays flat") {
+    val edges = rawEdges.toDF("src", "dst")
+    // checkpointEvery 20 on a 20-round chain never cuts (i < iterations
+    // guard) — the full nested plan; checkpointEvery 1 cuts every round.
+    val full = Graph.pagerank(edges, "src", "dst", 20, checkpointEvery = 20)
+      .as[(String, Long)].collect().toMap
+    val cut = Graph.pagerank(edges, "src", "dst", 20, checkpointEvery = 1)
+    assert(cut.as[(String, Long)].collect().toMap == full)
+    assert(full == localPagerank(rawEdges, 20))
+    // lineage truncation is visible in the plan: a checkpointed chain's
+    // logical plan is rooted just above the last LogicalRDD scan, not
+    // 20 nested join rounds deep
+    val planLines = cut.queryExecution.optimizedPlan.toString()
+      .linesIterator.size
+    val fullLines = Graph.pagerank(edges, "src", "dst", 20,
+      checkpointEvery = 20).queryExecution.optimizedPlan.toString()
+      .linesIterator.size
+    assert(planLines < fullLines / 4,
+      s"checkpointed plan $planLines lines vs unchunked $fullLines")
+  }
+
   test("total mass stays within the floor-division leak bound") {
     val edges = rawEdges.toDF("src", "dst")
     val scale = 1000000000000L

@@ -305,6 +305,30 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(600))
   }
 
+  test("dsir raw-unseen buckets hold the smoothed logratio, not 0 (ADVICE r12)") {
+    // raw grams: aaa, bbb, ccc + 2 bigrams (tr=5); target: xxx (tt=1)
+    val raw = Seq((0L, "aaa bbb ccc")).toDF("doc_id", "text")
+    val target = Seq((0L, "xxx")).toDF("doc_id", "text")
+    val B = 64
+    val model = Sampling.trainDsir(raw, "text", target, "text", buckets = B)
+    assert(model.length == B)
+    // buckets unseen by BOTH corpora: Laplace-neutral ln((tr+B)/(tt+B)),
+    // not the old silent 0.0 — at most 5 raw + 1 target buckets differ
+    val neutral = math.log(1.0 / (1 + B)) - math.log(1.0 / (5 + B))
+    assert(model.count(_ == neutral) >= B - 6,
+      s"neutral=${model.count(_ == neutral)}")
+    assert(!model.contains(0.0))
+    // a NEW document whose gram the raw corpus never saw scores the
+    // model entry for its bucket (nonzero), not a silent 0.0
+    val score = Sampling.dsirScoreAll(
+        Seq((9L, "qqq")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .select("dsir_logw").as[Double].head()
+    val bkt = spark.range(1)
+      .select((graft.operators.Dedup.hash64(lit("qqq")) % B).cast("int"))
+      .head().getInt(0)
+    assert(score == model(bkt) && score != 0.0)
+  }
+
   test("dsir scoring pass never shuffles the corpus (broadcast-only plan)") {
     val raw = (0L until 100L).map(i => (i, s"tok$i common words here"))
       .toDF("doc_id", "text")
