@@ -50,8 +50,17 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) =>
       try run(fn, sfDir) catch { case _: Throwable => }
     }
+    // Host-contention self-identification (VERDICT r13 perf note): the
+    // r13 artifact's uniform +50-110% drift on untouched queries was a
+    // box-wide era, invisible in the artifact itself. Sample the 1-min
+    // system load before each timed pass (and once at the end) so a
+    // contaminated era is visible in the output without a rerun.
+    val loadAvgs = collection.mutable.ArrayBuffer[Double]()
+    def sampleLoad(): Unit = loadAvgs += java.lang.management
+      .ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to 3) {
+      sampleLoad()
       SparkEntry.queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val okRun = try { run(fn, sfDir); true } catch { case e: Throwable =>
@@ -106,10 +115,21 @@ object Bench {
           case benchRe(n) => Some((n.toInt, f)); case _ => None } }
       if (prevFiles.isEmpty) "null" else {
         val (prevRound, prevFile) = prevFiles.maxBy(_._1)
-        val txt = new String(java.nio.file.Files.readAllBytes(
+        val raw = new String(java.nio.file.Files.readAllBytes(
           prevFile.toPath), java.nio.charset.StandardCharsets.UTF_8)
-        val pairRe = "\"([A-Za-z0-9_]+)\":(-?\\d+(?:\\.\\d+)?)".r
-        val meta = Set("value", "sf", "total", "round", "geomean")
+        // Drop everything from the prev run's own vs_prev line on:
+        // its shifted_gt20pct map holds query->RATIO pairs that would
+        // otherwise be misread as that round's times.
+        val cut = raw.indexOf("vs_prev")
+        val txt = if (cut >= 0) raw.substring(0, cut) else raw
+        // The prev artifact wraps this program's stdout in a JSON
+        // "tail" STRING, so the per-query pairs appear with escaped
+        // quotes (\"q3_join\":0.695) — tolerate an optional backslash
+        // before each quote or the map parses as empty and vs_prev
+        // emits null (VERDICT r13 #1, the exact failure r13 shipped).
+        val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
+        val meta = Set("value", "sf", "total", "round", "geomean",
+          "n", "rc", "cpus", "lines")
         val prev = pairRe.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filterNot { case (k, _) => meta(k) }.toMap
@@ -137,7 +157,10 @@ object Bench {
     // that must survive capture has to come after the queries map —
     // r12 computed the era comparison but embedded it before the map,
     // and the tail window truncated it away.
-    println(s"""{"metric":"vs_prev","value":$vsPrev}""")
+    sampleLoad()
+    val loadJson = loadAvgs.map(v => BigDecimal(v).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toString).mkString("[", ",", "]")
+    println(s"""{"metric":"vs_prev","value":$vsPrev,"loadavg":$loadJson}""")
     spark.stop()
   }
 }

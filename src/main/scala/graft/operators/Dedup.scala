@@ -210,14 +210,17 @@ object Dedup {
     * convention). */
   def indexConfigPath(path: String): String = s"$path/_config"
 
-  /** Memo of `_config` sidecar contents per index path (VERDICT r12
-    * #2: the fail-fast check is right, but paying a Spark job per
-    * probe call to re-read a handful of (key, value) rows is not —
-    * the parameters an index was built with cannot change without a
-    * rebuild going through [[writeIndexConfig]], which refreshes the
-    * entry). `None` caches "no sidecar exists". */
+  /** Memo of `_config` sidecar contents, keyed by the filesystem-
+    * QUALIFIED sidecar path plus its modification time (VERDICT r12
+    * #2 introduced the memo to stop paying a Spark job per probe;
+    * VERDICT r13 #3 / ADVICE r13 hardened the key: a raw-path-string
+    * key let a path alias or a cross-process rebuild validate stale
+    * parameters, and a cached "no sidecar" permanently disabled
+    * validation for an index built later at that path. Existence and
+    * mtime are re-checked on EVERY call — one `getFileStatus`, no
+    * Spark job — so only the parquet read is memoized). */
   private val configCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, Long]]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Long]]()
 
   /** Persist the build parameters next to an index. An index probed
     * with parameters different from those it was built with computes
@@ -230,7 +233,11 @@ object Dedup {
     import spark.implicits._
     params.toDF("key", "value").coalesce(1)
       .write.mode("overwrite").parquet(indexConfigPath(path))
-    configCache.put(path, Some(params.toMap))
+    val cfg = new org.apache.hadoop.fs.Path(indexConfigPath(path))
+    val fs = cfg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(cfg)
+    configCache.put((fs.makeQualified(cfg).toString,
+      st.getModificationTime), params.toMap)
   }
 
   /** Fail fast when a probe's parameters disagree with the stored
@@ -241,15 +248,18 @@ object Dedup {
   private[graft] def validateIndexConfig(
       spark: org.apache.spark.sql.SparkSession, path: String,
       expected: Seq[(String, Long)]): Unit = {
-    val storedOpt = configCache.computeIfAbsent(path, _ => {
-      val cfg = new org.apache.hadoop.fs.Path(indexConfigPath(path))
-      val fs = cfg.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(cfg)) None
-      else Some(spark.read.parquet(indexConfigPath(path))
+    val cfg = new org.apache.hadoop.fs.Path(indexConfigPath(path))
+    val fs = cfg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = try Some(fs.getFileStatus(cfg)) catch {
+      case _: java.io.FileNotFoundException => None
+    }
+    // Missing sidecar (pre-convention index) is tolerated — but NOT
+    // cached, so an index built at this path later IS validated.
+    if (st.isEmpty) return
+    val stored = configCache.computeIfAbsent(
+      (fs.makeQualified(cfg).toString, st.get.getModificationTime),
+      _ => spark.read.parquet(indexConfigPath(path))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-    })
-    if (storedOpt.isEmpty) return
-    val stored = storedOpt.get
     val bad = expected.flatMap { case (k, v) =>
       stored.get(k).filter(_ != v).map(sv => s"$k: built=$sv probed=$v") }
     require(bad.isEmpty,
@@ -1514,7 +1524,10 @@ object Dedup {
       raise_error(concat(
         lit("dedupSoft requires a long-castable id "
           + "(the connectedComponents contract); got: "),
-        col(idCol).cast("string"))))
+        // coalesce: concat is null-propagating, so a NULL id would
+        // otherwise raise with a null message instead of the contract
+        // explanation (ADVICE r13)
+        coalesce(col(idCol).cast("string"), lit("NULL")))))
     val labeled = corpus.select(col(idCol), idl.as("_idl"))
       .join(clusters.withColumnRenamed("doc_id", "_idl"), Seq("_idl"), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col("_idl"))
