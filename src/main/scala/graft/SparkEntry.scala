@@ -134,6 +134,18 @@ object SparkEntry {
     bpeMergesCache.computeIfAbsent(dir, _ =>
       operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)._1)
 
+  /** Fitted PCA model per corpus dir (plain double arrays,
+    * session-free). Shared by embedding_pca and embedding_whiten —
+    * one covariance job instead of two — and read back by
+    * [[pcaOracleEntries]], which ships the fitted model into the
+    * DuckDB oracle as literals so the projection is hash-checked. */
+  private val pcaModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Pca.Model]()
+
+  private def pcaModel(s: SparkSession, dir: String): operators.Pca.Model =
+    pcaModelCache.computeIfAbsent(dir, _ =>
+      operators.Pca.fit(Tables.embeddings(s, dir), "embedding", 64))
+
   /** PQ codebook per corpus dir (deterministic function of dir —
     * sampled by md5 total order — so one TakeOrdered job amortizes
     * across the ADC and rerank queries; plain doubles, session-free). */
@@ -2015,7 +2027,7 @@ object SparkEntry {
       val tr = sig.filter(col("doc_id") % 5 =!= 0)
       val te = sig.filter(col("doc_id") % 5 === 0)
       val model = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
-        rounds = 3)
+        rounds = 3, maxCandidates = gradedBoostCap)
       Boost.scoreStumps(te, model, Seq("doc_id", "y"))
         .select(col("doc_id"), col("y").cast("long").as("label"),
           col("pred"), (col("y").cast("long") === col("pred")).as("agree"))
@@ -2033,7 +2045,7 @@ object SparkEntry {
       val tr = sig.filter(col("doc_id") % 5 =!= 0)
       val te = sig.filter(col("doc_id") % 5 === 0)
       val full = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
-        rounds = 3)
+        rounds = 3, maxCandidates = gradedBoostCap)
       (1 to 3).map { r =>
         val m = Boost.BoostModel(full.features, full.stumps.take(r))
         Boost.scoreStumps(te, m, Seq("doc_id", "y"))
@@ -2056,7 +2068,7 @@ object SparkEntry {
       val tr = sig.filter(col("doc_id") % 5 =!= 0)
       val te = sig.filter(col("doc_id") % 5 === 0)
       val model = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
-        rounds = 3)
+        rounds = 3, maxCandidates = gradedBoostCap)
       Boost.scoreStumps(te, model, Seq("doc_id", "y"))
         .groupBy(col("y").cast("long").as("label"), col("pred"))
         .agg(count(lit(1)).as("n"))
@@ -2197,10 +2209,13 @@ object SparkEntry {
     "embedding_pca" -> ((s, dir) => {
       // rotate the corpus into its principal axes: fit collects only
       // the d x d stats (driver-sized by contract), projection is a
-      // pure map-side fold — no SQL oracle (eigensolve), properties
-      // pinned in PcaSpec; variance report in Pca.explainedVariance
+      // pure map-side fold. The eigensolve is not SQL-expressible,
+      // but the fitted MODEL is driver-sized — it ships into the
+      // DuckDB oracle as double literals (pcaOracleEntries), so the
+      // distributed projection IS hash-checked; the fit itself stays
+      // PcaSpec-pinned. Variance report in Pca.explainedVariance.
       val emb = Tables.embeddings(s, dir)
-      val model = Pca.fit(emb, "embedding", 64)
+      val model = pcaModel(s, dir)
       Pca.project(emb, "embedding", model, 8)
         .select(Seq(col("vec_id")) ++
           (0 until 8).map(k => round(col(s"pc$k"), 6).as(s"pc$k")): _*)
@@ -2208,11 +2223,12 @@ object SparkEntry {
 
     "embedding_whiten" -> ((s, dir) => {
       // PCA-whitening ahead of PQ: the projection scaled to unit
-      // variance per axis — same no-SQL-oracle contract as
-      // embedding_pca (eigensolve); PcaSpec pins unit variance,
+      // variance per axis — same shipped-model oracle contract as
+      // embedding_pca (the per-axis 1/sqrt(ev+eps) scales are literal
+      // doubles in both engines); PcaSpec pins unit variance,
       // projection consistency and partitioning independence
       val emb = Tables.embeddings(s, dir)
-      val model = Pca.fit(emb, "embedding", 64)
+      val model = pcaModel(s, dir)
       Pca.whiten(emb, "embedding", model, 8)
         .select(Seq(col("vec_id")) ++
           (0 until 8).map(k => round(col(s"wpc$k"), 6).as(s"wpc$k")): _*)
@@ -2362,6 +2378,17 @@ object SparkEntry {
        |SELECT node, CAST(r AS BIGINT) AS rank FROM r$iters
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
+
+  /** Candidate cap at the GRADED boost call sites (ADVICE r13): the
+    * DuckDB oracle always restates the exact-DISTINCT threshold grid,
+    * so the graded queries must provably never hit the sampled
+    * fallback at ANY scale factor. They can't: n_words/n_stop
+    * cardinality is bounded by the VALUE RANGE (max words in a single
+    * document + 1, and the stopword list size + 1), not by corpus row
+    * count — so an explicit cap far above any document length makes
+    * "exact grid" an invariant instead of a 512-default coincidence.
+    * The library default stays 512 for hash-like signals. */
+  private val gradedBoostCap = 1 << 16
 
   /** classify_boost oracle: exact-integer AdaBoost training unrolled
     * as chained CTEs (the pagerank rule applied to a learner) — every
@@ -5488,5 +5515,65 @@ object SparkEntry {
         |  round(CAST(p.s * p.n - mi.s1 * mj.s1 AS DOUBLE) /
         |        (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) * 1e12), 10) AS cov
         |FROM p JOIN m mi ON mi.d = p.i JOIN m mj ON mj.d = p.j""".stripMargin
-  )
+  ) ++ pcaOracleEntries
+
+  /** Shortest round-trip double literal: `Double.toString` prints the
+    * minimal decimal that parses back to the SAME bits in any
+    * correctly-rounded reader (Java and DuckDB's strtod both are), so
+    * the oracle computes with the identical IEEE doubles. */
+  private def dLit(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"non-finite model value: $d")
+    java.lang.Double.toString(d)
+  }
+
+  private def dArr(a: Seq[Double]): String =
+    a.map(dLit).mkString("[", ", ", "]")
+
+  /** DuckDB oracles for embedding_pca / embedding_whiten. The Jacobi
+    * eigensolve is driver-side and not SQL-expressible, but the
+    * fitted model is driver-sized BY CONTRACT (d means + d
+    * eigenvalues + p·d component weights) — so it ships into the
+    * oracle as double literals and DuckDB recomputes the DISTRIBUTED
+    * part, the projection, from the raw parquet vectors: the same
+    * centered zip-multiply and the same order-pinned left fold
+    * (list_reduce over a 0.0-prepended list == Spark's `aggregate`
+    * with a 0.0 seed), rounded on the same grid. Verify runs the
+    * queries BEFORE dumping oracleSql, so the cache holds the model
+    * fitted on the verified dir; with no fitted model (or models from
+    * several dirs in one JVM — ambiguous) the entries are omitted and
+    * the driver falls back to the old rows-only check. */
+  private def pcaOracleEntries: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    pcaModelCache.values().asScala.toList match {
+      case model :: Nil =>
+        val d = model.means.length
+        val p = 8
+        def foldSql(k: Int): String =
+          s"""list_reduce(list_prepend(0.0, list_transform(range(1, ${d + 1}),
+             |      i -> cv[CAST(i AS INT)] * w$k.w[CAST(i AS INT)])),
+             |    (acc, x) -> acc + x)""".stripMargin
+        val wCtes = (0 until p).map(k =>
+          s"w$k AS (SELECT ${dArr(model.components(k).toIndexedSeq)}::DOUBLE[] AS w)")
+        val base =
+          s"""WITH mm AS (SELECT ${dArr(model.means.toIndexedSeq)}::DOUBLE[] AS m),
+             |${wCtes.mkString(",\n")},
+             |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT vec_id, list_transform(range(1, ${d + 1}),
+             |        i -> v[CAST(i AS INT)] - m[CAST(i AS INT)]) AS cv
+             |      FROM b, mm)""".stripMargin
+        val pcaCols = (0 until p).map(k =>
+          s"round(${foldSql(k)}, 6) AS pc$k")
+        val whitenCols = (0 until p).map { k =>
+          // the scale is a DRIVER-computed literal in both engines
+          val scale = 1.0 / math.sqrt(model.eigenvalues(k) + 1e-9)
+          s"round((${foldSql(k)}) * ${dLit(scale)}, 6) AS wpc$k"
+        }
+        Map(
+          "embedding_pca" ->
+            s"$base\nSELECT vec_id,\n  ${pcaCols.mkString(",\n  ")}\nFROM c, ${(0 until p).map(k => s"w$k").mkString(", ")}",
+          "embedding_whiten" ->
+            s"$base\nSELECT vec_id,\n  ${whitenCols.mkString(",\n  ")}\nFROM c, ${(0 until p).map(k => s"w$k").mkString(", ")}")
+      case _ => Map.empty
+    }
+  }
 }

@@ -106,7 +106,23 @@ object Boost {
     * machinery: a deterministic k-min-hash value sample
     * ([[graft.functions.SampleValuesAgg]]), read at maxCandidates−1
     * evenly spaced quantile positions — so the candidate grid stays
-    * bounded, covering, and a pure function of the signal frame. */
+    * bounded, covering, and a pure function of the signal frame.
+    * (The sampler buffers doubles, so values past 2^53 snap to the
+    * nearest representable double before the long cast — thresholds
+    * stay deterministic and valid splits, but for >2^53 hash-like
+    * signals the grid points need not be exact data values.)
+    *
+    * The cap decision, the exact candidate sets, and the max+1
+    * sentinels all come from ONE aggregation
+    * ([[graft.functions.BoundedDistinctAgg]]: the exact sorted
+    * distinct set while ≤ cap values exist, an over-cap marker
+    * otherwise — VERDICT r13 #8 measured the separate countDistinct
+    * pass at a visible fraction of training), so the candidate frame
+    * is DRIVER-LITERAL: every round's error aggregation crosses the
+    * corpus with a broadcast local relation instead of re-running a
+    * distinct subtree per round. Callers whose oracle restates the
+    * exact-DISTINCT grid should pass a cap their signals provably
+    * stay under (a value-range bound, e.g. max words per document). */
   def trainStumps(signals: DataFrame, labelCol: String, features: Seq[String],
                   rounds: Int, rScale: Long = 1000000000000L,
                   maxCandidates: Int = 512): BoostModel = {
@@ -119,35 +135,63 @@ object Boost {
     val sig = signals.select(
       features.map(f => col(f).cast("long").as(f)) :+
         col(labelCol).cast("int").as("_y"): _*)
-    // one driver-bounded job decides which features the cap binds on
-    val cardRow = sig.agg(
-      countDistinct(col(features.head)).as(s"_c_${features.head}"),
-      features.tail.map(f => countDistinct(col(f)).as(s"_c_$f")): _*).head()
-    // candidate thresholds: per-feature distinct values plus a
-    // max+1 sentinel (its always-false stump, with polarity flipped,
-    // is the constant classifier boosting needs to express AND-rules);
-    // over-cap features use the sampled-quantile grid instead
-    val cands = features.zipWithIndex.map { case (f, i) =>
-      val exact = cardRow.getLong(i) <= maxCandidates
-      val base =
-        if (exact) sig.select(col(f).as("theta")).distinct()
-        else {
+    // ONE job: per feature, the bounded distinct set (exact candidates
+    // when the cap does not bind, NULL marker otherwise) and the max
+    val statsCols = features.flatMap(f => Seq(
+      graft.functions.BoundedDistinctAgg
+        .boundedDistinct(col(f), maxCandidates).as(s"_d_$f"),
+      max(col(f)).as(s"_mx_$f")))
+    val statsRow = sig.agg(statsCols.head, statsCols.tail: _*).head()
+    val overCap = features.zipWithIndex
+      .filter { case (_, i) => statsRow.isNullAt(2 * i) }.map(_._1)
+    // over-cap features only: one combined job collecting their k-min
+    // value samples (the under-cap common case never pays this pass)
+    val sampled: Map[String, Seq[Double]] =
+      if (overCap.isEmpty) Map.empty
+      else {
+        val sampleCols = overCap.map { f =>
           val h = graft.operators.Dedup.hash64(
             concat_ws("", lit(s"bcand_$f") +:
               (features :+ "_y").map(c => col(c).cast("string")): _*))
-          sig.select(h.as("_h"), col(f).cast("double").as("_v"))
-            .agg(graft.functions.SampleValuesAgg
-              .sampleValues(col("_h"), col("_v"), maxCandidates * 4).as("_vs"))
-            .select(explode(transform(
-              sequence(lit(1), lit(maxCandidates - 1)),
-              q => element_at(col("_vs"),
-                (floor(q.cast("double") / maxCandidates
-                  * (size(col("_vs")) - 1)) + 1).cast("int")))).as("_t"))
-            .select(col("_t").cast("long").as("theta")).distinct()
+          graft.functions.SampleValuesAgg
+            .sampleValues(h, col(f).cast("double"), maxCandidates * 4)
+            .as(s"_vs_$f")
         }
-      base.union(sig.agg((max(col(f)) + 1).as("theta")))
-        .select(lit(f).as("_f"), col("theta"))
-    }.reduce(_ union _)
+        val r = sig.agg(sampleCols.head, sampleCols.tail: _*).head()
+        overCap.zipWithIndex.map { case (f, i) => f -> r.getSeq[Double](i) }
+          .toMap
+      }
+    // candidate thresholds: per-feature distinct values plus a
+    // max+1 sentinel (its always-false stump, with polarity flipped,
+    // is the constant classifier boosting needs to express AND-rules);
+    // over-cap features use the sampled-quantile grid instead — the
+    // identical positions the Spark-side grid expression read before
+    // this refactor, now computed on the driver from the collected
+    // sample (doubles truncate toward zero on the long cast, matching
+    // the old Cast semantics)
+    val candRows: Seq[(String, Option[Long])] =
+      features.zipWithIndex.flatMap { case (f, i) =>
+        val sentinel: Option[Long] =
+          if (statsRow.isNullAt(2 * i + 1)) None
+          else Some(statsRow.getLong(2 * i + 1) + 1)
+        val base: Seq[Option[Long]] =
+          if (!statsRow.isNullAt(2 * i))
+            statsRow.getSeq[Any](2 * i)
+              .map(v => Option(v).map(_.asInstanceOf[Long]))
+          else {
+            val vs = sampled(f)
+            require(vs.nonEmpty, s"empty value sample for over-cap feature $f")
+            (1 until maxCandidates).map { q =>
+              val idx = math.floor(
+                q.toDouble / maxCandidates * (vs.length - 1)).toInt
+              Some(vs(idx).toLong): Option[Long]
+            }.distinct
+          }
+        (base :+ sentinel).distinct.map(t => (f, t))
+      }
+    val sp = signals.sparkSession
+    import sp.implicits._
+    val cands = candRows.toDF("_f", "theta")
     val candFeature = s"(CASE _f ${features.map(f => s"WHEN '$f' THEN $f").mkString(" ")} END)"
     var model = List.empty[Stump]
     for (_ <- 1 to rounds) {

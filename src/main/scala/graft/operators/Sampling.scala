@@ -454,17 +454,28 @@ object Sampling {
     // both-unseen buckets the neutral ln((tr+B)/(tt+B)) constant),
     // not a silent 0.0. Buckets the batch path looks up (raw-seen)
     // compute exactly the values they always did.
+    // totals are column sums of the joined spine — every gram lands in
+    // exactly one bucket of the full range, so sum(_nr)/sum(_nt) ARE
+    // the corpus gram totals. One single-partition window over the
+    // `buckets`-row frame replaces the two agg crossJoins that re-ran
+    // the gram explode from scratch (VERDICT r13 #2: ReuseExchange did
+    // not dedupe them — 4 corpus FileScans in the executed model
+    // subtree; now exactly 2, plan-pinned in SamplingSpec). Same
+    // integers in, same logratio out: sample_dsir stays hash-green.
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val model = raw.sparkSession.range(buckets)
       .select(col("id").as("_bkt"))
       .join(rCnt.withColumnRenamed("_n", "_nr"), Seq("_bkt"), "left")
       .join(tCnt.withColumnRenamed("_n", "_nt"), Seq("_bkt"), "left")
-      .crossJoin(broadcast(tCnt.agg(sum(col("_n")).as("_tt"))))
-      .crossJoin(broadcast(rCnt.agg(sum(col("_n")).as("_tr"))))
       .select(col("_bkt"),
-        (log((coalesce(col("_nt"), lit(0L)) + lit(1.0))
-            / (coalesce(col("_tt"), lit(0L)) + lit(buckets)))
-          - log((coalesce(col("_nr"), lit(0L)) + lit(1.0))
-            / (coalesce(col("_tr"), lit(0L)) + lit(buckets))))
+        coalesce(col("_nr"), lit(0L)).as("_nr"),
+        coalesce(col("_nt"), lit(0L)).as("_nt"))
+      .withColumn("_tr", sum(col("_nr")).over(all))
+      .withColumn("_tt", sum(col("_nt")).over(all))
+      .select(col("_bkt"),
+        (log((col("_nt") + lit(1.0)) / (col("_tt") + lit(buckets)))
+          - log((col("_nr") + lit(1.0)) / (col("_tr") + lit(buckets))))
           .as("_lr"))
     // exactly `buckets` rows by construction → one-row broadcast
     // DENSE ARRAY (bucket-ordered). A map here cost O(buckets) per

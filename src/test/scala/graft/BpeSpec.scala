@@ -120,6 +120,96 @@ class BpeSpec extends SparkSpec {
     assert(got._7 > 1.0)
   }
 
+  /** Batched rounds must pick the EXACT sequential merges (VERDICT
+    * r13 #1: batching is only admissible if it is a pure job-count
+    * optimization). Compare batched trains against [[localBpe]] — the
+    * independent sequential reference — on geometries chosen to
+    * exercise every selectBatch guard: shared-token conflicts (stop,
+    * no skipping), self-pairs (singleton rounds), count ties at the
+    * stop boundary (strict trim), and window saturation. */
+  private def assertBatchedEqualsSequential(texts: Seq[String], n: Int,
+                                            batches: Seq[Int]): Unit = {
+    val docs = texts.toDF("text")
+    val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val (expMerges, expSeqs) = localBpe(words, n)
+    batches.foreach { bs =>
+      val (merges, vocab) = Bpe.train(docs, "text", n, batchSize = bs)
+      assert(merges.map(m => (m.a, m.b, m.count)) == expMerges,
+        s"batchSize=$bs merge list diverged from sequential")
+      assert(merges.map(_.rank) == (1 to merges.size))
+      val gotSeqs = vocab.select(col("seq"), col("cnt"))
+        .as[(String, Long)].collect()
+        .map { case (s, c) => s.split(Bpe.Sep).toSeq -> c }.toMap
+      assert(gotSeqs == expSeqs, s"batchSize=$bs vocabulary diverged")
+    }
+  }
+
+  test("batched == sequential on a tie-heavy two-letter corpus") {
+    // tiny alphabet => top pairs constantly share tokens and tie in
+    // count, so nearly every round hits the conflict-stop + strict
+    // trim paths rather than the easy disjoint fast path
+    assertBatchedEqualsSequential(
+      Seq("aab abab bba aaa abba baab bab",
+        "ab ba aabb bbaa abab baba",
+        "aaab bbba abab aab bba"),
+      n = 12, batches = Seq(2, 4, 8, 64))
+  }
+
+  test("batched == sequential with self-pair merges in the stream") {
+    // runs of a single char force (x,x) merges, which must run as
+    // singleton rounds (their merge creates (xx,x) pairs bounded only
+    // by the pair's own count, invalidating any batch-mate)
+    assertBatchedEqualsSequential(
+      Seq("aaaa bbbb cccc aaaa bbbb",
+        "aaaaaaaa bb aaaa cc dddd",
+        "abc abc aabbcc aaa"),
+      n = 10, batches = Seq(2, 4, 64))
+  }
+
+  test("batched == sequential on the documents table") {
+    val docs = Tables.documents(spark, sf0001)
+    val (seqM, seqV) = Bpe.train(docs, "text", 24, batchSize = 1)
+    val (batM, batV) = Bpe.train(docs, "text", 24) // default batch
+    assert(seqM == batM)
+    assert(Bpe.topTokens(batV, 30).as[(String, Long)].collect().toSeq ==
+      Bpe.topTokens(seqV, 30).as[(String, Long)].collect().toSeq)
+  }
+
+  test("selectBatch trims ties at the stop boundary and stops at conflicts") {
+    // conflict stop: (c,d) shares no token but ranks after (b,e)
+    // which shares b => batch must stop AT (b,e), not skip it
+    val top = Seq(("a", "b", 10L), ("b", "e", 8L), ("c", "d", 7L))
+    assert(Bpe.selectBatch(top, want = 3, windowSaturated = false) ==
+      Seq(("a", "b", 10L)))
+    // strict trim: (c,d) ties the stop candidate (e,a) at 8 => only
+    // the head survives; head survives even when IT ties the stop
+    val tied = Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "a", 8L))
+    assert(Bpe.selectBatch(tied, want = 3, windowSaturated = false) ==
+      Seq(("a", "b", 10L)))
+    // merged-string collision: "ab" as a member of a later candidate
+    // conflicts with the (a,b) merge even though tokens are disjoint
+    val madeClash = Seq(("a", "b", 10L), ("ab", "c", 6L), ("d", "e", 5L))
+    assert(Bpe.selectBatch(madeClash, want = 3, windowSaturated = false) ==
+      Seq(("a", "b", 10L)))
+    // self-pair opens a singleton round
+    val selfFirst = Seq(("a", "a", 10L), ("c", "d", 6L))
+    assert(Bpe.selectBatch(selfFirst, want = 3, windowSaturated = false) ==
+      Seq(("a", "a", 10L)))
+    // clean disjoint strictly-decreasing prefix is kept whole
+    val clean = Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L))
+    assert(Bpe.selectBatch(clean, want = 2, windowSaturated = false) ==
+      Seq(("a", "b", 10L), ("c", "d", 9L)))
+    // saturated window with no conflict: last count bounds the unseen
+    // tail, so equal-count tail entries are trimmed...
+    val sat = Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 9L))
+    assert(Bpe.selectBatch(sat, want = 3, windowSaturated = true) ==
+      Seq(("a", "b", 10L)))
+    // ...but an UNsaturated window is the whole pair vocabulary:
+    // disjoint-total selection needs no trim
+    assert(Bpe.selectBatch(sat, want = 3, windowSaturated = false) == sat)
+  }
+
   test("merge table and top tokens are partitioning-independent") {
     val docs = Tables.documents(spark, sf0001).limit(120)
     val (m1, v1) = Bpe.train(docs, "text", 4)

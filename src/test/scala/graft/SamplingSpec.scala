@@ -305,6 +305,23 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(600))
   }
 
+  test("dsir model subtree scans each corpus once (VERDICT r13 #2)") {
+    // the _tr/_tt totals used to be re-aggregated from scratch —
+    // ReuseExchange did not dedupe them, so the executed plan carried
+    // FOUR full gram passes over documents.parquet in the model
+    // subtree. Totals are now column sums of the joined bucket spine:
+    // the whole dsirWeights plan must hold exactly THREE corpus
+    // FileScans — raw grams + target grams (model) + the scoring scan.
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val plan = Sampling.dsirWeights(docs, "doc_id", "text", target,
+        "text", buckets = 256)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 3, s"expected 3 corpus FileScans, got $scans:\n" +
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("dsir raw-unseen buckets hold the smoothed logratio, not 0 (ADVICE r12)") {
     // raw grams: aaa, bbb, ccc + 2 bigrams (tr=5); target: xxx (tt=1)
     val raw = Seq((0L, "aaa bbb ccc")).toDF("doc_id", "text")
