@@ -156,11 +156,12 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     * critical section spans both steps. Reads stay LOCK-FREE (the
     * reference's RWMutex blocks them): committed parquet files become
     * visible atomically, so a concurrent reader sees a consistent
-    * prefix of the mutation log. The one caveat is [[compact]] — it
-    * retires superseded generation dirs immediately, so a reader
-    * holding a plan over the OLD generation across a compaction can
-    * fail; schedule compaction like any merge-on-read maintenance
-    * window. On a multi-writer cluster this lock would be a
+    * prefix of the mutation log. [[compact]] keeps the previous
+    * generation on disk (its retention window, default 1), so a
+    * reader holding a plan over the OLD generation across one
+    * concurrent compaction still executes it; only back-to-back
+    * compactions outrunning the window can invalidate a live plan.
+    * On a multi-writer cluster this lock would be a
     * transaction-log protocol instead (single-JVM serving façade
     * contract). */
   private val writeLock = new Object
@@ -340,14 +341,25 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     * Crash-safe by construction (single writer): the compacted view
     * is written to a NEW generation dir `path.genN+1`; it only
     * becomes current when its `_SUCCESS` marker lands (the last write
-    * of the job), and the superseded data is deleted strictly after.
+    * of the job), and superseded data is deleted strictly after.
     * A crash at any step leaves the previous generation complete and
     * served — there is no delete-before-rename window (the old
     * implementation destroyed the only copy if it died between
-    * `delete(dst)` and `rename(tmp, dst)`). */
-  def compact(): Unit = writeLock.synchronized {
+    * `delete(dst)` and `rename(tmp, dst)`).
+    *
+    * `retainGenerations` keeps the newest N superseded generations on
+    * disk (default 1): a reader whose plan resolved to the PREVIOUS
+    * generation before this compact started can still execute it
+    * afterwards — the filesystem analogue of the RWMutex that lets
+    * the reference serve reads across a rewrite (collection.go;
+    * VERDICT r12 #8). Older generations — including, eventually, the
+    * original bare-path log, which counts as the oldest generation —
+    * fall out of the window on subsequent compactions. Pass 0 to
+    * reclaim everything immediately (no concurrent readers). */
+  def compact(retainGenerations: Int = 1): Unit = writeLock.synchronized {
+    require(retainGenerations >= 0,
+      s"retainGenerations must be >= 0, got $retainGenerations")
     val f = fs()
-    val old = dataPath()
     val next = completeGens().maxOption.getOrElse(0) + 1
     // mode=overwrite clears any partial dir a crashed attempt left
     current()
@@ -355,15 +367,17 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
         lit(0L).as("version"), lit(false).as("deleted"))
       .write.mode("overwrite").parquet(s"$path.gen$next")
     // the new generation is complete (readers already resolve to it);
-    // now — and only now — retire everything older. The bare `path`
-    // dir is retired explicitly too: if a previous compaction crashed
-    // after its _SUCCESS but before this delete, `old` is already a
-    // generation dir and the original log would otherwise stay
-    // orphaned forever (no .genN cleanup ever targets it).
-    f.delete(new org.apache.hadoop.fs.Path(old), true)
-    if (old != path) f.delete(new org.apache.hadoop.fs.Path(path), true)
-    completeGens().filter(_ < next).foreach { n =>
-      f.delete(new org.apache.hadoop.fs.Path(s"$path.gen$n"), true)
+    // now — and only now — retire generations beyond the retention
+    // window, oldest first. The bare `path` log participates so it is
+    // never orphaned: a compaction that crashed after its _SUCCESS
+    // but before these deletes merely leaves one extra window entry
+    // for the next compact to collect.
+    val older = completeGens().filter(_ < next).sorted.map(n => s"$path.gen$n")
+    val retired =
+      (if (f.exists(new org.apache.hadoop.fs.Path(path))) Seq(path) else Nil) ++
+        older
+    retired.dropRight(retainGenerations).foreach { p =>
+      f.delete(new org.apache.hadoop.fs.Path(p), true)
     }
   }
 }

@@ -179,30 +179,55 @@ class CollectionSpec extends SparkSpec {
       "not a parquet file".getBytes("UTF-8"))
     assert(c.getAllIds() == Seq(1L, 3L), "partial generation leaked into reads")
 
-    // retrying over the leftover partial dir succeeds and retires the
-    // original log only after gen1 is complete
+    // retrying over the leftover partial dir succeeds; the original
+    // log stays on disk as the ONE retained superseded generation
+    // (the read-during-compact window, VERDICT r12 #8)
     c.compact()
     assert(c.getAllIds() == Seq(1L, 3L))
     assert(new java.io.File(path + ".gen1/_SUCCESS").exists())
-    assert(!new java.io.File(path).exists(), "superseded log not retired")
+    assert(new java.io.File(path).exists(),
+      "previous generation must stay inside the retention window")
 
     // crash B: a later compaction completed a new generation but died
     // before deleting the old one — both complete, readers take newest
     c.addDocuments(Seq((9L, Seq(1.0, 1.0, 1.0, 1.0), "{}")).toDF("id", "vector", "metadata"))
-    c.compact() // -> gen2, retires gen1
+    c.compact() // -> gen2; window keeps gen1, retires the bare log
     assert(c.getAllIds() == Seq(1L, 3L, 9L))
+    assert(!new java.io.File(path).exists(),
+      "bare log must fall out of the retention window")
+    assert(new java.io.File(path + ".gen1").exists())
     // resurrect a STALE but complete gen1 (simulates delete-not-run)
     Seq((111L, Seq(0.0, 0.0, 0.0, 0.0), "{}", 0L, false))
       .toDF("id", "vector", "metadata", "version", "deleted")
       .write.mode("overwrite").parquet(path + ".gen1")
     assert(c.getAllIds() == Seq(1L, 3L, 9L), "stale lower generation shadowed the newest")
-    // the next compaction cleans up every older generation
-    c.compact() // -> gen3
+    // the next compaction keeps only the newest superseded generation
+    c.compact() // -> gen3; window keeps gen2, retires gen1
     assert(c.getAllIds() == Seq(1L, 3L, 9L))
     assert(!new java.io.File(path + ".gen1").exists())
+    assert(new java.io.File(path + ".gen2").exists())
+    // retainGenerations = 0 reclaims everything immediately
+    c.compact(retainGenerations = 0) // -> gen4
     assert(!new java.io.File(path + ".gen2").exists())
+    assert(!new java.io.File(path + ".gen3").exists())
     assert(Collection.drop(spark, path))
-    assert(!new java.io.File(path + ".gen3").exists(), "drop must delete generations")
+    assert(!new java.io.File(path + ".gen4").exists(), "drop must delete generations")
+  }
+
+  test("a plan resolved before compact still reads after it (retention window)") {
+    val c = newCollection()
+    c.addDocuments(docs3)
+    c.removeDocuments(Seq(2L))
+    // resolve a plan against the CURRENT generation, then compact
+    // twice-minus-one: one compaction must never invalidate it (the
+    // reference serves reads across its rewrite via RWMutex,
+    // collection.go; the parquet analogue is the retention window)
+    val plan = c.current().select("id")
+    c.compact()
+    assert(plan.as[Long].collect().sorted.toSeq == Seq(1L, 3L),
+      "reader plan over the pre-compact generation must survive one compact")
+    // new reads resolve to the compacted generation and agree
+    assert(c.getAllIds() == Seq(1L, 3L))
   }
 
   test("lossy quantization stores dequantized grid values (ref quantization.go)") {
