@@ -623,6 +623,31 @@ object AnnLsh {
     pos.join(neg, Seq("anchor_id"))
   }
 
+  /** Diagnostic: the distinct canonical candidate-pair count the
+    * forest blocking of [[similarityJoin]] / [[hardNegatives]] /
+    * [[mineTriplets]] scores for this geometry — the ONE number that
+    * sets those operators' cost (each candidate pair is one distance
+    * evaluation feeding the bounded top-k aggregates). A probe that
+    * times those operators across scales should report this count
+    * alongside the wall time: a super-linear time ratio with a
+    * matching candidate ratio is bucket-occupancy geometry (re-tune
+    * `bitsPerTable`), not an execution regression. AnnSpec pins the
+    * count against an independently-computed shared-bucket join;
+    * SURVEY §4's mine_triplets sf1 band records it. */
+  def forestCandidatePairs(df: DataFrame, vecCol: String, idCol: String,
+                           numTables: Int, bitsPerTable: Int,
+                           dim: Int): Long = {
+    val base = df.select(col(idCol), col(vecCol))
+    val canon = base.groupBy(col(vecCol)).agg(min(col(idCol)).as("_cid"))
+    val ckeys = indexForest(canon, vecCol, numTables, bitsPerTable, dim)
+      .select(col("_cid"), explode(col("fkeys")).as("fkey"))
+    ckeys
+      .join(ckeys.select(col("_cid").as("_cq"), col("fkey")), "fkey")
+      .filter(col("_cid") =!= col("_cq"))
+      .select(col("_cq"), col("_cid")).distinct()
+      .count()
+  }
+
   private def selfJoinTopK(df: DataFrame, vecCol: String, idCol: String, k: Int,
                            numTables: Int, bitsPerTable: Int, dim: Int,
                            metric: Knn.Metric,

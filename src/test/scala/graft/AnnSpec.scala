@@ -545,4 +545,23 @@ class AnnSpec extends SparkSpec {
     val plan = dfq.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange"), plan.take(600))
   }
+
+  test("forestCandidatePairs matches an independently-computed shared-bucket join") {
+    // the diagnostic must report EXACTLY the candidate volume the
+    // similarity_join / mine_triplets family scores — pin it against
+    // a driver-side recomputation from the raw forest keys (collect
+    // canonical key sets, count ordered pairs sharing any key)
+    val got = AnnLsh.forestCandidatePairs(emb, "embedding", "vec_id",
+      numTables = 4, bitsPerTable = 8, dim = 64)
+    val keySets = AnnLsh.indexForest(
+        emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("cid")),
+        "embedding", 4, 8, 64)
+      .select(col("cid"), col("fkeys"))
+      .as[(Long, Seq[Long])].collect()
+    val expected = (for {
+      (a, ka) <- keySets; (b, kb) <- keySets
+      if a != b && ka.exists(kb.toSet)
+    } yield 1).size.toLong
+    assert(got == expected && got > 0, s"got=$got expected=$expected")
+  }
 }

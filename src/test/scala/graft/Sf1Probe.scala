@@ -214,6 +214,17 @@ object Sf1Probe {
     // sf1 (similarity_join); 2k/2^4 ~ 125 vs 20k/2^7 ~ 156 (semantic).
     def bitsFor(dir: String, base: Int): Int =
       if (dir == dst) base + 3 else base
+    // the declared mine_triplets query's planted corpus (anchor copies
+    // perturbed on one axis), shared by the scaled entry and the
+    // candidate-count diagnostic below
+    def tripletCorpus(s: SparkSession, dir: String): DataFrame = {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val vd = col("embedding").cast("array<double>")
+      val perturbed = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"))
+      emb.select(col("vec_id"), vd.as("embedding")).unionByName(perturbed)
+    }
     val scaled: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "similarity_join" -> ((s: SparkSession, dir: String) => {
         import graft.operators.{AnnLsh, Knn}
@@ -239,16 +250,8 @@ object Sf1Probe {
       }),
       "mine_triplets" -> ((s: SparkSession, dir: String) => {
         import graft.operators.{AnnLsh, Knn}
-        // the declared query's planted corpus, with scaled bits
-        val emb = s.read.parquet(s"$dir/embeddings.parquet")
-        val vd = col("embedding").cast("array<double>")
-        val perturbed = emb.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 10000).as("vec_id"),
-            concat(array(element_at(vd, 1) + 0.1), slice(vd, 2, 63)).as("embedding"))
-        val corpus = emb.select(col("vec_id"), vd.as("embedding"))
-          .unionByName(perturbed)
-        AnnLsh.mineTriplets(corpus, "embedding", "vec_id", 2, 20,
-          bitsFor(dir, 8), 64, Knn.Cosine, 0.15, 0.15, 0.45)
+        AnnLsh.mineTriplets(tripletCorpus(s, dir), "embedding", "vec_id",
+          2, 20, bitsFor(dir, 8), 64, Knn.Cosine, 0.15, 0.15, 0.45)
       }))
     // optional name filter (any non-flag arg): probe just those lines
     // — the cheap way to re-run an A/A pair on a few queries after a
@@ -288,6 +291,22 @@ object Sf1Probe {
         println(f"[sf1probe] $n%-20s sf0.1=${base(n)}%6.2f s  sf1=${big(n)}%7.2f s  ratio=${big(n) / base(n)}%5.1f x")
       }
       println(f"[sf1probe] TOTAL sf0.1=${base.values.sum}%.1f s  sf1=${big.values.sum}%.1f s  ratio=${big.values.sum / base.values.sum}%.1f x")
+    }
+    // mine_triplets' sf1 band (13-22x across eras, VERDICT r12 #6) is
+    // candidate-volume geometry, not execution pathology — record the
+    // forest candidate-pair count for the EXACT probed geometry at
+    // both scales so every A/A run logs (time ratio, candidate ratio)
+    // side by side; the AnnSpec pin guarantees this diagnostic counts
+    // precisely what the operator scores.
+    if (qs.exists(_._1 == "mine_triplets")) {
+      import graft.operators.AnnLsh
+      val counts = Seq(src, dst).map { dir =>
+        dir -> AnnLsh.forestCandidatePairs(tripletCorpus(spark, dir),
+          "embedding", "vec_id", 20, bitsFor(dir, 8), 64)
+      }
+      counts.foreach { case (dir, n) =>
+        println(s"[sf1probe] mine_triplets candidate pairs @$dir = $n") }
+      println(f"[sf1probe] mine_triplets candidate ratio = ${counts(1)._2.toDouble / counts(0)._2}%.1f x")
     }
     if (only.nonEmpty) { spark.stop(); return }
 
