@@ -74,6 +74,26 @@ class GraphSpec extends SparkSpec {
       s"checkpointed plan $planLines lines vs unchunked $fullLines")
   }
 
+  test("reliable checkpointDir yields the same ranks as localCheckpoint") {
+    // ADVICE r13: localCheckpoint stores rank blocks unreplicated —
+    // on a real cluster an executor loss after a cut fails the job.
+    // The reliable-dir escape hatch must change only durability,
+    // never the integer arithmetic.
+    val edges = rawEdges.toDF("src", "dst")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt")
+      .toString
+    val reliable = Graph.pagerank(edges, "src", "dst", 12,
+        checkpointEvery = 3, checkpointDir = Some(dir))
+      .as[(String, Long)].collect().toMap
+    val local = Graph.pagerank(edges, "src", "dst", 12, checkpointEvery = 3)
+      .as[(String, Long)].collect().toMap
+    assert(reliable == local)
+    // the reliable path actually wrote checkpoint data to the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .count() > 1
+    assert(wrote, s"no checkpoint data under $dir")
+  }
+
   test("total mass stays within the floor-division leak bound") {
     val edges = rawEdges.toDF("src", "dst")
     val scale = 1000000000000L

@@ -170,4 +170,43 @@ class IndexMaintenanceSpec extends SparkSpec {
     // compactIndex now restores _config after the swap, and the
     // post-compaction appendForestIndex there validates against it
   }
+
+  test("config sidecar memo revalidates after a foreign rebuild (mtime guard)") {
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val delta = docs.filter(col("doc_id") % 97 === 0)
+    val mh = tmp("graft-cfg-mtime")
+    Dedup.writeMinhashIndex(docs, "text", "doc_id", mh,
+      numHashes = 16, bands = 4, shingleN = 3)
+    // probe once with matching params — memoizes the sidecar contents
+    Dedup.incrementalNearDupIndexed(spark, mh, delta, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleN = 3).queryExecution.toRdd.count()
+    // a FOREIGN writer rebuilds with different bands: overwrite the
+    // sidecar directly, NOT via writeIndexConfig — the writing JVM's
+    // cache refresh never runs, exactly the cross-process scenario
+    // the raw-path memo validated stale (VERDICT r13 #3 / ADVICE r13)
+    Seq(("num_hashes", 16L), ("bands", 8L), ("shingle_n", 3L))
+      .toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(Dedup.indexConfigPath(mh))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupIndexed(spark, mh, delta, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+
+    // the cached-"no sidecar" hole: a pre-convention index (sidecar
+    // deleted) probes fine, but once a sidecar APPEARS at that path
+    // the next probe must validate against it, not skip forever
+    rm(Dedup.indexConfigPath(mh))
+    Dedup.incrementalNearDupIndexed(spark, mh, delta, "text", "doc_id",
+      numHashes = 16, bands = 4, shingleN = 3).queryExecution.toRdd.count()
+    Seq(("num_hashes", 16L), ("bands", 16L), ("shingle_n", 3L))
+      .toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(Dedup.indexConfigPath(mh))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupIndexed(spark, mh, delta, "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3)
+    }
+    assert(e2.getMessage.contains("bands"), e2.getMessage)
+    rm(mh)
+  }
 }
