@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Parse a previous BENCH_r{N}.json artifact into its per-query
+    * times. Factored out of main because the artifact is ADVERSARIAL
+    * input three rounds of verdicts hit bugs on: the driver wraps
+    * this program's stdout in a JSON "tail" STRING (so pairs appear
+    * with escaped quotes, `\"q3_join\":0.695` — r13 shipped a regex
+    * that missed all of them and vs_prev printed null), the tail is
+    * TRUNCATED mid-token at ~3.3 KB, and the artifact embeds the
+    * prev run's own vs_prev line whose shifted_gt20pct map holds
+    * query->RATIO pairs that must not be misread as times. BenchSpec
+    * pins all three traps on real artifact shapes. */
+  private[graft] def parsePrevQueryTimes(raw: String): Map[String, Double] = {
+    val cut = raw.indexOf("vs_prev")
+    val txt = if (cut >= 0) raw.substring(0, cut) else raw
+    val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
+    val meta = Set("value", "sf", "total", "round", "geomean",
+      "n", "rc", "cpus", "lines")
+    pairRe.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filterNot { case (k, _) => meta(k) }.toMap
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -117,22 +138,7 @@ object Bench {
         val (prevRound, prevFile) = prevFiles.maxBy(_._1)
         val raw = new String(java.nio.file.Files.readAllBytes(
           prevFile.toPath), java.nio.charset.StandardCharsets.UTF_8)
-        // Drop everything from the prev run's own vs_prev line on:
-        // its shifted_gt20pct map holds query->RATIO pairs that would
-        // otherwise be misread as that round's times.
-        val cut = raw.indexOf("vs_prev")
-        val txt = if (cut >= 0) raw.substring(0, cut) else raw
-        // The prev artifact wraps this program's stdout in a JSON
-        // "tail" STRING, so the per-query pairs appear with escaped
-        // quotes (\"q3_join\":0.695) — tolerate an optional backslash
-        // before each quote or the map parses as empty and vs_prev
-        // emits null (VERDICT r13 #1, the exact failure r13 shipped).
-        val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
-        val meta = Set("value", "sf", "total", "round", "geomean",
-          "n", "rc", "cpus", "lines")
-        val prev = pairRe.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filterNot { case (k, _) => meta(k) }.toMap
+        val prev = parsePrevQueryTimes(raw)
         val cur = results.toMap
         val ratios = cur.keys.toSeq.sorted.flatMap { k =>
           for (p <- prev.get(k); c = cur(k); if p > 0 && c > 0)
