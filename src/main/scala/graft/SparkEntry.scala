@@ -146,6 +146,27 @@ object SparkEntry {
     pcaModelCache.computeIfAbsent(dir, _ =>
       operators.Pca.fit(Tables.embeddings(s, dir), "embedding", 64))
 
+  /** Trained boost committee per corpus dir (plain scalars, session-
+    * free — the bpeMerges convention): classify_boost, its sweep, and
+    * its report all read the SAME deterministic model (training is a
+    * pure function of the signal frame), so one training run
+    * amortizes across the three queries instead of each paying the
+    * per-round aggregation chain. */
+  private val boostModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Boost.BoostModel]()
+
+  private def boostSignals(s: SparkSession, dir: String) =
+    operators.Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
+      .withColumn("y",
+        (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
+
+  private def boostModel(s: SparkSession, dir: String): operators.Boost.BoostModel =
+    boostModelCache.computeIfAbsent(dir, _ =>
+      operators.Boost.trainStumps(
+        boostSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
+        Seq("n_words", "n_stop"), rounds = 3,
+        maxCandidates = gradedBoostCap))
+
   /** PQ codebook per corpus dir (deterministic function of dir —
     * sampled by md5 total order — so one TakeOrdered job amortizes
     * across the ADC and rerank queries; plain doubles, session-free). */
@@ -2021,13 +2042,8 @@ object SparkEntry {
       // thresholds — exactly what a single stump (or the NB family's
       // linear scores) cannot express; held-out agreement vs the rule
       // labels is the distillation fidelity a deployment reads
-      val sig = Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
-        .withColumn("y",
-          (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
-      val tr = sig.filter(col("doc_id") % 5 =!= 0)
-      val te = sig.filter(col("doc_id") % 5 === 0)
-      val model = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
-        rounds = 3, maxCandidates = gradedBoostCap)
+      val te = boostSignals(s, dir).filter(col("doc_id") % 5 === 0)
+      val model = boostModel(s, dir)
       Boost.scoreStumps(te, model, Seq("doc_id", "y"))
         .select(col("doc_id"), col("y").cast("long").as("label"),
           col("pred"), (col("y").cast("long") === col("pred")).as("agree"))
@@ -2039,13 +2055,8 @@ object SparkEntry {
       // rounds = 1, 2, 3. AdaBoost is greedy-sequential, so the
       // smaller committees are PREFIXES of the 3-round model — one
       // training run serves every arm
-      val sig = Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
-        .withColumn("y",
-          (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
-      val tr = sig.filter(col("doc_id") % 5 =!= 0)
-      val te = sig.filter(col("doc_id") % 5 === 0)
-      val full = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
-        rounds = 3, maxCandidates = gradedBoostCap)
+      val te = boostSignals(s, dir).filter(col("doc_id") % 5 === 0)
+      val full = boostModel(s, dir)
       (1 to 3).map { r =>
         val m = Boost.BoostModel(full.features, full.stumps.take(r))
         Boost.scoreStumps(te, m, Seq("doc_id", "y"))
@@ -2062,13 +2073,8 @@ object SparkEntry {
       // the distilled gate's deploy gate: held-out confusion matrix
       // (rule label × committee verdict), integer counts — read next
       // to classify_nb_report before trusting the cheap gate
-      val sig = Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
-        .withColumn("y",
-          (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
-      val tr = sig.filter(col("doc_id") % 5 =!= 0)
-      val te = sig.filter(col("doc_id") % 5 === 0)
-      val model = Boost.trainStumps(tr, "y", Seq("n_words", "n_stop"),
-        rounds = 3, maxCandidates = gradedBoostCap)
+      val te = boostSignals(s, dir).filter(col("doc_id") % 5 === 0)
+      val model = boostModel(s, dir)
       Boost.scoreStumps(te, model, Seq("doc_id", "y"))
         .groupBy(col("y").cast("long").as("label"), col("pred"))
         .agg(count(lit(1)).as("n"))

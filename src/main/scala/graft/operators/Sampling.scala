@@ -379,55 +379,51 @@ object Sampling {
     * Wikipedia": both models are bucket-count tables, never
     * vocabularies.
     *
-    * Scale shape: both count tables are keyed aggs with map-side
-    * combine, bounded at ≤ `buckets` rows BY CONSTRUCTION regardless
-    * of corpus size; the model folds into a ONE-ROW bucket→logratio
-    * map (the decontaminate_bloom roll-up) that broadcasts onto the
-    * scoring pass, which is then PURE MAP-SIDE — each doc's weight is
-    * one order-pinned `aggregate` fold over its own gram sequence
+    * Scale shape: both count tables are ONE aggregation each with an
+    * `Array[Long](buckets)` buffer
+    * ([[graft.functions.DsirGramCountsAgg]] — an array-index
+    * increment per gram, instead of the exploded row + hash-probe per
+    * gram the Column formulation paid; partials merge by vector
+    * addition), bounded at `buckets` longs per partition BY
+    * CONSTRUCTION regardless of corpus size. The model collapses to
+    * `buckets` doubles on the driver (the trainNaiveBayes model-sized
+    * collect contract) and rides the scoring plan inside the
+    * codegen'd [[graft.functions.DsirScore]] kernel — each doc's
+    * weight is one tight-loop fold over its own gram sequence
     * (unigrams in position order, then bigrams; plain SUM order is
-    * engine-unspecified), zero joins on doc-sized frames, zero
-    * corpus-side shuffles. All ln inputs are integer-derived ratios,
-    * so weights reproduce exactly across engines and partitionings.
+    * engine-unspecified), ZERO joins, zero corpus-side shuffles. All
+    * ln inputs are integer-derived ratios, so weights reproduce
+    * exactly across engines and partitionings.
     *
     * Output: (idCol, n_grams, dsir_logw) — one row per raw doc;
     * token-less docs score 0.0 over 0 grams (weighting is a signal,
     * not a filter). `dsir_logw` is NOT length-normalized, matching
     * the paper (longer docs move further from 0). */
-  /** The DSIR gram sequence: unigrams in position order, then
-    * bigrams — shared by training, scoring, and the deployment
-    * paths so their folds stay bit-identical. */
-  private def dsirGrams(tc: String): Column = {
-    val wv = filter(split(coalesce(col(tc), lit("")), " "), t => t =!= "")
-    concat(wv,
-      when(size(wv) >= 2,
-        transform(sequence(lit(1), size(wv) - 1),
-          i => concat_ws(" ", element_at(wv, i), element_at(wv, i + 1))))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** The filtered word array the DSIR gram sequence derives from —
+    * shared by training, scoring, and the deployment paths so their
+    * gram walks stay bit-identical (the kernels visit unigrams in
+    * position order, then bigrams built with a single-space join). */
+  private def dsirWords(tc: String): Column =
+    filter(split(coalesce(col(tc), lit("")), " "), t => t =!= "")
 
+  /** Batch weights = [[trainDsir]] + [[dsirScoreAll]]: the batch path
+    * IS the deployment split, so the two can never drift — and the
+    * scoring pass runs the codegen'd kernel either way. */
   def dsirWeights(raw: DataFrame, idCol: String, textCol: String,
                   target: DataFrame, targetTextCol: String,
                   buckets: Int = 4096): DataFrame = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
-    val modelRow = dsirModelRow(raw, textCol, target, targetTextCol, buckets)
-    raw.select(col(idCol), dsirGrams(textCol).as("_gs"))
-      .crossJoin(broadcast(modelRow))
-      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
-        aggregate(
-          transform(col("_gs"),
-            g => element_at(col("_m"),
-              (Dedup.hash64(g) % buckets).cast("int") + 1)),
-          lit(0.0), (a, x) => a + x).as("dsir_logw"))
+    dsirScoreAll(raw, idCol, textCol,
+      trainDsir(raw, textCol, target, targetTextCol, buckets))
   }
 
   /** Train the DSIR model once, driver-side: the dense bucket-ordered
-    * logratio array [[dsirWeights]] broadcasts, collected under the
-    * model-sized contract (exactly `buckets` doubles regardless of
-    * corpus size — the trainNaiveBayes split). Feed it to
-    * [[dsirScoreAll]] to score any frame — including a streaming
-    * micro-batch ([[graft.streaming.Ingest.dsirStream]]) — without
-    * re-reading either training corpus. */
+    * logratio array, collected under the model-sized contract
+    * (exactly `buckets` doubles regardless of corpus size — the
+    * trainNaiveBayes split). Feed it to [[dsirScoreAll]] to score any
+    * frame — including a streaming micro-batch
+    * ([[graft.streaming.Ingest.dsirStream]]) — without re-reading
+    * either training corpus. */
   def trainDsir(raw: DataFrame, textCol: String, target: DataFrame,
                 targetTextCol: String, buckets: Int = 4096): Array[Double] = {
     require(buckets > 0, s"buckets must be > 0, got $buckets")
@@ -435,75 +431,45 @@ object Sampling {
       .head().getSeq[Double](0).toArray
   }
 
-  /** The one-row dense model array behind [[dsirWeights]] /
-    * [[trainDsir]] — factored so both read the identical plan. */
-  private def dsirModelRow(raw: DataFrame, textCol: String,
-                           target: DataFrame, targetTextCol: String,
-                           buckets: Int): DataFrame = {
-    def bucketCounts(df: DataFrame, tc: String): DataFrame =
-      df.select(explode(dsirGrams(tc)).as("_g"))
-        .select((Dedup.hash64(col("_g")) % buckets).as("_bkt"))
-        .groupBy(col("_bkt")).agg(count(lit(1)).as("_n"))
-    val tCnt = bucketCounts(target, targetTextCol)
-    val rCnt = bucketCounts(raw, textCol)
-    // the model covers the FULL bucket range, not just raw-seen
-    // buckets (ADVICE r12): trainDsir/dsirScoreAll/Ingest.dsirStream
-    // score NEW documents whose grams can land in buckets the raw
-    // corpus never populated — those must hold the Laplace-smoothed
-    // logratio with nr = 0 (target-only buckets score target-like,
-    // both-unseen buckets the neutral ln((tr+B)/(tt+B)) constant),
-    // not a silent 0.0. Buckets the batch path looks up (raw-seen)
-    // compute exactly the values they always did.
-    // totals are column sums of the joined spine — every gram lands in
-    // exactly one bucket of the full range, so sum(_nr)/sum(_nt) ARE
-    // the corpus gram totals. One single-partition window over the
-    // `buckets`-row frame replaces the two agg crossJoins that re-ran
-    // the gram explode from scratch (VERDICT r13 #2: ReuseExchange did
-    // not dedupe them — 4 corpus FileScans in the executed model
-    // subtree; now exactly 2, plan-pinned in SamplingSpec). Same
-    // integers in, same logratio out: sample_dsir stays hash-green.
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-    val model = raw.sparkSession.range(buckets)
-      .select(col("id").as("_bkt"))
-      .join(rCnt.withColumnRenamed("_n", "_nr"), Seq("_bkt"), "left")
-      .join(tCnt.withColumnRenamed("_n", "_nt"), Seq("_bkt"), "left")
-      .select(col("_bkt"),
-        coalesce(col("_nr"), lit(0L)).as("_nr"),
-        coalesce(col("_nt"), lit(0L)).as("_nt"))
-      .withColumn("_tr", sum(col("_nr")).over(all))
-      .withColumn("_tt", sum(col("_nt")).over(all))
-      .select(col("_bkt"),
-        (log((col("_nt") + lit(1.0)) / (col("_tt") + lit(buckets)))
-          - log((col("_nr") + lit(1.0)) / (col("_tr") + lit(buckets))))
-          .as("_lr"))
-    // exactly `buckets` rows by construction → one-row broadcast
-    // DENSE ARRAY (bucket-ordered). A map here cost O(buckets) per
-    // gram — element_at on a map is a linear entry scan inside the
-    // interpreted HOF, so scoring paid |doc grams| × buckets
-    // comparisons per doc (the sf1 probe caught the corpus task
-    // pinned for minutes); the array index is O(1) and bit-identical.
-    model
-      .agg(array_sort(collect_list(struct(col("_bkt"), col("_lr")))).as("_me"))
-      .select(transform(col("_me"), s => s.getField("_lr")).as("_m"))
+  /** The one-row dense model array behind [[trainDsir]]: ONE
+    * histogram aggregation per corpus (exactly 2 corpus FileScans,
+    * plan-pinned in SamplingSpec — the r13 shape re-aggregated the
+    * corpus for its totals and paid 4), crossJoined 1-row x 1-row,
+    * then the per-bucket logratio via `zip_with` in bucket (= array
+    * index) order. Totals are the column sums of the histograms
+    * (every gram lands in exactly one bucket), and the model covers
+    * the FULL bucket range (ADVICE r12): raw-unseen buckets hold the
+    * Laplace-smoothed logratio with nr = 0 — target-only buckets
+    * score target-like, both-unseen buckets the neutral constant —
+    * so NEW documents score correctly in deployment. */
+  private[graft] def dsirModelRow(raw: DataFrame, textCol: String,
+                                  target: DataFrame, targetTextCol: String,
+                                  buckets: Int): DataFrame = {
+    def hist(df: DataFrame, tc: String): DataFrame =
+      df.select(dsirWords(tc).as("_w"))
+        .agg(graft.functions.DsirExprs.gramCounts(col("_w"), buckets).as("_h"))
+    hist(raw, textCol).select(col("_h").as("_hr"))
+      .crossJoin(hist(target, targetTextCol).select(col("_h").as("_ht")))
+      .select(col("_hr"), col("_ht"),
+        aggregate(col("_hr"), lit(0L), (a, x) => a + x).as("_tr"),
+        aggregate(col("_ht"), lit(0L), (a, x) => a + x).as("_tt"))
+      .select(zip_with(col("_ht"), col("_hr"), (nt, nr) =>
+        log((nt + lit(1.0)) / (col("_tt") + lit(buckets)))
+          - log((nr + lit(1.0)) / (col("_tr") + lit(buckets)))).as("_m"))
   }
 
   /** Score any frame against a trained DSIR model: the model rides
-    * the plan as ONE array literal, the weight is the same
-    * order-pinned map-side fold as [[dsirWeights]] — zero joins, zero
-    * shuffles, bit-identical by construction (spec-pinned), and it
-    * runs unchanged inside a streaming micro-batch. */
+    * the plan inside the codegen'd kernel — zero joins, zero
+    * shuffles, bit-identical to [[dsirWeights]] (it IS dsirWeights'
+    * scoring path), and it runs unchanged inside a streaming
+    * micro-batch. */
   def dsirScoreAll(df: DataFrame, idCol: String, textCol: String,
                    model: Array[Double]): DataFrame = {
     require(model.nonEmpty, "dsirScoreAll needs a non-empty model")
-    val buckets = model.length
-    df.select(col(idCol), dsirGrams(textCol).as("_gs"))
-      .select(col(idCol), size(col("_gs")).cast("long").as("n_grams"),
-        aggregate(
-          transform(col("_gs"),
-            g => element_at(typedlit(model.toSeq),
-              (Dedup.hash64(g) % buckets).cast("int") + 1)),
-          lit(0.0), (a, x) => a + x).as("dsir_logw"))
+    df.select(col(idCol),
+        graft.functions.DsirExprs.scoreCol(dsirWords(textCol), model).as("_s"))
+      .select(col(idCol), col("_s.n_grams").as("n_grams"),
+        col("_s.dsir_logw").as("dsir_logw"))
   }
 
   /** DSIR resampling on top of [[dsirWeights]]: the paper's

@@ -306,20 +306,24 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("dsir model subtree scans each corpus once (VERDICT r13 #2)") {
-    // the _tr/_tt totals used to be re-aggregated from scratch —
+    // the r13 shape re-aggregated the corpus for its _tr/_tt totals —
     // ReuseExchange did not dedupe them, so the executed plan carried
-    // FOUR full gram passes over documents.parquet in the model
-    // subtree. Totals are now column sums of the joined bucket spine:
-    // the whole dsirWeights plan must hold exactly THREE corpus
-    // FileScans — raw grams + target grams (model) + the scoring scan.
+    // FOUR full gram passes over documents.parquet. The histogram-agg
+    // model build must hold exactly TWO corpus FileScans (raw grams +
+    // target grams), and the scoring plan ONE with no join at all.
     val docs = graft.core.Tables.documents(spark, sf0001)
     val target = docs.filter(col("doc_id") % 7 === 0)
-    val plan = Sampling.dsirWeights(docs, "doc_id", "text", target,
+    val modelPlan = Sampling.dsirModelRow(docs, "text", target, "text", 256)
+      .queryExecution.executedPlan.toString
+    val modelScans = modelPlan.linesIterator.count(_.contains("FileScan"))
+    assert(modelScans == 2, s"expected 2 model FileScans, got $modelScans:\n" +
+      modelPlan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    val scorePlan = Sampling.dsirWeights(docs, "doc_id", "text", target,
         "text", buckets = 256)
       .queryExecution.executedPlan.toString
-    val scans = plan.linesIterator.count(_.contains("FileScan"))
-    assert(scans == 3, s"expected 3 corpus FileScans, got $scans:\n" +
-      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+    val scoreScans = scorePlan.linesIterator.count(_.contains("FileScan"))
+    assert(scoreScans == 1 && !scorePlan.contains("Join"),
+      s"scoring must be one join-free scan:\n$scorePlan")
   }
 
   test("dsir raw-unseen buckets hold the smoothed logratio, not 0 (ADVICE r12)") {
@@ -352,9 +356,10 @@ class SamplingSpec extends SparkSpec {
     val target = raw.limit(10)
     val plan = Sampling.dsirWeights(raw, "doc_id", "text", target, "text", 256)
       .queryExecution.executedPlan.toString
-    // model attaches via broadcast; the corpus never sort-merge-joins
-    assert(!plan.contains("SortMergeJoin"), plan.take(800))
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+    // the model rides inside the codegen'd kernel: the scoring plan
+    // has NO join and NO exchange of any kind (stronger than the old
+    // broadcast-attach shape this test used to allow)
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan.take(800))
   }
 
   test("quantileStrata: equal-population bins, exact per-bin draw, partitioning-independent") {
