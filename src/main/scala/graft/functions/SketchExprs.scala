@@ -78,10 +78,13 @@ case class SimHashAgg(child: Expression) extends UnaryExpression {
 }
 
 /** MinHash signature of a shingle-hash array under the universal-hash
-  * family sig_j = min over h of (a_j * (h mod m) + b_j) mod m.
-  * Input hashes must already be reduced mod m (Dedup pre-reduces). */
+  * family sig_j = min over h of (a_j * (h mod m) + b_j) mod m. */
 case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], m: Long)
   extends UnaryExpression {
+  // input hashes reduce mod m IN the kernel (identity for inputs
+  // already < m, so the value contract is unchanged): callers used to
+  // pre-reduce via an interpreted `transform(shs, h => h % m)` lambda
+  // per shingle — r14 folded it into the loop
 
   private val k = as.length
   require(bs.length == k, "a/b constant arrays must have equal length")
@@ -95,7 +98,7 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], m: Long)
     var t = 0
     while (t < n) {
       if (!hs.isNullAt(t)) {
-        val h = hs.getLong(t)
+        val h = hs.getLong(t) % m
         var j = 0
         while (j < k) {
           val v = (as(j) * h + bs(j)) % m
@@ -124,7 +127,7 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], m: Long)
          |java.util.Arrays.fill($sig, ${m}L);
          |for (int $t = 0; $t < $n; $t++) {
          |  if (!$a.isNullAt($t)) {
-         |    long $h = $a.getLong($t);
+         |    long $h = $a.getLong($t) % ${m}L;
          |    for (int $j = 0; $j < $k; $j++) {
          |      long $v = ($asRef[$j] * $h + $bsRef[$j]) % ${m}L;
          |      if ($v < $sig[$j]) $sig[$j] = $v;
@@ -140,10 +143,87 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], m: Long)
     copy(child = newChild)
 }
 
+/** Distinct hashed word-n-gram shingles of a words array, in
+  * first-occurrence order — the fused form of
+  * `array_distinct(transform(shinglesFromWords(w, n), s => hash64(s)))`
+  * that feeds the WHOLE minhash dedup family ([[graft.operators.Dedup
+  * .shingleSets]]). The Column formulation paid, per shingle position,
+  * an interpreted lambda building the joined string plus Spark's
+  * md5 → hex-string → conv(16,10) round trip; this kernel joins the
+  * UTF-8 word bytes with a single 0x20 (byte-identical to
+  * `concat_ws(" ", …)`), hashes via [[TextExprs.hash60]] (identical to
+  * Dedup.hash64), and dedups with first-occurrence order preserved
+  * (identical to `array_distinct`) — so signatures, band keys,
+  * Jaccard sets, and every oracle stay bit-for-bit. */
+case class ShingleHashSet(child: Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, s"shingle n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    SketchExprs.shingleHashSet(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SketchExprs.shingleHashSet($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingle_hashes"
+}
+
 object SketchExprs {
   def simhash(tokenHashes: Column): Column =
     GraftBridge.toColumn(SimHashAgg(GraftBridge.toExpression(tokenHashes)))
 
   def minhashSig(shingleHashes: Column, as: Seq[Long], bs: Seq[Long], m: Long): Column =
     GraftBridge.toColumn(MinHashSig(GraftBridge.toExpression(shingleHashes), as, bs, m))
+
+  def shingleHashes(words: Column, n: Int): Column =
+    GraftBridge.toColumn(ShingleHashSet(GraftBridge.toExpression(words), n))
+
+  /** Kernel body both the interpreted and generated code call: for
+    * each of the `count - n + 1` positions, hash the 0x20-joined
+    * UTF-8 bytes of words i..i+n-1 and keep first occurrences. A null
+    * word element is treated as an empty word (defensive only — split
+    * never produces nulls, and the Column formulation's concat_ws
+    * would skip a null AND its separator, a shape unreachable from
+    * the tokenizer). */
+  def shingleHashSet(words: ArrayData, n: Int): ArrayData = {
+    val count = words.numElements()
+    if (count < n) return new GenericArrayData(Array.empty[Long])
+    val bytes = new Array[Array[Byte]](count)
+    var i = 0
+    while (i < count) {
+      bytes(i) =
+        if (words.isNullAt(i)) Array.emptyByteArray
+        else words.getUTF8String(i).getBytes
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    i = 0
+    while (i <= count - n) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += bytes(i + k).length; k += 1 }
+      val g = new Array[Byte](len)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        val b = bytes(i + k)
+        System.arraycopy(b, 0, g, pos, b.length)
+        pos += b.length
+        if (k < n - 1) { g(pos) = ' '; pos += 1 }
+        k += 1
+      }
+      val h = TextExprs.hash60(g)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -89,11 +89,12 @@ object Dedup {
                         numHashes: Int, shingleN: Int): DataFrame = {
     val (as, bs) = minhashConsts(numHashes)
     df.filter(size(words(col(textCol))) >= shingleN)
-      .select(col(idCol), words(col(textCol)).as("_w"))
+      .select(col(idCol),
+        graft.functions.SketchExprs
+          .shingleHashes(words(col(textCol)), shingleN).as("shs"))
       .select(col(idCol),
         graft.functions.SketchExprs.minhashSig(
-          transform(array_distinct(shinglesFromWords(col("_w"), shingleN)),
-            s => hash64(s) % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+          col("shs"), as, bs, MINHASH_M).as("sig"))
   }
 
   /** LSH candidate pairs: ids sharing at least one band of the
@@ -131,16 +132,17 @@ object Dedup {
   /** Per-doc distinct shingle-hash sets: (sid, shs array<long>). The
     * shared input of candidate generation AND verification — compute it
     * once and persist so neither stage re-shingles the raw text.
-    * Words materialize in their own projection first, so the shingle
-    * lambda reads an attribute instead of re-splitting per position
-    * (CollapseProject keeps expensive multi-referenced aliases). */
+    * Hashing runs in the fused [[graft.functions.SketchExprs
+    * .shingleHashes]] kernel (byte-joined words → hash60 → first-
+    * occurrence dedup, one tight loop per doc) — bit-identical to the
+    * `array_distinct(transform(shingles, hash64))` Column form, which
+    * paid an interpreted lambda + an md5 hex round trip per shingle
+    * position (r14: the dedup family's shared hot loop). */
   def shingleSets(df: DataFrame, textCol: String, idCol: String, shingleN: Int,
                   carry: Seq[String] = Nil): DataFrame =
-    df.select(col(idCol).as("sid") +: words(col(textCol)).as("_w") +:
-        carry.map(col): _*)
-      .select(col("sid") +:
-        array_distinct(transform(shinglesFromWords(col("_w"), shingleN),
-          s => hash64(s))).as("shs") +:
+    df.select(col(idCol).as("sid") +:
+        graft.functions.SketchExprs
+          .shingleHashes(words(col(textCol)), shingleN).as("shs") +:
         carry.map(col): _*)
 
   /** Exact Jaccard over pre-computed shingle-hash sets (see
@@ -195,7 +197,7 @@ object Dedup {
     val sigs = sets.filter(size(col("shs")) > 0)
       .select(col("sid").as(idCol),
         graft.functions.SketchExprs.minhashSig(
-          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+          col("shs"), as, bs, MINHASH_M).as("sig"))
     val cands = lshCandidates(sigs, idCol, bands, numHashes / bands)
     verifyJaccardSets(sets, cands, minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
@@ -291,7 +293,7 @@ object Dedup {
       val sigs = sets.filter(size(col("shs")) > 0)
         .select(col("sid").as(idCol),
           graft.functions.SketchExprs.minhashSig(
-            transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+            col("shs"), as, bs, MINHASH_M).as("sig"))
       bandKeys(sigs, idCol, idCol, bands, numHashes / bands)
         .write.mode("overwrite").parquet(s"$path/bands")
       writeIndexConfig(df.sparkSession, path,
@@ -342,7 +344,7 @@ object Dedup {
     val corpusSigs = corpusSets.filter(size(col("shs")) > 0)
       .select(col("sid").as("cid"),
         graft.functions.SketchExprs.minhashSig(
-          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+          col("shs"), as, bs, MINHASH_M).as("sig"))
     // incrementalCore eagerly materializes its (delta-sized) result, so
     // the corpus cache can be released here — repeated per-batch calls
     // must not accumulate corpus-sized cached RDDs until LRU eviction
@@ -386,7 +388,7 @@ object Dedup {
     val deltaSigs = deltaSets.filter(size(col("shs")) > 0)
       .select(col("sid").as("did"),
         graft.functions.SketchExprs.minhashSig(
-          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+          col("shs"), as, bs, MINHASH_M).as("sig"))
     val deltaBands = bandKeys(deltaSigs, "did", "did", bands, numHashes / bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // corpus × delta candidates: the corpus frame is the big side,
@@ -659,14 +661,12 @@ object Dedup {
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 3, minHits: Int = 1): DataFrame = {
     val benchShingles = benchmark
-      .select(words(col(benchTextCol)).as("_w"))
-      .select(explode(array_distinct(
-        transform(shinglesFromWords(col("_w"), n), s => hash64(s)))).as("sh"))
+      .select(explode(graft.functions.SketchExprs
+        .shingleHashes(words(col(benchTextCol)), n)).as("sh"))
       .distinct()
     val corpusShingles = corpus
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("_w"))
-      .select(col("doc_id"), explode(array_distinct(
-        transform(shinglesFromWords(col("_w"), n), s => hash64(s)))).as("sh"))
+      .select(col(idCol).as("doc_id"), explode(graft.functions.SketchExprs
+        .shingleHashes(words(col(textCol)), n)).as("sh"))
     val hits = corpusShingles.join(benchShingles, "sh")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("bench_hits"))
     corpus.select(col(idCol).as("doc_id"))
@@ -710,9 +710,8 @@ object Dedup {
     def posSql(shExpr: String, t: Int): String =
       s"cast(conv(substring(md5(concat('bl0_', cast($shExpr as string))), ${1 + 8 * t}, 8), 16, 10) as bigint) % $mBits"
     val benchPos = benchmark
-      .select(words(col(benchTextCol)).as("_w"))
-      .select(explode(array_distinct(
-        transform(shinglesFromWords(col("_w"), n), s => hash64(s)))).as("sh"))
+      .select(explode(graft.functions.SketchExprs
+        .shingleHashes(words(col(benchTextCol)), n)).as("sh"))
       .select(explode(array((0 until 3).map(t => expr(posSql("sh", t))): _*)).as("pos"))
       .distinct()
     // Dense-array assembly via a zero-word union — NOT a map probed
@@ -738,9 +737,8 @@ object Dedup {
       s"(shiftright(element_at(bm, cast(($p) div 64 as int) + 1), cast(($p) % 64 as int)) % 2) != 0"
     }.mkString(" and ")
     corpus
-      .select(col(idCol).as("doc_id"), words(col(textCol)).as("_w"))
-      .select(col("doc_id"), array_distinct(
-        transform(shinglesFromWords(col("_w"), n), s => hash64(s))).as("_shs"))
+      .select(col(idCol).as("doc_id"), graft.functions.SketchExprs
+        .shingleHashes(words(col(textCol)), n).as("_shs"))
       .crossJoin(broadcast(bitmap))
       // coalesce: a NULL text has a NULL shingle array; it must report
       // 0 hits (and survive), matching the equi-join form's left join
@@ -838,9 +836,9 @@ object Dedup {
     * engines and partitionings. */
   def sourceSimilarity(df: DataFrame, textCol: String, groupCol: String,
                        shingleN: Int = 3, k: Int = 256): DataFrame = {
-    val sk = df.select(col(groupCol).as("_g"), words(col(textCol)).as("_w"))
-      .select(col("_g"), explode(array_distinct(
-        transform(shinglesFromWords(col("_w"), shingleN), s => hash64(s)))).as("_h"))
+    val sk = df.select(col(groupCol).as("_g"), explode(
+        graft.functions.SketchExprs
+          .shingleHashes(words(col(textCol)), shingleN)).as("_h"))
       .groupBy(col("_g"))
       .agg(graft.functions.KmvAgg.kmv(col("_h"), k).as("_sk"))
     val a = sk.select(col("_g").as("source_a"), col("_sk").as("_sa"))
@@ -893,7 +891,7 @@ object Dedup {
     val bSigs = bSets.filter(size(col("shs")) > 0)
       .select(col("sid").as("did"),
         graft.functions.SketchExprs.minhashSig(
-          transform(col("shs"), h => h % MINHASH_M), as, bs, MINHASH_M).as("sig"))
+          col("shs"), as, bs, MINHASH_M).as("sig"))
     val bBands = bandKeys(bSigs, "did", "did", bands, numHashes / bands)
     val cand = corpusBands.join(broadcast(bBands), Seq("band", "key"))
       .select(col("cid"), col("did")).distinct()

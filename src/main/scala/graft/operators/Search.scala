@@ -515,8 +515,7 @@ object Search {
     val seedSigs = seedSets.filter(size(col("shs")) > 0)
       .select(col("sid").as("qid"),
         graft.functions.SketchExprs.minhashSig(
-          transform(col("shs"), h => h % Dedup.MINHASH_M),
-          as, bs, Dedup.MINHASH_M).as("sig"))
+          col("shs"), as, bs, Dedup.MINHASH_M).as("sig"))
     val seedBands = Dedup.bandKeys(seedSigs, "qid", "qid",
       bands, numHashes / bands)
     // seeds are the small side by construction: band keys and hash

@@ -275,8 +275,7 @@ object Ingest {
     val sigs = sets.filter(size(col("shs")) > 0)
       .select(col("sid"), col(tsCol), col("shs"),
         graft.functions.SketchExprs.minhashSig(
-          transform(col("shs"), h => h % Dedup.MINHASH_M),
-          as, bs, Dedup.MINHASH_M).as("sig"))
+          col("shs"), as, bs, Dedup.MINHASH_M).as("sig"))
     val streamBands = Dedup.bandKeys(sigs, "sid", "sid", bands,
       numHashes / bands, carry = Seq(tsCol, "shs"))
     streamBands
