@@ -155,7 +155,8 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long], m: Long)
   * Dedup.hash64), and dedups with first-occurrence order preserved
   * (identical to `array_distinct`) — so signatures, band keys,
   * Jaccard sets, and every oracle stay bit-for-bit. */
-case class ShingleHashSet(child: Expression, n: Int)
+case class ShingleHashSet(child: Expression, n: Int,
+                          distinct: Boolean = true)
   extends UnaryExpression {
 
   require(n >= 1, s"shingle n must be >= 1, got $n")
@@ -163,11 +164,11 @@ case class ShingleHashSet(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    SketchExprs.shingleHashSet(input.asInstanceOf[ArrayData], n)
+    SketchExprs.shingleHashSet(input.asInstanceOf[ArrayData], n, distinct)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.SketchExprs.shingleHashSet($a, $n);")
+      s"${ev.value} = graft.functions.SketchExprs.shingleHashSet($a, $n, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -185,6 +186,13 @@ object SketchExprs {
   def shingleHashes(words: Column, n: Int): Column =
     GraftBridge.toColumn(ShingleHashSet(GraftBridge.toExpression(words), n))
 
+  /** Positional variant (`distinct = false`): every shingle position's
+    * hash, duplicates preserved — the winnowing/simhash input shape
+    * (`transform(shingles, hash64)` with no array_distinct). */
+  def shingleHashSeq(words: Column, n: Int): Column =
+    GraftBridge.toColumn(
+      ShingleHashSet(GraftBridge.toExpression(words), n, distinct = false))
+
   /** Kernel body both the interpreted and generated code call: for
     * each of the `count - n + 1` positions, hash the 0x20-joined
     * UTF-8 bytes of words i..i+n-1 and keep first occurrences. A null
@@ -192,7 +200,8 @@ object SketchExprs {
     * never produces nulls, and the Column formulation's concat_ws
     * would skip a null AND its separator, a shape unreachable from
     * the tokenizer). */
-  def shingleHashSet(words: ArrayData, n: Int): ArrayData = {
+  def shingleHashSet(words: ArrayData, n: Int,
+                     distinct: Boolean = true): ArrayData = {
     val count = words.numElements()
     if (count < n) return new GenericArrayData(Array.empty[Long])
     val bytes = new Array[Array[Byte]](count)
@@ -221,7 +230,7 @@ object SketchExprs {
         k += 1
       }
       val h = TextExprs.hash60(g)
-      if (seen.add(h)) out += h
+      if (!distinct || seen.add(h)) out += h
       i += 1
     }
     new GenericArrayData(out.toArray)

@@ -453,7 +453,10 @@ object Dedup {
     * slice into LSH band keys). */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val BITS = 60
-    val hs = transform(words(col(textCol)), t => hash64(t))
+    // per-token hashes via the positional kernel (n = 1): the
+    // transform lambda ran interpreted md5+hex per token
+    val hs = graft.functions.SketchExprs.shingleHashSeq(
+      words(col(textCol)), 1)
     df.select(col(idCol),
         graft.functions.SketchExprs.simhash(hs).as("simhash"))
       // MSB-first bit string, sliceable by column offsets for band keys
@@ -934,9 +937,9 @@ object Dedup {
     * excerpt decontamination and document fingerprints diverge. */
   private[operators] def shingleHashArrays(df: DataFrame, textCol: String,
                                            idCol: String, n: Int): DataFrame =
-    df.select(col(idCol), words(col(textCol)).as("_w"))
-      .select(col(idCol),
-        transform(shinglesFromWords(col("_w"), n), s => hash64(s)).as("_h"))
+    df.select(col(idCol),
+      graft.functions.SketchExprs.shingleHashSeq(
+        words(col(textCol)), n).as("_h"))
 
   /** Winnowing window minima over a MATERIALIZED hash-array column:
     * element i = min(h[i .. i+window-1]), for every window position. */
