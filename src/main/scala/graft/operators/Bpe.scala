@@ -111,12 +111,27 @@ object Bpe {
     *    holds the ENTIRE pair vocabulary and all of it was selected
     *    (disjoint-total ⇒ merge-created pairs map to nonexistent base
     *    pairs ⇒ count 0).
+    *  - *Concat-collision terminator (ADVICE r14).* The disjointness
+    *    argument treats a merge's new token string `a+b` as FRESH; if
+    *    that string instead equals an existing vocabulary token, a
+    *    selected batch-mate's token, or another selected merge's
+    *    concatenation (e.g. `(i,ng)` then `(in,g)` → both make
+    *    "ing"), the new occurrences POOL with the existing ones, and
+    *    pairs containing the pooled string can exceed the stale trim
+    *    bound. `vocabToken` must answer "is this string an existing
+    *    token type?" (a conservative SUPERSET is safe — it can only
+    *    terminate a batch earlier, never admit an unsafe candidate);
+    *    a colliding candidate terminates the batch, and a colliding
+    *    HEAD (still exact — it is the global argmax) closes the round
+    *    as a singleton, exactly like a self-pair.
     *
     * BpeSpec pins batched == sequential merge-for-merge on tie-heavy,
-    * self-pair, and overlap corpora plus the documents table. */
+    * self-pair, overlap, and concat-collision corpora plus the
+    * documents table, and pins each terminator rule unit-level. */
   private[graft] def selectBatch(top: Seq[(String, String, Long)],
                                  want: Int,
-                                 windowSaturated: Boolean
+                                 windowSaturated: Boolean,
+                                 vocabToken: String => Boolean
                                 ): Seq[(String, String, Long)] = {
     val sel = collection.mutable.ArrayBuffer[(String, String, Long)]()
     val touched = collection.mutable.Set[String]()
@@ -126,15 +141,18 @@ object Bpe {
     var open = true
     while (open && i < top.length && sel.length < want) {
       val (a, b, pc) = top(i)
-      val conflict = touched(a) || touched(b) || made(a) || made(b)
+      val merged = a + b
+      val conflict = touched(a) || touched(b) || made(a) || made(b) ||
+        touched(merged) || made(merged) || vocabToken(merged)
       if (sel.isEmpty) {
         sel += top(i)
-        if (a == b) { stopCount = top.lift(i + 1).map(_._3); open = false }
-        else { touched += a; touched += b; made += a + b }
+        if (a == b || vocabToken(merged)) {
+          stopCount = top.lift(i + 1).map(_._3); open = false
+        } else { touched += a; touched += b; made += merged }
       } else if (conflict || a == b) {
         stopCount = Some(pc); open = false
       } else {
-        sel += top(i); touched += a; touched += b; made += a + b
+        sel += top(i); touched += a; touched += b; made += merged
       }
       i += 1
     }
@@ -167,6 +185,17 @@ object Bpe {
     require(numMerges > 0, s"numMerges must be > 0, got $numMerges")
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     var vocab = wordVocab(df, textCol).localCheckpoint()
+    // Driver-side token-type set for selectBatch's concat-collision
+    // terminator (ADVICE r14): seeded from the initial vocabulary's
+    // distinct tokens (ONE |alphabet|-row job, bounded by the char
+    // set), grown by each committed merge's concatenation. Tokens
+    // that later vanish from every sequence are never removed — a
+    // stale SUPERSET only terminates a batch earlier, it can never
+    // admit a candidate sequential training would rank differently.
+    val vocabTokens = collection.mutable.Set[String]()
+    vocabTokens ++= vocab
+      .select(explode(split(col("seq"), Sep)).as("t")).distinct()
+      .collect().map(_.getString(0))
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -179,10 +208,11 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
       if (top.isEmpty) exhausted = true
       else {
-        val batch = selectBatch(top, want, top.length == window)
+        val batch = selectBatch(top, want, top.length == window, vocabTokens)
         val batchMerges = batch.map { case (a, b, pc) =>
           val m = Merge(rank, a, b, pc); rank += 1; m }
         merges ++= batchMerges
+        vocabTokens ++= batchMerges.map(m => m.a + m.b)
         vocab = applyMerges(vocab, batchMerges).localCheckpoint()
       }
     }

@@ -177,37 +177,82 @@ class BpeSpec extends SparkSpec {
   }
 
   test("selectBatch trims ties at the stop boundary and stops at conflicts") {
+    val noVocab: String => Boolean = _ => false
     // conflict stop: (c,d) shares no token but ranks after (b,e)
     // which shares b => batch must stop AT (b,e), not skip it
     val top = Seq(("a", "b", 10L), ("b", "e", 8L), ("c", "d", 7L))
-    assert(Bpe.selectBatch(top, want = 3, windowSaturated = false) ==
+    assert(Bpe.selectBatch(top, want = 3, windowSaturated = false, noVocab) ==
       Seq(("a", "b", 10L)))
     // strict trim: (c,d) ties the stop candidate (e,a) at 8 => only
     // the head survives; head survives even when IT ties the stop
     val tied = Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "a", 8L))
-    assert(Bpe.selectBatch(tied, want = 3, windowSaturated = false) ==
+    assert(Bpe.selectBatch(tied, want = 3, windowSaturated = false, noVocab) ==
       Seq(("a", "b", 10L)))
     // merged-string collision: "ab" as a member of a later candidate
     // conflicts with the (a,b) merge even though tokens are disjoint
     val madeClash = Seq(("a", "b", 10L), ("ab", "c", 6L), ("d", "e", 5L))
-    assert(Bpe.selectBatch(madeClash, want = 3, windowSaturated = false) ==
-      Seq(("a", "b", 10L)))
+    assert(Bpe.selectBatch(madeClash, want = 3, windowSaturated = false,
+      noVocab) == Seq(("a", "b", 10L)))
     // self-pair opens a singleton round
     val selfFirst = Seq(("a", "a", 10L), ("c", "d", 6L))
-    assert(Bpe.selectBatch(selfFirst, want = 3, windowSaturated = false) ==
-      Seq(("a", "a", 10L)))
+    assert(Bpe.selectBatch(selfFirst, want = 3, windowSaturated = false,
+      noVocab) == Seq(("a", "a", 10L)))
     // clean disjoint strictly-decreasing prefix is kept whole
     val clean = Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L))
-    assert(Bpe.selectBatch(clean, want = 2, windowSaturated = false) ==
+    assert(Bpe.selectBatch(clean, want = 2, windowSaturated = false, noVocab) ==
       Seq(("a", "b", 10L), ("c", "d", 9L)))
     // saturated window with no conflict: last count bounds the unseen
     // tail, so equal-count tail entries are trimmed...
     val sat = Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 9L))
-    assert(Bpe.selectBatch(sat, want = 3, windowSaturated = true) ==
+    assert(Bpe.selectBatch(sat, want = 3, windowSaturated = true, noVocab) ==
       Seq(("a", "b", 10L)))
     // ...but an UNsaturated window is the whole pair vocabulary:
     // disjoint-total selection needs no trim
-    assert(Bpe.selectBatch(sat, want = 3, windowSaturated = false) == sat)
+    assert(Bpe.selectBatch(sat, want = 3, windowSaturated = false, noVocab) ==
+      sat)
+  }
+
+  test("selectBatch terminates on concat collisions (ADVICE r14)") {
+    val noVocab: String => Boolean = _ => false
+    // two batch-mates whose merges create the SAME string: (i,ng) and
+    // (in,g) both make "ing" — tokens are disjoint, but the pooled
+    // string breaks the stale-count trim bound, so (in,g) must
+    // terminate the batch (stopCount = 8 also trims nothing here)
+    val pooled = Seq(("i", "ng", 10L), ("in", "g", 8L), ("d", "e", 7L))
+    assert(Bpe.selectBatch(pooled, want = 3, windowSaturated = false,
+      noVocab) == Seq(("i", "ng", 10L)))
+    // candidate concat equal to a SELECTED token (touched): (c, d)
+    // would make "cd"... use (x, a): makes "xa"; craft concat == "a"?
+    // impossible (concat is strictly longer) — instead concat equal to
+    // a selected pair's token string via multi-char tokens: selected
+    // (ab, c) touches "ab"; candidate (a, b) makes "ab" => terminate
+    val touchClash = Seq(("ab", "c", 10L), ("a", "b", 8L), ("d", "e", 7L))
+    assert(Bpe.selectBatch(touchClash, want = 3, windowSaturated = false,
+      noVocab) == Seq(("ab", "c", 10L)))
+    // candidate concat equal to an EXISTING vocab token: disjoint
+    // tokens, but "cd" is already a token type => terminate at it
+    val vocabClash = Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L))
+    assert(Bpe.selectBatch(vocabClash, want = 3, windowSaturated = false,
+      Set("cd")) == Seq(("a", "b", 10L)))
+    // HEAD whose concat is an existing vocab token: still selected
+    // (global argmax is exact) but closes the round as a singleton
+    assert(Bpe.selectBatch(vocabClash, want = 3, windowSaturated = false,
+      Set("ab")) == Seq(("a", "b", 10L)))
+    // no collision => same window selects whole (strictly decreasing,
+    // unsaturated) prefix
+    assert(Bpe.selectBatch(vocabClash, want = 3, windowSaturated = false,
+      Set("zz")) == vocabClash)
+  }
+
+  test("batched == sequential on a concat-collision-rich corpus") {
+    // words saturated with i/n/g patterns so merged strings ("in",
+    // "ng", "ing") recur as both tokens and concatenations — the
+    // geometry of the ADVICE r14 hole (pooled merge strings)
+    assertBatchedEqualsSequential(
+      Seq("ing ing in ng nging ining inging gin nig",
+        "ingin ngi ingng inin ngng iing ging",
+        "in in ng ng ing ing i n g"),
+      n = 12, batches = Seq(2, 4, 64))
   }
 
   test("merge table and top tokens are partitioning-independent") {
