@@ -91,7 +91,8 @@ object DsirExprs {
   }
 
   def scoreCol(words: Column, model: Array[Double]): Column =
-    GraftBridge.toColumn(DsirScore(GraftBridge.toExpression(words), model))
+    GraftBridge.toColumn(
+      DsirScore(GraftBridge.toExpression(words), model.toIndexedSeq))
 
   def gramCounts(words: Column, buckets: Int): Column =
     GraftBridge.toColumn(
@@ -103,10 +104,18 @@ object DsirExprs {
   * as-literal bucket→logratio model — the codegen'd scoring kernel
   * behind [[graft.operators.Sampling.dsirScoreAll]] (and through it
   * the batch `dsirWeights` and the streaming `Ingest.dsirStream`). */
-case class DsirScore(child: Expression, model: Array[Double])
+case class DsirScore(child: Expression, model: IndexedSeq[Double])
   extends UnaryExpression {
 
   require(model.nonEmpty, "DsirScore needs a non-empty model")
+
+  // The model is held as an IndexedSeq, NOT an Array (ADVICE r14):
+  // arrays compare by reference, so two semantically identical
+  // DsirScore expressions would never be equal and Catalyst
+  // canonicalization / subexpression elimination / exchange reuse
+  // could not dedupe them. The kernels still run on a primitive
+  // double[], materialized once per (driver, executor) JVM copy.
+  @transient private lazy val modelArr: Array[Double] = model.toArray
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = false),
@@ -122,10 +131,10 @@ case class DsirScore(child: Expression, model: Array[Double])
     }
 
   override def nullSafeEval(a: Any): Any =
-    DsirExprs.score(a.asInstanceOf[ArrayData], model)
+    DsirExprs.score(a.asInstanceOf[ArrayData], modelArr)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val modelRef = ctx.addReferenceObj("dsirModel", model, "double[]")
+    val modelRef = ctx.addReferenceObj("dsirModel", modelArr, "double[]")
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.DsirExprs.score($a, $modelRef);")
   }
