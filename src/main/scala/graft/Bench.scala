@@ -18,7 +18,13 @@ object Bench {
     val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
     val meta = Set("value", "sf", "total", "round", "geomean",
       "n", "rc", "cpus", "lines")
+    // A pair whose match runs to the very end of the text was cut
+    // mid-token by the driver's ~3.3 KB tail window (e.g. 1.25 cut to
+    // "1.2" would parse as 1.2 and fabricate a vs_prev shift — ADVICE
+    // r14); a cleanly terminated pair always has a delimiter after
+    // the number, so drop the end-of-text match instead of misparsing.
     pairRe.findAllMatchIn(txt)
+      .filterNot(_.`end` == txt.length)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filterNot { case (k, _) => meta(k) }.toMap
   }
@@ -128,35 +134,66 @@ object Bench {
     // window that item #1 exists to protect). Prev artifacts are
     // tail-truncated by the driver, so parse "key":num pairs by regex
     // rather than as strict JSON.
+    // The comparison base prefers the repo-side FULL history file
+    // (VERDICT r14 #3): the driver's artifact keeps only the ~3.3 KB
+    // stdout tail, which caps vs_prev at ~77 of 154 lines and loses
+    // half the per-query history every round. BENCH_LOCAL.json — the
+    // complete medians map of the previous run, committed per round —
+    // covers every line; the truncated artifact stays as fallback for
+    // a fresh checkout. Only a same-sf local file is comparable.
+    val localHist = new java.io.File("/root/repo/BENCH_LOCAL.json")
     val vsPrev: String = try {
-      val benchRe = "BENCH_r(\\d+)\\.json".r
-      val repo = new java.io.File("/root/repo")
-      val prevFiles = Option(repo.listFiles()).getOrElse(Array.empty)
-        .flatMap { f => f.getName match {
-          case benchRe(n) => Some((n.toInt, f)); case _ => None } }
-      if (prevFiles.isEmpty) "null" else {
-        val (prevRound, prevFile) = prevFiles.maxBy(_._1)
-        val raw = new String(java.nio.file.Files.readAllBytes(
-          prevFile.toPath), java.nio.charset.StandardCharsets.UTF_8)
-        val prev = parsePrevQueryTimes(raw)
-        val cur = results.toMap
-        val ratios = cur.keys.toSeq.sorted.flatMap { k =>
-          for (p <- prev.get(k); c = cur(k); if p > 0 && c > 0)
-            yield k -> c / p
+      val fromLocal: Option[(String, Map[String, Double])] =
+        if (!localHist.exists()) None else {
+          val raw = new String(java.nio.file.Files.readAllBytes(
+            localHist.toPath), java.nio.charset.StandardCharsets.UTF_8)
+          val sfRe = "\"sf\":\"([^\"]*)\"".r
+          if (sfRe.findFirstMatchIn(raw).exists(_.group(1) == sfDir))
+            Some(("\"source\":\"BENCH_LOCAL\"", parsePrevQueryTimes(raw)))
+          else None
         }
-        if (ratios.isEmpty) "null" else {
-          val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
-          def r2(v: Double) = BigDecimal(v).setScale(2,
-            BigDecimal.RoundingMode.HALF_UP).toString
-          val shifted = ratios
-            .filter { case (_, r) => math.abs(math.log(r)) > math.log(1.2) }
-            .sortBy { case (_, r) => -math.abs(math.log(r)) }
-            .map { case (k, r) => "\"" + k + "\":" + r2(r) }
-            .mkString("{", ",", "}")
-          s"""{"round":$prevRound,"lines":${ratios.size},"geomean":${r2(geo)},"shifted_gt20pct":$shifted}"""
+      val fromArtifact: Option[(String, Map[String, Double])] = {
+        val benchRe = "BENCH_r(\\d+)\\.json".r
+        val repo = new java.io.File("/root/repo")
+        val prevFiles = Option(repo.listFiles()).getOrElse(Array.empty)
+          .flatMap { f => f.getName match {
+            case benchRe(n) => Some((n.toInt, f)); case _ => None } }
+        if (prevFiles.isEmpty) None else {
+          val (prevRound, prevFile) = prevFiles.maxBy(_._1)
+          val raw = new String(java.nio.file.Files.readAllBytes(
+            prevFile.toPath), java.nio.charset.StandardCharsets.UTF_8)
+          Some((s""""round":$prevRound""", parsePrevQueryTimes(raw)))
         }
       }
+      fromLocal.orElse(fromArtifact) match {
+        case None => "null"
+        case Some((srcLabel, prev)) =>
+          val cur = results.toMap
+          val ratios = cur.keys.toSeq.sorted.flatMap { k =>
+            for (p <- prev.get(k); c = cur(k); if p > 0 && c > 0)
+              yield k -> c / p
+          }
+          if (ratios.isEmpty) "null" else {
+            val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+            def r2(v: Double) = BigDecimal(v).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP).toString
+            val shifted = ratios
+              .filter { case (_, r) => math.abs(math.log(r)) > math.log(1.2) }
+              .sortBy { case (_, r) => -math.abs(math.log(r)) }
+              .map { case (k, r) => "\"" + k + "\":" + r2(r) }
+              .mkString("{", ",", "}")
+            s"""{$srcLabel,"lines":${ratios.size},"geomean":${r2(geo)},"shifted_gt20pct":$shifted}"""
+          }
+      }
     } catch { case _: Throwable => "null" }
+    // Persist the full medians map AFTER reading the previous one, so
+    // consecutive runs chain (this run becomes the next run's base).
+    // Best-effort: a read-only checkout must not fail the bench.
+    try {
+      val full = s"""{"sf":"$sfDir","errors":$errJson,"queries":$qs}\n"""
+      java.nio.file.Files.write(localHist.toPath,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","errors":$errJson,"queries":$qs}""")
     // vs_prev on its OWN line AFTER the main JSON (VERDICT r12 #1):
     // the driver's artifact keeps only the output's tail, so anything

@@ -46,11 +46,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!got.contains("sample_dsir"))
   }
 
-  test("truncation mid-number never throws and keeps complete pairs") {
+  test("truncation mid-number drops the trailing pair, keeps the rest") {
+    // the driver's tail cut can land mid-number: 1.25 truncated to
+    // "1.2" would PARSE as 1.2 and fabricate a 20% vs_prev shift
+    // (ADVICE r14) — an end-of-text match is excluded instead
     val artifact = """"tail": "\"q1_agg\":0.5,\"dedup_exact\":1.2"""
     val got = Bench.parsePrevQueryTimes(artifact)
     assert(got("q1_agg") == 0.5)
-    // the cut-off trailing pair parses with the digits present — fine
-    assert(got("dedup_exact") == 1.2)
+    assert(!got.contains("dedup_exact"))
+    // a cleanly terminated final pair (delimiter after the number)
+    // is NOT dropped — both the escaped-tail and raw-JSON shapes
+    val clean = """"tail": "\"q1_agg\":0.5,\"dedup_exact\":1.25\"}"""
+    assert(Bench.parsePrevQueryTimes(clean)("dedup_exact") == 1.25)
+    val rawJson = """{"queries":{"q1_agg":0.5,"dedup_exact":1.25}}"""
+    assert(Bench.parsePrevQueryTimes(rawJson)("dedup_exact") == 1.25)
   }
 }
