@@ -90,7 +90,12 @@ object Sf1Probe {
     "corpus_heavy_hitters", "ann_bits_sweep",
     // soft dedup re-runs the pair chain + one size count; the
     // centroid router is one bounded agg + map-side scoring
-    "dedup_soft", "classify_centroid")
+    "dedup_soft", "classify_centroid",
+    // round-15: the calibrated linear classifier — model cached per
+    // dir (trained once in the warm pass over the 10x signal frame),
+    // so like classify_boost the timed region is map-side scoring;
+    // the report's decile agg rides the same scan
+    "classify_logreg", "classify_logreg_report")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
