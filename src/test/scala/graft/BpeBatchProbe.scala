@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Bpe
+
+/** Measures the BPE batch-compression factor (merges per round —
+  * the job-count win over sequential training) on two geometries
+  * (VERDICT r14 #4: the "~40-80x on natural text" claim needs a
+  * measured floor):
+  *
+  *  1. NATURAL — the sf0.1 documents table at a 256-merge budget
+  *     (the Sf1Probe tokenizer-scale line's corpus);
+  *  2. ADVERSARIAL — a tie-heavy two-letter corpus where nearly
+  *     every window hits the conflict-stop / strict-trim / concat-
+  *     collision terminators, degrading batches toward singletons.
+  *
+  * Run: sbt "Test/runMain graft.BpeBatchProbe" */
+object BpeBatchProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def report(tag: String, mk: => (Seq[Bpe.Merge], Int)): Unit = {
+      val t0 = System.nanoTime()
+      val (merges, rounds) = mk
+      val sec = (System.nanoTime() - t0) / 1e9
+      val factor = merges.size.toDouble / math.max(rounds, 1)
+      println(f"[bpeprobe] $tag%-12s merges=${merges.size}%4d rounds=$rounds%4d " +
+        f"merges/round=$factor%6.2f wall=$sec%7.2f s")
+    }
+
+    report("natural", {
+      var rounds = 0
+      val (m, _) = Bpe.train(
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+        "text", numMerges = 256, onRound = _ => rounds += 1)
+      (m, rounds)
+    })
+
+    // tie-heavy adversarial corpus: two letters, so top pairs share
+    // tokens almost always and counts tie in bulk — the worst case
+    // for the disjoint-prefix selection
+    val adv = (0 until 4000).map { i =>
+      val ws = Seq("aab", "abab", "bba", "aaa", "abba", "baab", "bab",
+        "ab", "ba", "aabb", "bbaa", "baba", "aaab", "bbba")
+      ws((i * 7) % ws.length) + " " + ws((i * 13) % ws.length)
+    }.toDF("text")
+    report("adversarial", {
+      var rounds = 0
+      val (m, _) = Bpe.train(adv, "text", numMerges = 64,
+        onRound = _ => rounds += 1)
+      (m, rounds)
+    })
+
+    // RICH vocabulary — the natural-language regime the batch design
+    // targets (the graded corpus has only 31 distinct words, so its
+    // merges/round floor is tie geometry, not batching): ~8k distinct
+    // pseudo-words over a 20-consonant x 5-vowel syllable alphabet
+    // with zipf-ish counts; top pairs rarely share tokens, so the
+    // disjoint prefix commits in bulk
+    val cons = "bcdfghjklmnpqrstvwxz"
+    val vows = "aeiou"
+    def syl(j: Int): String =
+      "" + cons(j % cons.length) + vows((j / cons.length) % vows.length)
+    val rich = (0 until 8000).flatMap { i =>
+      val word = (0 until 2 + i % 3)
+        .map(p => syl((i * 31 + p * 17 + i / 97) % 100)).mkString
+      Seq.fill(1 + 4000 / (i + 40))(word)
+    }.grouped(50).map(_.mkString(" ")).toSeq.toDF("text")
+    report("rich-vocab", {
+      var rounds = 0
+      val (m, _) = Bpe.train(rich, "text", numMerges = 256,
+        onRound = _ => rounds += 1)
+      (m, rounds)
+    })
+
+    spark.stop()
+  }
+}
