@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors
 
@@ -512,9 +513,37 @@ object AnnLsh {
     * so float behavior is bit-identical. */
   def similarityJoin(df: DataFrame, vecCol: String, idCol: String, k: Int,
                      numTables: Int, bitsPerTable: Int, dim: Int,
-                     metric: Knn.Metric): DataFrame =
+                     metric: Knn.Metric,
+                     bucketCap: Option[Int] = None): DataFrame =
     selfJoinTopK(df, vecCol, idCol, k, numTables, bitsPerTable, dim, metric,
-      band = None)
+      band = None, bucketCap = bucketCap)
+
+  /** Optional per-(table, bucket) occupancy cap for the forest
+    * self-joins (VERDICT r14 #7): with `bitsPerTable` fixed, one hot
+    * bucket holding m canonicals contributes m² candidate pairs — the
+    * benign-at-sf1 67.8× mine_triplets geometry is UNBOUNDED in the
+    * adversarial limit (a copy-heavy 100 TB corpus concentrating one
+    * bucket). The cap keeps only the `cap` lowest-md5-rank canonicals
+    * per forest key (rank = hash64 of "fkey_cid", id tie-break — a
+    * pure function of the key frame, so the same members survive in
+    * any partitioning), bounding any bucket at cap² pairs. OFF by
+    * default: capping is a recall trade (a canonical evicted from a
+    * hot bucket can still pair through its other `numTables − 1`
+    * tables — AnnSpec pins recall on the graded geometry). The
+    * window's per-key sort touches only the (cid, fkey) key frame,
+    * never vectors. */
+  private def capBuckets(ckeys: DataFrame, cap: Option[Int]): DataFrame =
+    cap match {
+      case None => ckeys
+      case Some(c) =>
+        require(c >= 1, s"bucketCap must be >= 1, got $c")
+        val w = Window.partitionBy(col("fkey")).orderBy(
+          Dedup.hash64(concat_ws("_", col("fkey").cast("string"),
+            col("_cid").cast("string"))).asc,
+          col("_cid").asc)
+        ckeys.withColumn("_br", row_number().over(w))
+          .filter(col("_br") <= c).drop("_br")
+    }
 
   /** Hard-negative mining for contrastive training — per anchor, the
     * k NEAREST neighbors whose distance falls in `(dMin, dMax]`: close
@@ -533,10 +562,11 @@ object AnnLsh {
     * first. */
   def hardNegatives(df: DataFrame, vecCol: String, idCol: String, k: Int,
                     numTables: Int, bitsPerTable: Int, dim: Int,
-                    metric: Knn.Metric, dMin: Double, dMax: Double): DataFrame = {
+                    metric: Knn.Metric, dMin: Double, dMax: Double,
+                    bucketCap: Option[Int] = None): DataFrame = {
     require(dMin < dMax, s"need dMin < dMax, got ($dMin, $dMax]")
     selfJoinTopK(df, vecCol, idCol, k, numTables, bitsPerTable, dim, metric,
-      band = Some((dMin, dMax)))
+      band = Some((dMin, dMax)), bucketCap = bucketCap)
   }
 
   /** Contrastive-training TRIPLET mining — the (anchor, positive,
@@ -564,7 +594,7 @@ object AnnLsh {
   def mineTriplets(df: DataFrame, vecCol: String, idCol: String, kNeg: Int,
                    numTables: Int, bitsPerTable: Int, dim: Int,
                    metric: Knn.Metric, dPos: Double, dNegMin: Double,
-                   dNegMax: Double): DataFrame = {
+                   dNegMax: Double, bucketCap: Option[Int] = None): DataFrame = {
     import graft.functions.TopKAgg
     require(dPos > 0 && dPos <= dNegMin && dNegMin < dNegMax,
       s"need 0 < dPos <= dNegMin < dNegMax, got ($dPos, $dNegMin, $dNegMax)")
@@ -574,8 +604,9 @@ object AnnLsh {
     val members = groups.select(col("_cid"), explode(col("_mids")).as(idCol))
     val canon = groups
       .select(col("_cid"), col(vecCol), size(col("_mids")).as("_gsz"))
-    val ckeys = indexForest(canon, vecCol, numTables, bitsPerTable, dim)
-      .select(col("_cid"), explode(col("fkeys")).as("fkey"))
+    val ckeys = capBuckets(
+      indexForest(canon, vecCol, numTables, bitsPerTable, dim)
+        .select(col("_cid"), explode(col("fkeys")).as("fkey")), bucketCap)
     val ccand = ckeys
       .join(ckeys.select(col("_cid").as("_cq"), col("fkey")), "fkey")
       .filter(col("_cid") =!= col("_cq"))
@@ -636,11 +667,12 @@ object AnnLsh {
     * SURVEY §4's mine_triplets sf1 band records it. */
   def forestCandidatePairs(df: DataFrame, vecCol: String, idCol: String,
                            numTables: Int, bitsPerTable: Int,
-                           dim: Int): Long = {
+                           dim: Int, bucketCap: Option[Int] = None): Long = {
     val base = df.select(col(idCol), col(vecCol))
     val canon = base.groupBy(col(vecCol)).agg(min(col(idCol)).as("_cid"))
-    val ckeys = indexForest(canon, vecCol, numTables, bitsPerTable, dim)
-      .select(col("_cid"), explode(col("fkeys")).as("fkey"))
+    val ckeys = capBuckets(
+      indexForest(canon, vecCol, numTables, bitsPerTable, dim)
+        .select(col("_cid"), explode(col("fkeys")).as("fkey")), bucketCap)
     ckeys
       .join(ckeys.select(col("_cid").as("_cq"), col("fkey")), "fkey")
       .filter(col("_cid") =!= col("_cq"))
@@ -651,7 +683,8 @@ object AnnLsh {
   private def selfJoinTopK(df: DataFrame, vecCol: String, idCol: String, k: Int,
                            numTables: Int, bitsPerTable: Int, dim: Int,
                            metric: Knn.Metric,
-                           band: Option[(Double, Double)]): DataFrame = {
+                           band: Option[(Double, Double)],
+                           bucketCap: Option[Int] = None): DataFrame = {
     import graft.functions.TopKAgg
     // the band is applied as a NULL-gate INSIDE the distance
     // projection, never as a Filter node: a filter on the dist
@@ -675,8 +708,9 @@ object AnnLsh {
     val canon = groups
       .select(col("_cid"), col(vecCol), size(col("_mids")).as("_gsz"))
     // forest blocking over canonicals only — bounded per-bucket fanout
-    val ckeys = indexForest(canon, vecCol, numTables, bitsPerTable, dim)
-      .select(col("_cid"), explode(col("fkeys")).as("fkey"))
+    val ckeys = capBuckets(
+      indexForest(canon, vecCol, numTables, bitsPerTable, dim)
+        .select(col("_cid"), explode(col("fkeys")).as("fkey")), bucketCap)
     val ccand = ckeys
       .join(ckeys.select(col("_cid").as("_cq"), col("fkey")), "fkey")
       .filter(col("_cid") =!= col("_cq"))
