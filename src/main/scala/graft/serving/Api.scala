@@ -99,6 +99,7 @@ final class Api(spark: SparkSession, rootDir: String) {
         updateMetadata(name, id, body)
       case ("DELETE", name :: "records" :: id :: Nil) => deleteRecord(name, id)
       case ("POST", name :: "search" :: Nil) => search(name, parsed(body))
+      case ("POST", name :: "compact" :: Nil) => compactCollection(name, body)
       // unparseable numeric params fall back to 0, like Atoi's
       // ignored error in rest.go:408-411
       case ("GET", name :: "search" :: Nil) => search(name,
@@ -161,7 +162,12 @@ final class Api(spark: SparkSession, rootDir: String) {
         case Knn.Euclidean => "euclidean"; case _ => "cosine" }),
       "storage_size" -> JLong(storage),
       // the reference samples 100 ids (collection.go:81)
-      "average_distance" -> JDouble(c.averageDistance(100)))
+      "average_distance" -> JDouble(c.averageDistance(100)),
+      // EXTENSION field (no reference twin — the span store has no
+      // generations): the complete compaction generations on disk,
+      // oldest first, so an operator reads the retention window the
+      // maintenance endpoint below controls
+      "complete_generations" -> JArray(c.generations.toList.map(JInt(_))))
   }
 
   // -- GET /api/v1/collections: stats sorted by size (rest.go:124-151) --
@@ -298,6 +304,32 @@ final class Api(spark: SparkSession, rootDir: String) {
             "message" -> JString("Record deleted successfully."),
             "id" -> JLong(id)))
         }
+      }
+    }
+
+  // -- POST …/compact: maintenance endpoint (EXTENSION — the
+  // reference's span-store maintenance has no REST surface; parquet
+  // generations are this engine's equivalent). Optional body
+  // {"retain_generations": N} sets how many superseded generations
+  // stay readable for in-flight plans (Collection.compact's window,
+  // default 1); a fractional or negative N is a 400. --
+  private def compactCollection(name: String, body: String): ApiResponse =
+    withCollection(name) { c =>
+      val retain = parsed(body) match {
+        case None => Some(1)
+        case Some(j) => j \ "retain_generations" match {
+          case JNothing | JNull => Some(1)
+          case v => num(v).filter(d => d >= 0 && d == d.floor).map(_.toInt)
+        }
+      }
+      retain match {
+        case None => err(400, "Invalid retain_generations")
+        case Some(r) =>
+          c.compact(retainGenerations = r)
+          ok(JObject(
+            "message" -> JString("Compaction completed successfully."),
+            "retained_generations" -> JInt(r),
+            "complete_generations" -> JArray(c.generations.toList.map(JInt(_)))))
       }
     }
 

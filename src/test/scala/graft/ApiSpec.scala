@@ -266,6 +266,49 @@ class ApiSpec extends SparkSpec {
     assert(num(json(s) \ "embedding_time").isDefined)
   }
 
+  test("compact endpoint: retention window controllable, generations in stats") {
+    val api = newApi()
+    mkCollection(api)
+    insert(api, "test_collection", 1L, Seq(0.1, 0.2, 0.3, 0.4, 0.5), "{}")
+    // pre-compact stats expose an empty generation list
+    val st0 = json(api.handle("GET", "/api/v1/collections/test_collection"))
+    assert((st0 \ "complete_generations") == JArray(Nil))
+    // default retention (empty body -> retain_generations = 1)
+    val r1 = api.handle("POST", "/api/v1/collections/test_collection/compact")
+    assert(r1.status == 200, r1.body)
+    assert((json(r1) \ "message") ==
+      JString("Compaction completed successfully."))
+    assert((json(r1) \ "retained_generations") == JInt(1))
+    insert(api, "test_collection", 2L, Seq(0.5, 0.4, 0.3, 0.2, 0.1), "{}")
+    // explicit window: gen1 (superseded) stays readable next to gen2
+    val r2 = api.handle("POST", "/api/v1/collections/test_collection/compact",
+      """{"retain_generations": 1}""")
+    assert(r2.status == 200, r2.body)
+    assert((json(r2) \ "complete_generations") ==
+      JArray(List(JInt(1), JInt(2))))
+    val st = json(api.handle("GET", "/api/v1/collections/test_collection"))
+    assert((st \ "complete_generations") == JArray(List(JInt(1), JInt(2))))
+    assert((st \ "document_count") == JInt(2))
+    // zero retention drops every superseded generation
+    val r3 = api.handle("POST", "/api/v1/collections/test_collection/compact",
+      """{"retain_generations": 0}""")
+    assert((json(r3) \ "complete_generations") == JArray(List(JInt(3))))
+    // fractional / negative windows are 400s; absent collection 404s
+    assert(api.handle("POST", "/api/v1/collections/test_collection/compact",
+      """{"retain_generations": -1}""").status == 400)
+    assert(api.handle("POST", "/api/v1/collections/test_collection/compact",
+      """{"retain_generations": 1.5}""").status == 400)
+    assert(api.handle("POST", "/api/v1/collections/nope/compact").status == 404)
+    // data still searchable after the maintenance cycle (the probe
+    // covers the query's own bucket, so pin the exact-match hit)
+    val s = api.handle("POST", "/api/v1/collections/test_collection/search",
+      """{"vector": [0.1, 0.2, 0.3, 0.4, 0.5], "k": 2}""")
+    assert(s.status == 200, s.body)
+    val hits = (json(s) \ "results").asInstanceOf[JArray].arr
+    assert(hits.exists(h => (h \ "id") == JInt(1) &&
+      (h \ "distance") == JDouble(0.0)), s.body)
+  }
+
   test("registry reopens persisted collections from disk") {
     val root = java.nio.file.Files.createTempDirectory("graft-api").toString
     val api = new Api(spark, root)
