@@ -96,17 +96,23 @@ object Graph {
     val deg = cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
     val ed = cut(e.join(deg, e("src") === deg("node"))
       .select(col("src"), col("dst"), col("deg")))
-    val nRow = deg.agg(count(lit(1)).as("_n"))
-    val base = expr(s"((${100 - damp} * ($scale div _n)) div 100)")
-    var ranks = deg.crossJoin(broadcast(nRow))
-      .select(col("node"), expr(s"$scale div _n").as("rank"))
+    // N is ONE scalar — collect it once (the Pca.fit model-sized
+    // contract) instead of crossJoining a broadcast 1-row agg into
+    // every iteration's plan: the same integer reaches the same
+    // integer expressions as a literal, and each iteration's plan
+    // drops a count-agg + crossJoin subtree (the deg frame is already
+    // materialized, so the count is a metadata-cheap job).
+    val n = deg.count()
+    require(n > 0, "pagerank needs at least one source node")
+    val base = lit(((100 - damp) * (scale / n)) / 100)
+    var ranks = deg.select(col("node"), lit(scale / n).as("rank"))
     for (i <- 1 to iterations) {
       val sums = ranks
         .join(ed, col("node") === col("src"))
         .select(col("dst"), expr("rank div deg").as("_c"))
         .groupBy(col("dst").as("node2"))
         .agg(sum(col("_c")).as("_sm"))
-      ranks = deg.select(col("node")).crossJoin(broadcast(nRow))
+      ranks = deg.select(col("node"))
         .join(sums, col("node") === col("node2"), "left")
         .select(col("node"),
           (base + expr(s"(($damp * coalesce(_sm, 0L)) div 100)")).as("rank"))
