@@ -52,24 +52,37 @@ object Pca {
     * corpus on the integer grid, plus first-moment rows (i, -1, n,
     * s_i). `cov` materializes the centered covariance from the exact
     * integers in one fixed expression:
-    * (s_ij·n − s_i·s_j) / (n²·grid²). */
+    * (s_ij·n − s_i·s_j) / (n²·grid²).
+    *
+    * Computed by the fused [[graft.functions.GramSumsAgg]] kernel —
+    * ONE aggregation whose buffer is the whole statistics vector
+    * (primitive adds per row; the prior explode formulation built
+    * d(d+1)/2 + d interpreted HOF structs per row, 2,144 at d = 64,
+    * and was the #4 bench line at 3.7 s — now the corpus pass is a
+    * tight loop and only ONE ~2.1k-element array crosses the
+    * exchange). The reshape to (i, j, n, s) rows runs on that single
+    * row; identical integers in any partitioning (PcaSpec pins the
+    * brute-force equality). */
   def covarianceStats(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val d = dim
+    val sums = df.agg(graft.functions.GramSumsAgg
+      .gramSums(col(vecCol).cast("array<double>"), d).as("_g"))
+    // element_at positions: 1 = n, 2..d+1 = first moments, then the
+    // upper triangle row-major at d + 2 + i·d − i(i−1)/2 + (j − i)
     val entries = expr(
-      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
-         |  concat(
-         |    array(named_struct('i', i, 'j', -1,
-         |      'p', element_at(_qv, i + 1))),
-         |    transform(sequence(i, ${dim - 1}), j ->
-         |      named_struct('i', i, 'j', j,
-         |        'p', element_at(_qv, i + 1) * element_at(_qv, j + 1))))))
+      s"""concat(
+         |  transform(sequence(0, ${d - 1}), i ->
+         |    named_struct('i', i, 'j', -1, 's', element_at(_g, i + 2))),
+         |  flatten(transform(sequence(0, ${d - 1}), i ->
+         |    transform(sequence(i, ${d - 1}), j ->
+         |      named_struct('i', i, 'j', j, 's',
+         |        element_at(_g, cast(${d + 2} + i * $d
+         |          - (i * (i - 1)) div 2 + (j - i) as int)))))))
          |""".stripMargin)
-    df.select(expr(s"transform(cast($vecCol as array<double>), " +
-        "x -> cast(round(x * 1000000.0) as bigint))").as("_qv"))
-      .select(explode(entries).as("_e"))
-      .select(col("_e.i").as("i"), col("_e.j").as("j"),
-        col("_e.p").cast("decimal(38,0)").as("_p"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("_p")).as("s"))
+    sums.select(element_at(col("_g"), 1).cast("long").as("n"),
+        explode(entries).as("_e"))
+      .select(col("_e.i").as("i"), col("_e.j").as("j"), col("n"),
+        col("_e.s").as("s"))
   }
 
   /** Covariance matrix rows (i, j, n, cov) for i ≤ j — the

@@ -144,4 +144,33 @@ class PcaSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (1 to p).map(r.getDouble).toSeq).toMap
     assert(again == rows)
   }
+
+  test("GramBuffer: overflow promotes to exact BigInteger cells") {
+    import java.math.BigInteger
+    import graft.functions.{GramBuffer, GramSumsAgg}
+    // the long fast path must promote rather than wrap: cells stay
+    // EXACT past Long.MaxValue (the at-scale case a small corpus
+    // never reaches) across add, merge of mixed promoted/unpromoted
+    // buffers, and the serialize round-trip
+    val b = new GramBuffer(2) // 2 moments + 3 pairs = 5 cells
+    b.n = 3
+    b.add(0, Long.MaxValue - 5)
+    b.add(0, 10L) // would overflow the long cell -> promote
+    assert(b.big != null)
+    assert(b.total(0) ==
+      BigInteger.valueOf(Long.MaxValue - 5).add(BigInteger.TEN))
+    val c = new GramBuffer(2) // stays unpromoted
+    c.n = 2
+    c.add(0, 7L)
+    c.add(4, -3L)
+    val agg = GramSumsAgg(null, 2)
+    val m = agg.merge(b, c)
+    assert(m.n == 5L)
+    assert(m.total(0) == BigInteger.valueOf(Long.MaxValue - 5)
+      .add(BigInteger.TEN).add(BigInteger.valueOf(7)))
+    assert(m.total(4) == BigInteger.valueOf(-3))
+    val de = agg.deserialize(agg.serialize(m))
+    assert(de.n == m.n)
+    assert((0 until 5).forall(i => de.total(i) == m.total(i)))
+  }
 }
