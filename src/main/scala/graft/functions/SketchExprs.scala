@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -176,9 +176,70 @@ case class ShingleHashSet(child: Expression, n: Int,
   override def prettyName: String = "graft_shingle_hashes"
 }
 
+/** Count of shingle hashes whose k=3 bloom positions are ALL set in
+  * the bitmap — the corpus-side probe of `Dedup.decontaminateBloom`.
+  * Positions are byte-identical to the SQL form
+  * `conv(substring(md5(concat('bl0_', cast(sh as string))), 1+8t, 8), 16, 10) % mBits`
+  * (8 hex chars at offset 8t = digest bytes 4t..4t+3 as an unsigned
+  * big-endian 32-bit value), so the bitmap BUILD side's arithmetic is
+  * untouched and every oracle stays bit-for-bit. ONE md5 per shingle
+  * replaces the interpreted lambda's three (all three positions read
+  * the SAME digest); bit tests index the broadcast word array in
+  * place — nothing is copied per row. */
+case class BloomHitsCount(left: Expression, right: Expression, mBits: Int)
+  extends BinaryExpression {
+
+  require(mBits >= 64 && mBits % 64 == 0,
+    s"mBits must be a positive multiple of 64, got $mBits")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(shs: Any, bm: Any): Any =
+    SketchExprs.bloomHits(shs.asInstanceOf[ArrayData],
+      bm.asInstanceOf[ArrayData], mBits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (shs, bm) =>
+      s"${ev.value} = graft.functions.SketchExprs.bloomHits($shs, $bm, $mBits);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_bloom_hits"
+}
+
 object SketchExprs {
   def simhash(tokenHashes: Column): Column =
     GraftBridge.toColumn(SimHashAgg(GraftBridge.toExpression(tokenHashes)))
+
+  def bloomHitsCol(shingleHashes: Column, bitmap: Column, mBits: Int): Column =
+    GraftBridge.toColumn(BloomHitsCount(
+      GraftBridge.toExpression(shingleHashes),
+      GraftBridge.toExpression(bitmap), mBits))
+
+  /** Kernel body both the interpreted and generated code call. */
+  def bloomHits(shs: ArrayData, bm: ArrayData, mBits: Int): Long = {
+    val n = shs.numElements()
+    var hits = 0L
+    var i = 0
+    while (i < n) {
+      val d = TextExprs.md5Digest(
+        ("bl0_" + shs.getLong(i)).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var all = true
+      var t = 0
+      while (all && t < 3) {
+        val o = 4 * t
+        val p = ((((d(o) & 0xFFL) << 24) | ((d(o + 1) & 0xFFL) << 16) |
+          ((d(o + 2) & 0xFFL) << 8) | (d(o + 3) & 0xFFL)) % mBits).toInt
+        all = ((bm.getLong(p / 64) >>> (p % 64)) & 1L) != 0L
+        t += 1
+      }
+      if (all) hits += 1
+      i += 1
+    }
+    hits
+  }
 
   def minhashSig(shingleHashes: Column, as: Seq[Long], bs: Seq[Long], m: Long): Column =
     GraftBridge.toColumn(MinHashSig(GraftBridge.toExpression(shingleHashes), as, bs, m))

@@ -160,6 +160,15 @@ object TextExprs {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Raw md5 digest via the shared thread-local instance — for
+    * kernels that read several substrings of ONE digest (the bloom
+    * position family) instead of re-hashing per substring. */
+  def md5Digest(bytes: Array[Byte]): Array[Byte] = {
+    val d = md5Local.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
   /** The engine's md5-derived 60-bit hash (first 15 hex nibbles of
     * md5 = first 7.5 digest bytes), byte-assembled — identical to
     * `conv(substring(md5(s), 1, 15), 16, 10)` without the hex-string

@@ -735,10 +735,11 @@ object Dedup {
       .groupBy(col("w")).agg(expr("bit_or(m)").as("m"))
       .agg(array_sort(collect_list(struct(col("w"), col("m")))).as("_e"))
       .select(transform(col("_e"), s => s.getField("m")).as("bm"))
-    val hitSql = (0 until 3).map { t =>
-      val p = posSql("sh", t)
-      s"(shiftright(element_at(bm, cast(($p) div 64 as int) + 1), cast(($p) % 64 as int)) % 2) != 0"
-    }.mkString(" and ")
+    // corpus pass: the codegen'd BloomHitsCount kernel — one md5 per
+    // shingle (the prior interpreted filter-lambda recomputed the
+    // SAME digest three times, once per position) and in-place bit
+    // tests against the broadcast word array. Identical position
+    // arithmetic (spec- and oracle-pinned), identical hit counts.
     corpus
       .select(col(idCol).as("doc_id"), graft.functions.SketchExprs
         .shingleHashes(words(col(textCol)), n).as("_shs"))
@@ -746,8 +747,9 @@ object Dedup {
       // coalesce: a NULL text has a NULL shingle array; it must report
       // 0 hits (and survive), matching the equi-join form's left join
       .select(col("doc_id"),
-        coalesce(size(expr(s"filter(_shs, sh -> $hitSql)")), lit(0))
-          .cast("long").as("bloom_hits"))
+        coalesce(graft.functions.SketchExprs
+            .bloomHitsCol(col("_shs"), col("bm"), mBits), lit(0L))
+          .as("bloom_hits"))
       .select(col("doc_id"), col("bloom_hits"),
         (col("bloom_hits") >= minHits).as("contaminated"))
   }
