@@ -412,6 +412,21 @@ object Ingest {
       graft.operators.Boost.qualitySignals(docs, textCol, idCol),
       model, Seq(idCol))
 
+  /** The calibrated gate at ingest rate — [[boostGateStream]]'s twin
+    * for the logistic member: the model trains ONCE in batch
+    * ([[graft.operators.Logit.train]], 1 + |features| doubles by
+    * contract) and rides every micro-batch as expression literals;
+    * signals and the z/prob/pred projection are pure map-side — ZERO
+    * state, zero joins, so micro-batch boundaries cannot move any
+    * verdict (spec-pinned bit-equal to the batch scorer across
+    * arbitrary splits). Unlike the committee's vote, `prob` is a
+    * calibrated confidence a downstream sampler can consume directly. */
+  def logitGateStream(docs: DataFrame, textCol: String, idCol: String,
+                      model: graft.operators.Logit.LogitModel): DataFrame =
+    graft.operators.Logit.score(
+      graft.operators.Boost.qualitySignals(docs, textCol, idCol),
+      model, Seq(idCol))
+
   /** DSIR importance weighting at ingest rate: the bucket→logratio
     * model trains ONCE in batch ([[graft.operators.Sampling.trainDsir]]
     * — both training corpora reduce to bucket-count tables) and rides

@@ -256,6 +256,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("logitGateStream scores match the batch scorer across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Boost, Logit}
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(60)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val sig = Boost.qualitySignals(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .withColumn("y", (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
+    val model = Logit.train(sig, "y", Seq("n_words", "n_stop"),
+      iterations = 40, lr = 2.0)
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.logitGateStream(mem.toDF().toDF("doc_id", "text"),
+        "text", "doc_id", model)
+      .writeStream.format("memory").queryName("logit_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(17): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(17): _*)
+      q.processAllAvailable()
+      val got = spark.table("logit_stream")
+        .select("doc_id", "z", "prob", "pred")
+        .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+      val batch = Logit.score(sig, model, Seq("doc_id"))
+        .select("doc_id", "z", "prob", "pred")
+        .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(got == batch)
+      // the gate discriminates on this slice (both verdicts occur)
+      assert(got.map(_._4).toSet == Set(0L, 1L))
+    } finally q.stop()
+  }
+
   test("dsirStream weights match the batch operator across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
