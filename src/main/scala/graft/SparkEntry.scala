@@ -1118,10 +1118,22 @@ object SparkEntry {
           n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint()
+      // the three arms share ONE shingle-set frame and ONE 16-hash
+      // signature frame (shorter signatures are prefix slices —
+      // minhashPairsFromSigs): three fresh minhashPairs chains paid
+      // three shingle+signature corpus passes for identical keys
+      val sets = Dedup.shingleSets(corpus, "text", "doc_id", 3)
+        .localCheckpoint()
+      val (as16, bs16) = Dedup.minhashConsts(16)
+      val sigs = sets.filter(size(col("shs")) > 0)
+        .select(col("sid").as("doc_id"),
+          graft.functions.SketchExprs.minhashSig(
+            col("shs"), as16, bs16, Dedup.MINHASH_M).as("sig"))
+        .localCheckpoint()
       Seq((16, 4), (16, 8), (8, 4)).map { case (nh, nb) =>
         Eval.pairQuality(
-            Dedup.minhashPairs(corpus, "text", "doc_id", nh, nb,
-              shingleN = 3, threshold = 0.5)
+            Dedup.minhashPairsFromSigs(sets, sigs, "doc_id", nb, nh / nb,
+              threshold = 0.5)
               .select(col("id_a"), col("id_b")),
             truth)
           .select(lit(nh).cast("long").as("num_hashes"),

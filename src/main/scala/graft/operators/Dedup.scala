@@ -184,6 +184,23 @@ object Dedup {
     * The shingle sets are computed ONCE and persisted (memory+disk,
     * spills at scale): signatures, banding, and verification all read
     * the cache instead of re-running the split+md5 pipeline per stage. */
+  /** The minhash pair chain over PRE-MATERIALIZED shingle sets and
+    * signatures — the SWEEP shape (VERDICT r14 #5 family): the
+    * (numHashes, bands) tuning arms share ONE shingle-set frame and
+    * ONE widest-signature frame, because hash j's constants depend
+    * only on j ([[minhashConsts]]), so a shorter signature is a
+    * PREFIX slice and [[bandKeys]] reads exactly positions
+    * 0 .. bands·rowsPerBand−1 — byte-identical keys to a fresh
+    * shorter signature, at zero extra corpus passes. */
+  def minhashPairsFromSigs(sets: DataFrame, sigs: DataFrame, idCol: String,
+                           bands: Int, rowsPerBand: Int,
+                           threshold: Double): DataFrame = {
+    val cands = lshCandidates(sigs, idCol, bands, rowsPerBand)
+    verifyJaccardSets(sets, cands, minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
