@@ -333,6 +333,13 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   def dump(outPath: String): Unit =
     current().orderBy(col("id")).write.mode("overwrite").json(outPath)
 
+  /** The COMPLETE generation numbers currently on disk, oldest first
+    * — the observable face of [[compact]]'s retention window (the
+    * serving façade surfaces it in stats so an operator can see how
+    * many superseded generations a reader's pre-compact plan can
+    * still resolve). Empty before the first compaction. */
+  def generations: Seq[Int] = completeGens().sorted
+
   /** Compact the versioned log: collapse to the current view at
     * version 0 and drop superseded rows and tombstones. The log's
     * read cost is O(total mutations) until compacted; run this
@@ -356,13 +363,6 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
     * original bare-path log, which counts as the oldest generation —
     * fall out of the window on subsequent compactions. Pass 0 to
     * reclaim everything immediately (no concurrent readers). */
-  /** The COMPLETE generation numbers currently on disk, oldest first
-    * — the observable face of [[compact]]'s retention window (the
-    * serving façade surfaces it in stats so an operator can see how
-    * many superseded generations a reader's pre-compact plan can
-    * still resolve). Empty before the first compaction. */
-  def generations: Seq[Int] = completeGens().sorted
-
   def compact(retainGenerations: Int = 1): Unit = writeLock.synchronized {
     require(retainGenerations >= 0,
       s"retainGenerations must be >= 0, got $retainGenerations")

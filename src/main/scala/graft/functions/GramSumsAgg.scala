@@ -91,9 +91,17 @@ case class GramSumsAgg(
 
   override def createAggregationBuffer(): GramBuffer = new GramBuffer(dim)
 
-  private def grid(x: Double): Long =
+  private def grid(x: Double): Long = {
+    // Fail loudly on garbage embeddings (ADVICE r15): BigDecimal
+    // .valueOf would throw a raw NumberFormatException on NaN/Inf;
+    // the prior explode formulation silently cast them to 0 (Spark's
+    // cast(round(NaN) as bigint)) — neither is what a pipeline wants.
+    require(java.lang.Double.isFinite(x),
+      s"GramSumsAgg: non-finite vector element $x — clean the " +
+        "embedding column (NaN/Infinity) before covariance")
     java.math.BigDecimal.valueOf(x * 1000000.0)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 
   override def update(buf: GramBuffer, input: InternalRow): GramBuffer = {
     val v = vec.eval(input)

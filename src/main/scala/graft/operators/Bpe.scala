@@ -235,8 +235,20 @@ object Bpe {
         val batch =
           if (permissive.length <= 1) permissive
           else {
+            // Inverse probe (VERDICT r15 #1): selectBatch only ever
+            // asks vocabToken about the candidate CONCATENATIONS
+            // `a+b` of the <= 4*want+4 window rows, so membership in
+            // the live pair-token set is decided by filtering pc's
+            // token columns against that tiny literal set and
+            // collecting the <= window hits — never by collecting the
+            // pair vocabulary itself (word-vocabulary-sized at 100 TB,
+            // the repo's one unbounded driver collect before this).
+            // Restricting the set to the concats is exact: membership
+            // is never tested for any other string.
+            val concats = top.map { case (a, b, _) => a + b }.distinct
             val live: Set[String] = pc
               .select(explode(array(col("a"), col("b"))).as("t"))
+              .where(col("t").isin(concats: _*))
               .distinct().collect().map(_.getString(0)).toSet
             selectBatch(top, want, top.length == window, live)
           }

@@ -83,6 +83,11 @@ object Pca {
         explode(entries).as("_e"))
       .select(col("_e.i").as("i"), col("_e.j").as("j"), col("n"),
         col("_e.s").as("s"))
+      // Empty-in/empty-out (ADVICE r15): a global agg always emits one
+      // row, so without this an empty corpus yields d + d(d+1)/2 rows
+      // with n = 0 and downstream cov divides by zero; the prior
+      // groupBy formulation returned zero rows, which is the contract.
+      .filter(col("n") > 0)
   }
 
   /** Covariance matrix rows (i, j, n, cov) for i ≤ j — the

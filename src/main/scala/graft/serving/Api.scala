@@ -315,21 +315,28 @@ final class Api(spark: SparkSession, rootDir: String) {
   // default 1); a fractional or negative N is a 400. --
   private def compactCollection(name: String, body: String): ApiResponse =
     withCollection(name) { c =>
-      val retain = parsed(body) match {
-        case None => Some(1)
-        case Some(j) => j \ "retain_generations" match {
-          case JNothing | JNull => Some(1)
-          case v => num(v).filter(d => d >= 0 && d == d.floor).map(_.toInt)
+      // An absent/blank body means "defaults"; a NON-empty body that
+      // fails to parse is a client error (ADVICE r15 — previously
+      // '{"retain_generations": }' silently compacted with the
+      // default window while a parseable bad value 400'd).
+      if (body.trim.nonEmpty && parsed(body).isEmpty)
+        err(400, "Invalid request body")
+      else {
+        val retain =
+          if (body.trim.isEmpty) Some(1)
+          else parsed(body).get \ "retain_generations" match {
+            case JNothing | JNull => Some(1)
+            case v => num(v).filter(d => d >= 0 && d == d.floor).map(_.toInt)
+          }
+        retain match {
+          case None => err(400, "Invalid retain_generations")
+          case Some(r) =>
+            c.compact(retainGenerations = r)
+            ok(JObject(
+              "message" -> JString("Compaction completed successfully."),
+              "retained_generations" -> JInt(r),
+              "complete_generations" -> JArray(c.generations.toList.map(JInt(_)))))
         }
-      }
-      retain match {
-        case None => err(400, "Invalid retain_generations")
-        case Some(r) =>
-          c.compact(retainGenerations = r)
-          ok(JObject(
-            "message" -> JString("Compaction completed successfully."),
-            "retained_generations" -> JInt(r),
-            "complete_generations" -> JArray(c.generations.toList.map(JInt(_)))))
       }
     }
 

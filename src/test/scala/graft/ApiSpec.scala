@@ -298,6 +298,10 @@ class ApiSpec extends SparkSpec {
       """{"retain_generations": -1}""").status == 400)
     assert(api.handle("POST", "/api/v1/collections/test_collection/compact",
       """{"retain_generations": 1.5}""").status == 400)
+    // a non-empty body that fails to PARSE is a 400 too (ADVICE r15 —
+    // it must not silently compact with the default window)
+    assert(api.handle("POST", "/api/v1/collections/test_collection/compact",
+      """{"retain_generations": }""").status == 400)
     assert(api.handle("POST", "/api/v1/collections/nope/compact").status == 404)
     // data still searchable after the maintenance cycle (the probe
     // covers the query's own bucket, so pin the exact-match hit)

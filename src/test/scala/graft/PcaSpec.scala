@@ -145,6 +145,27 @@ class PcaSpec extends SparkSpec {
     assert(again == rows)
   }
 
+  test("covarianceStats: empty input yields empty output (no n=0 rows)") {
+    // a global agg always emits one row; the operator must restore the
+    // empty-in/empty-out contract rather than hand cov a divide-by-zero
+    val empty = cloud.filter(col("vec_id") < 0)
+    assert(Pca.covarianceStats(empty, "embedding", dim).count() == 0L)
+    assert(Pca.covariance(empty, "embedding", dim).count() == 0L)
+  }
+
+  test("non-finite vector elements fail loudly, not as raw NumberFormatException") {
+    val bad = Seq((1L, Array(1.0f, Float.NaN, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.covariance(bad, "embedding", dim).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("non-finite vector element"))),
+      s"wanted the GramSumsAgg non-finite message, got: ${e.getMessage}")
+  }
+
   test("GramBuffer: overflow promotes to exact BigInteger cells") {
     import java.math.BigInteger
     import graft.functions.{GramBuffer, GramSumsAgg}
