@@ -79,6 +79,41 @@ object BpeBatchProbe {
       (m, rounds)
     })
 
+    // WINDOW SWEEP (VERDICT r15 #2): is the 3.46 merges/round ceiling
+    // the candidate window or the strict-count trim? Any windowMult
+    // is provably exact (see Bpe.train doc), so the learned merges
+    // must not move — pinned here — and the factor tells which
+    // constraint binds.
+    val base = Bpe.train(rich, "text", numMerges = 256)._1
+    for (mult <- Seq(8, 16, 32)) {
+      report(s"rich-w$mult", {
+        var rounds = 0
+        val (m, _) = Bpe.train(rich, "text", numMerges = 256,
+          onRound = _ => rounds += 1, windowMult = mult)
+        require(m == base, s"windowMult=$mult changed the learned merges!")
+        (m, rounds)
+      })
+    }
+
+    // HUGE vocabulary (~100k distinct words) — the cost-model arm:
+    // merges/round at a natural-text-like vocabulary scale plus
+    // wall/round, the two numbers the projected 32k-merge wall-time
+    // in SURVEY §4 multiplies out. Factor question: do count ties
+    // (what the strict trim cuts on) thin out as the vocabulary
+    // grows, raising the per-round yield?
+    val huge = (0 until 100000).flatMap { i =>
+      val word = (0 until 2 + i % 3)
+        .map(p => syl((i * 131 + p * 37 + i / 977) % 100) +
+          (if ((i + p) % 4 == 0) syl((i * 53 + p) % 100) else "")).mkString
+      Seq.fill(1 + 40000 / (i + 400))(word)
+    }.grouped(200).map(_.mkString(" ")).toSeq.toDF("text")
+    report("huge-100k", {
+      var rounds = 0
+      val (m, _) = Bpe.train(huge, "text", numMerges = 256,
+        onRound = _ => rounds += 1)
+      (m, rounds)
+    })
+
     spark.stop()
   }
 }
