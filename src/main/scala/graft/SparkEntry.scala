@@ -197,6 +197,41 @@ object SparkEntry {
         boostSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         Seq("n_words", "n_stop"), iterations = 30, lr = 1.0))
 
+  /** Wider integer signal frame for the d=6 logistic member (VERDICT
+    * r15 #7): six count signals a quality gate actually mixes — every
+    * feature a bigint both engines derive identically from the same
+    * word list, so the fixed-order zSql fold and the 1e-9 gradient
+    * grid are exercised past d=2 on the oracle path. Label rule
+    * shared with [[boostSignals]]. */
+  private def logitWideFeatures: Seq[String] =
+    Seq("n_words", "n_stop", "n_chars", "max_wlen", "n_distinct", "n_alpha")
+
+  private def logitWideSignals(s: SparkSession, dir: String): DataFrame = {
+    val txt = coalesce(col("text"), lit(""))
+    val w = filter(split(txt, " "), t => t =!= "")
+    Tables.documents(s, dir).select(col("doc_id"),
+        size(w).cast("long").as("n_words"),
+        size(array_intersect(array_distinct(w),
+          array(TextAnalysis.enStopwords.map(lit): _*)))
+          .cast("long").as("n_stop"),
+        length(txt).cast("long").as("n_chars"),
+        coalesce(array_max(transform(w, t => length(t))), lit(0))
+          .cast("long").as("max_wlen"),
+        size(array_distinct(w)).cast("long").as("n_distinct"),
+        size(filter(w, t => t.rlike("[a-zA-Z]"))).cast("long").as("n_alpha"))
+      .withColumn("y",
+        (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
+  }
+
+  private val logitWideModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Logit.LogitModel]()
+
+  private def logitWideModel(s: SparkSession, dir: String): operators.Logit.LogitModel =
+    logitWideModelCache.computeIfAbsent(dir, _ =>
+      operators.Logit.train(
+        logitWideSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
+        logitWideFeatures, iterations = 60, lr = 0.5))
+
   /** PQ codebook per corpus dir (deterministic function of dir —
     * sampled by md5 total order — so one TakeOrdered job amortizes
     * across the ADC and rerank queries; plain doubles, session-free). */
@@ -1496,6 +1531,37 @@ object SparkEntry {
           round(col("dist"), 5).as("dist"))
     }),
 
+    "similarity_join_capped" -> ((s, dir) => {
+      // the same k-NN graph through the CAPPED forest path (VERDICT
+      // r15 #6): bucketCap = 4096 exceeds the whole graded corpus
+      // (2000 vectors at sf0.1), so no bucket can reach it and the
+      // capped plan must reproduce similarity_join's rows verbatim —
+      // the oracle is shared string-identical. What this grades is
+      // the cap machinery itself (the bounded LongTopKAgg cut and the
+      // survivor expansion) on the oracle path, not just in AnnSpec
+      AnnLsh.similarityJoin(Tables.embeddings(s, dir), "embedding", "vec_id",
+          k = 3, numTables = 20, bitsPerTable = 8, dim = 64, Knn.Cosine,
+          bucketCap = Some(4096))
+        .select(col("qid"), col("vec_id"), col("rank"),
+          round(col("dist"), 5).as("dist"))
+    }),
+
+    "similarity_join_cap_binding" -> ((s, dir) => {
+      // the cap SEMANTICS hash-gated (not just path equality): cap 4
+      // binds on the graded geometry (~8 mean occupancy per table at
+      // sf0.1), and the oracle restates the cut itself — per forest
+      // key, keep the 4 lowest by (hash64("key_cid"), cid), exactly
+      // the LongTopKAgg ordering — so the deterministic eviction rule
+      // is verified cell-by-cell in a second engine. (The graded
+      // corpus has no duplicate vectors, so canonical == vec_id and
+      // the SQL can cap raw ids.)
+      AnnLsh.similarityJoin(Tables.embeddings(s, dir), "embedding", "vec_id",
+          k = 3, numTables = 20, bitsPerTable = 8, dim = 64, Knn.Cosine,
+          bucketCap = Some(4))
+        .select(col("qid"), col("vec_id"), col("rank"),
+          round(col("dist"), 5).as("dist"))
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // end-to-end semantic dedup over the same perturbed corpus the
       // forest near-dup query uses: pairs -> components -> keeper
@@ -2137,6 +2203,20 @@ object SparkEntry {
       // edges — zero per-row transcendentals
       val te = boostSignals(s, dir).filter(col("doc_id") % 5 === 0)
       operators.Logit.calibration(te, logitModel(s, dir), "y")
+    }),
+
+    "classify_logreg_multi" -> ((s, dir) => {
+      // the d=6 member (VERDICT r15 #7): same integer-grid training,
+      // same held-out fifth, but six count signals — the fixed-order
+      // zSql fold and the exact gradient sums exercised past d=2 on
+      // the oracle path (the fitted 7 doubles ship to DuckDB as
+      // round-trip literals; both engines run the identical IEEE
+      // operation sequence over the identical bigint signals)
+      val te = logitWideSignals(s, dir).filter(col("doc_id") % 5 === 0)
+      operators.Logit.score(te, logitWideModel(s, dir), Seq("doc_id", "y"))
+        .select(col("doc_id"), col("y").cast("long").as("label"),
+          col("pred"), col("prob"), col("z"),
+          (col("y").cast("long") === col("pred")).as("agree"))
     }),
 
     "classify_boost_sweep" -> ((s, dir) => {
@@ -3037,7 +3117,15 @@ object SparkEntry {
       |       (win.pred = te.lang) AS correct
       |FROM te JOIN win USING (doc_id)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // generous-cap path equality: the capped forest plan must
+    // reproduce the uncapped rows verbatim (the rows 90/106
+    // path-equality contract), so the oracle IS similarity_join's,
+    // shared string-identical
+    ("similarity_join_capped" -> oracleSqlBase("similarity_join")) ++
+    pcaOracleEntries ++ logitOracleEntries ++ logitWideOracleEntries
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "ann_lsh" ->
       s"""WITH planes AS (
          |  SELECT h, list_transform(range(64), d ->
@@ -4020,6 +4108,39 @@ object SparkEntry {
          |  FROM b, planes GROUP BY vec_id, tbl),
          |cand AS (SELECT DISTINCT q.vec_id AS qid, k.vec_id
          |         FROM keys k JOIN keys q ON k.tbl = q.tbl AND k.key = q.key
+         |         WHERE k.vec_id <> q.vec_id),
+         |d AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.v")} AS d
+         |      FROM cand c JOIN b ON b.vec_id = c.vec_id
+         |                  JOIN b q ON q.vec_id = c.qid),
+         |r AS (SELECT qid, vec_id, d,
+         |        row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rank FROM d)
+         |SELECT qid, vec_id, rank, round(d, 5) AS dist FROM r WHERE rank <= 3""".stripMargin,
+
+    "similarity_join_cap_binding" ->
+      // the capped forest cut restated: per forest key, keep the 4
+      // lowest by (hash64("key_cid"), vec_id) — the exact LongTopKAgg
+      // ordering — then the uncapped query's candidate/score/top-3
+      // tail over the survivors (no duplicate vectors in the graded
+      // corpus, so capping raw ids == capping canonicals)
+      s"""WITH planes AS (
+         |  SELECT h, h // 8 AS tbl, h % 8 AS bit,
+         |    list_transform(range(64), d ->
+         |      (CAST('0x' || substr(md5(h || '_' || d), 1, 15) AS BIGINT) % 1000) / 1000.0 - 0.5) AS p
+         |  FROM range(160) t(h)),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |keys AS (
+         |  SELECT vec_id, tbl,
+         |    (tbl << 8) | CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+         |                              THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS key
+         |  FROM b, planes GROUP BY vec_id, tbl),
+         |ck AS (SELECT vec_id, tbl, key FROM (
+         |    SELECT vec_id, tbl, key,
+         |      row_number() OVER (PARTITION BY key ORDER BY
+         |        CAST('0x' || substr(md5(CAST(key AS VARCHAR) || '_' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+         |        vec_id) AS rn
+         |    FROM keys) WHERE rn <= 4),
+         |cand AS (SELECT DISTINCT q.vec_id AS qid, k.vec_id
+         |         FROM ck k JOIN ck q ON k.tbl = q.tbl AND k.key = q.key
          |         WHERE k.vec_id <> q.vec_id),
          |d AS (SELECT c.qid, c.vec_id, ${angSql("b.v", "q.v")} AS d
          |      FROM cand c JOIN b ON b.vec_id = c.vec_id
@@ -5611,7 +5732,7 @@ object SparkEntry {
         |  round(CAST(p.s * p.n - mi.s1 * mj.s1 AS DOUBLE) /
         |        (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) * 1e12), 10) AS cov
         |FROM p JOIN m mi ON mi.d = p.i JOIN m mj ON mj.d = p.j""".stripMargin
-  ) ++ pcaOracleEntries ++ logitOracleEntries
+  )
 
   /** Shortest round-trip double literal: `Double.toString` prints the
     * minimal decimal that parses back to the SAME bits in any
@@ -5716,6 +5837,41 @@ object SparkEntry {
                |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
                |  round(CAST(sum(CAST(round(($z) * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(*), 6) AS mean_z
                |FROM te GROUP BY 1""".stripMargin)
+      case _ => Map.empty
+    }
+  }
+
+  /** DuckDB oracle for classify_logreg_multi — the d=6 twin of
+    * [[logitOracleEntries]]: six bigint count signals, the same
+    * fixed-order zSql string over seven round-trip literals. */
+  private def logitWideOracleEntries: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    logitWideModelCache.values().asScala.toList match {
+      case m :: Nil =>
+        val z = operators.Logit.zSql(m)
+        val nStop = s"len(list_intersect(list_distinct(w), ${LangSql.en}))"
+        val sigCte =
+          s"""WITH sig AS (SELECT doc_id,
+             |    CAST(len(w) AS BIGINT) AS n_words,
+             |    CAST($nStop AS BIGINT) AS n_stop,
+             |    CAST(len(txt) AS BIGINT) AS n_chars,
+             |    CAST(coalesce(list_max(list_transform(w, x -> length(x))), 0) AS BIGINT) AS max_wlen,
+             |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+             |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+             |    CASE WHEN len(w) >= 30 AND $nStop >= 1 THEN 1 ELSE 0 END AS y
+             |  FROM (SELECT doc_id, coalesce(text, '') AS txt,
+             |          list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '') AS w
+             |        FROM documents)),
+             |te AS (SELECT * FROM sig WHERE doc_id % 5 = 0)""".stripMargin
+        val pred = s"CAST(CASE WHEN ($z) >= 0.0 THEN 1 ELSE 0 END AS BIGINT)"
+        Map(
+          "classify_logreg_multi" ->
+            s"""$sigCte
+               |SELECT doc_id, CAST(y AS BIGINT) AS label, $pred AS pred,
+               |  round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-($z))), 6) AS prob,
+               |  round($z, 6) AS z,
+               |  (CAST(y AS BIGINT) = $pred) AS agree
+               |FROM te""".stripMargin)
       case _ => Map.empty
     }
   }

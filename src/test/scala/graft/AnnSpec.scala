@@ -358,6 +358,11 @@ class AnnSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     val recall = uSet.intersect(cSet).size.toDouble / uSet.size
     assert(recall >= 0.85, s"capped recall $recall")
+    // the cap is a bounded aggregate, never a window (VERDICT r15
+    // #4): a row_number window partitioned by fkey would funnel the
+    // hot bucket the cap exists for into one task's sort
+    val capped = join(Some(40)).queryExecution.executedPlan.toString
+    assert(!capped.contains("Window"), s"window in capped plan:\n$capped")
   }
 
   test("multiprobe key order is deterministic under margin ties") {

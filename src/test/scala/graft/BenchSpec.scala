@@ -61,4 +61,32 @@ class BenchSpec extends AnyFunSuite {
     val rawJson = """{"queries":{"q1_agg":0.5,"dedup_exact":1.25}}"""
     assert(Bench.parsePrevQueryTimes(rawJson)("dedup_exact") == 1.25)
   }
+
+  test("a contaminated pass never replaces a same-sf clean history " +
+      "(VERDICT r15 #3)") {
+    val sf = "/root/testdata/sf0.1"
+    val clean = s"""{"sf":"$sf","loadavg":[1.0],"contaminated":false,"queries":{}}"""
+    val dirty = s"""{"sf":"$sf","loadavg":[6.2],"contaminated":true,"queries":{}}"""
+    val legacy = s"""{"sf":"$sf","errors":{},"queries":{}}"""
+    val otherSf = clean.replace("sf0.1", "sf0.01")
+    // clean pass always persists
+    assert(Bench.shouldPersist(contaminated = false, Some(clean), sf))
+    assert(Bench.shouldPersist(contaminated = false, Some(dirty), sf))
+    // contaminated pass: refuses only against a same-sf self-labeled
+    // clean base...
+    assert(!Bench.shouldPersist(contaminated = true, Some(clean), sf))
+    // ...but may seed an empty history, replace another sf's file, a
+    // contaminated base, or a pre-flag legacy file (the pre-r16
+    // history IS the loaded r15 end-of-round pass)
+    assert(Bench.shouldPersist(contaminated = true, None, sf))
+    assert(Bench.shouldPersist(contaminated = true, Some(otherSf), sf))
+    assert(Bench.shouldPersist(contaminated = true, Some(dirty), sf))
+    assert(Bench.shouldPersist(contaminated = true, Some(legacy), sf))
+  }
+
+  test("the self-label fields never parse as query times") {
+    val artifact =
+      """{"sf":"/root/testdata/sf0.1","loadavg":[6.20,5.45,3.57],"contaminated":true,"errors":{},"queries":{"q1_agg":0.5}}"""
+    assert(Bench.parsePrevQueryTimes(artifact) == Map("q1_agg" -> 0.5))
+  }
 }

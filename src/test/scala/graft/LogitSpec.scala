@@ -115,6 +115,70 @@ class LogitSpec extends SparkSpec {
     assert(sorted.last._4 >= sorted.head._4)
   }
 
+  /** d-agnostic local mirror (VERDICT r15 #7): same fixed-order z
+    * fold, same grid, same update order, any feature count. */
+  private def localTrainD(rows: Seq[(Seq[Long], Int)], iters: Int,
+                          lr: Double): (Double, Seq[Double]) = {
+    val xs = 64.0
+    def grid(v: Double): Long = java.math.BigDecimal.valueOf(v * 1e9)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val d = rows.head._1.length
+    var b = 0.0
+    var w = Vector.fill(d)(0.0)
+    val n = rows.length.toLong
+    for (_ <- 1 to iters) {
+      var gb = 0L
+      val g = Array.fill(d)(0L)
+      rows.foreach { case (xsRow, y) =>
+        // the zSql fold: left-to-right, one term at a time
+        val z = xsRow.indices.foldLeft(0.0 + b) { (acc, j) =>
+          acc + w(j) * (xsRow(j).toDouble / xs)
+        }
+        val resid = (1.0 / (1.0 + math.exp(-z))) - y.toDouble
+        gb += grid(resid)
+        xsRow.indices.foreach { j =>
+          g(j) += grid(resid * (xsRow(j).toDouble / xs))
+        }
+      }
+      b = b - lr * (gb.toDouble / 1e9 / n)
+      w = Vector.tabulate(d)(j => w(j) - lr * (g(j).toDouble / 1e9 / n))
+    }
+    (b, w)
+  }
+
+  test("d=4: train matches the local mirror bit-for-bit, any partitioning " +
+      "(VERDICT r15 #7)") {
+    val rows4: Seq[(Seq[Long], Int)] = (0 until 150).map { i =>
+      val x = Seq((i * 37 % 90).toLong, (i * 13 % 7).toLong,
+        (i * 101 % 600).toLong, (i * 7 % 30).toLong)
+      (x, if (x(0) >= 30 && x(1) >= 1) 1 else 0)
+    }
+    val df = rows4.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, x(0), x(1), x(2), x(3), y)
+    }.toDF("id", "f1", "f2", "f3", "f4", "y")
+    val feats = Seq("f1", "f2", "f3", "f4")
+    val m = Logit.train(df, "y", feats, iterations = 15, lr = 0.5)
+    val (eb, ew) = localTrainD(rows4, iters = 15, lr = 0.5)
+    assert(m.bias == eb)
+    assert(m.weights == ew)
+    // the grid contract holds at d>2 in any partitioning
+    val m2 = Logit.train(df.repartition(11), "y", feats, 15, 0.5)
+    assert(m == m2)
+  }
+
+  test("a diverging step fails fast with a non-finite-model error") {
+    // lr large enough that the first update overflows a weight to
+    // -Infinity (feature ~6000, resid ~0.5 => grad ~50; 1e307 * 50
+    // overflows double): the NEXT zSql evaluation must throw the
+    // dLit finite-require, not silently keep training on garbage
+    val df = (0 until 50).map(i => (i.toLong, 6000L + i, i % 2))
+      .toDF("id", "f1", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Logit.train(df, "y", Seq("f1"), iterations = 3, lr = 1e307)
+    }
+    assert(ex.getMessage.contains("non-finite model value"))
+  }
+
   test("declared queries: shared model, hash-stable columns") {
     val q = SparkEntry.queries("classify_logreg")(spark, sf0001)
     assert(q.columns.toSeq ==
@@ -124,5 +188,11 @@ class LogitSpec extends SparkSpec {
     assert(r.columns.toSeq == Seq("bin", "n", "n_pos", "pos_rate", "mean_z"))
     // report rows cover the same held-out docs the scored query emits
     assert(r.agg(sum(col("n"))).head().getLong(0) == q.count())
+    // the d=6 member scores the same held-out fifth with the same
+    // column contract and a usable linear fit
+    val m = SparkEntry.queries("classify_logreg_multi")(spark, sf0001)
+    assert(m.columns.toSeq ==
+      Seq("doc_id", "label", "pred", "prob", "z", "agree"))
+    assert(m.count() == q.count())
   }
 }
