@@ -1143,21 +1143,22 @@ object SparkEntry {
       // (numHashes, bands) points against the exact-Jaccard truth —
       // dedup_eval at one config, swept
       val corpus = dedupCorpus(s, dir)
+      // the three arms AND the truth chain share ONE shingle-set
+      // frame (r16: the truth arm previously built its own — a fourth
+      // split+md5 corpus pass for an identical frame), and the arms
+      // share ONE 16-hash signature frame (shorter signatures are
+      // prefix slices — minhashPairsFromSigs)
+      val sets = Dedup.shingleSets(corpus, "text", "doc_id", 3)
+        .localCheckpoint()
       // localCheckpoint the shared truth frame (the pretrainV3Stages
       // materialize rule): three sweep arms each join against it, and
       // ReuseExchange dedupes only identical exchanges — as a plain
       // plan the expensive exact-ngram pair chain re-derived per arm.
       // EAGER cut inside the timed builder, unlike the deferred
       // construction-time persist ADVICE r11 rejected; same pairs.
-      val truth = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
-          n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
+      val truth = Dedup.ngramJaccardPairsFromSets(sets,
+          threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint()
-      // the three arms share ONE shingle-set frame and ONE 16-hash
-      // signature frame (shorter signatures are prefix slices —
-      // minhashPairsFromSigs): three fresh minhashPairs chains paid
-      // three shingle+signature corpus passes for identical keys
-      val sets = Dedup.shingleSets(corpus, "text", "doc_id", 3)
         .localCheckpoint()
       val (as16, bs16) = Dedup.minhashConsts(16)
       val sigs = sets.filter(size(col("shs")) > 0)
@@ -1732,12 +1733,24 @@ object SparkEntry {
       // tau 0.5 recover the exact-Jaccard >= 0.6 pair set? One row of
       // tp/fp/fn + precision/recall/F1 (integer counts, fixed-order
       // divisions)
+      // BOTH chains read the same 3-shingle sets: one shingle frame,
+      // localCheckpointed, instead of each chain paying its own
+      // split+md5 corpus pass (the dedup_minhash_sweep sharing rule;
+      // minhashPairsFromSigs == minhashPairs and
+      // ngramJaccardPairsFromSets == ngramJaccardPairs by contract)
       val corpus = dedupCorpus(s, dir)
-      val predicted = Dedup.minhashPairs(corpus, "text", "doc_id",
-        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      val sets = Dedup.shingleSets(corpus, "text", "doc_id", 3)
+        .localCheckpoint()
+      val (as16, bs16) = Dedup.minhashConsts(16)
+      val sigs = sets.filter(size(col("shs")) > 0)
+        .select(col("sid").as("doc_id"),
+          graft.functions.SketchExprs.minhashSig(
+            col("shs"), as16, bs16, Dedup.MINHASH_M).as("sig"))
+      val predicted = Dedup.minhashPairsFromSigs(sets, sigs, "doc_id",
+          bands = 4, rowsPerBand = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
-      val truth = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
-        n = 3, threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
+      val truth = Dedup.ngramJaccardPairsFromSets(sets,
+          threshold = 0.6, maxDf = 20, maxDfFrac = 0.005)
         .select(col("id_a"), col("id_b"))
       Eval.pairQuality(predicted, truth)
         .select(col("tp"), col("fp"), col("fn"),

@@ -547,9 +547,23 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, threshold: Double = 0.6,
-                        maxDf: Int = 100, maxDfFrac: Double = 0.005): DataFrame = {
-    val sets = shingleSets(df, textCol, idCol, n)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+                        maxDf: Int = 100, maxDfFrac: Double = 0.005): DataFrame =
+    ngramJaccardPairsFromSets(
+      shingleSets(df, textCol, idCol, n).persist(StorageLevel.MEMORY_AND_DISK),
+      threshold, maxDf, maxDfFrac)
+
+  /** The exact-Jaccard pair chain over a PRE-MATERIALIZED shingle-set
+    * frame (the minhashPairsFromSigs convention, VERDICT r15 #5
+    * family): a caller that runs several chains over the same corpus
+    * and shingle width — dedup_eval's sketch-vs-truth comparison, the
+    * band sweep's truth arm — shares ONE shingle frame instead of
+    * paying the split+md5 corpus pass per chain. `sets` must already
+    * be materialized (persisted or checkpointed): the chain reads it
+    * three times (df counts, inverted index, verification). Same
+    * rows as [[ngramJaccardPairs]] by construction — this IS its
+    * body. */
+  def ngramJaccardPairsFromSets(sets: DataFrame, threshold: Double,
+                                maxDf: Int, maxDfFrac: Double): DataFrame = {
     val nDocs = sets.agg(count(lit(1)).as("_n_docs"))
     val inverted = sets.select(col("sid"), size(col("shs")).as("n_sh"),
       explode(col("shs")).as("sh"))
