@@ -17,7 +17,7 @@ object Bench {
     val txt = if (cut >= 0) raw.substring(0, cut) else raw
     val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
     val meta = Set("value", "sf", "total", "round", "geomean",
-      "n", "rc", "cpus", "lines")
+      "n", "rc", "cpus", "lines", "ext_cores")
     // A pair whose match runs to the very end of the text was cut
     // mid-token by the driver's ~3.3 KB tail window (e.g. 1.25 cut to
     // "1.2" would parse as 1.2 and fabricate a vs_prev shift — ADVICE
@@ -46,6 +46,36 @@ object Bench {
       raw.contains("\"sf\":\"" + sfDir + "\"") &&
         raw.contains("\"contaminated\":false")
     }
+
+  /** Busy (non-idle, non-iowait) jiffies from the aggregate `cpu `
+    * line of /proc/stat: user + nice + system + irq + softirq +
+    * steal. */
+  private[graft] def busyJiffies(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+")
+    Seq(1, 2, 3, 6, 7, 8).map(i => if (i < f.length) f(i).toLong else 0L).sum
+  }
+
+  /** This process's own jiffies (utime + stime, fields 14-15) from
+    * /proc/self/stat. The comm field may contain spaces and parens,
+    * so split after the LAST ')'. */
+  private[graft] def selfJiffies(selfStat: String): Long = {
+    val tail = selfStat.substring(selfStat.lastIndexOf(')') + 2).split(" ")
+    tail(11).toLong + tail(12).toLong
+  }
+
+  /** Average EXTERNAL cores busy over a (Δbusy, Δself, wallSec)
+    * window: other tenants' CPU seconds per wall second, self-load
+    * excluded by construction. This is the contamination signal a
+    * loadavg threshold cannot be (VERDICT r15 #3 follow-through): the
+    * bench's own 32 executor threads push the box's 1-min loadavg to
+    * 7-8 during any timed pass, so a fixed loadavg cap either flags
+    * every pass or none — while the r14/r15 phantom-regression eras
+    * were precisely OTHER processes stealing cores mid-window, which
+    * this measures directly (USER_HZ = 100 on Linux). */
+  private[graft] def externalCores(dBusy: Long, dSelf: Long,
+                                   wallSec: Double): Double =
+    if (wallSec <= 0) 0.0
+    else math.max(0.0, (dBusy - dSelf) / 100.0 / wallSec)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,6 +92,18 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).queryExecution.toRdd.count()
+    // External-CPU window opens BEFORE any Spark work: everything the
+    // bench itself burns from here on is `self` and subtracts out.
+    def procRead(p: String): Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => None }
+    def cpuSample(): Option[(Long, Long)] =
+      for (st <- procRead("/proc/stat"); self <- procRead("/proc/self/stat"))
+        yield (busyJiffies(st.linesIterator.next()), selfJiffies(self))
+    val cpu0 = cpuSample()
+    val wall0 = System.nanoTime()
     // JIT/codegen warm-up: run every query once at the tiny sf so the
     // timed runs measure steady-state throughput, not first-run
     // interpreter/compile cost (measured 4-5x on string-heavy paths)
@@ -216,8 +258,23 @@ object Bench {
     sampleLoad()
     val loadJson = loadAvgs.map(v => BigDecimal(v).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString).mkString("[", ",", "]")
+    // Contamination = average external cores over the whole run above
+    // the cap (default 2 of 32: a real co-tenant, not scheduler
+    // noise). Fallback when /proc is unavailable: the pre-r16 loadavg
+    // rule — but on ENTRY only (the in-run samples measure the
+    // bench's own threads; this pass's predecessor flagged itself).
+    val extCores: Option[Double] =
+      for ((b0, s0) <- cpu0; (b1, s1) <- cpuSample())
+        yield externalCores(b1 - b0, s1 - s0,
+          (System.nanoTime() - wall0) / 1e9)
+    val extCap = sys.env.getOrElse("SPARK_GRAFT_EXT_CORES_MAX", "2.0").toDouble
     val loadCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
-    val contaminated = loadAvgs.nonEmpty && loadAvgs.max > loadCap
+    val contaminated = extCores match {
+      case Some(x) => x > extCap
+      case None => loadAvgs.nonEmpty && loadAvgs.head > loadCap
+    }
+    val extJson = extCores.map(v => BigDecimal(v).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toString).getOrElse("null")
     // Persist the full medians map AFTER reading the previous one, so
     // consecutive runs chain (this run becomes the next run's base).
     // Best-effort: a read-only checkout must not fail the bench.
@@ -227,7 +284,7 @@ object Bench {
         else Some(new String(java.nio.file.Files.readAllBytes(
           localHist.toPath), java.nio.charset.StandardCharsets.UTF_8))
       if (shouldPersist(contaminated, prevRaw, sfDir)) {
-        val full = s"""{"sf":"$sfDir","loadavg":$loadJson,"contaminated":$contaminated,"errors":$errJson,"queries":$qs}\n"""
+        val full = s"""{"sf":"$sfDir","loadavg":$loadJson,"ext_cores":$extJson,"contaminated":$contaminated,"errors":$errJson,"queries":$qs}\n"""
         java.nio.file.Files.write(localHist.toPath,
           full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
@@ -238,7 +295,7 @@ object Bench {
     // that must survive capture has to come after the queries map —
     // r12 computed the era comparison but embedded it before the map,
     // and the tail window truncated it away.
-    println(s"""{"metric":"vs_prev","value":$vsPrev,"loadavg":$loadJson,"contaminated":$contaminated}""")
+    println(s"""{"metric":"vs_prev","value":$vsPrev,"loadavg":$loadJson,"ext_cores":$extJson,"contaminated":$contaminated}""")
     spark.stop()
   }
 }

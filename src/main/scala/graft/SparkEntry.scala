@@ -232,6 +232,32 @@ object SparkEntry {
         logitWideSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         logitWideFeatures, iterations = 60, lr = 0.5))
 
+  /** Trained NB language models per corpus dir (plain double arrays,
+    * session-free — the boostModelCache convention): training is a
+    * pure function of the train split (exact keyed counts + logs of
+    * count ratios, partitioning-independent), so classify_nb, its
+    * confusion report, the unseen-label report and the kernel row all
+    * read ONE cached model and score at scan speed via the codegen'd
+    * NbScore kernel — bit-identical to the distributed naiveBayes
+    * chain by the trainNaiveBayes contract (spec-pinned), so every
+    * oracle is unchanged. The 'de'-withheld blind-spot model is its
+    * own cache entry (different train split, different counts). */
+  private val nbModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.TextAnalysis.NbModel]()
+
+  private def nbModel(s: SparkSession, dir: String): operators.TextAnalysis.NbModel =
+    nbModelCache.computeIfAbsent(dir, _ =>
+      operators.TextAnalysis.trainNaiveBayes(
+        Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
+        "text", "lang", 4096))
+
+  private def nbModelUnseen(s: SparkSession, dir: String): operators.TextAnalysis.NbModel =
+    nbModelCache.computeIfAbsent(s"$dir|unseen", _ =>
+      operators.TextAnalysis.trainNaiveBayes(
+        Tables.documents(s, dir)
+          .filter(col("doc_id") % 5 =!= 0 && col("lang") =!= "de"),
+        "text", "lang", 4096))
+
   /** PQ codebook per corpus dir (deterministic function of dir —
     * sampled by md5 total order — so one TakeOrdered job amortizes
     * across the ADC and rerank queries; plain doubles, session-free). */
@@ -2076,13 +2102,14 @@ object SparkEntry {
     "classify_nb" -> ((s, dir) => {
       // supervised language check: train hashed-unigram Naive Bayes on
       // 4/5 of the corpus's declared lang labels, score the held-out
-      // fifth — the fastText-style router/quality-gate shape
-      val docs = Tables.documents(s, dir)
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val test = docs.filter(col("doc_id") % 5 === 0)
-      TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang",
-          buckets = 4096)
-        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // fifth — the fastText-style router/quality-gate shape. Scores
+      // via the cached model + NbScore kernel (r16: the whole NB
+      // family shares ONE training run — the boostModel convention;
+      // kernel == chain bit-identical by the trainNaiveBayes
+      // contract, so the chain-restating oracle is unchanged)
+      val test = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id",
+          nbModel(s, dir), carry = Seq("lang"))
         .select(col("doc_id"), col("pred").as("pred_lang"),
           round(col("nb_score"), 5).as("nb_score"),
           (col("pred") === col("lang")).as("correct"))
@@ -2093,11 +2120,13 @@ object SparkEntry {
       // confidence of the NB gate vs empirical accuracy, 10 bins; the
       // per-bin (accuracy − mean_conf) gap is the miscalibration the
       // deploy gate reads before trusting "90% confident" verdicts
-      val docs = Tables.documents(s, dir)
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val test = docs.filter(col("doc_id") % 5 === 0)
-      TextAnalysis.nbCalibration(train, test, "text", "doc_id", "lang",
-          buckets = 4096, bins = 10)
+      // cached model + the all-labels NbScoresVec kernel (r16): the
+      // reliability diagram is one zero-join scan + a bounded roll-up,
+      // bit-identical to the nbCalibration chain (spec-pinned), so
+      // the chain-restating oracle is unchanged
+      val test = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      TextAnalysis.nbCalibrationFromModel(test, "text", "doc_id", "lang",
+          nbModel(s, dir), bins = 10)
         .select(col("pred_label"), col("bin"), col("n"), col("n_correct"),
           round(col("accuracy"), 5).as("accuracy"),
           round(col("mean_conf"), 5).as("mean_conf"))
@@ -2119,13 +2148,12 @@ object SparkEntry {
     "classify_nb_report" -> ((s, dir) => {
       // the classifier's deploy gate: confusion matrix over the
       // held-out split (declared lang × predicted), integer counts —
-      // the eval-report twin of ann_recall_eval/dedup_eval
-      val docs = Tables.documents(s, dir)
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val test = docs.filter(col("doc_id") % 5 === 0)
-      TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang",
-          buckets = 4096)
-        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // the eval-report twin of ann_recall_eval/dedup_eval. Cached
+      // model + kernel scoring (r16): the confusion roll-up is one
+      // keyed agg over a zero-join scan
+      val test = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id",
+          nbModel(s, dir), carry = Seq("lang"))
         .groupBy(col("lang"), col("pred").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .select(col("lang"), col("pred_lang"), col("n"))
@@ -2138,12 +2166,9 @@ object SparkEntry {
       // label_trained flags the rows a deployment must treat as
       // out-of-distribution (the reference scenario: score-time data
       // drifts to a language the router was never trained on)
-      val docs = Tables.documents(s, dir)
-      val train = docs.filter(col("doc_id") % 5 =!= 0 && col("lang") =!= "de")
-      val test = docs.filter(col("doc_id") % 5 === 0)
-      TextAnalysis.naiveBayes(train, test, "text", "doc_id", "lang",
-          buckets = 4096)
-        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val test = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id",
+          nbModelUnseen(s, dir), carry = Seq("lang"))
         .groupBy(col("lang"), col("pred").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
         .select(col("lang"), col("pred_lang"), col("n"),
@@ -2165,13 +2190,11 @@ object SparkEntry {
     "classify_nb_scored" -> ((s, dir) => {
       // the deployment path: train once driver-side, score at scan
       // speed via the codegen'd NbScore kernel — bit-identical to
-      // classify_nb by contract, so it shares that oracle
-      val docs = Tables.documents(s, dir)
-      val train = docs.filter(col("doc_id") % 5 =!= 0)
-      val test = docs.filter(col("doc_id") % 5 === 0)
-      val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", 4096)
-      TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id", model)
-        .join(test.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      // classify_nb by contract, so it shares that oracle (and since
+      // r16 the model itself, via nbModelCache)
+      val test = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      TextAnalysis.naiveBayesScoreAll(test, "text", "doc_id",
+          nbModel(s, dir), carry = Seq("lang"))
         .select(col("doc_id"), col("pred").as("pred_lang"),
           round(col("nb_score"), 5).as("nb_score"),
           (col("pred") === col("lang")).as("correct"))

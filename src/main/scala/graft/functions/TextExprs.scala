@@ -144,6 +144,52 @@ case class NbScore(child: Expression, lls: Array[Double],
     copy(child = newChild)
 }
 
+/** [[NbScore]]'s all-labels sibling: the FULL per-label score vector
+  * (prior added last, same position-ordered token fold — element l is
+  * bit-identical to the batch chain's (doc, label_l) score) plus the
+  * non-empty token count, struct(scores array<double>, ntok int).
+  * Exists for the consumers that need every label's likelihood, not
+  * the argmax — the tempered-softmax calibration's denominator folds
+  * over all of them. */
+case class NbScoresVec(child: Expression, lls: Array[Double],
+                       priors: Array[Double], buckets: Int)
+  extends UnaryExpression {
+
+  require(priors.nonEmpty, "NbScoresVec needs at least one label")
+  require(buckets > 0, s"buckets must be > 0, got $buckets")
+  require(lls.length == priors.length * buckets,
+    s"lls length ${lls.length} != labels ${priors.length} x buckets $buckets")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scores", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("ntok", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_nb_scores requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    TextExprs.nbScores(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lls, priors, buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val llsRef = ctx.addReferenceObj("nbLls", lls, "double[]")
+    val priRef = ctx.addReferenceObj("nbPriors", priors, "double[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextExprs.nbScores($a, $llsRef, $priRef, $buckets);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
   def charEntropyCol(s: Column, alphabet: String): Column =
     GraftBridge.toColumn(CharEntropy(GraftBridge.toExpression(s), alphabet))
@@ -151,6 +197,10 @@ object TextExprs {
   def nbScoreCol(words: Column, lls: Array[Double], priors: Array[Double],
                  buckets: Int): Column =
     GraftBridge.toColumn(NbScore(GraftBridge.toExpression(words), lls, priors, buckets))
+
+  def nbScoresCol(words: Column, lls: Array[Double], priors: Array[Double],
+                  buckets: Int): Column =
+    GraftBridge.toColumn(NbScoresVec(GraftBridge.toExpression(words), lls, priors, buckets))
 
   def hashEmbedCol(words: Column, dim: Int): Column =
     GraftBridge.toColumn(HashEmbed(GraftBridge.toExpression(words), dim))
@@ -273,5 +323,37 @@ object TextExprs {
     while (l < nl) { if (acc(l) > acc(best)) best = l; l += 1 }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](best, acc(best)))
+  }
+
+  /** All-labels twin of [[nbScore]]: the identical per-label fold
+    * (accumulate token lls in position order from 0.0, prior added
+    * LAST), returning every label's score plus the non-empty token
+    * count — struct(scores, ntok). Element l is bit-identical to
+    * [[nbScore]]'s winning score when l is the argmax. */
+  def nbScores(words: org.apache.spark.sql.catalyst.util.ArrayData,
+               lls: Array[Double], priors: Array[Double],
+               buckets: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val nl = priors.length
+    val acc = new Array[Double](nl)
+    val n = words.numElements()
+    var ntok = 0
+    var i = 0
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        val w = words.getUTF8String(i)
+        if (w.numBytes() > 0) {
+          ntok += 1
+          val b = (hash60(w.getBytes) % buckets).toInt
+          var l = 0
+          while (l < nl) { acc(l) += lls(l * buckets + b); l += 1 }
+        }
+      }
+      i += 1
+    }
+    var l = 0
+    while (l < nl) { acc(l) = priors(l) + acc(l); l += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new org.apache.spark.sql.catalyst.util.GenericArrayData(acc),
+        ntok))
   }
 }

@@ -801,6 +801,55 @@ object TextAnalysis {
           .as("mean_conf"))
   }
 
+  /** [[nbCalibration]] over a pre-trained [[NbModel]] — the deploy
+    * form: per-label scores come from the codegen'd all-labels kernel
+    * ([[graft.functions.NbScoresVec]]) instead of the distributed
+    * chain, so the report is ONE zero-join scan plus the same bounded
+    * roll-up. Bit-identical to [[nbCalibration]] on the same train
+    * split by construction (spec-pinned): the kernel's per-label fold
+    * is the chain's (the NbScore contract, element-wise), the softmax
+    * denominator folds the SAME doubles in the SAME label-ascending
+    * order (the kernel's array order IS sorted-label order, matching
+    * the chain's array_sort(struct(_lbl, …))), argmax keeps the first
+    * maximal label (array_position = min-label on sorted labels), and
+    * everything after the 1e-6 confidence grid is integer. */
+  def nbCalibrationFromModel(test: DataFrame, textCol: String, idCol: String,
+                             labelCol: String, model: NbModel,
+                             bins: Int = 10, sharpness: Double = 4.0): DataFrame = {
+    require(bins > 0, s"bins must be > 0, got $bins")
+    require(sharpness > 0, s"sharpness must be > 0, got $sharpness")
+    val labelsArr = array(model.labels.toSeq.map(lit): _*)
+    val sc = test.select(col(idCol), col(labelCol).as("_true"),
+        graft.functions.TextExprs.nbScoresCol(
+          w(coalesce(col(textCol), lit(""))),
+          model.lls, model.priors, model.buckets).as("_sv"))
+      .select(col(idCol), col("_true"),
+        col("_sv.scores").as("_ss"), col("_sv.ntok").as("_nt"))
+    val mxc = array_max(col("_ss"))
+    val perDoc = sc.select(
+      element_at(labelsArr, array_position(col("_ss"), mxc).cast("int"))
+        .as("pred"),
+      aggregate(
+        transform(col("_ss"),
+          x => exp(lit(sharpness) * (x - mxc) / (col("_nt") + lit(1.0)))),
+        lit(0.0), (a, x) => a + x).as("_z"),
+      col("_true"))
+    val binned = perDoc
+      .select(col("pred").as("pred_label"),
+        expr("CAST(round(1000000.0 / _z, 0) AS BIGINT)").as("_cq"),
+        (col("pred") === col("_true")).cast("long").as("_ok"))
+      .select(col("pred_label"), col("_ok"), col("_cq"),
+        least(expr(s"(_cq * $bins) div 1000000"), lit(bins - 1).cast("long"))
+          .as("bin"))
+    binned.groupBy(col("pred_label"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("n_correct"),
+        sum(col("_cq")).as("_sq"))
+      .select(col("pred_label"), col("bin"), col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n")).as("accuracy"),
+        (col("_sq").cast("double") / (col("n") * lit(1000000.0)))
+          .as("mean_conf"))
+  }
+
   /** Gopher-style quality rule bundle (Rae et al. 2021, public): the
     * standard pre-training document gate as per-rule booleans plus
     * the conjunction, so a pipeline can AUDIT which rule drops each

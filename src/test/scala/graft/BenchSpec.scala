@@ -86,7 +86,28 @@ class BenchSpec extends AnyFunSuite {
 
   test("the self-label fields never parse as query times") {
     val artifact =
-      """{"sf":"/root/testdata/sf0.1","loadavg":[6.20,5.45,3.57],"contaminated":true,"errors":{},"queries":{"q1_agg":0.5}}"""
+      """{"sf":"/root/testdata/sf0.1","loadavg":[6.20,5.45,3.57],"ext_cores":1.23,"contaminated":true,"errors":{},"queries":{"q1_agg":0.5}}"""
     assert(Bench.parsePrevQueryTimes(artifact) == Map("q1_agg" -> 0.5))
+  }
+
+  test("external-cores accounting: /proc parsing and the window math") {
+    // aggregate cpu line: user nice system idle iowait irq softirq
+    // steal guest guest_nice -> busy = 100+2+30+0+0+4+5+6 = 147
+    assert(Bench.busyJiffies(
+      "cpu  100 2 30 5000 70 4 5 6 0 0") == 147L)
+    // /proc/self/stat with a hostile comm containing ') (' — fields
+    // 14/15 (utime, stime) after the LAST ')': 500 + 250
+    val selfStat = "4242 (java) S 1 4242 4242 0 -1 4194560 " +
+      "100 0 0 0 500 250 0 0 20 0 33 0 12345 1000000 2000 " +
+      "18446744073709551615 1 1 0 0 0 0 0 0 0 0 0 0 17 3 0 0 0 0 0"
+    assert(Bench.selfJiffies(selfStat) == 750L)
+    val hostile = selfStat.replace("(java)", "(a) (b)")
+    assert(Bench.selfJiffies(hostile) == 750L)
+    // 10 wall seconds, 2000 busy jiffies total, 1500 of them ours:
+    // (2000-1500)/100Hz/10s = 0.5 external cores
+    assert(Bench.externalCores(2000L, 1500L, 10.0) == 0.5)
+    // self can exceed measured busy across reads (tick skew): clamp 0
+    assert(Bench.externalCores(100L, 150L, 10.0) == 0.0)
+    assert(Bench.externalCores(100L, 50L, 0.0) == 0.0)
   }
 }

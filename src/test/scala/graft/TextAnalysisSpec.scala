@@ -475,6 +475,16 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double, Double)].collect()
       .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
     assert(again == got)
+    // the deploy form — cached model + the all-labels NbScoresVec
+    // kernel — is bit-identical to the chain (same fold order, same
+    // doubles, same integer grid), including the ambiguous and the
+    // token-less doc
+    val model = TextAnalysis.trainNaiveBayes(train, "text", "lang", B)
+    val deploy = TextAnalysis.nbCalibrationFromModel(test, "text",
+        "doc_id", "lang", model, bins = 10, sharpness = 4.0)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    assert(deploy == got)
   }
 
   test("cooccurrence: exact windowed pair counts, PMI vs local mirror") {
