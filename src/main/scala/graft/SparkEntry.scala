@@ -2026,9 +2026,16 @@ object SparkEntry {
         .filter(col("verdict") === "kept")
         .select(col("doc_id"), col("text"))
         .localCheckpoint()
-      val train = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      // the NB gate in deployment form (r16): the SAME model the
+      // classify_nb rows read (identical train split — documents
+      // %5 != 0, 4096 buckets), scored at scan speed by the NbScore
+      // kernel; bit-identical preds by the trainNaiveBayes contract,
+      // so the chain-restating oracle is unchanged — and the
+      // composition now shows the real pipeline shape: train once,
+      // gate every corpus pass at scan speed
       val gated = kept.join(
-          TextAnalysis.naiveBayes(train, kept, "text", "doc_id", "lang", 4096)
+          TextAnalysis.naiveBayesScoreAll(kept, "text", "doc_id",
+              nbModel(s, dir))
             .filter(col("pred") === "en")
             .select(col("doc_id"), col("pred").as("pred_lang")),
           Seq("doc_id"))
