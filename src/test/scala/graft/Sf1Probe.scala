@@ -95,7 +95,16 @@ object Sf1Probe {
     // dir (trained once in the warm pass over the 10x signal frame),
     // so like classify_boost the timed region is map-side scoring;
     // the report's decile agg rides the same scan
-    "classify_logreg", "classify_logreg_report")
+    "classify_logreg", "classify_logreg_report",
+    // round-16: the capped forest path at 10x vectors (the cap is the
+    // 100TB adversarial-geometry valve — this ratio verifies the
+    // bounded LongTopKAgg cut itself scales like the key frame), the
+    // d=6 signal extraction (six HOF counts per doc vs the base
+    // model's two), and the NB deploy forms (scan-speed kernel over
+    // the cached model — the family's timed region is now one
+    // zero-join pass, which should scale exactly linearly)
+    "similarity_join_capped", "classify_logreg_multi",
+    "classify_nb", "classify_nb_unseen")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
