@@ -96,15 +96,13 @@ object Sf1Probe {
     // so like classify_boost the timed region is map-side scoring;
     // the report's decile agg rides the same scan
     "classify_logreg", "classify_logreg_report",
-    // round-16: the capped forest path at 10x vectors (the cap is the
-    // 100TB adversarial-geometry valve — this ratio verifies the
-    // bounded LongTopKAgg cut itself scales like the key frame), the
-    // d=6 signal extraction (six HOF counts per doc vs the base
-    // model's two), and the NB deploy forms (scan-speed kernel over
-    // the cached model — the family's timed region is now one
-    // zero-join pass, which should scale exactly linearly)
-    "similarity_join_capped", "classify_logreg_multi",
-    "classify_nb", "classify_nb_unseen")
+    // round-16: the d=6 signal extraction (six HOF counts per doc vs
+    // the base model's two) and the NB deploy forms (scan-speed
+    // kernel over the cached model — the family's timed region is now
+    // one zero-join pass, which should scale exactly linearly); the
+    // capped forest path probes via the SCALED entry below (like
+    // every forest line, its bucket bits grow with the corpus)
+    "classify_logreg_multi", "classify_nb", "classify_nb_unseen")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -246,6 +244,20 @@ object Sf1Probe {
           s.read.parquet(s"$dir/embeddings.parquet")
             .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
           "embedding", "vec_id", 3, 20, bitsFor(dir, 8), 64, Knn.Cosine)
+      }),
+      // the CAPPED forest path at scale (round-16): same geometry as
+      // the scaled similarity_join, cap 4096 non-binding at either sf
+      // — the ratio isolates what the bounded LongTopKAgg cut itself
+      // costs when the key frame grows 10x (it must scale like the
+      // key frame: one keyed agg, <= cap rows per bucket per
+      // partition map-side)
+      "similarity_join_capped" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.{AnnLsh, Knn}
+        AnnLsh.similarityJoin(
+          s.read.parquet(s"$dir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+          "embedding", "vec_id", 3, 20, bitsFor(dir, 8), 64, Knn.Cosine,
+          bucketCap = Some(4096))
       }),
       "dedup_semantic" -> ((s: SparkSession, dir: String) => {
         import graft.operators.Dedup
