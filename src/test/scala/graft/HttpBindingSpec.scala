@@ -1,0 +1,122 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.zip.GZIPInputStream
+
+import graft.serving.{Api, HttpBinding}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The HTTP transport end-to-end: the rest_test.go request shapes
+  * driven through a REAL loopback server (`main.go:36-63`'s
+  * `ListenAndServe` twin) with `java.net.http.HttpClient` — method,
+  * path, query string, status codes, JSON bodies and the gzip
+  * response encoding (rest.go:25-37's middleware) all cross actual
+  * sockets. [[ApiSpec]] owns the per-route semantics; this spec owns
+  * the byte-moving layer. */
+class HttpBindingSpec extends SparkSpec {
+
+  private def withServer(f: (HttpClient, Int) => Unit): Unit = {
+    val binding = new HttpBinding(
+      new Api(spark,
+        java.nio.file.Files.createTempDirectory("graft-http").toString),
+      port = 0)
+    try f(HttpClient.newHttpClient(), binding.boundPort)
+    finally binding.stop()
+  }
+
+  private def req(port: Int, method: String, path: String,
+                  body: String = "",
+                  headers: Seq[(String, String)] = Nil): HttpRequest = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .method(method, if (body.isEmpty) HttpRequest.BodyPublishers.noBody()
+      else HttpRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    b.build()
+  }
+
+  private def send(c: HttpClient, r: HttpRequest): HttpResponse[String] =
+    c.send(r, HttpResponse.BodyHandlers.ofString())
+
+  private def j(s: String): JValue = JsonMethods.parse(s)
+
+  test("full lifecycle over real HTTP: create, insert, search, stats, " +
+      "compact, delete") {
+    withServer { (c, port) =>
+      // create (rest_test.go:250 shape)
+      val create = send(c, req(port, "POST", "/api/v1/collections",
+        """{"name": "httpc", "vector_size": 5, "quantization": 64,
+          | "distance_function": "cosine"}""".stripMargin))
+      assert(create.statusCode() == 201, create.body())
+      assert((j(create.body()) \ "collection_name") == JString("httpc"))
+      assert(create.headers().firstValue("Content-Type").orElse("")
+        .startsWith("application/json"))
+      // insert two records
+      val ins = send(c, req(port, "POST", "/api/v1/collections/httpc/records",
+        """[{"id": 1, "vector": [0.1,0.2,0.3,0.4,0.5], "metadata": {"k":"a"}},
+          | {"id": 2, "vector": [0.5,0.4,0.3,0.2,0.1], "metadata": {"k":"b"}}]"""
+          .stripMargin))
+      assert(ins.statusCode() == 201, ins.body())
+      // POST search
+      val post = send(c, req(port, "POST", "/api/v1/collections/httpc/search",
+        """{"vector": [0.1,0.2,0.3,0.4,0.5], "k": 1}"""))
+      assert(post.statusCode() == 200, post.body())
+      val hit = (j(post.body()) \ "results").asInstanceOf[JArray].arr.head
+      assert((hit \ "id") == JInt(1) || (hit \ "id") == JLong(1L))
+      // GET search with a query string (rest.go:407-414 params):
+      // limit/offset paginate the id scan, URL-decoded on the binding
+      val get = send(c, req(port, "GET",
+        "/api/v1/collections/httpc/search?limit=2&offset=1"))
+      assert(get.statusCode() == 200, get.body())
+      assert((j(get.body()) \ "results").asInstanceOf[JArray].arr.size == 1)
+      // stats
+      val stats = send(c, req(port, "GET", "/api/v1/collections/httpc"))
+      assert(stats.statusCode() == 200)
+      assert((j(stats.body()) \ "document_count") == JInt(2) ||
+        (j(stats.body()) \ "document_count") == JLong(2L))
+      // compact with retention
+      val comp = send(c, req(port, "POST",
+        "/api/v1/collections/httpc/compact", """{"retain_generations": 1}"""))
+      assert(comp.statusCode() == 200, comp.body())
+      // malformed compact body is a 400 over the wire too
+      assert(send(c, req(port, "POST", "/api/v1/collections/httpc/compact",
+        """{"retain_generations": }""")).statusCode() == 400)
+      // delete; absent delete stays 200 (rest.go:192-199)
+      assert(send(c, req(port, "DELETE",
+        "/api/v1/collections/httpc")).statusCode() == 200)
+      assert(send(c, req(port, "DELETE",
+        "/api/v1/collections/httpc")).statusCode() == 200)
+      // unroutable path is the uniform 400
+      val bad = send(c, req(port, "GET", "/nope"))
+      assert(bad.statusCode() == 400)
+      assert((j(bad.body()) \ "error") == JString("Invalid path"))
+    }
+  }
+
+  test("gzip response encoding when the client advertises it " +
+      "(rest.go:25-37 middleware twin)") {
+    withServer { (c, port) =>
+      send(c, req(port, "POST", "/api/v1/collections",
+        """{"name": "gz", "vector_size": 5, "quantization": 64,
+          | "distance_function": "cosine"}""".stripMargin))
+      val raw = c.send(
+        req(port, "GET", "/api/v1/collections",
+          headers = Seq("Accept-Encoding" -> "gzip")),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(raw.statusCode() == 200)
+      assert(raw.headers().firstValue("Content-Encoding").orElse("") == "gzip")
+      val unzipped = new String(
+        new GZIPInputStream(
+          new java.io.ByteArrayInputStream(raw.body())).readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val arr = j(unzipped).asInstanceOf[JArray].arr
+      assert(arr.exists(s => (s \ "name") == JString("gz")), unzipped)
+      // without the header the body is plain JSON, byte-identical
+      // after decompression
+      val plain = send(c, req(port, "GET", "/api/v1/collections"))
+      assert(plain.headers().firstValue("Content-Encoding").isEmpty)
+      assert(plain.body() == unzipped)
+    }
+  }
+}
