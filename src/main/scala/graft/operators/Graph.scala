@@ -107,15 +107,21 @@ object Graph {
     val base = lit(((100 - damp) * (scale / n)) / 100)
     var ranks = deg.select(col("node"), lit(scale / n).as("rank"))
     for (i <- 1 to iterations) {
-      val sums = ranks
+      // the node spine rides the AGGREGATE instead of a third
+      // per-iteration join (r16): a zero contribution per node
+      // unioned into the agg input makes the groupBy emit EVERY
+      // node — sum(0 ∪ contributions) equals the old
+      // coalesce(left-join sum, 0) integer for integer, and one
+      // iteration drops from three shuffles (join, agg, spine join)
+      // to two (the union feeds the agg's one exchange)
+      ranks = ranks
         .join(ed, col("node") === col("src"))
         .select(col("dst"), expr("rank div deg").as("_c"))
-        .groupBy(col("dst").as("node2"))
+        .unionByName(deg.select(col("node").as("dst"), lit(0L).as("_c")))
+        .groupBy(col("dst").as("node"))
         .agg(sum(col("_c")).as("_sm"))
-      ranks = deg.select(col("node"))
-        .join(sums, col("node") === col("node2"), "left")
         .select(col("node"),
-          (base + expr(s"(($damp * coalesce(_sm, 0L)) div 100)")).as("rank"))
+          (base + expr(s"(($damp * _sm) div 100)")).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = cut(ranks)
     }
