@@ -17,7 +17,8 @@ object Bench {
     val txt = if (cut >= 0) raw.substring(0, cut) else raw
     val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
     val meta = Set("value", "sf", "total", "round", "geomean",
-      "n", "rc", "cpus", "lines", "ext_cores")
+      "n", "rc", "cpus", "lines", "ext_cores",
+      "io_cores", "ext_max", "io_max", "noisy_lines")
     // A pair whose match runs to the very end of the text was cut
     // mid-token by the driver's ~3.3 KB tail window (e.g. 1.25 cut to
     // "1.2" would parse as 1.2 and fabricate a vs_prev shift — ADVICE
@@ -54,6 +55,73 @@ object Bench {
     val f = cpuLine.trim.split("\\s+")
     Seq(1, 2, 3, 6, 7, 8).map(i => if (i < f.length) f(i).toLong else 0L).sum
   }
+
+  /** Iowait jiffies (field 5 of the aggregate `cpu ` line): CPU idle
+    * with IO outstanding. This is the contamination channel ext_cores
+    * is blind to (VERDICT r16 #1): a co-tenant that evicts the page
+    * cache or saturates the disk degrades the checkpoint-heavy lines
+    * 3-5x while burning almost no CPU — the r16 final pass read
+    * ext_cores 0.80 yet shipped pretrain_v3 at 4x its idle time.
+    * Iowait is system-wide (the bench's own parquet/checkpoint IO
+    * counts too), so its cap is calibrated above the bench's own
+    * clean-pass level rather than near zero. */
+  private[graft] def iowaitJiffies(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+")
+    if (f.length > 5) f(5).toLong else 0L
+  }
+
+  /** One measured slice of the timed run: (Δbusy, Δiowait, Δself,
+    * wallSec) between two /proc samples bracketing a query. */
+  private[graft] final case class Seg(dBusy: Long, dIo: Long,
+                                      dSelf: Long, wall: Double)
+
+  /** Coalesce consecutive per-query slices into windows of at least
+    * `minWall` seconds (ADVICE r16: a 30 s co-tenant burst inside a
+    * 10-minute pass dilutes below any whole-run average — per-window
+    * maxima catch it). Slices are merged in order; a sub-minimum tail
+    * folds into the last emitted window so no slice is dropped. */
+  private[graft] def coalesceWindows(segs: Seq[Seg],
+                                     minWall: Double): Seq[Seg] = {
+    val out = collection.mutable.ArrayBuffer[Seg]()
+    var acc = Seg(0L, 0L, 0L, 0.0)
+    for (s <- segs) {
+      acc = Seg(acc.dBusy + s.dBusy, acc.dIo + s.dIo,
+        acc.dSelf + s.dSelf, acc.wall + s.wall)
+      if (acc.wall >= minWall) { out += acc; acc = Seg(0L, 0L, 0L, 0.0) }
+    }
+    if (acc.wall > 0.0) {
+      if (out.isEmpty) out += acc
+      else {
+        val last = out.remove(out.size - 1)
+        out += Seg(last.dBusy + acc.dBusy, last.dIo + acc.dIo,
+          last.dSelf + acc.dSelf, last.wall + acc.wall)
+      }
+    }
+    out.toSeq
+  }
+
+  /** max-of-reps over median-of-reps: a query whose three interleaved
+    * samples disagree by more than ~3x sat inside a contention era at
+    * least once (the judge's self-noise signal, VERDICT r16 #2).
+    * Published as a count, not a contamination trigger — the median
+    * already discards one bad rep. */
+  private[graft] def spreadRatio(ts: Seq[Double]): Double =
+    if (ts.size < 2) 1.0
+    else {
+      val sorted = ts.sorted
+      val med = sorted(sorted.size / 2)
+      if (med <= 0) 1.0 else sorted.last / med
+    }
+
+  /** The contamination decision (VERDICT r16 #1 + ADVICE r16): dirty
+    * if EITHER external CPU exceeds the cap — whole-run average OR any
+    * coalesced >=2 s window (burst detection) — or system iowait over
+    * the run exceeds its own cap (the IO blind spot the r16 final
+    * pass slipped through). */
+  private[graft] def isContaminated(extAvg: Double, extMax: Double,
+                                    ioAvg: Double, extCap: Double,
+                                    ioCap: Double): Boolean =
+    extAvg > extCap || extMax > extCap || ioAvg > ioCap
 
   /** This process's own jiffies (utime + stime, fields 14-15) from
     * /proc/self/stat. The comm field may contain spaces and parens,
@@ -99,15 +167,26 @@ object Bench {
         java.nio.file.Paths.get(p)),
         java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => None }
-    def cpuSample(): Option[(Long, Long)] =
+    def cpuSample(): Option[(Long, Long, Long)] =
       for (st <- procRead("/proc/stat"); self <- procRead("/proc/self/stat"))
-        yield (busyJiffies(st.linesIterator.next()), selfJiffies(self))
+        yield {
+          val cpuLine = st.linesIterator.next()
+          (busyJiffies(cpuLine), iowaitJiffies(cpuLine), selfJiffies(self))
+        }
     val cpu0 = cpuSample()
     val wall0 = System.nanoTime()
+    // Solo/A-A mode (VERDICT r16 #1): SPARK_GRAFT_ONLY=q1,q2 times
+    // just the named lines — for adjudicating a single shifted query
+    // against history without a 10-minute full pass. A filtered run
+    // NEVER persists (its partial map would erase the full history).
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = SparkEntry.queries.filter { case (k, _) =>
+      only.forall(_.contains(k)) }
     // JIT/codegen warm-up: run every query once at the tiny sf so the
     // timed runs measure steady-state throughput, not first-run
     // interpreter/compile cost (measured 4-5x on string-heavy paths)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try run(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => }
     }
@@ -134,7 +213,7 @@ object Bench {
     // runs produced a valid median (ADVICE r10). -1 stays reserved for
     // queries with zero successful timed samples.
     val errors = collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try run(fn, sfDir) catch { case _: Throwable => }
     }
     // Host-contention self-identification (VERDICT r13 perf note): the
@@ -146,17 +225,24 @@ object Bench {
     def sampleLoad(): Unit = loadAvgs += java.lang.management
       .ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    // Per-query /proc slices (ADVICE r16): bracketing every timed run
+    // gives the burst-window and iowait signals their granularity —
+    // six tiny /proc reads per query, ~1 ms against 100 ms+ queries.
+    val segs = collection.mutable.ArrayBuffer[Seg]()
     for (_ <- 1 to 3) {
       sampleLoad()
-      SparkEntry.queries.foreach { case (name, fn) =>
+      queries.foreach { case (name, fn) =>
+        val s0 = cpuSample()
         val t0 = System.nanoTime()
         val okRun = try { run(fn, sfDir); true } catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
           false
         }
+        val wall = (System.nanoTime() - t0) / 1e9
+        for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
+          segs += Seg(b1 - b0, i1 - i0, f1 - f0, wall)
         if (okRun) {
-          val t = (System.nanoTime() - t0) / 1e9
-          samples(name) = samples.getOrElse(name, Vector.empty) :+ t
+          samples(name) = samples.getOrElse(name, Vector.empty) :+ wall
         }
       }
     }
@@ -164,7 +250,7 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = queries.keys.map { name =>
       val ts = samples.getOrElse(name, Vector.empty)
       name -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }.toSeq
@@ -258,23 +344,46 @@ object Bench {
     sampleLoad()
     val loadJson = loadAvgs.map(v => BigDecimal(v).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString).mkString("[", ",", "]")
-    // Contamination = average external cores over the whole run above
-    // the cap (default 2 of 32: a real co-tenant, not scheduler
-    // noise). Fallback when /proc is unavailable: the pre-r16 loadavg
-    // rule — but on ENTRY only (the in-run samples measure the
-    // bench's own threads; this pass's predecessor flagged itself).
+    // Contamination (VERDICT r16 #1 + ADVICE r16, isContaminated):
+    // whole-run external-CPU average above the cap (default 2 of 32),
+    // OR any coalesced >=2 s per-query window above the same cap (a
+    // short co-tenant burst no longer dilutes into the average), OR
+    // whole-run iowait-cores above the IO cap — the channel the r16
+    // final pass slipped through: a recently-loaded box serves the
+    // checkpoint-heavy lines from a cold page cache / contended disk,
+    // invisible to any CPU-only signal. Fallback when /proc is
+    // unavailable: the pre-r16 loadavg rule — but on ENTRY only (the
+    // in-run samples measure the bench's own threads).
+    val endWall = (System.nanoTime() - wall0) / 1e9
+    val endSample = cpuSample()
     val extCores: Option[Double] =
-      for ((b0, s0) <- cpu0; (b1, s1) <- cpuSample())
-        yield externalCores(b1 - b0, s1 - s0,
-          (System.nanoTime() - wall0) / 1e9)
+      for ((b0, _, s0) <- cpu0; (b1, _, s1) <- endSample)
+        yield externalCores(b1 - b0, s1 - s0, endWall)
+    val ioCores: Option[Double] =
+      for ((_, i0, _) <- cpu0; (_, i1, _) <- endSample)
+        yield math.max(0.0, (i1 - i0) / 100.0 / endWall)
+    val windows = coalesceWindows(segs.toSeq, 2.0)
+    val extMax: Option[Double] =
+      if (windows.isEmpty) None
+      else Some(windows.map(w =>
+        externalCores(w.dBusy, w.dSelf, w.wall)).max)
+    val noisyLines = samples.values.count { ts =>
+      ts.size >= 2 && spreadRatio(ts) > 3.0 &&
+        ts.sorted.apply(ts.size / 2) > 0.05
+    }
     val extCap = sys.env.getOrElse("SPARK_GRAFT_EXT_CORES_MAX", "2.0").toDouble
+    val ioCap = sys.env.getOrElse("SPARK_GRAFT_IO_CORES_MAX", "2.0").toDouble
     val loadCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
     val contaminated = extCores match {
-      case Some(x) => x > extCap
+      case Some(x) => isContaminated(x, extMax.getOrElse(0.0),
+        ioCores.getOrElse(0.0), extCap, ioCap)
       case None => loadAvgs.nonEmpty && loadAvgs.head > loadCap
     }
-    val extJson = extCores.map(v => BigDecimal(v).setScale(2,
-      BigDecimal.RoundingMode.HALF_UP).toString).getOrElse("null")
+    def optJson(v: Option[Double]): String =
+      v.map(x => BigDecimal(x).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toString).getOrElse("null")
+    val extJson = optJson(extCores)
+    val selfLabel = s""""ext_cores":$extJson,"ext_max":${optJson(extMax)},"io_cores":${optJson(ioCores)},"noisy_lines":$noisyLines,"contaminated":$contaminated"""
     // Persist the full medians map AFTER reading the previous one, so
     // consecutive runs chain (this run becomes the next run's base).
     // Best-effort: a read-only checkout must not fail the bench.
@@ -283,8 +392,8 @@ object Bench {
         if (!localHist.exists()) None
         else Some(new String(java.nio.file.Files.readAllBytes(
           localHist.toPath), java.nio.charset.StandardCharsets.UTF_8))
-      if (shouldPersist(contaminated, prevRaw, sfDir)) {
-        val full = s"""{"sf":"$sfDir","loadavg":$loadJson,"ext_cores":$extJson,"contaminated":$contaminated,"errors":$errJson,"queries":$qs}\n"""
+      if (only.isEmpty && shouldPersist(contaminated, prevRaw, sfDir)) {
+        val full = s"""{"sf":"$sfDir","loadavg":$loadJson,$selfLabel,"errors":$errJson,"queries":$qs}\n"""
         java.nio.file.Files.write(localHist.toPath,
           full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
@@ -295,7 +404,7 @@ object Bench {
     // that must survive capture has to come after the queries map —
     // r12 computed the era comparison but embedded it before the map,
     // and the tail window truncated it away.
-    println(s"""{"metric":"vs_prev","value":$vsPrev,"loadavg":$loadJson,"ext_cores":$extJson,"contaminated":$contaminated}""")
+    println(s"""{"metric":"vs_prev","value":$vsPrev,"loadavg":$loadJson,$selfLabel}""")
     spark.stop()
   }
 }

@@ -86,8 +86,56 @@ class BenchSpec extends AnyFunSuite {
 
   test("the self-label fields never parse as query times") {
     val artifact =
-      """{"sf":"/root/testdata/sf0.1","loadavg":[6.20,5.45,3.57],"ext_cores":1.23,"contaminated":true,"errors":{},"queries":{"q1_agg":0.5}}"""
+      """{"sf":"/root/testdata/sf0.1","loadavg":[6.20,5.45,3.57],"ext_cores":1.23,"ext_max":2.51,"io_cores":0.43,"noisy_lines":4,"contaminated":true,"errors":{},"queries":{"q1_agg":0.5}}"""
     assert(Bench.parsePrevQueryTimes(artifact) == Map("q1_agg" -> 0.5))
+  }
+
+  test("iowait jiffies come from field 5 of the aggregate cpu line") {
+    //           user nice sys idle iowait irq softirq steal
+    assert(Bench.iowaitJiffies("cpu  100 2 30 5000 70 4 5 6 0 0") == 70L)
+    assert(Bench.iowaitJiffies("cpu  1 2 3 4") == 0L) // truncated line
+  }
+
+  test("per-query slices coalesce into >=2s windows, tail folds back") {
+    import Bench.Seg
+    val segs = Seq(
+      Seg(100, 10, 80, 0.8), Seg(100, 10, 80, 0.8), Seg(100, 10, 80, 0.8),
+      Seg(900, 90, 100, 2.5),
+      Seg(50, 5, 40, 0.4))
+    val w = Bench.coalesceWindows(segs, 2.0)
+    // first three slices (0.8+0.8+0.8 = 2.4s) merge; the 2.5s slice
+    // stands alone; the 0.4s tail folds into it rather than dropping
+    assert(w.size == 2)
+    assert(w(0) == Seg(300, 30, 240, 0.8 * 3))
+    assert(w(1) == Seg(950, 95, 140, 2.9))
+    // an all-tail run (every slice under min) still yields one window
+    val tiny = Bench.coalesceWindows(Seq(Seg(10, 1, 8, 0.3)), 2.0)
+    assert(tiny == Seq(Seg(10, 1, 8, 0.3)))
+    assert(Bench.coalesceWindows(Nil, 2.0).isEmpty)
+  }
+
+  test("spread ratio is max-of-reps over median-of-reps") {
+    assert(Bench.spreadRatio(Seq(1.0, 1.1, 4.5)) == 4.5 / 1.1)
+    assert(Bench.spreadRatio(Seq(2.0)) == 1.0)       // single rep
+    assert(Bench.spreadRatio(Nil) == 1.0)
+    assert(Bench.spreadRatio(Seq(0.0, 0.0)) == 1.0)  // degenerate median
+  }
+
+  test("contamination matrix: avg-CPU, burst-window, and IO channels") {
+    val (extCap, ioCap) = (2.0, 2.0)
+    // clean pass
+    assert(!Bench.isContaminated(0.1, 0.5, 0.3, extCap, ioCap))
+    // whole-run external average over cap (the r14/r15 CPU-tenant era)
+    assert(Bench.isContaminated(2.5, 2.5, 0.1, extCap, ioCap))
+    // short burst: average dilutes under the cap but one >=2s window
+    // exceeds it (the ADVICE r16 phantom-regression mode)
+    assert(Bench.isContaminated(0.9, 4.0, 0.1, extCap, ioCap))
+    // the r16 final-pass shape: ext_cores 0.80 self-labeled clean
+    // while the disk was the contended resource — the IO channel now
+    // flags it (VERDICT r16 #1)
+    assert(Bench.isContaminated(0.80, 1.0, 3.5, extCap, ioCap))
+    // boundary: at-cap is clean, only strictly-over flags
+    assert(!Bench.isContaminated(2.0, 2.0, 2.0, extCap, ioCap))
   }
 
   test("external-cores accounting: /proc parsing and the window math") {
