@@ -4,7 +4,7 @@ import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.util.zip.GZIPInputStream
 
-import graft.serving.{Api, HttpBinding}
+import graft.serving.{Api, ApiResponse, HttpBinding, Serve}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
@@ -117,6 +117,113 @@ class HttpBindingSpec extends SparkSpec {
       val plain = send(c, req(port, "GET", "/api/v1/collections"))
       assert(plain.headers().firstValue("Content-Encoding").isEmpty)
       assert(plain.body() == unzipped)
+      // gzip;q=0 is an explicit REFUSAL (ADVICE r16): plain JSON back
+      val refused = send(c, req(port, "GET", "/api/v1/collections",
+        headers = Seq("Accept-Encoding" -> "gzip;q=0")))
+      assert(refused.headers().firstValue("Content-Encoding").isEmpty)
+      assert(refused.body() == unzipped)
     }
+  }
+
+  test("Accept-Encoding parsing honors qvalues (ADVICE r16)") {
+    assert(HttpBinding.acceptsGzip("gzip"))
+    assert(HttpBinding.acceptsGzip("GZIP"))
+    assert(HttpBinding.acceptsGzip("deflate, gzip;q=0.5"))
+    assert(HttpBinding.acceptsGzip("gzip;q=1.0, identity"))
+    assert(!HttpBinding.acceptsGzip("gzip;q=0"))
+    assert(!HttpBinding.acceptsGzip("gzip;q=0.0, deflate"))
+    assert(!HttpBinding.acceptsGzip("deflate"))
+    assert(!HttpBinding.acceptsGzip(null))
+    // malformed qvalue falls back to accepting, and an unrelated
+    // parameter never refuses
+    assert(HttpBinding.acceptsGzip("gzip;q=abc"))
+    assert(HttpBinding.acceptsGzip("gzip;level=9"))
+  }
+
+  test("oversized request bodies 413 instead of OOMing (VERDICT r16 #4)") {
+    val binding = new HttpBinding(
+      new Api(spark,
+        java.nio.file.Files.createTempDirectory("graft-cap").toString),
+      port = 0, maxBodyBytes = 1024)
+    try {
+      val c = HttpClient.newHttpClient()
+      val port = binding.boundPort
+      val big = "x" * 4096
+      // Content-Length declared over the cap: refused before reading
+      val fixed = send(c, req(port, "POST", "/api/v1/collections", big))
+      assert(fixed.statusCode() == 413, fixed.body())
+      assert((j(fixed.body()) \ "error") ==
+        JString("request body too large"))
+      // chunked (no declared length): the bounded READ refuses too
+      val chunked = c.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/api/v1/collections"))
+          .method("POST", HttpRequest.BodyPublishers.ofInputStream(() =>
+            new java.io.ByteArrayInputStream(
+              big.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(chunked.statusCode() == 413, chunked.body())
+      // an in-cap request still works end-to-end on the same server
+      val ok = send(c, req(port, "POST", "/api/v1/collections",
+        """{"name": "cap", "vector_size": 5, "quantization": 64,
+          | "distance_function": "cosine"}""".stripMargin))
+      assert(ok.statusCode() == 201, ok.body())
+    } finally binding.stop()
+  }
+
+  test("a throwing handler answers the uniform 500 JSON, not a " +
+      "dropped connection (ADVICE r16)") {
+    val binding = new HttpBinding(
+      (_: String, _: String, _: String, _: Map[String, String]) =>
+        throw new IllegalStateException("boom"),
+      port = 0, maxBodyBytes = 1024)
+    try {
+      val c = HttpClient.newHttpClient()
+      val resp = send(c, req(binding.boundPort, "GET", "/api/v1/collections"))
+      assert(resp.statusCode() == 500)
+      assert((j(resp.body()) \ "error") ==
+        JString("internal error: IllegalStateException"))
+    } finally binding.stop()
+  }
+
+  test("an empty handler body is sent with length -1, not chunked-0 " +
+      "(ADVICE r16)") {
+    val binding = new HttpBinding(
+      (_: String, _: String, _: String, _: Map[String, String]) =>
+        ApiResponse(204, ""),
+      port = 0, maxBodyBytes = 1024)
+    try {
+      val c = HttpClient.newHttpClient()
+      val resp = send(c, req(binding.boundPort, "GET", "/anything"))
+      assert(resp.statusCode() == 204)
+      assert(resp.body().isEmpty)
+      // no Transfer-Encoding: the -1 contract closes the body cleanly
+      assert(resp.headers().firstValue("Transfer-Encoding").isEmpty)
+    } finally binding.stop()
+  }
+
+  test("Serve.boot is the runnable entry end-to-end (VERDICT r16 #7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve")
+      .resolve("data").toString // boot must create the missing folder
+    val binding = Serve.boot(spark, dir, 0)
+    try {
+      val c = HttpClient.newHttpClient()
+      val port = binding.boundPort
+      assert(send(c, req(port, "POST", "/api/v1/collections",
+        """{"name": "sv", "vector_size": 4, "quantization": 64,
+          | "distance_function": "cosine"}""".stripMargin))
+        .statusCode() == 201)
+      assert(send(c, req(port, "POST", "/api/v1/collections/sv/records",
+        """[{"id": 7, "vector": [1,0,0,0], "metadata": {}}]"""))
+        .statusCode() == 201)
+      val search = send(c, req(port, "POST",
+        "/api/v1/collections/sv/search",
+        """{"vector": [1,0,0,0], "k": 1}"""))
+      assert(search.statusCode() == 200, search.body())
+      val hit = (j(search.body()) \ "results").asInstanceOf[JArray].arr.head
+      assert((hit \ "id") == JInt(7) || (hit \ "id") == JLong(7L))
+      assert(new java.io.File(dir).isDirectory)
+    } finally binding.stop()
   }
 }
