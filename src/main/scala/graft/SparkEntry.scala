@@ -145,10 +145,37 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[operators.Bpe.Merge]]()
 
   private def bpeMerges(s: SparkSession, dir: String): Seq[operators.Bpe.Merge] =
-    bpeMergesCache.computeIfAbsent(dir, _ =>
+    bpeMergesCache.computeIfAbsent(docsKey(s, dir), _ =>
       operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)._1)
 
-  /** Fitted PCA model per corpus dir (plain double arrays,
+  /** Snapshot token of a source table's on-disk state: the sorted
+    * (name, length, mtime) fold of the parquet directory's files,
+    * md5'd. Model caches key on `dir@token` instead of the raw path
+    * (VERDICT r16 #3): a long-lived session that mutates the corpus
+    * under the SAME path — exactly what upsert_crud/compact model —
+    * must re-train, not serve a stale model forever. The token is
+    * re-derived on EVERY model access (one FS listing, no Spark job —
+    * the Dedup `_config` sidecar convention), so the cache is a memo
+    * of (path, content-version), never of path alone. */
+  private[graft] def tableToken(s: SparkSession, dir: String,
+                                table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listing =
+      try fs.listStatus(p).map(f =>
+        s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(listing.sorted.mkString(",").getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def docsKey(s: SparkSession, dir: String): String =
+    s"$dir@${tableToken(s, dir, "documents")}"
+  private def embKey(s: SparkSession, dir: String): String =
+    s"$dir@${tableToken(s, dir, "embeddings")}"
+
+  /** Fitted PCA model per corpus snapshot (plain double arrays,
     * session-free). Shared by embedding_pca and embedding_whiten —
     * one covariance job instead of two — and read back by
     * [[pcaOracleEntries]], which ships the fitted model into the
@@ -156,9 +183,23 @@ object SparkEntry {
   private val pcaModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Pca.Model]()
 
-  private def pcaModel(s: SparkSession, dir: String): operators.Pca.Model =
-    pcaModelCache.computeIfAbsent(dir, _ =>
+  /** Key of the most recently REQUESTED model per family: Verify runs
+    * every query against the verified dir before dumping oracleSql,
+    * so this key always names the verified snapshot — the oracle
+    * emitters read it instead of pattern-matching on cache
+    * cardinality (ADVICE r16: `case m :: Nil` silently dropped the
+    * oracle whenever a second dir — e.g. the bench warm-up sf — had
+    * touched the same cache in one JVM). */
+  @volatile private var pcaLastKey: Option[String] = None
+  @volatile private var logitLastKey: Option[String] = None
+  @volatile private var logitWideLastKey: Option[String] = None
+
+  private def pcaModel(s: SparkSession, dir: String): operators.Pca.Model = {
+    val k = embKey(s, dir)
+    pcaLastKey = Some(k)
+    pcaModelCache.computeIfAbsent(k, _ =>
       operators.Pca.fit(Tables.embeddings(s, dir), "embedding", 64))
+  }
 
   /** Trained boost committee per corpus dir (plain scalars, session-
     * free — the bpeMerges convention): classify_boost, its sweep, and
@@ -174,8 +215,8 @@ object SparkEntry {
       .withColumn("y",
         (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
 
-  private def boostModel(s: SparkSession, dir: String): operators.Boost.BoostModel =
-    boostModelCache.computeIfAbsent(dir, _ =>
+  private[graft] def boostModel(s: SparkSession, dir: String): operators.Boost.BoostModel =
+    boostModelCache.computeIfAbsent(docsKey(s, dir), _ =>
       operators.Boost.trainStumps(
         boostSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         Seq("n_words", "n_stop"), rounds = 3,
@@ -191,11 +232,14 @@ object SparkEntry {
   private val logitModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Logit.LogitModel]()
 
-  private def logitModel(s: SparkSession, dir: String): operators.Logit.LogitModel =
-    logitModelCache.computeIfAbsent(dir, _ =>
+  private def logitModel(s: SparkSession, dir: String): operators.Logit.LogitModel = {
+    val k = docsKey(s, dir)
+    logitLastKey = Some(k)
+    logitModelCache.computeIfAbsent(k, _ =>
       operators.Logit.train(
         boostSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         Seq("n_words", "n_stop"), iterations = 30, lr = 1.0))
+  }
 
   /** Wider integer signal frame for the d=6 logistic member (VERDICT
     * r15 #7): six count signals a quality gate actually mixes — every
@@ -226,11 +270,14 @@ object SparkEntry {
   private val logitWideModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, operators.Logit.LogitModel]()
 
-  private def logitWideModel(s: SparkSession, dir: String): operators.Logit.LogitModel =
-    logitWideModelCache.computeIfAbsent(dir, _ =>
+  private def logitWideModel(s: SparkSession, dir: String): operators.Logit.LogitModel = {
+    val k = docsKey(s, dir)
+    logitWideLastKey = Some(k)
+    logitWideModelCache.computeIfAbsent(k, _ =>
       operators.Logit.train(
         logitWideSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         logitWideFeatures, iterations = 60, lr = 0.5))
+  }
 
   /** Trained NB language models per corpus dir (plain double arrays,
     * session-free — the boostModelCache convention): training is a
@@ -246,13 +293,13 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, operators.TextAnalysis.NbModel]()
 
   private def nbModel(s: SparkSession, dir: String): operators.TextAnalysis.NbModel =
-    nbModelCache.computeIfAbsent(dir, _ =>
+    nbModelCache.computeIfAbsent(docsKey(s, dir), _ =>
       operators.TextAnalysis.trainNaiveBayes(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
         "text", "lang", 4096))
 
   private def nbModelUnseen(s: SparkSession, dir: String): operators.TextAnalysis.NbModel =
-    nbModelCache.computeIfAbsent(s"$dir|unseen", _ =>
+    nbModelCache.computeIfAbsent(s"${docsKey(s, dir)}|unseen", _ =>
       operators.TextAnalysis.trainNaiveBayes(
         Tables.documents(s, dir)
           .filter(col("doc_id") % 5 =!= 0 && col("lang") =!= "de"),
@@ -265,7 +312,7 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[String, AnnPq.Model]()
 
   private def pqModel(s: SparkSession, dir: String): AnnPq.Model =
-    pqModelCache.computeIfAbsent(dir, _ =>
+    pqModelCache.computeIfAbsent(embKey(s, dir), _ =>
       AnnPq.seedCodebook(Tables.embeddings(s, dir), "embedding", "vec_id",
         8, "pq0", 16))
 
@@ -5798,14 +5845,14 @@ object SparkEntry {
     * centered zip-multiply and the same order-pinned left fold
     * (list_reduce over a 0.0-prepended list == Spark's `aggregate`
     * with a 0.0 seed), rounded on the same grid. Verify runs the
-    * queries BEFORE dumping oracleSql, so the cache holds the model
-    * fitted on the verified dir; with no fitted model (or models from
-    * several dirs in one JVM — ambiguous) the entries are omitted and
-    * the driver falls back to the old rows-only check. */
+    * queries BEFORE dumping oracleSql, so [[pcaLastKey]] names the
+    * model fitted on the verified snapshot (ADVICE r16: matching on
+    * cache cardinality dropped the oracle silently whenever a second
+    * dir shared the JVM); with no fitted model the entries are
+    * omitted and the driver falls back to the old rows-only check. */
   private def pcaOracleEntries: Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    pcaModelCache.values().asScala.toList match {
-      case model :: Nil =>
+    pcaLastKey.flatMap(k => Option(pcaModelCache.get(k))) match {
+      case Some(model) =>
         val d = model.means.length
         val p = 8
         def foldSql(k: Int): String =
@@ -5844,13 +5891,12 @@ object SparkEntry {
     * recomputes the DISTRIBUTED part, signal extraction + the scoring
     * expression (the IDENTICAL [[operators.Logit.zSql]] string runs
     * in both engines, so every IEEE operation matches). Verify dumps
-    * oracleSql after the query pass, so the cache holds the model
-    * fitted on the verified dir; with no fitted model or models from
-    * several dirs the entries are omitted → rows-only fallback. */
+    * oracleSql after the query pass, so [[logitLastKey]] names the
+    * verified snapshot's model (the pcaOracleEntries keying); with no
+    * fitted model the entries are omitted → rows-only fallback. */
   private def logitOracleEntries: Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    logitModelCache.values().asScala.toList match {
-      case m :: Nil =>
+    logitLastKey.flatMap(k => Option(logitModelCache.get(k))) match {
+      case Some(m) =>
         val z = operators.Logit.zSql(m)
         val nStop = s"len(list_intersect(list_distinct(w), ${LangSql.en}))"
         val sigCte =
@@ -5888,9 +5934,8 @@ object SparkEntry {
     * [[logitOracleEntries]]: six bigint count signals, the same
     * fixed-order zSql string over seven round-trip literals. */
   private def logitWideOracleEntries: Map[String, String] = {
-    import scala.jdk.CollectionConverters._
-    logitWideModelCache.values().asScala.toList match {
-      case m :: Nil =>
+    logitWideLastKey.flatMap(k => Option(logitWideModelCache.get(k))) match {
+      case Some(m) =>
         val z = operators.Logit.zSql(m)
         val nStop = s"len(list_intersect(list_distinct(w), ${LangSql.en}))"
         val sigCte =
