@@ -94,8 +94,17 @@ object Graph {
       .distinct())
     // src-keyed degree table doubles as the node set (contract above)
     val deg = cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+    // edges into dst-only sinks are dropped HERE, once, at setup
+    // (ADVICE r16): ranks are defined over the src-node set, and with
+    // the spine riding the aggregate a sink's contribution rows would
+    // otherwise survive the groupBy and widen the output's node set.
+    // One left-semi on the already-cut frames (the old spine join
+    // discarded the same rows EVERY iteration); the iteration loop
+    // sees strictly fewer edge rows and identical integers.
     val ed = cut(e.join(deg, e("src") === deg("node"))
-      .select(col("src"), col("dst"), col("deg")))
+      .select(col("src"), col("dst"), col("deg"))
+      .join(deg.select(col("node").as("_dn")),
+        col("dst") === col("_dn"), "left_semi"))
     // N is ONE scalar — collect it once (the Pca.fit model-sized
     // contract) instead of crossJoining a broadcast 1-row agg into
     // every iteration's plan: the same integer reaches the same

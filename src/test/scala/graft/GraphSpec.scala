@@ -53,6 +53,19 @@ class GraphSpec extends SparkSpec {
       .collect().toMap == r5)
   }
 
+  test("dst-only sinks stay out of the node set (ADVICE r16)") {
+    // "z" is reachable only as dst. Ranks are defined over the
+    // src-node set (the contract on pagerank), so z must not appear —
+    // the r16 spine-into-aggregate fold briefly let sink contribution
+    // rows survive the groupBy. The sink edge still counts in a's
+    // out-degree (its mass share drains, as in the local mirror).
+    val withSink = rawEdges ++ Seq(("a", "z"))
+    val got = Graph.pagerank(withSink.toDF("src", "dst"), "src", "dst", 5)
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("h", "a", "b", "c", "d"), got.toString)
+    assert(got == localPagerank(withSink, 5))
+  }
+
   test("20-iteration chain: checkpointed == unchunked, plan stays flat") {
     val edges = rawEdges.toDF("src", "dst")
     // checkpointEvery 20 on a 20-round chain never cuts (i < iterations
