@@ -14,9 +14,15 @@ import graft.operators.Bpe
   *     every window hits the conflict-stop / strict-trim / concat-
   *     collision terminators, degrading batches toward singletons.
   *
-  * Run: sbt "Test/runMain graft.BpeBatchProbe" */
+  * Run: sbt "Test/runMain graft.BpeBatchProbe [outJson]"
+  *
+  * Writes the sweep table to `outJson` (default
+  * `/root/repo/BPE_PROBE.json`) so the 32k-merge wall-time ceiling
+  * published in SURVEY §4 is backed by a committed, re-runnable
+  * artifact rather than archival prose (VERDICT r16 #8). */
 object BpeBatchProbe {
   def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("/root/repo/BPE_PROBE.json")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -25,6 +31,7 @@ object BpeBatchProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val rows = collection.mutable.ArrayBuffer[String]()
     def report(tag: String, mk: => (Seq[Bpe.Merge], Int)): Unit = {
       val t0 = System.nanoTime()
       val (merges, rounds) = mk
@@ -32,6 +39,11 @@ object BpeBatchProbe {
       val factor = merges.size.toDouble / math.max(rounds, 1)
       println(f"[bpeprobe] $tag%-12s merges=${merges.size}%4d rounds=$rounds%4d " +
         f"merges/round=$factor%6.2f wall=$sec%7.2f s")
+      def r2(v: Double) = BigDecimal(v).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)
+      rows += s"""{"tag":"$tag","merges":${merges.size},"rounds":$rounds,""" +
+        s""""merges_per_round":${r2(factor)},"wall_sec":${r2(sec)},""" +
+        s""""sec_per_round":${r2(sec / math.max(rounds, 1))}}"""
     }
 
     report("natural", {
@@ -113,6 +125,14 @@ object BpeBatchProbe {
         onRound = _ => rounds += 1)
       (m, rounds)
     })
+
+    // The 32k-merge projection SURVEY §4 publishes: rounds at the
+    // huge-100k merges/round yield, wall at its sec/round. Recomputed
+    // from THIS run's measurements so the artifact is self-contained.
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      (s"""{"probe":"bpe_batch","geometries":[${rows.mkString(",")}]}""" +
+        "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[bpeprobe] wrote $outJson")
 
     spark.stop()
   }
