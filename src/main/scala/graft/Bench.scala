@@ -104,24 +104,29 @@ object Bench {
     * samples disagree by more than ~3x sat inside a contention era at
     * least once (the judge's self-noise signal, VERDICT r16 #2).
     * Published as a count, not a contamination trigger — the median
-    * already discards one bad rep. */
+    * already discards one bad rep. The LOWER median for even sizes:
+    * with two surviving reps (one failed) the upper median IS the
+    * max, which would pin the ratio at 1.0 and hide exactly the
+    * one-bad-rep case this exists to count. */
   private[graft] def spreadRatio(ts: Seq[Double]): Double =
     if (ts.size < 2) 1.0
     else {
       val sorted = ts.sorted
-      val med = sorted(sorted.size / 2)
+      val med = sorted((sorted.size - 1) / 2)
       if (med <= 0) 1.0 else sorted.last / med
     }
 
   /** The contamination decision (VERDICT r16 #1 + ADVICE r16): dirty
-    * if EITHER external CPU exceeds the cap — whole-run average OR any
-    * coalesced >=2 s window (burst detection) — or system iowait over
-    * the run exceeds its own cap (the IO blind spot the r16 final
-    * pass slipped through). */
+    * if external CPU exceeds the cap — whole-run average OR any
+    * coalesced >=2 s window (burst detection) — or system iowait
+    * exceeds its own cap on either granularity (the IO blind spot the
+    * r16 final pass slipped through; a 30 s disk-saturating co-tenant
+    * dilutes the run average exactly like the CPU case, so the IO
+    * channel gets the same per-window maximum). */
   private[graft] def isContaminated(extAvg: Double, extMax: Double,
-                                    ioAvg: Double, extCap: Double,
-                                    ioCap: Double): Boolean =
-    extAvg > extCap || extMax > extCap || ioAvg > ioCap
+                                    ioAvg: Double, ioMax: Double,
+                                    extCap: Double, ioCap: Double): Boolean =
+    extAvg > extCap || extMax > extCap || ioAvg > ioCap || ioMax > ioCap
 
   /** This process's own jiffies (utime + stime, fields 14-15) from
     * /proc/self/stat. The comm field may contain spaces and parens,
@@ -181,6 +186,13 @@ object Bench {
     // NEVER persists (its partial map would erase the full history).
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loud on a typo'd name: an adjudication run that silently
+    // times NOTHING reads as a 0-second pass, not as the mistake it is
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.mkString(", ")}")
+    }
     val queries = SparkEntry.queries.filter { case (k, _) =>
       only.forall(_.contains(k)) }
     // JIT/codegen warm-up: run every query once at the tiny sf so the
@@ -367,6 +379,10 @@ object Bench {
       if (windows.isEmpty) None
       else Some(windows.map(w =>
         externalCores(w.dBusy, w.dSelf, w.wall)).max)
+    val ioMax: Option[Double] =
+      if (windows.isEmpty) None
+      else Some(windows.map(w =>
+        math.max(0.0, w.dIo / 100.0 / w.wall)).max)
     val noisyLines = samples.values.count { ts =>
       ts.size >= 2 && spreadRatio(ts) > 3.0 &&
         ts.sorted.apply(ts.size / 2) > 0.05
@@ -376,14 +392,14 @@ object Bench {
     val loadCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
     val contaminated = extCores match {
       case Some(x) => isContaminated(x, extMax.getOrElse(0.0),
-        ioCores.getOrElse(0.0), extCap, ioCap)
+        ioCores.getOrElse(0.0), ioMax.getOrElse(0.0), extCap, ioCap)
       case None => loadAvgs.nonEmpty && loadAvgs.head > loadCap
     }
     def optJson(v: Option[Double]): String =
       v.map(x => BigDecimal(x).setScale(2,
         BigDecimal.RoundingMode.HALF_UP).toString).getOrElse("null")
     val extJson = optJson(extCores)
-    val selfLabel = s""""ext_cores":$extJson,"ext_max":${optJson(extMax)},"io_cores":${optJson(ioCores)},"noisy_lines":$noisyLines,"contaminated":$contaminated"""
+    val selfLabel = s""""ext_cores":$extJson,"ext_max":${optJson(extMax)},"io_cores":${optJson(ioCores)},"io_max":${optJson(ioMax)},"noisy_lines":$noisyLines,"contaminated":$contaminated"""
     // Persist the full medians map AFTER reading the previous one, so
     // consecutive runs chain (this run becomes the next run's base).
     // Best-effort: a read-only checkout must not fail the bench.

@@ -132,20 +132,20 @@ object SparkEntry {
   }
 
   private val builtIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private val mixRatesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Map[String, Double])]()
 
   /** Learned BPE merge list per corpus dir: the merge list IS the
     * model (k driver-sized rows — session-free, like mixRatesCache),
     * so the three tokenizer queries train once per dir and the
     * apply/stats paths fold the cached merges map-side. */
   private val bpeMergesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[operators.Bpe.Merge]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[operators.Bpe.Merge])]()
 
   private def bpeMerges(s: SparkSession, dir: String): Seq[operators.Bpe.Merge] =
-    bpeMergesCache.computeIfAbsent(docsKey(s, dir), _ =>
+    snapMemo(bpeMergesCache, dir, docsToken(s, dir))(
       operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)._1)
 
   /** Snapshot token of a source table's on-disk state: the sorted
@@ -170,10 +170,43 @@ object SparkEntry {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def docsKey(s: SparkSession, dir: String): String =
-    s"$dir@${tableToken(s, dir, "documents")}"
-  private def embKey(s: SparkSession, dir: String): String =
-    s"$dir@${tableToken(s, dir, "embeddings")}"
+  private def docsToken(s: SparkSession, dir: String): String =
+    tableToken(s, dir, "documents")
+  private def embToken(s: SparkSession, dir: String): String =
+    tableToken(s, dir, "embeddings")
+
+  /** dir-keyed snapshot memo: serves the cached model while the
+    * source table's token is unchanged; a rewrite under the same
+    * path REPLACES the entry (it never accumulates one per snapshot —
+    * a long-lived mutating session would otherwise grow the map, and
+    * the heap, linearly with its write count). `compute` holds the
+    * per-key lock during training, so concurrent requests for one
+    * dir train once. */
+  private def snapMemo[M](
+      cache: java.util.concurrent.ConcurrentHashMap[String, (String, M)],
+      key: String, token: String)(train: => M): M =
+    cache.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == token) cur else (token, train))._2
+
+  /** Build-once index-path memo, content-keyed like the model caches
+    * (VERDICT r16 #3 one level up: a corpus rewritten under the same
+    * path must not serve a stale INDEX either). While the source
+    * table's snapshot token is unchanged the memo serves the built
+    * path; on a rewrite it REBUILDS at a token-derived path — never
+    * overwriting the previous index in place, so a reader constructed
+    * against the old snapshot keeps a consistent frame. */
+  private def indexMemo(s: SparkSession, dir: String, variant: String,
+                        table: String)(build: String => Unit): String = {
+    val token = tableToken(s, dir, table)
+    snapMemo(builtIndexes, s"$dir|$variant", token) {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir|$variant|$token".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      val path = s"$indexRoot/$variant-$key"
+      build(path)
+      path
+    }
+  }
 
   /** Fitted PCA model per corpus snapshot (plain double arrays,
     * session-free). Shared by embedding_pca and embedding_whiten —
@@ -181,23 +214,26 @@ object SparkEntry {
     * [[pcaOracleEntries]], which ships the fitted model into the
     * DuckDB oracle as literals so the projection is hash-checked. */
   private val pcaModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, operators.Pca.Model]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, operators.Pca.Model)]()
 
-  /** Key of the most recently REQUESTED model per family: Verify runs
-    * every query against the verified dir before dumping oracleSql,
-    * so this key always names the verified snapshot — the oracle
-    * emitters read it instead of pattern-matching on cache
-    * cardinality (ADVICE r16: `case m :: Nil` silently dropped the
-    * oracle whenever a second dir — e.g. the bench warm-up sf — had
-    * touched the same cache in one JVM). */
-  @volatile private var pcaLastKey: Option[String] = None
-  @volatile private var logitLastKey: Option[String] = None
-  @volatile private var logitWideLastKey: Option[String] = None
+  /** Dir of the most recently REQUESTED model per family: Verify runs
+    * every query against the verified dir immediately before dumping
+    * oracleSql (by-name, see Verify.run), so this names the verified
+    * corpus — the oracle emitters read it instead of pattern-matching
+    * on cache cardinality (ADVICE r16: `case m :: Nil` silently
+    * dropped the oracle whenever a second dir — e.g. the bench
+    * warm-up sf — had touched the same cache in one JVM). Contract:
+    * nothing may request this family's model for ANOTHER dir between
+    * the verified query pass and the dump — true of every driver
+    * flow (Verify is single-threaded and dumps right after the
+    * loop). */
+  @volatile private var pcaLastDir: Option[String] = None
+  @volatile private var logitLastDir: Option[String] = None
+  @volatile private var logitWideLastDir: Option[String] = None
 
   private def pcaModel(s: SparkSession, dir: String): operators.Pca.Model = {
-    val k = embKey(s, dir)
-    pcaLastKey = Some(k)
-    pcaModelCache.computeIfAbsent(k, _ =>
+    pcaLastDir = Some(dir)
+    snapMemo(pcaModelCache, dir, embToken(s, dir))(
       operators.Pca.fit(Tables.embeddings(s, dir), "embedding", 64))
   }
 
@@ -208,7 +244,7 @@ object SparkEntry {
     * amortizes across the three queries instead of each paying the
     * per-round aggregation chain. */
   private val boostModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, operators.Boost.BoostModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, operators.Boost.BoostModel)]()
 
   private def boostSignals(s: SparkSession, dir: String) =
     operators.Boost.qualitySignals(Tables.documents(s, dir), "text", "doc_id")
@@ -216,7 +252,7 @@ object SparkEntry {
         (col("n_words") >= 30 && col("n_stop") >= 1).cast("int"))
 
   private[graft] def boostModel(s: SparkSession, dir: String): operators.Boost.BoostModel =
-    boostModelCache.computeIfAbsent(docsKey(s, dir), _ =>
+    snapMemo(boostModelCache, dir, docsToken(s, dir))(
       operators.Boost.trainStumps(
         boostSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         Seq("n_words", "n_stop"), rounds = 3,
@@ -230,12 +266,11 @@ object SparkEntry {
     * weights into the DuckDB oracle as literals (the pcaModelCache
     * pattern) so the scoring pass is hash-checked. */
   private val logitModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, operators.Logit.LogitModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, operators.Logit.LogitModel)]()
 
   private def logitModel(s: SparkSession, dir: String): operators.Logit.LogitModel = {
-    val k = docsKey(s, dir)
-    logitLastKey = Some(k)
-    logitModelCache.computeIfAbsent(k, _ =>
+    logitLastDir = Some(dir)
+    snapMemo(logitModelCache, dir, docsToken(s, dir))(
       operators.Logit.train(
         boostSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         Seq("n_words", "n_stop"), iterations = 30, lr = 1.0))
@@ -268,12 +303,11 @@ object SparkEntry {
   }
 
   private val logitWideModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, operators.Logit.LogitModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, operators.Logit.LogitModel)]()
 
   private def logitWideModel(s: SparkSession, dir: String): operators.Logit.LogitModel = {
-    val k = docsKey(s, dir)
-    logitWideLastKey = Some(k)
-    logitWideModelCache.computeIfAbsent(k, _ =>
+    logitWideLastDir = Some(dir)
+    snapMemo(logitWideModelCache, dir, docsToken(s, dir))(
       operators.Logit.train(
         logitWideSignals(s, dir).filter(col("doc_id") % 5 =!= 0), "y",
         logitWideFeatures, iterations = 60, lr = 0.5))
@@ -290,16 +324,16 @@ object SparkEntry {
     * oracle is unchanged. The 'de'-withheld blind-spot model is its
     * own cache entry (different train split, different counts). */
   private val nbModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, operators.TextAnalysis.NbModel]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, operators.TextAnalysis.NbModel)]()
 
   private def nbModel(s: SparkSession, dir: String): operators.TextAnalysis.NbModel =
-    nbModelCache.computeIfAbsent(docsKey(s, dir), _ =>
+    snapMemo(nbModelCache, dir, docsToken(s, dir))(
       operators.TextAnalysis.trainNaiveBayes(
         Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0),
         "text", "lang", 4096))
 
   private def nbModelUnseen(s: SparkSession, dir: String): operators.TextAnalysis.NbModel =
-    nbModelCache.computeIfAbsent(s"${docsKey(s, dir)}|unseen", _ =>
+    snapMemo(nbModelCache, s"$dir|unseen", docsToken(s, dir))(
       operators.TextAnalysis.trainNaiveBayes(
         Tables.documents(s, dir)
           .filter(col("doc_id") % 5 =!= 0 && col("lang") =!= "de"),
@@ -309,10 +343,10 @@ object SparkEntry {
     * sampled by md5 total order — so one TakeOrdered job amortizes
     * across the ADC and rerank queries; plain doubles, session-free). */
   private val pqModelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, AnnPq.Model]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnnPq.Model)]()
 
   private def pqModel(s: SparkSession, dir: String): AnnPq.Model =
-    pqModelCache.computeIfAbsent(embKey(s, dir), _ =>
+    snapMemo(pqModelCache, dir, embToken(s, dir))(
       AnnPq.seedCodebook(Tables.embeddings(s, dir), "embedding", "vec_id",
         8, "pq0", 16))
 
@@ -321,96 +355,66 @@ object SparkEntry {
     * deterministic function of dir, so the dir|variant key is
     * sufficient). */
   private def ivfPqIndexPath(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(s"$dir|ivfpq", { _ =>
+    indexMemo(s, dir, "ivfpq", "embeddings") { path =>
       val emb = Tables.embeddings(s, dir)
       val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|ivfpq".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val path = s"$indexRoot/ivfpq-$key"
       AnnPq.writeIvfPqIndex(emb, "embedding", "vec_id", centroids,
         Knn.Cosine, pqModel(s, dir), path, keepCols = Seq("label"))
-      path
-    })
+    }
 
   /** Residual PQ codebook per corpus dir (the FAISS IVFADC recipe:
     * codes quantize v − centroid(cell), whose within-cell spread is
     * far smaller than the raw vectors') — cached like [[pqModel]]. */
   private def pqResModel(s: SparkSession, dir: String): AnnPq.Model =
-    pqModelCache.computeIfAbsent(s"$dir|res", _ => {
+    snapMemo(pqModelCache, s"$dir|res", embToken(s, dir)) {
       val emb = Tables.embeddings(s, dir)
       val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
       AnnPq.seedResidualCodebook(emb, "embedding", "vec_id", centroids,
         Knn.Cosine, 8, "pqr0", 16)
-    })
+    }
 
   /** Residual-encoded IVFPQ index per corpus dir (same build-once
     * contract as [[ivfPqIndexPath]]; the codes differ, so the two
     * variants never share a path). */
   private def ivfPqResIndexPath(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(s"$dir|ivfpqres", { _ =>
+    indexMemo(s, dir, "ivfpqres", "embeddings") { path =>
       val emb = Tables.embeddings(s, dir)
       val centroids = AnnIvf.seedCentroids(emb, "embedding", "vec_id", 0L to 7L)
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|ivfpqres".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val path = s"$indexRoot/ivfpqres-$key"
       AnnPq.writeIvfPqResidualIndex(emb, "embedding", "vec_id", centroids,
         Knn.Cosine, pqResModel(s, dir), path, keepCols = Seq("label"))
-      path
-    })
+    }
 
   /** MinHash index over the dedup corpus (same build-once contract as
     * the ANN/BM25 indexes): (band, key, id) rows + (sid, shs) hash
     * sets — the corpus side of indexed retrieval/incremental probes. */
   private def minhashIndexPath(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(s"$dir|mhidx", { _ =>
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|mhidx".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val path = s"$indexRoot/mh-$key"
+    indexMemo(s, dir, "mhidx", "documents") { path =>
       Dedup.writeMinhashIndex(dedupCorpus(s, dir), "text", "doc_id", path)
-      path
-    })
+    }
 
   /** MinHash index over the ARCHIVE slice (src1 documents) — the
     * corpus side of the indexed overlap report (same build-once
     * contract as the other indexes). */
   private def overlapIndexPath(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(s"$dir|ovidx", { _ =>
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|ovidx".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val path = s"$indexRoot/ov-$key"
+    indexMemo(s, dir, "ovidx", "documents") { path =>
       Dedup.writeMinhashIndex(
         Tables.documents(s, dir).filter(col("source") === "src1")
           .select(col("doc_id"), col("text")),
         "text", "doc_id", path)
-      path
-    })
+    }
 
   /** BM25 inverted index per corpus dir (same build-once contract as
     * the ANN indexes): term-bucket-partitioned postings + stats. */
   private def bm25IndexPath(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(s"$dir|bm25idx", { _ =>
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|bm25idx".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val path = s"$indexRoot/bm25-$key"
+    indexMemo(s, dir, "bm25idx", "documents") { path =>
       Search.writeTextIndex(Tables.documents(s, dir), "text", "doc_id", path)
-      path
-    })
+    }
 
   private def phraseIndexPath(s: SparkSession, dir: String): String =
-    builtIndexes.computeIfAbsent(s"$dir|phraseidx", { _ =>
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|phraseidx".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-      val path = s"$indexRoot/phrase-$key"
+    indexMemo(s, dir, "phraseidx", "documents") { path =>
       Search.writeTextIndex(Tables.documents(s, dir), "text", "doc_id", path,
         positions = true)
-      path
-    })
+    }
 
   /** Lloyd-trained centroids per corpus dir: training is part of
     * index BUILD (train once, probe many — collection.go's contract),
@@ -420,7 +424,7 @@ object SparkEntry {
     * a cached DataFrame would bind to the SparkContext that created
     * it and blow up when a later session reuses the entry. */
   private val trainedCentroidsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[(Long, Seq[Double])])]()
 
   /** The IVF index for a corpus dir: built on first use (the reference
     * builds its search structure once at index time, spanfile.go),
@@ -433,8 +437,12 @@ object SparkEntry {
     * [[ivfIndexPath]] applied to table layout. Returns the catalog
     * table names. */
   private def bucketedQ3Tables(s: SparkSession, dir: String): (String, String) = {
+    // snapshot token in the table NAME: rewritten source tables get
+    // fresh catalog entries (the catalog-exists check below then
+    // rebuilds), the same staleness contract as indexMemo
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|bucketq3".getBytes("UTF-8"))
+      .digest((s"$dir|bucketq3|" + tableToken(s, dir, "orders") +
+        tableToken(s, dir, "lineitem")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val (ordT, liT) = (s"graft_bko_$key", s"graft_bkl_$key")
     // keyed on the CATALOG, not the static cache: tables are
@@ -451,16 +459,18 @@ object SparkEntry {
   }
 
   private def ivfIndexPath(s: SparkSession, dir: String,
-                           centroids: DataFrame, variant: String): String =
-    // memoize per (dir, variant) FIRST: both centroid sources are
-    // deterministic functions of dir, so repeat query constructions
-    // must not re-collect the centroid frame (a Spark job) just to
-    // re-derive a key that cannot have changed
-    builtIndexes.computeIfAbsent(s"$dir|$variant", { _ =>
-      // key the PHYSICAL path on dir AND the centroid values: seeded
-      // and trained variants of the same corpus must not share an
-      // index (cell assignment depends on the centroids; nlist x dim
-      // rows, driver-tiny)
+                           centroids: DataFrame, variant: String): String = {
+    // memoize per (dir, variant) at the current snapshot FIRST: both
+    // centroid sources are deterministic functions of the corpus, so
+    // repeat query constructions must not re-collect the centroid
+    // frame (a Spark job) just to re-derive a key that cannot have
+    // changed while the token is stable
+    val token = tableToken(s, dir, "embeddings")
+    snapMemo(builtIndexes, s"$dir|$variant", token) {
+      // key the PHYSICAL path on the snapshot AND the centroid values:
+      // seeded and trained variants of the same corpus must not share
+      // an index (cell assignment depends on the centroids; nlist x
+      // dim rows, driver-tiny)
       val centKey = centroids
         .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
         .collect().sortBy(_.getLong(0))
@@ -468,13 +478,14 @@ object SparkEntry {
           r.getSeq[Double](1).map(d => f"$d%.9f").mkString(","))
         .mkString(";")
       val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$dir|$centKey".getBytes("UTF-8"))
+        .digest(s"$dir|$centKey|$token".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
       val path = s"$indexRoot/ivf-$key"
       AnnIvf.writeIndexed(Tables.embeddings(s, dir), "embedding", "vec_id",
         centroids, Knn.Cosine, path)
       path
-    })
+    }
+  }
 
   private val corpusSql =
     """corpus AS (
@@ -1048,12 +1059,11 @@ object SparkEntry {
       // a 1e-6 decimal grid (roundDp) — coarser than the last-ulp
       // summation-order noise, so training is engine-reproducible and
       // the oracle can replay the identical two iterations in SQL.
-      val cents = trainedCentroidsCache.computeIfAbsent(dir, { _ =>
+      val cents = snapMemo(trainedCentroidsCache, dir, embToken(s, dir))(
         AnnIvf.train(emb, "embedding", "vec_id", 0L to 7L,
             iters = 2, Knn.Cosine, roundDp = Some(6))
           .select(col("cell").cast("long"), col("centroid"))
-          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
-      })
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
       val centroids = s.createDataFrame(s.sparkContext.parallelize(cents, 1))
         .toDF("cell", "centroid")
       val idx = ivfIndexPath(s, dir, centroids, variant = "lloyd8x2r6")
@@ -1888,9 +1898,8 @@ object SparkEntry {
       // passes — stay lazy like every other query), then the
       // zero-shuffle deterministic Bernoulli filter
       val weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
-      val rates = mixRatesCache.computeIfAbsent(dir, { _ =>
-        Sampling.mixRates(docs, col("source"), weights, budgetDocs = 60)
-      })
+      val rates = snapMemo(mixRatesCache, dir, docsToken(s, dir))(
+        Sampling.mixRates(docs, col("source"), weights, budgetDocs = 60))
       Sampling.stratified(docs, "doc_id", col("source"), rates)
         .select(col("doc_id"), col("source"))
     }),
@@ -1900,9 +1909,8 @@ object SparkEntry {
       // low-resource up-weighting every multilingual pipeline runs,
       // with sqrt (IEEE-exact) keeping the oracle bit-identical
       val docs = Tables.documents(s, dir)
-      val rates = mixRatesCache.computeIfAbsent(s"$dir|temp", { _ =>
-        Sampling.temperatureRates(docs, col("source"), budgetDocs = 100)
-      })
+      val rates = snapMemo(mixRatesCache, s"$dir|temp", docsToken(s, dir))(
+        Sampling.temperatureRates(docs, col("source"), budgetDocs = 100))
       Sampling.stratified(docs, "doc_id", col("source"), rates)
         .select(col("doc_id"), col("source"))
     }),
@@ -5851,7 +5859,7 @@ object SparkEntry {
     * dir shared the JVM); with no fitted model the entries are
     * omitted and the driver falls back to the old rows-only check. */
   private def pcaOracleEntries: Map[String, String] = {
-    pcaLastKey.flatMap(k => Option(pcaModelCache.get(k))) match {
+    pcaLastDir.flatMap(d => Option(pcaModelCache.get(d))).map(_._2) match {
       case Some(model) =>
         val d = model.means.length
         val p = 8
@@ -5895,7 +5903,7 @@ object SparkEntry {
     * verified snapshot's model (the pcaOracleEntries keying); with no
     * fitted model the entries are omitted → rows-only fallback. */
   private def logitOracleEntries: Map[String, String] = {
-    logitLastKey.flatMap(k => Option(logitModelCache.get(k))) match {
+    logitLastDir.flatMap(d => Option(logitModelCache.get(d))).map(_._2) match {
       case Some(m) =>
         val z = operators.Logit.zSql(m)
         val nStop = s"len(list_intersect(list_distinct(w), ${LangSql.en}))"
@@ -5934,7 +5942,7 @@ object SparkEntry {
     * [[logitOracleEntries]]: six bigint count signals, the same
     * fixed-order zSql string over seven round-trip literals. */
   private def logitWideOracleEntries: Map[String, String] = {
-    logitWideLastKey.flatMap(k => Option(logitWideModelCache.get(k))) match {
+    logitWideLastDir.flatMap(d => Option(logitWideModelCache.get(d))).map(_._2) match {
       case Some(m) =>
         val z = operators.Logit.zSql(m)
         val nStop = s"len(list_intersect(list_distinct(w), ${LangSql.en}))"

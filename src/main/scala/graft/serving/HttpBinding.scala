@@ -63,16 +63,24 @@ final class HttpBinding private[graft] (
     override def handle(ex: HttpExchange): Unit =
       try respond(ex) finally ex.close()
   })
-  server.setExecutor(new ThreadPoolExecutor(4, 4, 0L, TimeUnit.MILLISECONDS,
+  private val pool = new ThreadPoolExecutor(4, 4, 0L, TimeUnit.MILLISECONDS,
     new ArrayBlockingQueue[Runnable](64),
-    new ThreadPoolExecutor.CallerRunsPolicy))
+    new ThreadPoolExecutor.CallerRunsPolicy)
+  server.setExecutor(pool)
   server.start()
 
   /** The actual listening port (differs from the requested one only
     * when constructed with port 0). */
   def boundPort: Int = server.getAddress.getPort
 
-  def stop(): Unit = server.stop(0)
+  /** `HttpServer.stop` leaves a user-supplied executor running, its
+    * core threads non-daemon and never timing out — without the
+    * explicit shutdown every start/stop cycle leaks 4 threads and a
+    * plain main can never exit. */
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 
   private def parseQuery(raw: String): Map[String, String] =
     if (raw == null || raw.isEmpty) Map.empty
@@ -118,13 +126,22 @@ final class HttpBinding private[graft] (
     val headers = ex.getResponseHeaders
     headers.set("Content-Type", "application/json")
     try {
+      // The 413 paths deliberately do NOT drain the remaining body (a
+      // multi-GB upload is the case the cap exists for); Connection:
+      // close tells the client the socket is done. An aggressive
+      // sender racing its upload against the response can still see
+      // the reset instead of the status — inherent to refusing early.
+      def tooLarge(): Unit = {
+        headers.set("Connection", "close")
+        send(ex, 413, HttpBinding.errJson("request body too large").getBytes(UTF_8))
+      }
       val declared = Option(ex.getRequestHeaders.getFirst("Content-Length"))
         .flatMap(s => try Some(s.trim.toLong) catch { case _: Throwable => None })
       if (declared.exists(_ > maxBodyBytes))
-        send(ex, 413, HttpBinding.errJson("request body too large").getBytes(UTF_8))
+        tooLarge()
       else readBounded(ex.getRequestBody, maxBodyBytes) match {
         case None =>
-          send(ex, 413, HttpBinding.errJson("request body too large").getBytes(UTF_8))
+          tooLarge()
         case Some(bytes) =>
           val resp = handler(
             ex.getRequestMethod,

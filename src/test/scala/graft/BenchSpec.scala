@@ -116,6 +116,10 @@ class BenchSpec extends AnyFunSuite {
 
   test("spread ratio is max-of-reps over median-of-reps") {
     assert(Bench.spreadRatio(Seq(1.0, 1.1, 4.5)) == 4.5 / 1.1)
+    // TWO surviving reps (one timed rep failed): the lower median —
+    // the upper would BE the max, pinning the ratio at 1.0 and hiding
+    // exactly the one-bad-rep contention hit this counts
+    assert(Bench.spreadRatio(Seq(0.5, 5.0)) == 10.0)
     assert(Bench.spreadRatio(Seq(2.0)) == 1.0)       // single rep
     assert(Bench.spreadRatio(Nil) == 1.0)
     assert(Bench.spreadRatio(Seq(0.0, 0.0)) == 1.0)  // degenerate median
@@ -124,18 +128,21 @@ class BenchSpec extends AnyFunSuite {
   test("contamination matrix: avg-CPU, burst-window, and IO channels") {
     val (extCap, ioCap) = (2.0, 2.0)
     // clean pass
-    assert(!Bench.isContaminated(0.1, 0.5, 0.3, extCap, ioCap))
+    assert(!Bench.isContaminated(0.1, 0.5, 0.3, 0.4, extCap, ioCap))
     // whole-run external average over cap (the r14/r15 CPU-tenant era)
-    assert(Bench.isContaminated(2.5, 2.5, 0.1, extCap, ioCap))
+    assert(Bench.isContaminated(2.5, 2.5, 0.1, 0.1, extCap, ioCap))
     // short burst: average dilutes under the cap but one >=2s window
     // exceeds it (the ADVICE r16 phantom-regression mode)
-    assert(Bench.isContaminated(0.9, 4.0, 0.1, extCap, ioCap))
+    assert(Bench.isContaminated(0.9, 4.0, 0.1, 0.1, extCap, ioCap))
     // the r16 final-pass shape: ext_cores 0.80 self-labeled clean
     // while the disk was the contended resource — the IO channel now
     // flags it (VERDICT r16 #1)
-    assert(Bench.isContaminated(0.80, 1.0, 3.5, extCap, ioCap))
+    assert(Bench.isContaminated(0.80, 1.0, 3.5, 3.5, extCap, ioCap))
+    // a 30s disk-saturating burst that dilutes the run-average IO:
+    // the per-window IO maximum flags it (same dilution mode as CPU)
+    assert(Bench.isContaminated(0.1, 0.5, 0.4, 5.0, extCap, ioCap))
     // boundary: at-cap is clean, only strictly-over flags
-    assert(!Bench.isContaminated(2.0, 2.0, 2.0, extCap, ioCap))
+    assert(!Bench.isContaminated(2.0, 2.0, 2.0, 2.0, extCap, ioCap))
   }
 
   test("external-cores accounting: /proc parsing and the window math") {
