@@ -64,7 +64,18 @@ object Bench {
     * ext_cores 0.80 yet shipped pretrain_v3 at 4x its idle time.
     * Iowait is system-wide (the bench's own parquet/checkpoint IO
     * counts too), so its cap is calibrated above the bench's own
-    * clean-pass level rather than near zero. */
+    * clean-pass level rather than near zero.
+    *
+    * Calibration blind spot (ADVICE r17): iowait only accrues while a
+    * CPU is IDLE, so during phases where the bench's own 32 threads
+    * keep every core busy, a disk-saturating co-tenant can read
+    * near-zero on this channel (/proc/diskstats time-in-queue would
+    * accrue regardless — a future channel if this ever under-detects
+    * in practice). Two mitigations are already in place: the timed
+    * pass has idle gaps (driver-side planning, inter-query setup)
+    * where iowait does accrue, and the retry-probe window (see
+    * retryDecision) samples while the bench is fully ASLEEP — there
+    * the channel is maximally sensitive. */
   private[graft] def iowaitJiffies(cpuLine: String): Long = {
     val f = cpuLine.trim.split("\\s+")
     if (f.length > 5) f(5).toLong else 0L
@@ -149,6 +160,59 @@ object Bench {
                                    wallSec: Double): Double =
     if (wallSec <= 0) 0.0
     else math.max(0.0, (dBusy - dSelf) / 100.0 / wallSec)
+
+  private def optJson(v: Option[Double]): String =
+    v.map(x => BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toString).getOrElse("null")
+
+  /** One full measured pass (warm pass + 3 interleaved timed passes)
+    * rolled up with its own three-channel self-label, so a retried
+    * run can publish BOTH attempts' labels (VERDICT r17 #1: the
+    * artifact must show the retry, not hide the dirty first pass). */
+  private[graft] final case class Pass(
+      samples: Map[String, Vector[Double]],
+      errors: Map[String, String],
+      loadAvgs: Vector[Double],
+      extCores: Option[Double], extMax: Option[Double],
+      ioCores: Option[Double], ioMax: Option[Double],
+      noisyLines: Int, contaminated: Boolean) {
+    def labelJson: String =
+      s"""{"ext_cores":${optJson(extCores)},"ext_max":${optJson(extMax)},""" +
+        s""""io_cores":${optJson(ioCores)},"io_max":${optJson(ioMax)},""" +
+        s""""noisy_lines":$noisyLines,"contaminated":$contaminated}"""
+  }
+
+  /** The self-healing decision (VERDICT r17 next-round #1): a full
+    * pass that self-labels dirty gets ONE retry after a cooldown —
+    * the r17 driver artifact was correctly REFUSED (ext_max 4.66, 22
+    * noisy lines) but left the round certified only by the committed
+    * history, when a 2-minute wait would have bought a clean
+    * driver-side bench. Decision table, pinned by BenchSpec:
+    *
+    *  - first pass clean                      -> "publish_first"
+    *  - solo (SPARK_GRAFT_ONLY) or retries
+    *    disabled (SPARK_GRAFT_RETRY=0)        -> "no_retry" (publish
+    *    the dirty first pass — solo runs never persist anyway, and a
+    *    disabled retry must not silently change the run's shape)
+    *  - cooldown probe still above either cap -> "skip_busy" (the
+    *    co-tenant is still there; a second 10-minute pass would just
+    *    burn dirty — publish the labeled-dirty first pass)
+    *  - probe clean                           -> "retry" (publish the
+    *    second pass under its OWN label, dirty or not)
+    *
+    * The probe window runs while the bench is fully asleep, which is
+    * exactly where both channels are most sensitive (external CPU has
+    * zero self-noise; iowait accrues freely on idle cores). */
+  private[graft] def retryDecision(firstContaminated: Boolean,
+                                   soloRun: Boolean,
+                                   retriesEnabled: Boolean,
+                                   probeExt: Double, probeIo: Double,
+                                   extCap: Double, ioCap: Double): String =
+    if (!firstContaminated) "publish_first"
+    else if (soloRun || !retriesEnabled) "no_retry"
+    else if (probeExt > extCap || probeIo > ioCap) "skip_busy"
+    else "retry"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -178,8 +242,6 @@ object Bench {
           val cpuLine = st.linesIterator.next()
           (busyJiffies(cpuLine), iowaitJiffies(cpuLine), selfJiffies(self))
         }
-    val cpu0 = cpuSample()
-    val wall0 = System.nanoTime()
     // Solo/A-A mode (VERDICT r16 #1): SPARK_GRAFT_ONLY=q1,q2 times
     // just the named lines — for adjudicating a single shifted query
     // against history without a 10-minute full pass. A filtered run
@@ -195,9 +257,15 @@ object Bench {
     }
     val queries = SparkEntry.queries.filter { case (k, _) =>
       only.forall(_.contains(k)) }
+    // caps read ONCE — shared by every pass's self-label and the
+    // retry-probe decision, so the two can't disagree
+    val extCap = sys.env.getOrElse("SPARK_GRAFT_EXT_CORES_MAX", "2.0").toDouble
+    val ioCap = sys.env.getOrElse("SPARK_GRAFT_IO_CORES_MAX", "2.0").toDouble
+    val loadCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
     // JIT/codegen warm-up: run every query once at the tiny sf so the
     // timed runs measure steady-state throughput, not first-run
-    // interpreter/compile cost (measured 4-5x on string-heavy paths)
+    // interpreter/compile cost (measured 4-5x on string-heavy paths).
+    // Once per JVM — a retried pass is already JIT-warm.
     queries.foreach { case (_, fn) =>
       try run(fn, "/root/testdata/sf0.001")
       catch { case _: Throwable => }
@@ -224,46 +292,126 @@ object Bench {
     // timed runs) must not permanently brand a query -1 when the timed
     // runs produced a valid median (ADVICE r10). -1 stays reserved for
     // queries with zero successful timed samples.
-    val errors = collection.mutable.LinkedHashMap[String, String]()
-    queries.foreach { case (name, fn) =>
-      try run(fn, sfDir) catch { case _: Throwable => }
-    }
-    // Host-contention self-identification (VERDICT r13 perf note): the
-    // r13 artifact's uniform +50-110% drift on untouched queries was a
-    // box-wide era, invisible in the artifact itself. Sample the 1-min
-    // system load before each timed pass (and once at the end) so a
-    // contaminated era is visible in the output without a rerun.
-    val loadAvgs = collection.mutable.ArrayBuffer[Double]()
-    def sampleLoad(): Unit = loadAvgs += java.lang.management
-      .ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    // Per-query /proc slices (ADVICE r16): bracketing every timed run
-    // gives the burst-window and iowait signals their granularity —
-    // six tiny /proc reads per query, ~1 ms against 100 ms+ queries.
-    val segs = collection.mutable.ArrayBuffer[Seg]()
-    for (_ <- 1 to 3) {
-      sampleLoad()
+    //
+    // The whole measured pass — full-size warm pass, 3 interleaved
+    // timed passes, /proc bracketing, self-label — is one function so
+    // a dirty first pass can be retried whole (VERDICT r17 #1). The
+    // external-CPU window opens at pass start: everything the bench
+    // burns inside the pass is `self` and subtracts out; the warm
+    // pass stays INSIDE because a retry must re-warm the page cache
+    // the contended era evicted, or the retry re-measures the
+    // co-tenant's damage instead of the code.
+    def measuredPass(): Pass = {
+      val cpu0 = cpuSample()
+      val wall0 = System.nanoTime()
+      val errors = collection.mutable.LinkedHashMap[String, String]()
       queries.foreach { case (name, fn) =>
-        val s0 = cpuSample()
-        val t0 = System.nanoTime()
-        val okRun = try { run(fn, sfDir); true } catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
-          false
-        }
-        val wall = (System.nanoTime() - t0) / 1e9
-        for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
-          segs += Seg(b1 - b0, i1 - i0, f1 - f0, wall)
-        if (okRun) {
-          samples(name) = samples.getOrElse(name, Vector.empty) :+ wall
+        try run(fn, sfDir) catch { case _: Throwable => }
+      }
+      // Host-contention self-identification (VERDICT r13 perf note):
+      // the r13 artifact's uniform +50-110% drift on untouched queries
+      // was a box-wide era, invisible in the artifact itself. Sample
+      // the 1-min system load before each timed pass (and once at the
+      // end) so a contaminated era is visible without a rerun.
+      val loadAvgs = collection.mutable.ArrayBuffer[Double]()
+      def sampleLoad(): Unit = loadAvgs += java.lang.management
+        .ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      val samples = collection.mutable.LinkedHashMap[String, Vector[Double]]()
+      // Per-query /proc slices (ADVICE r16): bracketing every timed
+      // run gives the burst-window and iowait signals their
+      // granularity — six tiny /proc reads per query, ~1 ms against
+      // 100 ms+ queries.
+      val segs = collection.mutable.ArrayBuffer[Seg]()
+      for (_ <- 1 to 3) {
+        sampleLoad()
+        queries.foreach { case (name, fn) =>
+          val s0 = cpuSample()
+          val t0 = System.nanoTime()
+          val okRun = try { run(fn, sfDir); true } catch { case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            false
+          }
+          val wall = (System.nanoTime() - t0) / 1e9
+          for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
+            segs += Seg(b1 - b0, i1 - i0, f1 - f0, wall)
+          if (okRun) {
+            samples(name) = samples.getOrElse(name, Vector.empty) :+ wall
+          }
         }
       }
+      sampleLoad()
+      // Contamination (VERDICT r16 #1 + ADVICE r16, isContaminated):
+      // whole-run external-CPU average above the cap, OR any coalesced
+      // >=2 s per-query window above the same cap (burst detection),
+      // OR system iowait-cores above the IO cap on either granularity
+      // — the channel the r16 final pass slipped through. Fallback
+      // when /proc is unavailable: the pre-r16 loadavg rule — on
+      // ENTRY only (the in-run samples measure the bench's own
+      // threads).
+      val endWall = (System.nanoTime() - wall0) / 1e9
+      val endSample = cpuSample()
+      val extCores: Option[Double] =
+        for ((b0, _, s0) <- cpu0; (b1, _, s1) <- endSample)
+          yield externalCores(b1 - b0, s1 - s0, endWall)
+      val ioCores: Option[Double] =
+        for ((_, i0, _) <- cpu0; (_, i1, _) <- endSample)
+          yield math.max(0.0, (i1 - i0) / 100.0 / endWall)
+      val windows = coalesceWindows(segs.toSeq, 2.0)
+      val extMax: Option[Double] =
+        if (windows.isEmpty) None
+        else Some(windows.map(w =>
+          externalCores(w.dBusy, w.dSelf, w.wall)).max)
+      val ioMax: Option[Double] =
+        if (windows.isEmpty) None
+        else Some(windows.map(w =>
+          math.max(0.0, w.dIo / 100.0 / w.wall)).max)
+      val noisyLines = samples.values.count { ts =>
+        ts.size >= 2 && spreadRatio(ts) > 3.0 &&
+          ts.sorted.apply(ts.size / 2) > 0.05
+      }
+      val contaminated = extCores match {
+        case Some(x) => isContaminated(x, extMax.getOrElse(0.0),
+          ioCores.getOrElse(0.0), ioMax.getOrElse(0.0), extCap, ioCap)
+        case None => loadAvgs.nonEmpty && loadAvgs.head > loadCap
+      }
+      Pass(samples.toMap, errors.toMap, loadAvgs.toVector,
+        extCores, extMax, ioCores, ioMax, noisyLines, contaminated)
     }
+
+    // Self-healing on contamination (VERDICT r17 next-round #1): a
+    // dirty full pass sleeps a cooldown, probes the box over a short
+    // fully-idle window, and retries ONCE if the probe reads clean.
+    // See retryDecision for the pinned table. Both attempts'
+    // self-labels ship in the artifact.
+    val p1 = measuredPass()
+    val retriesEnabled = sys.env.getOrElse("SPARK_GRAFT_RETRY", "1") != "0"
+    val cooldownSec =
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_COOLDOWN_SEC", "90").toDouble
+    val decision: String =
+      if (!p1.contaminated || only.nonEmpty || !retriesEnabled)
+        retryDecision(p1.contaminated, only.nonEmpty, retriesEnabled,
+          0.0, 0.0, extCap, ioCap)
+      else {
+        val s0 = cpuSample()
+        val t0 = System.nanoTime()
+        Thread.sleep(math.max(1L, (cooldownSec * 1000).toLong))
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (probeExt, probeIo) =
+          (for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
+            yield (externalCores(b1 - b0, f1 - f0, wall),
+              math.max(0.0, (i1 - i0) / 100.0 / wall)))
+            .getOrElse((0.0, 0.0))
+        retryDecision(firstContaminated = true, soloRun = false,
+          retriesEnabled = true, probeExt, probeIo, extCap, ioCap)
+      }
+    val p2 = if (decision == "retry") Some(measuredPass()) else None
+    val pub = p2.getOrElse(p1)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val results = queries.keys.map { name =>
-      val ts = samples.getOrElse(name, Vector.empty)
+      val ts = pub.samples.getOrElse(name, Vector.empty)
       name -> (if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2))
     }.toSeq
     // ms precision, sorted cheapest-FIRST: the driver's artifact keeps
@@ -280,8 +428,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val errJson = errors
-      .filter { case (k, _) => samples.getOrElse(k, Vector.empty).isEmpty }
+    val errJson = pub.errors
+      .filter { case (k, _) => pub.samples.getOrElse(k, Vector.empty).isEmpty }
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     // Era-drift self-identification (VERDICT r11 #8): compare against
@@ -344,62 +492,17 @@ object Bench {
           }
       }
     } catch { case _: Throwable => "null" }
-    // Contamination self-labeling (VERDICT r15 #3): the bench has
-    // logged loadavg since r13 but never ACTED on it — the r15
-    // end-of-round pass ran at loadavg 6.2 and wrote five phantom
-    // dedup "regressions" into the permanent history. Any sample
-    // above the threshold (default 4 on this 32-cpu box: the bench's
-    // own 32 threads show up in the 1-min average only tail-end, so
-    // a pre-existing load ~4 means another multi-core tenant) marks
-    // the PASS contaminated: the artifact self-labels, and the pass
-    // refuses to overwrite a same-sf clean history.
-    sampleLoad()
-    val loadJson = loadAvgs.map(v => BigDecimal(v).setScale(2,
+    // Contamination self-labeling (VERDICT r15 #3 → r16 #1/#2 → r17
+    // #1): the published pass carries its own three-channel label;
+    // when a retry happened, BOTH attempts' labels ship (a clean
+    // artifact that hides a dirty first attempt would read as an
+    // idle box when it wasn't one). `retry` records the decision:
+    // publish_first | no_retry | skip_busy | retry.
+    val loadJson = pub.loadAvgs.map(v => BigDecimal(v).setScale(2,
       BigDecimal.RoundingMode.HALF_UP).toString).mkString("[", ",", "]")
-    // Contamination (VERDICT r16 #1 + ADVICE r16, isContaminated):
-    // whole-run external-CPU average above the cap (default 2 of 32),
-    // OR any coalesced >=2 s per-query window above the same cap (a
-    // short co-tenant burst no longer dilutes into the average), OR
-    // whole-run iowait-cores above the IO cap — the channel the r16
-    // final pass slipped through: a recently-loaded box serves the
-    // checkpoint-heavy lines from a cold page cache / contended disk,
-    // invisible to any CPU-only signal. Fallback when /proc is
-    // unavailable: the pre-r16 loadavg rule — but on ENTRY only (the
-    // in-run samples measure the bench's own threads).
-    val endWall = (System.nanoTime() - wall0) / 1e9
-    val endSample = cpuSample()
-    val extCores: Option[Double] =
-      for ((b0, _, s0) <- cpu0; (b1, _, s1) <- endSample)
-        yield externalCores(b1 - b0, s1 - s0, endWall)
-    val ioCores: Option[Double] =
-      for ((_, i0, _) <- cpu0; (_, i1, _) <- endSample)
-        yield math.max(0.0, (i1 - i0) / 100.0 / endWall)
-    val windows = coalesceWindows(segs.toSeq, 2.0)
-    val extMax: Option[Double] =
-      if (windows.isEmpty) None
-      else Some(windows.map(w =>
-        externalCores(w.dBusy, w.dSelf, w.wall)).max)
-    val ioMax: Option[Double] =
-      if (windows.isEmpty) None
-      else Some(windows.map(w =>
-        math.max(0.0, w.dIo / 100.0 / w.wall)).max)
-    val noisyLines = samples.values.count { ts =>
-      ts.size >= 2 && spreadRatio(ts) > 3.0 &&
-        ts.sorted.apply(ts.size / 2) > 0.05
-    }
-    val extCap = sys.env.getOrElse("SPARK_GRAFT_EXT_CORES_MAX", "2.0").toDouble
-    val ioCap = sys.env.getOrElse("SPARK_GRAFT_IO_CORES_MAX", "2.0").toDouble
-    val loadCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
-    val contaminated = extCores match {
-      case Some(x) => isContaminated(x, extMax.getOrElse(0.0),
-        ioCores.getOrElse(0.0), ioMax.getOrElse(0.0), extCap, ioCap)
-      case None => loadAvgs.nonEmpty && loadAvgs.head > loadCap
-    }
-    def optJson(v: Option[Double]): String =
-      v.map(x => BigDecimal(x).setScale(2,
-        BigDecimal.RoundingMode.HALF_UP).toString).getOrElse("null")
-    val extJson = optJson(extCores)
-    val selfLabel = s""""ext_cores":$extJson,"ext_max":${optJson(extMax)},"io_cores":${optJson(ioCores)},"io_max":${optJson(ioMax)},"noisy_lines":$noisyLines,"contaminated":$contaminated"""
+    val attemptsJson =
+      (Seq(p1) ++ p2).map(_.labelJson).mkString("[", ",", "]")
+    val selfLabel = s""""ext_cores":${optJson(pub.extCores)},"ext_max":${optJson(pub.extMax)},"io_cores":${optJson(pub.ioCores)},"io_max":${optJson(pub.ioMax)},"noisy_lines":${pub.noisyLines},"contaminated":${pub.contaminated},"retry":"$decision","attempts":$attemptsJson"""
     // Persist the full medians map AFTER reading the previous one, so
     // consecutive runs chain (this run becomes the next run's base).
     // Best-effort: a read-only checkout must not fail the bench.
@@ -408,7 +511,7 @@ object Bench {
         if (!localHist.exists()) None
         else Some(new String(java.nio.file.Files.readAllBytes(
           localHist.toPath), java.nio.charset.StandardCharsets.UTF_8))
-      if (only.isEmpty && shouldPersist(contaminated, prevRaw, sfDir)) {
+      if (only.isEmpty && shouldPersist(pub.contaminated, prevRaw, sfDir)) {
         val full = s"""{"sf":"$sfDir","loadavg":$loadJson,$selfLabel,"errors":$errJson,"queries":$qs}\n"""
         java.nio.file.Files.write(localHist.toPath,
           full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -84,7 +84,9 @@ object Graph {
     // `ed` is ITSELF cut (VERDICT r14 #2 / ADVICE r14: as a plain
     // plan over the two checkpoints, the e⋈deg equi-join re-executed
     // inside every iteration), so one iteration is exactly ONE
-    // rank-edge join + ONE dst-keyed agg + the node-spine left join.
+    // rank-edge join + ONE union-fed dst-keyed agg (two shuffles —
+    // the old third node-spine left join was retired in r16; the
+    // spine rides the aggregate as union'd zero rows, see the loop).
     // Same edge set, same integers — the per-node `rank div deg` is
     // now computed per edge, which replicates the identical quotient
     // per out-edge before the same sum; GraphSpec's local-recurrence

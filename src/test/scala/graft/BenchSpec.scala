@@ -165,4 +165,61 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.externalCores(100L, 150L, 10.0) == 0.0)
     assert(Bench.externalCores(100L, 50L, 0.0) == 0.0)
   }
+
+  test("retry decision table (VERDICT r17 #1: self-healing bench)") {
+    val (extCap, ioCap) = (2.0, 2.0)
+    def d(dirty: Boolean, solo: Boolean, retries: Boolean,
+          pe: Double, pi: Double) =
+      Bench.retryDecision(dirty, solo, retries, pe, pi, extCap, ioCap)
+    // clean first pass: publish it, never retry (probe values moot)
+    assert(d(dirty = false, solo = false, retries = true, 9.0, 9.0)
+      == "publish_first")
+    // solo (SPARK_GRAFT_ONLY) runs never retry — they never persist,
+    // and an adjudication run must measure the box AS IT IS
+    assert(d(dirty = true, solo = true, retries = true, 0.0, 0.0)
+      == "no_retry")
+    // retries disabled by env: publish the labeled-dirty first pass
+    assert(d(dirty = true, solo = false, retries = false, 0.0, 0.0)
+      == "no_retry")
+    // cooldown probe still above EITHER cap: a second 10-minute pass
+    // would burn dirty — skip, publish the labeled-dirty first pass
+    assert(d(dirty = true, solo = false, retries = true, 2.1, 0.0)
+      == "skip_busy")
+    assert(d(dirty = true, solo = false, retries = true, 0.0, 2.1)
+      == "skip_busy")
+    // probe clean: retry once (the r17 driver shape — ext_max 4.66
+    // mid-pass, box idle again by round end — becomes a clean
+    // second attempt instead of a refused artifact)
+    assert(d(dirty = true, solo = false, retries = true, 0.3, 0.1)
+      == "retry")
+    // at-cap probe is clean, matching isContaminated's boundary
+    assert(d(dirty = true, solo = false, retries = true, 2.0, 2.0)
+      == "retry")
+  }
+
+  test("published label keeps both attempts visible (artifact shape)") {
+    val dirty = Bench.Pass(Map("q" -> Vector(1.0)), Map.empty,
+      Vector(9.0), Some(4.2), Some(4.66), Some(0.1), Some(0.2),
+      22, contaminated = true)
+    val clean = Bench.Pass(Map("q" -> Vector(1.0)), Map.empty,
+      Vector(1.0), Some(0.1), Some(0.3), Some(0.0), Some(0.1),
+      0, contaminated = false)
+    assert(dirty.labelJson.contains("\"contaminated\":true"))
+    assert(dirty.labelJson.contains("\"ext_max\":4.66"))
+    assert(clean.labelJson.contains("\"contaminated\":false"))
+    // the shouldPersist literal-protection contract: a retried-clean
+    // full line (clean top-level label + dirty attempt embedded)
+    // still contains "contaminated":false and stays protected; a
+    // skip_busy dirty line contains no false-literal and stays
+    // replaceable
+    val retriedLine = s"""{"sf":"/x","contaminated":false,"attempts":[${dirty.labelJson},${clean.labelJson}]}"""
+    assert(!Bench.shouldPersist(contaminated = true,
+      Some(retriedLine.replace("/x", "/root/testdata/sf0.1")), "/root/testdata/sf0.1"))
+    val skipLine = s"""{"sf":"/root/testdata/sf0.1","contaminated":true,"attempts":[${dirty.labelJson}]}"""
+    assert(Bench.shouldPersist(contaminated = true, Some(skipLine),
+      "/root/testdata/sf0.1"))
+    // and the attempts' numeric fields never parse as query times
+    val parsed = Bench.parsePrevQueryTimes(retriedLine)
+    assert(parsed.isEmpty, s"attempt label fields leaked as times: $parsed")
+  }
 }

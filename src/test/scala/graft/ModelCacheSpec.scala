@@ -48,4 +48,49 @@ class ModelCacheSpec extends SparkSpec {
     val m2 = SparkEntry.boostModel(spark, dir)
     assert(!(m2 eq m1), "stale model served after a corpus rewrite")
   }
+
+  test("token sees a rewrite INSIDE a partition subdir " +
+      "(VERDICT r17 what's-wrong #3: recursive listing)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    def writePartitioned(text: String): Unit =
+      Seq((1L, text, "en"), (2L, text, "de")).toDF("doc_id", "text", "lang")
+        .write.mode(SaveMode.Overwrite).partitionBy("lang")
+        .parquet(s"$dir/documents.parquet")
+    writePartitioned("hello world")
+    val t1 = SparkEntry.tableToken(spark, dir, "documents")
+    // same content, re-derived: stable
+    assert(SparkEntry.tableToken(spark, dir, "documents") == t1)
+    // rewrite ONE partition subdir in place: the lang=en subdir keeps
+    // its name (and often its mtime at coarse granularity) — a flat
+    // listing missed this; the recursive fold must not
+    Seq((1L, "changed body", "en")).toDF("doc_id", "text", "lang")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet/lang=en")
+    assert(SparkEntry.tableToken(spark, dir, "documents") != t1,
+      "partition-subdir rewrite produced the same token")
+  }
+
+  test("memo maps are LRU-bounded and reclaim superseded entries " +
+      "(VERDICT r17 what's-wrong #4 + ADVICE #3)") {
+    val evicted = collection.mutable.ArrayBuffer[(String, String)]()
+    val m = new SparkEntry.MemoMap[String](2, (k, v) => evicted += (k -> v))
+    m.put("a", "t1", "va"); m.put("b", "t1", "vb")
+    assert(m.get("a").contains(("t1", "va")))
+    // access-ordered: touching "a" makes "b" the eldest
+    m.put("c", "t1", "vc")
+    assert(evicted.toList == List("b" -> "vb"), s"got $evicted")
+    assert(m.get("b").isEmpty && m.get("a").nonEmpty && m.get("c").nonEmpty)
+    // token-change REPLACE fires eviction for the superseded value
+    // (the index-dir reclaim path); same-token put does not
+    m.put("a", "t2", "va2")
+    assert(evicted.toList == List("b" -> "vb", "a" -> "va"))
+    m.put("a", "t2", "va2")
+    assert(evicted.size == 2, "same-token replace must not evict")
+    // a throwing onEvict never breaks the put
+    val hostile = new SparkEntry.MemoMap[String](1,
+      (_, _) => throw new RuntimeException("boom"))
+    hostile.put("x", "t", "v1"); hostile.put("y", "t", "v2")
+    assert(hostile.get("y").nonEmpty)
+  }
 }
