@@ -195,13 +195,26 @@ object HttpBinding {
     * unless it carries an explicit `q=0` (ADVICE r16 — the previous
     * parser dropped everything after `;`, reading a refusal as an
     * acceptance). Malformed qvalues fall back to accepting. */
+  /** RFC 7231 §5.3.4, the slice the reference's gziphandler honors:
+    * an explicit `gzip` token decides (q=0 refuses; among
+    * self-contradictory duplicates any accepting token wins — ADVICE
+    * r17 adjudicated that precedence as fine); otherwise a `*`
+    * wildcard without q=0 accepts gzip (the r17 gap: `Accept-
+    * Encoding: *` never got gzip). */
   private[graft] def acceptsGzip(header: String): Boolean =
-    header != null && header.toLowerCase.split(",").exists { tok =>
-      val parts = tok.split(";").map(_.trim)
-      parts.headOption.contains("gzip") && !parts.drop(1).exists { p =>
-        p.startsWith("q=") &&
-          (try p.drop(2).toDouble <= 0.0 catch { case _: Throwable => false })
+    if (header == null) false
+    else {
+      val toks = header.toLowerCase.split(",").map { tok =>
+        val parts = tok.split(";").map(_.trim)
+        val refused = parts.drop(1).exists { p =>
+          p.startsWith("q=") &&
+            (try p.drop(2).toDouble <= 0.0 catch { case _: Throwable => false })
+        }
+        (parts.headOption.getOrElse(""), refused)
       }
+      val gzip = toks.filter(_._1 == "gzip")
+      if (gzip.nonEmpty) gzip.exists(!_._2)
+      else toks.exists { case (n, refused) => n == "*" && !refused }
     }
 
   /** One-call server over a data folder — the `main.go` shape:

@@ -138,6 +138,16 @@ class HttpBindingSpec extends SparkSpec {
     // parameter never refuses
     assert(HttpBinding.acceptsGzip("gzip;q=abc"))
     assert(HttpBinding.acceptsGzip("gzip;level=9"))
+    // '*' wildcard accepts gzip unless refused (ADVICE r17)
+    assert(HttpBinding.acceptsGzip("*"))
+    assert(HttpBinding.acceptsGzip("identity;q=0.5, *;q=0.1"))
+    assert(!HttpBinding.acceptsGzip("*;q=0"))
+    // an explicit gzip token outranks the wildcard both ways
+    assert(!HttpBinding.acceptsGzip("*, gzip;q=0"))
+    assert(HttpBinding.acceptsGzip("*;q=0, gzip"))
+    // self-contradictory duplicates: any accepting gzip token wins
+    // (adjudicated fine in ADVICE r17 — requires a broken client)
+    assert(HttpBinding.acceptsGzip("gzip;q=0, gzip"))
   }
 
   test("oversized request bodies 413 instead of OOMing (VERDICT r16 #4)") {
@@ -168,6 +178,65 @@ class HttpBindingSpec extends SparkSpec {
       val ok = send(c, req(port, "POST", "/api/v1/collections",
         """{"name": "cap", "vector_size": 5, "quantization": 64,
           | "distance_function": "cosine"}""".stripMargin))
+      assert(ok.statusCode() == 201, ok.body())
+    } finally binding.stop()
+  }
+
+  test("413 refuses a slow oversized upload without draining it " +
+      "(VERDICT r17 #7: pin the documented no-drain behavior)") {
+    val binding = new HttpBinding(
+      new Api(spark,
+        java.nio.file.Files.createTempDirectory("graft-nodrain").toString),
+      port = 0, maxBodyBytes = 1024)
+    try {
+      val port = binding.boundPort
+      val declared = 64L * 1024 * 1024 // 64 MiB the server must NOT buffer
+      val sock = new java.net.Socket("127.0.0.1", port)
+      sock.setSoTimeout(10000)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write((s"POST /api/v1/collections HTTP/1.1\r\nHost: t\r\n" +
+        s"Content-Length: $declared\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.flush()
+      // the refusal arrives off the DECLARED length, before any body
+      val head = new Array[Byte](4096)
+      val n = in.read(head)
+      assert(n > 0, "no response before the body was sent")
+      val resp = new String(head, 0, n,
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(resp.startsWith("HTTP/1.1 413"), resp.takeWhile(_ != '\r'))
+      assert(resp.toLowerCase.contains("connection: close"), resp.take(400))
+      // now stream the upload anyway: the server must kill the socket
+      // (an IOException here is the pass), never sit reading 64 MiB.
+      // The push runs on its own thread so a server that neither
+      // drains NOR closes (blocked write, the regression this pins)
+      // fails the join timeout instead of hanging the suite.
+      @volatile var written = 0L
+      @volatile var refused = false
+      val chunk = new Array[Byte](8192)
+      val pusher = new Thread(() => {
+        try {
+          while (written < declared) {
+            out.write(chunk); out.flush(); written += chunk.length
+          }
+        } catch { case _: Throwable => refused = true }
+      })
+      pusher.start()
+      pusher.join(15000)
+      val blocked = pusher.isAlive
+      if (blocked) { sock.close(); pusher.join(5000) }
+      assert(!blocked,
+        s"server neither drained nor closed; writer stuck at $written bytes")
+      assert(refused, s"server accepted the full $declared-byte body")
+      assert(written < declared / 4,
+        s"server buffered $written bytes before closing — that's draining")
+      sock.close()
+      // and the server stays healthy for the next client
+      val ok = send(HttpClient.newHttpClient(),
+        req(port, "POST", "/api/v1/collections",
+          """{"name": "nd", "vector_size": 5, "quantization": 64,
+            | "distance_function": "cosine"}""".stripMargin))
       assert(ok.statusCode() == 201, ok.body())
     } finally binding.stop()
   }

@@ -14,11 +14,15 @@ import graft.operators.Dedup
   * drops from "re-hash 100 TB of text" to "scan L longs + one key per
   * stored doc", and the text-hashing cost moves into (b), paid once.
   * Copies are id-shifted but text-identical, so corpus band buckets
-  * at 10x are the worst case (every bucket 10x heavier).
+  * at 10x are the worst case (every bucket 10x heavier). Writes
+  * INCREMENTAL_PROBE.json (VERDICT r17 #6: committed, regenerable
+  * artifact).
   * Run: sbt "Test/runMain graft.IncrementalScaleProbe" */
 object IncrementalScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session
+    val out = new ProbeJson("incrementalscale",
+      args.headOption.getOrElse("/root/repo/INCREMENTAL_PROBE.json"))
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
       .select(col("doc_id"), col("text"))
     def corpusAt(copies: Int) = (0 until copies).map(s =>
@@ -33,29 +37,33 @@ object IncrementalScaleProbe {
       .repartition(8).cache()
     println(s"[probe] delta=${delta.count()}")
 
-    def time(label: String)(f: => Long): Unit = {
+    def time(label: String, copies: Int)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $label x$copies: $sec%.2f s ($n rows)")
+      out.add("line" -> label, "copies" -> copies,
+        "sec" -> sec, "rows" -> n)
     }
 
     for (copies <- Seq(1, 10)) {
       val corpus = corpusAt(copies)
       println(s"[probe] corpus x$copies = ${corpus.count()}")
-      time(s"in-memory x$copies") {
+      time("in_memory", copies) {
         Dedup.incrementalNearDup(corpus, delta, "text", "doc_id").count()
       }
       val dir = java.nio.file.Files.createTempDirectory(s"graft-incr$copies")
         .toFile.getAbsolutePath
-      time(s"index build x$copies") {
+      time("index_build", copies) {
         Dedup.writeMinhashIndex(corpus, "text", "doc_id", s"$dir/idx"); copies
       }
-      time(s"indexed probe x$copies") {
+      time("indexed_probe", copies) {
         Dedup.incrementalNearDupIndexed(spark, s"$dir/idx", delta,
           "text", "doc_id").count()
       }
       corpus.unpersist()
     }
+    out.write()
     spark.stop()
   }
 }

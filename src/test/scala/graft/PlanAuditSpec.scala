@@ -146,6 +146,22 @@ class PlanAuditSpec extends SparkSpec {
       s"embedding_drift should be one keyed agg with partials:\n$pd")
   }
 
+  test("round-18: url_normalize is a pure scan-side projection; " +
+      "domain_profile is one keyed agg with map-side partials") {
+    val un = plans("url_normalize")
+    assert(!un.contains("Exchange") && !un.contains("Join"),
+      s"url_normalize must be map-side:\n${un.take(600)}")
+    val dp = plans("domain_profile")
+    // exactly the canonical multi-countDistinct shape (n_hosts +
+    // n_dup are exact distincts): Expand + partial agg, then TWO
+    // domain-keyed exchanges — never a Join, never a third shuffle,
+    // and the suffix when-chain folds into the scan side (partial_)
+    assert("Exchange hashpartitioning".r.findAllIn(dp).size == 2 &&
+      dp.contains("partial_") && dp.contains("Expand") &&
+      !dp.contains("Join"),
+      s"domain_profile should be the two-stage distinct agg:\n${dp.take(800)}")
+  }
+
   test("round-12 continuation: committee scoring is exchange-free; sampled-threshold queries never global-sort") {
     // the trained stump committee rides the plan as literals — the
     // held-out scoring pass must be a pure scan-side projection

@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * graft.Bench exactly: local[32], toRdd.count of the query's own
   * plan, sf0.001 JIT warm-up, one full warm pass, then median of 3
   * interleaved passes. Prints per-query sf1/sf0.1 ratios; the pass bar
-  * is ratio <= ~12x (near-linear) with no outlier.
+  * is ratio <= ~12x (near-linear) with no outlier. A full (no-arg)
+  * run writes SF1_PROBE.json — the committed, regenerable artifact
+  * behind SURVEY §4's scale table (VERDICT r17 #6); filtered and
+  * export-only runs print but never overwrite the artifact.
   * Run: sbt "Test/runMain graft.Sf1Probe" */
 object Sf1Probe {
   private val names = Seq(
@@ -118,6 +121,8 @@ object Sf1Probe {
     spark.sparkContext.setLogLevel("WARN")
     val src = "/root/testdata/sf0.1"
     val dst = "/tmp/sf1rep"
+    val out = new ProbeJson("sf1", "/root/repo/SF1_PROBE.json")
+    var replicaMd5 = ""
 
     if (!new java.io.File(s"$dst/documents.parquet").exists()) {
       println("[sf1probe] building /tmp/sf1rep (10x sf0.1, distinct content)")
@@ -202,6 +207,7 @@ object Sf1Probe {
           (f.getName + ":" + md5File(f)).getBytes("UTF-8")))
       }
       val hash = combined.digest().map("%02x".format(_)).mkString
+      replicaMd5 = hash
       val manifest = java.nio.file.Paths.get(s"$dst/_replica.md5")
       if (java.nio.file.Files.exists(manifest)) {
         val stored = new String(java.nio.file.Files.readAllBytes(manifest),
@@ -327,8 +333,13 @@ object Sf1Probe {
       val big = bench(dst)
       qs.map(_._1).foreach { n =>
         println(f"[sf1probe] $n%-20s sf0.1=${base(n)}%6.2f s  sf1=${big(n)}%7.2f s  ratio=${big(n) / base(n)}%5.1f x")
+        out.add("q" -> n, "sf01_sec" -> base(n), "sf1_sec" -> big(n),
+          "ratio" -> big(n) / base(n))
       }
       println(f"[sf1probe] TOTAL sf0.1=${base.values.sum}%.1f s  sf1=${big.values.sum}%.1f s  ratio=${big.values.sum / base.values.sum}%.1f x")
+      out.add("q" -> "TOTAL", "sf01_sec" -> base.values.sum,
+        "sf1_sec" -> big.values.sum,
+        "ratio" -> big.values.sum / base.values.sum)
     }
     // mine_triplets' sf1 band (13-22x across eras, VERDICT r12 #6) is
     // candidate-volume geometry, not execution pathology — record the
@@ -345,6 +356,9 @@ object Sf1Probe {
       counts.foreach { case (dir, n) =>
         println(s"[sf1probe] mine_triplets candidate pairs @$dir = $n") }
       println(f"[sf1probe] mine_triplets candidate ratio = ${counts(1)._2.toDouble / counts(0)._2}%.1f x")
+      out.add("q" -> "mine_triplets_candidates",
+        "sf01_pairs" -> counts(0)._2, "sf1_pairs" -> counts(1)._2,
+        "ratio" -> counts(1)._2.toDouble / counts(0)._2)
     }
     if (only.nonEmpty) { spark.stop(); return }
 
@@ -383,7 +397,13 @@ object Sf1Probe {
       val eBase = export(mk, src, "/tmp/graft-export-sf01")
       val eBig = export(mk, dst, "/tmp/graft-export-sf1")
       println(f"[sf1probe] $tag%-20s sf0.1=$eBase%6.2f s  sf1=$eBig%7.2f s  ratio=${eBig / eBase}%5.1f x")
+      out.add("q" -> tag, "sf01_sec" -> eBase, "sf1_sec" -> eBig,
+        "ratio" -> eBig / eBase)
     }
+    // the artifact covers the FULL sweep only: a name-filtered or
+    // export-only invocation must not overwrite the committed table
+    // with a partial one
+    if (args.isEmpty) out.write("replica_md5" -> replicaMd5)
     spark.stop()
   }
 }

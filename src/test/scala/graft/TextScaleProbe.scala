@@ -9,10 +9,14 @@ import graft.operators.{AnnLsh, Dedup, Knn, TextAnalysis}
   * heavy-duplication corpus where every chunk/gram recurs 10x, so
   * boilerplate detection and the n-gram profile see maximum join
   * fanout. Embeddings replicate 10x for the kNN graph. Measures wall
-  * time at 1x and 10x. Run: sbt "Test/runMain graft.TextScaleProbe" */
+  * time at 1x and 10x; writes TEXTSCALE_PROBE.json (VERDICT r17 #6:
+  * committed, regenerable artifact).
+  * Run: sbt "Test/runMain graft.TextScaleProbe" */
 object TextScaleProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSpec.session
+    val out = new ProbeJson("textscale",
+      args.headOption.getOrElse("/root/repo/TEXTSCALE_PROBE.json"))
     val base = Tables.documents(spark, "/root/testdata/sf0.1")
       .select(col("doc_id"), col("text"), col("source"), col("lang"))
     val big = (0 until 10).map(s =>
@@ -30,26 +34,28 @@ object TextScaleProbe {
     println(s"[probe] vecs big=${bigEmb.count()}")
     val oneEmb = emb.repartition(32).cache(); oneEmb.count()
 
-    def time(mk: () => org.apache.spark.sql.DataFrame, label: String): Unit = {
+    def time(mk: () => org.apache.spark.sql.DataFrame, label: String,
+             tag: String): Unit = {
       mk().queryExecution.toRdd.count() // warm
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         mk().queryExecution.toRdd.count()
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      println(f"[probe] $label median=${ts(1)}%.2f s")
+      println(f"[probe] $label $tag median=${ts(1)}%.2f s")
+      out.add("line" -> label, "scale" -> tag, "sec" -> ts(1))
     }
 
     for ((df, tag) <- Seq((one, "1x"), (big, "10x"))) {
       time(() => TextAnalysis.removeBoilerplate(df, "text", "doc_id", 8, 1),
-        s"remove_boilerplate $tag")
+        "remove_boilerplate", tag)
       time(() => TextAnalysis.corpusNgrams(df, "text", "doc_id", 3, 50),
-        s"corpus_ngrams $tag")
+        "corpus_ngrams", tag)
       val bench = df.filter(col("source") === "src0")
         .select(col("doc_id").as("bid"), col("text").as("btext"))
       time(() => Dedup.decontaminateNear(
         df.filter(col("source") =!= "src0"), "text", "doc_id",
-        bench, "btext", "bid"), s"decontaminate_near $tag")
+        bench, "btext", "bid"), "decontaminate_near", tag)
     }
     // dup-heavy substring shape (VERDICT r10 #3): with 10 copies of
     // every doc, virtually EVERY window hash is duplicated — the
@@ -65,12 +71,15 @@ object TextScaleProbe {
       val wins = Dedup.windowHashRows(df, "text", "doc_id", 8)
       val dupHashes = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2).count()
-      println(s"[probe] windows $tag = ${wins.count()}, " +
+      val nWins = wins.count()
+      println(s"[probe] windows $tag = $nWins, " +
         s"dup-hash build side = $dupHashes rows")
+      out.add("line" -> "window_hashes", "scale" -> tag,
+        "windows" -> nWins, "dup_hash_rows" -> dupHashes)
       time(() => Dedup.duplicatedSpans(df, "text", "doc_id", minLen = 8),
-        s"dedup_substring $tag")
+        "dedup_substring", tag)
       time(() => Dedup.duplicatedSpansKeepFirst(df, "text", "doc_id",
-        minLen = 8), s"dedup_substring_keep $tag")
+        minLen = 8), "dedup_substring_keep", tag)
     }
     // keep-best + the curate-v2 composition at the SAME dup-torture
     // shape (VERDICT r11 #5): with 10 exact copies of every doc, every
@@ -117,8 +126,10 @@ object TextScaleProbe {
         .findAllIn(ep).toSeq.groupBy(identity).view.mapValues(_.size).toMap
       println(s"[probe] keep_best $tag pair graph = $nPairs pairs, " +
         s"executed joins = $joins")
-      time(() => keepBest(df), s"dedup_keep_best $tag")
-      time(() => curateV2(df), s"pipeline_curate_v2 $tag")
+      out.add("line" -> "keep_best_pair_graph", "scale" -> tag,
+        "pairs" -> nPairs)
+      time(() => keepBest(df), "dedup_keep_best", tag)
+      time(() => curateV2(df), "pipeline_curate_v2", tag)
     }
     // similarityJoin and embeddingPairsForest are canonicalize-first
     // since round 8: 10 exact copies of every vector (the worst dup
@@ -127,10 +138,11 @@ object TextScaleProbe {
     // canonical vectors and members inherit neighbors by expansion.
     for ((df, tag) <- Seq((oneEmb, "1x"), (bigEmb, "10x"))) {
       time(() => AnnLsh.similarityJoin(df, "embedding", "vec_id", 3,
-        20, 8, 64, Knn.Cosine), s"similarity_join $tag")
+        20, 8, 64, Knn.Cosine), "similarity_join", tag)
       time(() => Dedup.embeddingPairsForest(df, "embedding", "vec_id",
-        4, 8, 64, 0.9), s"embedding_pairs_forest $tag")
+        4, 8, 64, 0.9), "embedding_pairs_forest", tag)
     }
+    out.write()
     spark.stop()
   }
 }

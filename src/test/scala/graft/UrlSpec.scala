@@ -95,9 +95,13 @@ class UrlSpec extends SparkSpec {
     val prof = Url.domainProfile(
       Seq((0L, "https://a.co.uk/x", "t")).toDF("doc_id", "url", "text"),
       "url", "text")
-    // exactly the ONE keyed agg exchange (plus AQE reads), nothing else
-    val exchanges = prof.queryExecution.executedPlan.toString
-      .linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, "domainProfile must shuffle once (the domain agg)")
+    // the two domain-keyed exchanges of the canonical multi-
+    // countDistinct plan (Expand + partial, then final) and no join;
+    // count by substring — plan lines carry "+-" prefixes, so a
+    // startsWith count reads zero and asserts nothing
+    val profPlan = prof.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(profPlan).size
+    assert(exchanges <= 2 && !profPlan.contains("Join"),
+      s"domainProfile must be the two-stage distinct agg:\n$profPlan")
   }
 }
