@@ -656,6 +656,44 @@ object SparkEntry {
       |    END AS url
       |  FROM documents)""".stripMargin
 
+  /** Refetch synthesis for url_dedup: five fetches of every resource
+    * (doc_ids ≡ r mod 20 inside one 100-block share source AND
+    * gid = doc_id div 100), each spelled differently — case, default
+    * port, fragment, tracking params — so the duplicates exist ONLY
+    * after normalization. 500 docs → 100 resources × 5 fetches. */
+  private def withRefetchUrls(docs: DataFrame): DataFrame = {
+    val d = col("doc_id").cast("string")
+    val gid = expr("doc_id div 100").cast("string")
+    val v = expr("(doc_id div 20) % 5")
+    val stem = concat(col("source"), lit(".com/item/"), gid)
+    docs.withColumn("url",
+      when(v === 0, concat(lit("https://WWW."), col("source"),
+        lit(".com:443/item/"), gid, lit("?utm_source=crawl&utm_id="), d))
+      .when(v === 1, concat(lit("https://www."), stem, lit("#offset-"), d))
+      .when(v === 2, concat(lit("HTTPS://www."), col("source"),
+        lit(".COM/item/"), gid, lit("?gclid=g"), d))
+      .when(v === 3, concat(lit("https://www."), col("source"),
+        lit(".com:443/item/"), gid, lit("?ref="), d, lit("&utm_b=x")))
+      .otherwise(concat(lit("https://www."), stem)))
+  }
+
+  /** SQL twin of [[withRefetchUrls]] — string-identical templates. */
+  private val refetchUrlsSql =
+    """urls AS (
+      |  SELECT doc_id, text,
+      |    CASE CAST((doc_id // 20) % 5 AS INT)
+      |      WHEN 0 THEN 'https://WWW.' || source || '.com:443/item/' ||
+      |        CAST(doc_id // 100 AS VARCHAR) || '?utm_source=crawl&utm_id=' || CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'https://www.' || source || '.com/item/' ||
+      |        CAST(doc_id // 100 AS VARCHAR) || '#offset-' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'HTTPS://www.' || source || '.COM/item/' ||
+      |        CAST(doc_id // 100 AS VARCHAR) || '?gclid=g' || CAST(doc_id AS VARCHAR)
+      |      WHEN 3 THEN 'https://www.' || source || '.com:443/item/' ||
+      |        CAST(doc_id // 100 AS VARCHAR) || '?ref=' || CAST(doc_id AS VARCHAR) || '&utm_b=x'
+      |      ELSE 'https://www.' || source || '.com/item/' || CAST(doc_id // 100 AS VARCHAR)
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
   /** SQL twin of [[graft.operators.Url.normalizeCol]]/hostCol over the
     * `urls` CTE: emits `normed(doc_id, text, url, host, url_norm)`. */
   private val urlNormSql =
@@ -2720,6 +2758,16 @@ object SparkEntry {
       // output cardinality = registrable domains, always driver-safe.
       graft.operators.Url.domainProfile(
         withUrls(Tables.documents(s, dir)), "url", "text")
+    }),
+
+    "url_dedup" -> ((s, dir) => {
+      // the crawl's first gate: five differently-spelled fetches of
+      // every resource (see withRefetchUrls) collapse to one row per
+      // NORMALIZED url — keep the first fetch, count fetches and raw
+      // spellings. ONE keyed agg; duplicates exist only after
+      // normalization, so this gates the normalizer end-to-end.
+      graft.operators.Url.dedupFetches(
+        withRefetchUrls(Tables.documents(s, dir)), "url", "doc_id")
     })
   )
 
@@ -6079,7 +6127,15 @@ object SparkEntry {
          |  count(*) - count(DISTINCT md5(text)) AS n_dup,
          |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS tokens_total,
          |  CAST(sum(length(text)) AS BIGINT) // count(*) AS chars_per_doc
-         |FROM dom GROUP BY 1""".stripMargin
+         |FROM dom GROUP BY 1""".stripMargin,
+
+    "url_dedup" ->
+      s"""WITH $refetchUrlsSql,
+         |$urlNormSql
+         |SELECT url_norm, min(doc_id) AS keep_id,
+         |  count(*) AS n_fetches,
+         |  count(DISTINCT url) AS n_variants
+         |FROM normed GROUP BY 1""".stripMargin
   )
 
   /** Shortest round-trip double literal: `Double.toString` prints the

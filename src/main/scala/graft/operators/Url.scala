@@ -139,6 +139,23 @@ object Url {
     coalesce(ruleHits :+ fallback: _*)
   }
 
+  /** Canonical-URL fetch dedup — the crawl's FIRST gate, upstream of
+    * any text signal: the same resource fetched many times (case
+    * variants, default ports, fragments, tracking params) collapses
+    * to one row per NORMALIZED url. Keeps the lowest id (first
+    * fetch), counts fetches and distinct raw spellings. One keyed
+    * agg on url_norm (map-side normalization, map-side partials);
+    * output cardinality = distinct resources. */
+  def dedupFetches(df: DataFrame, urlCol: String,
+                   idCol: String): DataFrame =
+    df.select(normalizeCol(col(urlCol)).as("url_norm"),
+        col(idCol).as("_id"), col(urlCol).as("_raw"))
+      .groupBy(col("url_norm"))
+      .agg(
+        min(col("_id")).as("keep_id"),
+        count(lit(1)).as("n_fetches"),
+        countDistinct(col("_raw")).as("n_variants"))
+
   /** Per-domain curation roll-up: the crawl-corpus profile a quality
     * gate reads before any text signal runs. Output cardinality =
     * registrable domains (thousands on a real crawl — always

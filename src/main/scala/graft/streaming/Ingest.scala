@@ -398,6 +398,21 @@ object Ingest {
     graft.operators.TextAnalysis.gopherRules(docs, textCol, idCol,
       minWords, maxWords)
 
+  /** Streaming twin of [[graft.operators.Url.normalize]] +
+    * registrable-domain extraction: the crawl-ingest projection —
+    * url_norm, host, domain per record as it lands, upstream of any
+    * text signal. Pure map-side string expressions (the suffix rule
+    * table folds into the plan as a when-chain), so like
+    * [[funnelStream]] it rides the stream with ZERO state and is
+    * bit-identical to the batch operator regardless of micro-batch
+    * splits (spec-pinned). The domain-keyed roll-ups (domain_profile,
+    * dedupFetches) stay batch/windowed consumers of this stream's
+    * sink — they are keyed aggregations, not per-record gates. */
+  def urlStream(docs: DataFrame, urlCol: String): DataFrame =
+    graft.operators.Url.normalize(docs, urlCol)
+      .withColumn("domain",
+        graft.operators.Url.registrableDomain(org.apache.spark.sql.functions.col("host")))
+
   /** The distilled [[graft.operators.Boost]] gate at ingest rate: the
     * quality signals are per-row computations and the stump committee
     * vote is one map-side integer expression over the driver-trained

@@ -199,6 +199,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlStream normalization matches the batch operator across " +
+      "micro-batch splits (round-18 crawl-key twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val urls = Seq(
+      (1L, "https://WWW.Example.CO.UK:443/a?utm_source=x&keep=1#f"),
+      (2L, "HTTP://blog.example.com:80/p/2/?ref=tw"),
+      (3L, "https://user.github.io/x?gclid=1"),
+      (4L, "https://cdn.example.net:8443/y"),
+      (5L, "https://weird.zz?fbclid=9"))
+    val mem = MemoryStream[(Long, String)]
+    val q = Ingest.urlStream(mem.toDF().toDF("doc_id", "url"), "url")
+      .select("doc_id", "url_norm", "host", "domain")
+      .writeStream.format("memory").queryName("url_stream")
+      .outputMode("append").start()
+    try {
+      // two arbitrary splits — stateless, so boundaries cannot matter
+      mem.addData(urls.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(urls.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("url_stream")
+        .as[(Long, String, String, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      val batch = Ingest.urlStream(
+          urls.toDF("doc_id", "url"), "url")
+        .select("doc_id", "url_norm", "host", "domain")
+        .as[(Long, String, String, String)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(got == batch)
+      assert(got(1L) ==
+        ("https://www.example.co.uk/a?keep=1", "www.example.co.uk",
+          "example.co.uk"))
+      assert(got(3L)._3 == "user.github.io") // registrable under github.io
+      assert(got(5L) == ("https://weird.zz/", "weird.zz", "weird.zz"))
+    } finally q.stop()
+  }
+
   test("gopherStream verdicts match the batch rule bundle across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.core.Tables.documents(spark, sf0001).limit(60)

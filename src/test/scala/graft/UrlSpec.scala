@@ -88,6 +88,26 @@ class UrlSpec extends SparkSpec {
     assert(org.getString(0) == "example.org" && org.getLong(1) == 1)
   }
 
+  test("dedupFetches collapses spelling variants of one resource") {
+    val fetches = Seq(
+      (10L, "https://WWW.Example.COM:443/item/1?utm_source=a"),
+      (11L, "https://www.example.com/item/1#frag"),
+      (12L, "HTTPS://www.example.com/item/1?gclid=x"),
+      (13L, "https://www.example.com/item/2"), // different resource
+      (14L, "https://www.example.com/item/1")  // exact canonical form
+    ).toDF("doc_id", "url")
+    val got = Url.dedupFetches(fetches, "url", "doc_id")
+      .orderBy("url_norm").collect()
+    assert(got.length == 2)
+    val r1 = got(0)
+    assert(r1.getString(0) == "https://www.example.com/item/1")
+    assert(r1.getLong(1) == 10L)   // keep_id: first fetch
+    assert(r1.getLong(2) == 4L)    // n_fetches
+    assert(r1.getLong(3) == 4L)    // n_variants: all four spellings distinct
+    assert(got(1).getString(0) == "https://www.example.com/item/2" &&
+      got(1).getLong(2) == 1L)
+  }
+
   test("normalize is deterministic and stays map-side (no shuffle)") {
     val docs = Seq((0L, "https://A.co.UK:443/x?utm_a=1")).toDF("doc_id", "url")
     val plan = Url.normalize(docs, "url").queryExecution.executedPlan.toString
