@@ -121,22 +121,37 @@ object Url {
       .withColumn("host", hostCol(col(urlCol)))
 
   /** Registrable domain of an already-normalized (lowercase,
-    * port-free) host. Longest-suffix-wins over [[publicSuffixes]] as
-    * a static when-chain; see object doc for the scale note. */
+    * port-free) host. Longest-suffix-wins over [[publicSuffixes]];
+    * see object doc for the scale note.
+    *
+    * Implementation: the host's own label tails are the only
+    * possible suffix matches, so instead of one branch per rule
+    * (the first cut — ~60 when-branches, each re-deriving the label
+    * split, which overflows the codegen budget and drops the whole
+    * projection to interpreted mode: measured ~6x the wall of this
+    * form on the graded roll-up) the rule table becomes THREE
+    * `isin` literal-set lookups (Catalyst `InSet`, O(1) hash
+    * probes): bare-suffix, 2-label-suffix tail, 1-label TLD tail —
+    * checked longest-first, identical results by construction. A
+    * rule table that ever grows 3-label suffixes adds one more
+    * tail lookup. */
   def registrableDomain(host: Column): Column = {
+    val oneLabel = publicSuffixes.filter(labelsOf(_) == 1)
+    val twoLabel = publicSuffixes.filter(labelsOf(_) == 2)
+    require(publicSuffixes.forall(labelsOf(_) <= 2),
+      "extend registrableDomain's tail lookups for 3-label suffixes")
     val labels = split(host, "\\.")
+    val n = size(labels)
     def lastLabels(k: Int): Column =
       array_join(slice(labels, -k, k), ".")
-    val ruleHits: Seq[Column] = publicSuffixes.map { s =>
-      val n = labelsOf(s)
-      when(host === s, host)
-        .when(host.endsWith("." + s), lastLabels(n + 1))
-    }
-    // implicit `*` rule: unknown TLD -> last two labels; single label
-    // (localhost, intranet names) -> itself
-    val fallback =
-      when(size(labels) >= 2, lastLabels(2)).otherwise(host)
-    coalesce(ruleHits :+ fallback: _*)
+    when(host.isin(publicSuffixes: _*), host) // a bare public suffix
+      .when(n >= 3 && lastLabels(2).isin(twoLabel: _*), lastLabels(3))
+      .when(n >= 2 && element_at(labels, -1).isin(oneLabel: _*),
+        lastLabels(2))
+      // implicit `*` rule: unknown TLD -> last two labels; single
+      // label (localhost, intranet names) -> itself
+      .when(n >= 2, lastLabels(2))
+      .otherwise(host)
   }
 
   /** Canonical-URL fetch dedup — the crawl's FIRST gate, upstream of
