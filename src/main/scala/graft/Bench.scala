@@ -176,10 +176,17 @@ object Bench {
       extCores: Option[Double], extMax: Option[Double],
       ioCores: Option[Double], ioMax: Option[Double],
       noisyLines: Int, contaminated: Boolean) {
+    // loadavg rides EVERY attempt's label: on the /proc-less fallback
+    // path it is the only evidence of why a pass read dirty, and the
+    // artifact must show the dirty first attempt's numbers, not just
+    // its verdict
     def labelJson: String =
       s"""{"ext_cores":${optJson(extCores)},"ext_max":${optJson(extMax)},""" +
         s""""io_cores":${optJson(ioCores)},"io_max":${optJson(ioMax)},""" +
-        s""""noisy_lines":$noisyLines,"contaminated":$contaminated}"""
+        s""""noisy_lines":$noisyLines,"contaminated":$contaminated,""" +
+        s""""loadavg":${loadAvgs.map(v => BigDecimal(v).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toString)
+          .mkString("[", ",", "]")}}"""
   }
 
   /** The self-healing decision (VERDICT r17 next-round #1): a full
@@ -206,10 +213,17 @@ object Bench {
   private[graft] def retryDecision(firstContaminated: Boolean,
                                    soloRun: Boolean,
                                    retriesEnabled: Boolean,
+                                   probeMeasured: Boolean,
                                    probeExt: Double, probeIo: Double,
                                    extCap: Double, ioCap: Double): String =
     if (!firstContaminated) "publish_first"
     else if (soloRun || !retriesEnabled) "no_retry"
+    // an UNMEASURABLE probe (no /proc — the loadavg-fallback boxes)
+    // must not read as "clean": retrying blind is a guaranteed
+    // 10-minute second pass whose fallback label inherits the first
+    // pass's decaying self-load and predictably publishes dirty
+    // again — publish the labeled-dirty first pass instead
+    else if (!probeMeasured) "skip_busy"
     else if (probeExt > extCap || probeIo > ioCap) "skip_busy"
     else "retry"
 
@@ -390,19 +404,20 @@ object Bench {
     val decision: String =
       if (!p1.contaminated || only.nonEmpty || !retriesEnabled)
         retryDecision(p1.contaminated, only.nonEmpty, retriesEnabled,
-          0.0, 0.0, extCap, ioCap)
+          probeMeasured = true, 0.0, 0.0, extCap, ioCap)
       else {
         val s0 = cpuSample()
         val t0 = System.nanoTime()
         Thread.sleep(math.max(1L, (cooldownSec * 1000).toLong))
         val wall = (System.nanoTime() - t0) / 1e9
-        val (probeExt, probeIo) =
-          (for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
+        val probe: Option[(Double, Double)] =
+          for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
             yield (externalCores(b1 - b0, f1 - f0, wall),
-              math.max(0.0, (i1 - i0) / 100.0 / wall)))
-            .getOrElse((0.0, 0.0))
+              math.max(0.0, (i1 - i0) / 100.0 / wall))
         retryDecision(firstContaminated = true, soloRun = false,
-          retriesEnabled = true, probeExt, probeIo, extCap, ioCap)
+          retriesEnabled = true, probeMeasured = probe.nonEmpty,
+          probe.map(_._1).getOrElse(0.0), probe.map(_._2).getOrElse(0.0),
+          extCap, ioCap)
       }
     val p2 = if (decision == "retry") Some(measuredPass()) else None
     val pub = p2.getOrElse(p1)

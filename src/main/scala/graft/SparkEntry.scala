@@ -131,10 +131,12 @@ object SparkEntry {
     d.getAbsolutePath
   }
 
-  /** Built index paths; eviction (LRU past [[memoCap]] dirs, or a
-    * token-change replace) reclaims the superseded index dir from
-    * disk (ADVICE r17 #3 — the one memo whose entries cost disk, not
-    * just heap). */
+  /** Built index paths; a token-change REPLACE reclaims the
+    * superseded index dir from disk (ADVICE r17 #3 — the one memo
+    * whose entries cost disk, not just heap). LRU eviction does NOT
+    * delete (the evicted path is still the current build for its
+    * snapshot — see MemoMap); those dirs fall to the indexRoot
+    * shutdown hook. */
   private val builtIndexes =
     memoMap[String]((_, path) => dropIndexDir(path))
 
@@ -200,27 +202,36 @@ object SparkEntry {
   /** Bounded, access-ordered snapshot-memo map (VERDICT r17
     * what's-wrong #4): per-family LRU capped at [[memoCap]] dirs, so
     * a long-lived session touching many corpus dirs can't grow the
-    * heap (or, for the index map, the disk) without bound. `onEvict`
-    * fires — best-effort, never throwing — when an entry leaves the
-    * map, either by LRU eviction or by a token-change REPLACE
+    * heap without bound. `onReplace` fires — best-effort, never
+    * throwing, and OUTSIDE the map monitor, so a slow callback (the
+    * index map's recursive dir delete) never stalls other keys'
+    * cache hits — when a token-change REPLACE supersedes an entry
     * (ADVICE r17 #3: superseded index dirs / catalog tables were
-    * never reclaimed). All map access is a brief hash op under the
-    * map's own monitor; training never happens here. */
+    * never reclaimed). LRU eviction deliberately does NOT fire it:
+    * an entry evicted merely for being least-recently-used is still
+    * the CURRENT build for its snapshot, and deleting its on-disk
+    * resource would yank files from under any in-flight plan —
+    * LRU only frees the heap entry; abandoned index dirs stay valid
+    * until the indexRoot shutdown hook reclaims them at JVM exit.
+    * All map access is a brief hash op under the map's own monitor;
+    * training never happens here. */
   private[graft] final class MemoMap[M](cap: Int,
-                                        onEvict: (String, M) => Unit) {
+                                        onReplace: (String, M) => Unit) {
     private val m = new java.util.LinkedHashMap[String, (String, M)](
-        16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (String, M)]): Boolean =
-        if (size > cap) { fire(e.getKey, e.getValue._2); true } else false
-    }
-    private def fire(k: String, v: M): Unit =
-      try onEvict(k, v) catch { case _: Throwable => () }
+      16, 0.75f, true)
     def get(key: String): Option[(String, M)] =
       m.synchronized(Option(m.get(key)))
-    def put(key: String, token: String, value: M): Unit = m.synchronized {
-      val old = m.put(key, (token, value))
-      if (old != null && old._1 != token) fire(key, old._2)
+    def put(key: String, token: String, value: M): Unit = {
+      val replaced: Option[M] = m.synchronized {
+        val old = m.put(key, (token, value))
+        while (m.size > cap) { // heap-only LRU bound, no callback
+          val it = m.entrySet().iterator()
+          it.next(); it.remove()
+        }
+        if (old != null && old._1 != token) Some(old._2) else None
+      }
+      replaced.foreach(v =>
+        try onReplace(key, v) catch { case _: Throwable => () })
     }
   }
 
@@ -230,12 +241,15 @@ object SparkEntry {
   private def memoCap = 8
 
   private def memoMap[M](
-      onEvict: (String, M) => Unit = (_: String, _: M) => ()): MemoMap[M] =
-    new MemoMap[M](memoCap, onEvict)
+      onReplace: (String, M) => Unit = (_: String, _: M) => ()): MemoMap[M] =
+    new MemoMap[M](memoCap, onReplace)
 
-  /** One lock Object per memo key ever requested (tiny — an Object,
-    * not a model; unbounded by design so two keys never share a
-    * training lock spuriously). */
+  /** One lock Object per (family, key) ever requested (tiny — an
+    * Object, not a model; unbounded by design so two keys never
+    * share a training lock spuriously). The family — the cache's
+    * identity — is part of the lock key: without it, training the
+    * NB model and the PQ codebook for the SAME dir would serialize
+    * behind one another despite touching independent caches. */
   private val memoLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
@@ -261,7 +275,8 @@ object SparkEntry {
     def hit(): Option[M] =
       cache.get(key).collect { case (t, m) if t == token => m }
     hit().getOrElse {
-      val lock = memoLocks.computeIfAbsent(key, _ => new Object)
+      val lock = memoLocks.computeIfAbsent(
+        s"${System.identityHashCode(cache)}|$key", _ => new Object)
       lock.synchronized {
         hit().getOrElse {
           val m = train
@@ -530,32 +545,44 @@ object SparkEntry {
   private def bucketedQ3Tables(s: SparkSession, dir: String): (String, String) = {
     // snapshot token in the table NAME: rewritten source tables get
     // fresh catalog entries (the catalog-exists check below then
-    // rebuilds), the same staleness contract as indexMemo
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest((s"$dir|bucketq3|" + tableToken(s, dir, "orders") +
+    // rebuilds), the same staleness contract as indexMemo. The name
+    // carries a STABLE per-dir component ahead of the snapshot key:
+    // the GC below must only ever reap THIS dir's superseded
+    // snapshots — on an opaque combined hash it could not tell
+    // "same dir, stale token" from "another live dir's current
+    // build", and a JVM alternating two corpus dirs would drop and
+    // re-bucket the other dir's tables on every switch (and delete
+    // parquet out from under its in-flight plans).
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val snapKey = java.security.MessageDigest.getInstance("MD5")
+      .digest((tableToken(s, dir, "orders") +
         tableToken(s, dir, "lineitem")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
-    val (ordT, liT) = (s"graft_bko_$key", s"graft_bkl_$key")
+    val (ordT, liT) =
+      (s"graft_bko_${dirKey}_$snapKey", s"graft_bkl_${dirKey}_$snapKey")
     // keyed on the CATALOG, not the static cache: tables are
     // session-scoped (a fresh session in this JVM must rebuild)
     synchronized {
       if (!s.catalog.tableExists(ordT) || !s.catalog.tableExists(liT)) {
-        // GC superseded snapshots first (ADVICE r17 #3: a long-lived
-        // mutating session otherwise grows the catalog AND the index
-        // disk linearly with its write count): any graft_bko_*/bkl_*
-        // table with a DIFFERENT key is a prior content-token's build
+        // GC THIS dir's superseded snapshots first (ADVICE r17 #3: a
+        // long-lived mutating session otherwise grows the catalog AND
+        // the index disk linearly with its write count): same dirKey,
+        // different snapshot key = a prior content-token's build
         s.catalog.listTables().collect().map(_.name)
-          .filter(n => (n.startsWith("graft_bko_") && n != ordT) ||
-                       (n.startsWith("graft_bkl_") && n != liT))
+          .filter(n =>
+            (n.startsWith(s"graft_bko_${dirKey}_") && n != ordT) ||
+            (n.startsWith(s"graft_bkl_${dirKey}_") && n != liT))
           .foreach { n =>
             s.sql(s"DROP TABLE IF EXISTS $n")
-            dropIndexDir(s"$indexRoot/${n.stripPrefix("graft_")
-              .replaceFirst("_", "-")}")
+            dropIndexDir(
+              s"$indexRoot/${n.stripPrefix("graft_").replace("_", "-")}")
           }
         graft.sources.Sources.writeBucketed(Tables.orders(s, dir), ordT,
-          s"$indexRoot/bko-$key", "o_orderkey", numBuckets = 8)
+          s"$indexRoot/bko-$dirKey-$snapKey", "o_orderkey", numBuckets = 8)
         graft.sources.Sources.writeBucketed(Tables.lineitem(s, dir), liT,
-          s"$indexRoot/bkl-$key", "l_orderkey", numBuckets = 8)
+          s"$indexRoot/bkl-$dirKey-$snapKey", "l_orderkey", numBuckets = 8)
       }
     }
     (ordT, liT)

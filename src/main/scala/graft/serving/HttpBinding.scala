@@ -191,16 +191,14 @@ object HttpBinding {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\"}"
 
-  /** RFC-7231 Accept-Encoding check for gzip: a `gzip` token accepts
-    * unless it carries an explicit `q=0` (ADVICE r16 — the previous
-    * parser dropped everything after `;`, reading a refusal as an
-    * acceptance). Malformed qvalues fall back to accepting. */
-  /** RFC 7231 §5.3.4, the slice the reference's gziphandler honors:
-    * an explicit `gzip` token decides (q=0 refuses; among
-    * self-contradictory duplicates any accepting token wins — ADVICE
-    * r17 adjudicated that precedence as fine); otherwise a `*`
-    * wildcard without q=0 accepts gzip (the r17 gap: `Accept-
-    * Encoding: *` never got gzip). */
+  /** RFC 7231 §5.3.4 Accept-Encoding check for gzip, the slice the
+    * reference's gziphandler honors: an explicit `gzip` token decides
+    * (q=0 refuses — ADVICE r16: the first parser dropped everything
+    * after `;`, reading a refusal as acceptance; malformed qvalues
+    * fall back to accepting; among self-contradictory duplicates any
+    * accepting token wins — ADVICE r17 adjudicated that precedence
+    * as fine); otherwise a `*` wildcard without q=0 accepts gzip
+    * (the r17 gap: `Accept-Encoding: *` never got gzip). */
   private[graft] def acceptsGzip(header: String): Boolean =
     if (header == null) false
     else {

@@ -169,8 +169,9 @@ class BenchSpec extends AnyFunSuite {
   test("retry decision table (VERDICT r17 #1: self-healing bench)") {
     val (extCap, ioCap) = (2.0, 2.0)
     def d(dirty: Boolean, solo: Boolean, retries: Boolean,
-          pe: Double, pi: Double) =
-      Bench.retryDecision(dirty, solo, retries, pe, pi, extCap, ioCap)
+          pe: Double, pi: Double, measured: Boolean = true) =
+      Bench.retryDecision(dirty, solo, retries, measured, pe, pi,
+        extCap, ioCap)
     // clean first pass: publish it, never retry (probe values moot)
     assert(d(dirty = false, solo = false, retries = true, 9.0, 9.0)
       == "publish_first")
@@ -187,6 +188,11 @@ class BenchSpec extends AnyFunSuite {
       == "skip_busy")
     assert(d(dirty = true, solo = false, retries = true, 0.0, 2.1)
       == "skip_busy")
+    // an UNMEASURABLE probe (no /proc — the loadavg-fallback boxes)
+    // must not read as clean: a blind retry is a guaranteed second
+    // full pass that predictably publishes dirty again
+    assert(d(dirty = true, solo = false, retries = true, 0.0, 0.0,
+      measured = false) == "skip_busy")
     // probe clean: retry once (the r17 driver shape — ext_max 4.66
     // mid-pass, box idle again by round end — becomes a clean
     // second attempt instead of a refused artifact)
@@ -206,6 +212,9 @@ class BenchSpec extends AnyFunSuite {
       0, contaminated = false)
     assert(dirty.labelJson.contains("\"contaminated\":true"))
     assert(dirty.labelJson.contains("\"ext_max\":4.66"))
+    // each attempt carries its own loadavg — on the /proc-less
+    // fallback path that is the only evidence of why it read dirty
+    assert(dirty.labelJson.contains("\"loadavg\":[9.00]"))
     assert(clean.labelJson.contains("\"contaminated\":false"))
     // the shouldPersist literal-protection contract: a retried-clean
     // full line (clean top-level label + dirty attempt embedded)

@@ -55,7 +55,10 @@ object IncrementalScaleProbe {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-incr$copies")
         .toFile.getAbsolutePath
       time("index_build", copies) {
-        Dedup.writeMinhashIndex(corpus, "text", "doc_id", s"$dir/idx"); copies
+        // rows = corpus docs indexed (the honest count for this line;
+        // review r18 — a prior cut recorded the copies knob here)
+        Dedup.writeMinhashIndex(corpus, "text", "doc_id", s"$dir/idx")
+        corpus.count()
       }
       time("indexed_probe", copies) {
         Dedup.incrementalNearDupIndexed(spark, s"$dir/idx", delta,

@@ -73,24 +73,28 @@ class ModelCacheSpec extends SparkSpec {
 
   test("memo maps are LRU-bounded and reclaim superseded entries " +
       "(VERDICT r17 what's-wrong #4 + ADVICE #3)") {
-    val evicted = collection.mutable.ArrayBuffer[(String, String)]()
-    val m = new SparkEntry.MemoMap[String](2, (k, v) => evicted += (k -> v))
+    val replaced = collection.mutable.ArrayBuffer[(String, String)]()
+    val m = new SparkEntry.MemoMap[String](2, (k, v) => replaced += (k -> v))
     m.put("a", "t1", "va"); m.put("b", "t1", "vb")
     assert(m.get("a").contains(("t1", "va")))
-    // access-ordered: touching "a" makes "b" the eldest
+    // access-ordered: touching "a" makes "b" the eldest. LRU
+    // eviction frees the HEAP entry only — it must NOT fire the
+    // replace callback ("b" is still the current build for its
+    // snapshot; deleting its on-disk resource would yank files from
+    // under an in-flight plan — review r18)
     m.put("c", "t1", "vc")
-    assert(evicted.toList == List("b" -> "vb"), s"got $evicted")
+    assert(replaced.isEmpty, s"LRU eviction fired the callback: $replaced")
     assert(m.get("b").isEmpty && m.get("a").nonEmpty && m.get("c").nonEmpty)
-    // token-change REPLACE fires eviction for the superseded value
-    // (the index-dir reclaim path); same-token put does not
+    // token-change REPLACE fires it — that value IS superseded (the
+    // index-dir reclaim path); same-token put does not
     m.put("a", "t2", "va2")
-    assert(evicted.toList == List("b" -> "vb", "a" -> "va"))
+    assert(replaced.toList == List("a" -> "va"))
     m.put("a", "t2", "va2")
-    assert(evicted.size == 2, "same-token replace must not evict")
-    // a throwing onEvict never breaks the put
+    assert(replaced.size == 1, "same-token replace must not fire")
+    // a throwing callback never breaks the put
     val hostile = new SparkEntry.MemoMap[String](1,
       (_, _) => throw new RuntimeException("boom"))
-    hostile.put("x", "t", "v1"); hostile.put("y", "t", "v2")
-    assert(hostile.get("y").nonEmpty)
+    hostile.put("x", "t1", "v1"); hostile.put("x", "t2", "v2")
+    assert(hostile.get("x").contains(("t2", "v2")))
   }
 }
