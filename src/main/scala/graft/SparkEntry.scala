@@ -131,14 +131,27 @@ object SparkEntry {
     d.getAbsolutePath
   }
 
+  /** Live builtIndexes keys per corpus dir: the 6 `indexMemo`
+    * variants (ivfpq, ivfpqres, mhidx, ovidx, bm25idx, phraseidx)
+    * plus [[ivfIndexPath]]'s two centroid variants (seed8,
+    * lloyd8x2r6). [[builtIndexes]]' cap must stay comfortably above
+    * 2x this (ADVICE r18 #1: at cap == live-key count, one more
+    * variant — or interleaving TWO dirs — turns every access into
+    * evict-then-rebuild, re-running an index-build Spark job per
+    * query construction). */
+  private val indexVariantsPerDir = 8
+
   /** Built index paths; a token-change REPLACE reclaims the
     * superseded index dir from disk (ADVICE r17 #3 — the one memo
     * whose entries cost disk, not just heap). LRU eviction does NOT
     * delete (the evicted path is still the current build for its
     * snapshot — see MemoMap); those dirs fall to the indexRoot
-    * shutdown hook. */
+    * shutdown hook. Cap = two dirs' worth of variants plus slack —
+    * NOT the default [[memoCap]], which this family's per-dir key
+    * count exactly equals (ADVICE r18 #1). */
   private val builtIndexes =
-    memoMap[String]((_, path) => dropIndexDir(path))
+    new MemoMap[String](cap = 3 * indexVariantsPerDir,
+      (_, path) => dropIndexDir(path))
 
   private val mixRatesCache = memoMap[Map[String, Double]]()
 
@@ -292,7 +305,14 @@ object SparkEntry {
     * MemoMap eviction. A reader constructed against the OLD snapshot
     * and held across a corpus rewrite could observe the delete;
     * accepted per ADVICE r17 #3 — every driver flow re-derives the
-    * index path per query construction, so nothing holds one. */
+    * index path per query construction, so nothing holds one.
+    * The concurrent HTTP serving path (ADVICE r18 #4) cannot observe
+    * it either: `serving.Api` reads exclusively through
+    * `core.Collection` under its own rootDir — nothing in
+    * `graft.core`/`graft.serving` references this object's memos or
+    * [[indexRoot]] (grep-verified; keep it that way — a serving flow
+    * that ever consults these memos must first move REPLACE deletes
+    * to a tombstone-then-reclaim scheme). */
   private def dropIndexDir(path: String): Unit =
     if (path.startsWith(indexRoot)) {
       def rm(f: java.io.File): Unit = {
@@ -636,10 +656,15 @@ object SparkEntry {
     * and host, default ports (:443/:80) vs a kept non-default :8443,
     * fragments, utm/gclid/fbclid/ref tracking params mixed with
     * kept params, an empty path before '?', trailing-slash paths, and
-    * multi-label public suffixes (co.uk / com.au / ac.uk / github.io). */
+    * multi-label public suffixes (co.uk / com.au / ac.uk / github.io).
+    * Rows 8-9 (VERDICT r18 #1) exercise the FULL-PSL upgrade: com.pl
+    * is a real 2-label rule the r18 ~80-rule subset lacked (every
+    * .com.pl site collapsed into ONE "com.pl" domain row), and .ck
+    * is a wildcard rule (`*.ck`: the suffix is `<source>.ck`, so the
+    * registrable domain keeps THREE labels). */
   private def withUrls(docs: DataFrame): DataFrame = {
     val d = col("doc_id").cast("string")
-    val t = col("doc_id") % 8
+    val t = col("doc_id") % 10
     docs.withColumn("url",
       when(t === 0, concat(lit("https://WWW."), col("source"),
         lit(".CO.UK:443/articles/"), d, lit("?utm_source=feed&id="), d,
@@ -657,15 +682,19 @@ object SparkEntry {
       .when(t === 6, concat(lit("HTTPS://M."), col("source"),
         lit(".de/"), col("lang"), lit("/"), d,
         lit("?fbclid=zz&keep=1&utm_x=9")))
-      .otherwise(concat(lit("http://"), col("source"),
-        lit(".ac.uk/dept/"), d, lit("/index.html?a=1&b=2"))))
+      .when(t === 7, concat(lit("http://"), col("source"),
+        lit(".ac.uk/dept/"), d, lit("/index.html?a=1&b=2")))
+      .when(t === 8, concat(lit("https://shop."), col("source"),
+        lit(".com.pl/p/"), d, lit("?utm_id="), d))
+      .otherwise(concat(lit("http://www."), col("source"),
+        lit(".ck/w/"), d, lit("#x"))))
   }
 
   /** The SQL twin of [[withUrls]] — string-identical templates. */
   private val urlsSql =
     """urls AS (
       |  SELECT doc_id, text,
-      |    CASE CAST(doc_id % 8 AS INT)
+      |    CASE CAST(doc_id % 10 AS INT)
       |      WHEN 0 THEN 'https://WWW.' || source || '.CO.UK:443/articles/' ||
       |        CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#frag'
       |      WHEN 1 THEN 'HTTP://blog.' || source || '.com:80/post/' ||
@@ -678,8 +707,12 @@ object SparkEntry {
       |      WHEN 5 THEN 'https://' || source || '.org?gclid=abc&q=' || lang
       |      WHEN 6 THEN 'HTTPS://M.' || source || '.de/' || lang || '/' ||
       |        CAST(doc_id AS VARCHAR) || '?fbclid=zz&keep=1&utm_x=9'
-      |      ELSE 'http://' || source || '.ac.uk/dept/' ||
+      |      WHEN 7 THEN 'http://' || source || '.ac.uk/dept/' ||
       |        CAST(doc_id AS VARCHAR) || '/index.html?a=1&b=2'
+      |      WHEN 8 THEN 'https://shop.' || source || '.com.pl/p/' ||
+      |        CAST(doc_id AS VARCHAR) || '?utm_id=' || CAST(doc_id AS VARCHAR)
+      |      ELSE 'http://www.' || source || '.ck/w/' ||
+      |        CAST(doc_id AS VARCHAR) || '#x'
       |    END AS url
       |  FROM documents)""".stripMargin
 
@@ -738,23 +771,66 @@ object SparkEntry {
       |  FROM comp),
       |normed AS (
       |  SELECT doc_id, text, url, host,
+      |    CASE WHEN host = '' THEN url ELSE
       |    scheme || '://' || host ||
       |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
       |                               OR (scheme = 'https' AND port = '443'))
       |         THEN ':' || port ELSE '' END ||
       |    CASE WHEN rawpath = '' THEN '/' ELSE rawpath END ||
-      |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_norm
+      |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END END AS url_norm
       |  FROM (SELECT *, array_to_string(list_filter(string_split(rawq, '&'),
       |          p -> p <> '' AND NOT regexp_matches(p,
       |            '^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=.*)?$')), '&') AS qs
       |        FROM comp2))""".stripMargin
 
-  /** The public-suffix rule table as SQL VALUES — generated from the
-    * SAME Seq the Spark operator compiles its when-chain from, so the
-    * two engines cannot drift. */
-  private def suffixValuesSql: String =
-    graft.operators.Url.publicSuffixes
-      .map(s => s"('$s', ${s.count(_ == '.') + 1})").mkString(", ")
+  /** The FULL public-suffix rule table as SQL VALUES — generated
+    * from the SAME parsed resource the Spark operator compiles its
+    * `InSet` probes from, so the two engines cannot drift. ~9.5k
+    * rows (kind r|w|x, suffix, label count); rules contain no quote
+    * characters, so no escaping is needed. */
+  private def pslValuesSql: String =
+    graft.operators.Url.pslRows
+      .map { case (k, s, n) => s"('$k','$s',$n)" }.mkString(", ")
+
+  /** Registrable-domain extraction relationally, over the `normed`
+    * CTE: LEFT JOIN the host against the full PSL VALUES table, pick
+    * the prevailing rule per doc by the publicsuffix.org priority —
+    * exceptions first, then effective suffix length (a wildcard's is
+    * its base + 1) descending, (kind, s) as a deterministic tiebreak
+    * for the wildcard-vs-rule same-length tie whose candidates are
+    * equal anyway — then cut the registrable domain per kind:
+    * exception -> the exception itself; wildcard base n -> last n+2
+    * labels (or the host when the host IS the n+1-label suffix);
+    * rule n -> last n+1 labels (host when bare); no match -> the
+    * implicit `*` rule. Emits `dom(doc_id, text, host, domain)`. */
+  private def domainSql: String =
+    s"""sfx(kind, s, n) AS (SELECT * FROM (VALUES $pslValuesSql) t(kind, s, n)),
+       |m AS (
+       |  SELECT h.doc_id, h.text, h.host, f.kind, f.s, f.n,
+       |    row_number() OVER (PARTITION BY h.doc_id
+       |                       ORDER BY (f.kind = 'x') DESC,
+       |                         (f.n + CASE WHEN f.kind = 'w' THEN 1 ELSE 0 END) DESC,
+       |                         f.kind DESC, f.s) AS rn
+       |  FROM normed h LEFT JOIN sfx f
+       |    ON (h.host = f.s AND f.kind <> 'w') OR ends_with(h.host, '.' || f.s)),
+       |dom AS (
+       |  SELECT doc_id, text, host,
+       |    CASE
+       |      WHEN s IS NULL THEN
+       |        CASE WHEN len(l) >= 2
+       |             THEN array_to_string(l[len(l)-1:len(l)], '.')
+       |             ELSE host END
+       |      WHEN kind = 'x' THEN array_to_string(l[len(l)-n+1:len(l)], '.')
+       |      WHEN kind = 'w' THEN
+       |        CASE WHEN len(l) >= n + 2
+       |             THEN array_to_string(l[len(l)-n-1:len(l)], '.')
+       |             ELSE host END
+       |      ELSE
+       |        CASE WHEN len(l) >= n + 1
+       |             THEN array_to_string(l[len(l)-n:len(l)], '.')
+       |             ELSE host END
+       |    END AS domain
+       |  FROM (SELECT *, string_split(host, '.') AS l FROM m WHERE rn = 1))""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_cosine" -> ((s, dir) => {
@@ -6126,29 +6202,9 @@ object SparkEntry {
          |SELECT doc_id, url, url_norm, host FROM normed""".stripMargin,
 
     "domain_profile" ->
-      // registrable domain relationally: LEFT JOIN the host against
-      // the suffix VALUES table (generated from the Scala rule Seq),
-      // longest suffix wins (labels desc, length desc), bare-suffix
-      // hosts map to themselves, no-match falls back to the implicit
-      // `*` rule (last two labels; single label stays itself)
       s"""WITH $urlsSql,
          |$urlNormSql,
-         |sfx(s, n) AS (SELECT * FROM (VALUES $suffixValuesSql) t(s, n)),
-         |m AS (
-         |  SELECT h.doc_id, h.text, h.host, f.s, f.n,
-         |    row_number() OVER (PARTITION BY h.doc_id
-         |                       ORDER BY f.n DESC, length(f.s) DESC) AS rn
-         |  FROM normed h LEFT JOIN sfx f
-         |    ON h.host = f.s OR ends_with(h.host, '.' || f.s)),
-         |dom AS (
-         |  SELECT doc_id, text, host,
-         |    CASE WHEN s IS NULL THEN
-         |           CASE WHEN len(l) >= 2
-         |                THEN array_to_string(l[len(l)-1:len(l)], '.')
-         |                ELSE host END
-         |         WHEN host = s THEN host
-         |         ELSE array_to_string(l[len(l)-n:len(l)], '.') END AS domain
-         |  FROM (SELECT *, string_split(host, '.') AS l FROM m WHERE rn = 1))
+         |$domainSql
          |SELECT domain, count(*) AS n_docs,
          |  count(DISTINCT host) AS n_hosts,
          |  count(*) - count(DISTINCT md5(text)) AS n_dup,

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
   *    semantics some sites depend on), so curators dedup on the
   *    conservative normal form.
   *  - [[registrableDomain]]: the public-suffix-list rule
-  *    (publicsuffix.org algorithm): longest matching public suffix
-  *    wins; registrable domain = suffix + one label. A host that IS
+  *    (publicsuffix.org algorithm) over the FULL ~9.5k-rule list
+  *    shipped as a packaged resource: exception rules (`!www.ck`)
+  *    prevail, then the longest matching suffix wins — wildcard
+  *    rules (`*.ck`) naming a suffix one label longer than their
+  *    base; registrable domain = suffix + one label. A host that IS
   *    a bare suffix maps to itself; an unknown TLD falls back to the
   *    PSL's implicit `*` rule (top label is the suffix → last two
   *    labels registrable); a single-label host (localhost) maps to
@@ -30,11 +33,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale: everything here is a map-side string expression over
   * `functions._` — codegen'd, no UDF, no shuffle, no driver state.
-  * The suffix table is code-static and small, so it folds into the
-  * plan as a when-chain; a full PSL (~9k rules) would instead ship
-  * as a broadcast dimension joined on the candidate suffixes of each
-  * host (at most `labels-1` candidates per row), which keeps the
-  * same per-row cost profile on a 1000-executor cluster.
+  * The rule table compiles to one `InSet` hash probe per (kind,
+  * label-count) group (~11 probes total, each against a set the
+  * generated code references as a constant), so per-row cost is
+  * independent of the table size and the whole extraction rides the
+  * scan on a 1000-executor cluster exactly like any other projection.
   */
 object Url {
 
@@ -43,30 +46,61 @@ object Url {
     * resource. Anchored full-token match against one `k=v` pair. */
   val trackingParamRe = "^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=.*)?$"
 
-  /** Public-suffix subset (publicsuffix.org), most-specific first:
-    * multi-label suffixes must match before their own TLD would.
-    * Order inside the object is already (label count desc, length
-    * desc) — [[registrableDomain]] relies on it. */
-  val publicSuffixes: Seq[String] = Seq(
-    // multi-label suffixes
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
-    "com.au", "net.au", "org.au", "edu.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp",
-    "com.br", "net.br", "org.br",
-    "com.cn", "net.cn", "org.cn",
-    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
-    "co.in", "co.nz", "co.za", "co.kr", "co.th", "co.id",
-    "github.io", "gitlab.io", "blogspot.com",
-    // single-label TLDs
-    "com", "org", "net", "edu", "gov", "mil", "int",
-    "io", "ai", "co", "me", "dev", "app", "info", "biz", "xyz",
-    "de", "fr", "uk", "jp", "cn", "ru", "br", "in", "it", "nl",
-    "es", "se", "no", "ch", "at", "be", "dk", "fi", "pl", "pt",
-    "us", "ca", "au", "nz", "kr", "mx", "ar", "za", "tr", "sg",
-    "eu", "gr", "cz", "hu", "ie", "il", "ua")
+  /** The full public-suffix list, parsed into the three rule kinds
+    * the publicsuffix.org algorithm distinguishes, each grouped by
+    * label count so [[registrableDomain]] can compile every group to
+    * ONE `InSet` probe. `rules`/`exceptions` key on the rule's own
+    * label count; `wildcards` keys on the BASE's label count (the
+    * rule minus its `*.` head — `*.ck` lives under 1). */
+  final case class Psl(rules: Map[Int, Set[String]],
+                       wildcards: Map[Int, Set[String]],
+                       exceptions: Map[Int, Set[String]]) {
+    /** Longest effective public-suffix length any rule can name:
+      * a wildcard's suffix is its base plus the one `*` label. */
+    val maxEff: Int =
+      (rules.keySet ++ wildcards.keySet.map(_ + 1)).max
+  }
 
-  /** Label count of a suffix rule (co.uk -> 2). */
-  private def labelsOf(s: String): Int = s.count(_ == '.') + 1
+  /** The complete publicsuffix.org rule table (~9.5k rules, ICANN +
+    * private sections — github.io / blogspot.com style private rules
+    * ARE how a crawl groups those hosts), shipped as a packaged
+    * resource (`graft/public_suffix_list.dat`, MPL 2.0 — the license
+    * header rides in the file) and parsed once at class load: rule =
+    * line up to the first whitespace, `//` comments and blanks
+    * dropped, `!` marks an exception, `*.` a wildcard. Replacing the
+    * resource file is the whole upgrade path when the list revs. */
+  val psl: Psl = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "graft/public_suffix_list.dat missing from resources")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val rules = lines
+      .map(_.trim.takeWhile(c => !c.isWhitespace))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
+    def byLabels(xs: Vector[String]): Map[Int, Set[String]] =
+      xs.groupBy(s => s.count(_ == '.') + 1)
+        .map { case (k, v) => k -> v.toSet }
+    Psl(
+      rules = byLabels(rules.filterNot(r =>
+        r.startsWith("!") || r.startsWith("*"))),
+      wildcards = byLabels(rules.filter(_.startsWith("*."))
+        .map(_.substring(2))),
+      exceptions = byLabels(rules.filter(_.startsWith("!"))
+        .map(_.substring(1))))
+  }
+
+  /** Every PSL rule as a (kind, suffix, labelCount) row — `r` normal,
+    * `w` wildcard base, `x` exception — in a deterministic order, so
+    * the SQL oracle twin can restate the SAME table as VALUES and the
+    * two engines cannot drift. */
+  def pslRows: Seq[(String, String, Int)] = {
+    def rows(kind: String, m: Map[Int, Set[String]]) =
+      m.toSeq.flatMap { case (n, set) =>
+        set.toSeq.map(s => (kind, s, n)) }
+    (rows("r", psl.rules) ++ rows("w", psl.wildcards) ++
+      rows("x", psl.exceptions)).sortBy(t => (t._1, t._3, t._2))
+  }
 
   // ---- component extraction (shared by normalize and host) ----
   // All operate on the fragment-stripped URL; each is one
@@ -89,7 +123,13 @@ object Url {
     lower(regexp_replace(hostPortOf(noFrag(u)), ":[0-9]+$", ""))
 
   /** The normalized URL as a Column — see object doc for the exact
-    * rule set. Pure map-side expression; safe inside any projection. */
+    * rule set. Pure map-side expression; safe inside any projection.
+    *
+    * Malformed-input guard (ADVICE r18): an input with no extractable
+    * host (no `://`, scheme-relative, or plain garbage) passes
+    * through as ITSELF — without the guard every such row normalizes
+    * to the same constant `:///` form and [[dedupFetches]] silently
+    * collapses all malformed rows into one kept record. */
   def normalizeCol(u: Column): Column = {
     val nf = noFrag(u)
     val scheme = schemeOf(nf)
@@ -106,12 +146,12 @@ object Url {
     val kept = filter(split(rawQuery, "&"),
       p => p =!= "" && !p.rlike(trackingParamRe))
     val qs = array_join(kept, "&")
-    concat(
+    when(host === "", u).otherwise(concat(
       scheme, lit("://"), host,
       when(port =!= "" && !defaultPort, concat(lit(":"), port))
         .otherwise(lit("")),
       path,
-      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit(""))))
   }
 
   /** Adds `url_norm` (and `host`) for `urlCol`. */
@@ -121,37 +161,64 @@ object Url {
       .withColumn("host", hostCol(col(urlCol)))
 
   /** Registrable domain of an already-normalized (lowercase,
-    * port-free) host. Longest-suffix-wins over [[publicSuffixes]];
-    * see object doc for the scale note.
+    * port-free) host, under the FULL public-suffix list ([[psl]]):
+    * the publicsuffix.org algorithm — an exception rule prevails
+    * over everything (its registrable domain is the exception
+    * itself); otherwise the longest matching rule wins, a `*.base`
+    * wildcard naming a suffix one label longer than its base; a
+    * host that IS a bare public suffix maps to itself; no match
+    * falls back to the implicit `*` rule (top label is the suffix,
+    * last two labels registrable); a single-label host (localhost)
+    * maps to itself.
     *
     * Implementation: the host's own label tails are the only
-    * possible suffix matches, so instead of one branch per rule
-    * (the first cut — ~60 when-branches, each re-deriving the label
-    * split, which overflows the codegen budget and drops the whole
-    * projection to interpreted mode: measured ~6x the wall of this
-    * form on the graded roll-up) the rule table becomes THREE
-    * `isin` literal-set lookups (Catalyst `InSet`, O(1) hash
-    * probes): bare-suffix, 2-label-suffix tail, 1-label TLD tail —
-    * checked longest-first, identical results by construction. A
-    * rule table that ever grows 3-label suffixes adds one more
-    * tail lookup. */
+    * possible matches, so the 9.5k-rule table compiles to ~11
+    * branches — one `isin` literal-set lookup (Catalyst `InSet`,
+    * an O(1) hash probe against a set the codegen references as a
+    * constant, never inlines) per (kind, label-count) group,
+    * exceptions first, then effective suffix length descending.
+    * A per-rule branch encoding (the r18 first cut at ~60 rules)
+    * would overflow the codegen budget and run interpreted
+    * (measured ~3x slower) — at 9.5k rules it wouldn't even
+    * compile; the InSet-per-group form is size-independent. */
   def registrableDomain(host: Column): Column = {
-    val oneLabel = publicSuffixes.filter(labelsOf(_) == 1)
-    val twoLabel = publicSuffixes.filter(labelsOf(_) == 2)
-    require(publicSuffixes.forall(labelsOf(_) <= 2),
-      "extend registrableDomain's tail lookups for 3-label suffixes")
     val labels = split(host, "\\.")
     val n = size(labels)
+    // last k labels; slice with a negative start beyond the array
+    // length yields an empty array -> "", which matches no rule, so
+    // the n-guards below only exist to pin bare-suffix semantics
     def lastLabels(k: Int): Column =
       array_join(slice(labels, -k, k), ".")
-    when(host.isin(publicSuffixes: _*), host) // a bare public suffix
-      .when(n >= 3 && lastLabels(2).isin(twoLabel: _*), lastLabels(3))
-      .when(n >= 2 && element_at(labels, -1).isin(oneLabel: _*),
-        lastLabels(2))
-      // implicit `*` rule: unknown TLD -> last two labels; single
-      // label (localhost, intranet names) -> itself
-      .when(n >= 2, lastLabels(2))
-      .otherwise(host)
+    // registrable domain once a suffix of length `len` matched: one
+    // more label when the host has one, else the host IS the suffix
+    def regAfter(len: Int): Column =
+      when(n >= len + 1, lastLabels(len + 1)).otherwise(host)
+    val excBranches: Seq[(Column, Column)] =
+      psl.exceptions.toSeq.sortBy(-_._1).map { case (k, set) =>
+        (lastLabels(k).isin(set.toSeq: _*), lastLabels(k))
+      }
+    val lenBranches: Seq[(Column, Column)] =
+      (psl.maxEff to 1 by -1).flatMap { eff =>
+        // a wildcard's base must be a PROPER tail (n > base labels);
+        // same-eff wildcard and normal rules yield the same suffix
+        // length, so their relative order cannot change the result
+        val wild = psl.wildcards.get(eff - 1).map { bases =>
+          (n >= eff && lastLabels(eff - 1).isin(bases.toSeq: _*),
+            regAfter(eff))
+        }
+        val rule = psl.rules.get(eff).map { rs =>
+          (lastLabels(eff).isin(rs.toSeq: _*), regAfter(eff))
+        }
+        wild.toSeq ++ rule.toSeq
+      }
+    val chain = (excBranches ++ lenBranches)
+      .foldLeft(Option.empty[Column]) {
+        case (None, (c, v)) => Some(when(c, v))
+        case (Some(acc), (c, v)) => Some(acc.when(c, v))
+      }.get
+    // implicit `*` rule: unknown TLD -> last two labels; single
+    // label (localhost, intranet names) -> itself
+    chain.when(n >= 2, lastLabels(2)).otherwise(host)
   }
 
   /** Canonical-URL fetch dedup — the crawl's FIRST gate, upstream of

@@ -48,7 +48,11 @@ object IncrementalScaleProbe {
 
     for (copies <- Seq(1, 10)) {
       val corpus = corpusAt(copies)
-      println(s"[probe] corpus x$copies = ${corpus.count()}")
+      // counted OUTSIDE any timed region (ADVICE r18 #3: a prior cut
+      // counted inside index_build's closure, so the committed probe
+      // charged a full corpus scan to the build time)
+      val corpusRows = corpus.count()
+      println(s"[probe] corpus x$copies = $corpusRows")
       time("in_memory", copies) {
         Dedup.incrementalNearDup(corpus, delta, "text", "doc_id").count()
       }
@@ -58,7 +62,7 @@ object IncrementalScaleProbe {
         // rows = corpus docs indexed (the honest count for this line;
         // review r18 — a prior cut recorded the copies knob here)
         Dedup.writeMinhashIndex(corpus, "text", "doc_id", s"$dir/idx")
-        corpus.count()
+        corpusRows
       }
       time("indexed_probe", copies) {
         Dedup.incrementalNearDupIndexed(spark, s"$dir/idx", delta,
