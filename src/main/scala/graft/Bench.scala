@@ -18,7 +18,8 @@ object Bench {
     val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
     val meta = Set("value", "sf", "total", "round", "geomean",
       "n", "rc", "cpus", "lines", "ext_cores",
-      "io_cores", "ext_max", "io_max", "noisy_lines")
+      "io_cores", "ext_max", "io_max", "dq_depth", "dq_max",
+      "noisy_lines")
     // A pair whose match runs to the very end of the text was cut
     // mid-token by the driver's ~3.3 KB tail window (e.g. 1.25 cut to
     // "1.2" would parse as 1.2 and fabricate a vs_prev shift — ADVICE
@@ -69,22 +70,59 @@ object Bench {
     * Calibration blind spot (ADVICE r17): iowait only accrues while a
     * CPU is IDLE, so during phases where the bench's own 32 threads
     * keep every core busy, a disk-saturating co-tenant can read
-    * near-zero on this channel (/proc/diskstats time-in-queue would
-    * accrue regardless — a future channel if this ever under-detects
-    * in practice). Two mitigations are already in place: the timed
-    * pass has idle gaps (driver-side planning, inter-query setup)
-    * where iowait does accrue, and the retry-probe window (see
-    * retryDecision) samples while the bench is fully ASLEEP — there
-    * the channel is maximally sensitive. */
+    * near-zero on this channel. That gap is now covered directly by
+    * the /proc/diskstats time-in-queue channel ([[diskWeightedMs]],
+    * VERDICT r18 #3), which accrues regardless of CPU state; iowait
+    * stays as the cheaper system-wide cross-check, and the
+    * retry-probe window still samples both while the bench is fully
+    * ASLEEP — where every channel is maximally sensitive. */
   private[graft] def iowaitJiffies(cpuLine: String): Long = {
     val f = cpuLine.trim.split("\\s+")
     if (f.length > 5) f(5).toLong else 0L
   }
 
+  /** Weighted ms-in-queue per device from /proc/diskstats (the 11th
+    * per-device stat, field index 13): the kernel's time-in-queue
+    * counter accrues for every queued request REGARDLESS of CPU
+    * state — the channel iowait is blind to whenever the bench's own
+    * 32 threads keep every core busy (ADVICE r17 blind spot, VERDICT
+    * r18 #3: a disk-saturating co-tenant during a CPU-saturated
+    * phase was invisible to all three prior channels). Virtual
+    * devices (loop*, ram*, zram*, dm-*) are dropped; consumers take
+    * the MAX over devices, so a box that lists partitions under
+    * their parent disk cannot double-count. */
+  private[graft] def diskWeightedMs(diskstats: String): Map[String, Long] =
+    diskstats.linesIterator.flatMap { line =>
+      val f = line.trim.split("\\s+")
+      if (f.length < 14) None
+      else {
+        val name = f(2)
+        if (name.startsWith("loop") || name.startsWith("ram") ||
+            name.startsWith("zram") || name.startsWith("dm-")) None
+        else Some(name -> f(13).toLong)
+      }
+    }.toMap
+
+  /** Max over devices of the weighted-ms delta between two diskstats
+    * samples — the numerator of the busiest-device average queue
+    * depth (Δweighted-ms / wall-ms). A device absent from either
+    * sample contributes zero (hotplug between samples). */
+  private[graft] def diskDeltaMs(d0: Map[String, Long],
+                                 d1: Map[String, Long]): Long =
+    if (d0.isEmpty || d1.isEmpty) 0L
+    else d1.keysIterator.map { k =>
+      math.max(0L, d1(k) - d0.getOrElse(k, d1(k)))
+    }.foldLeft(0L)(math.max)
+
   /** One measured slice of the timed run: (Δbusy, Δiowait, Δself,
-    * wallSec) between two /proc samples bracketing a query. */
+    * Δdisk-queue-weighted-ms, wallSec) between two /proc samples
+    * bracketing a query. `dWq` is already the busiest-device max for
+    * the slice; coalescing sums slices, which stays exact while one
+    * device dominates (vda on this box) and otherwise over-counts
+    * toward caution, never under. */
   private[graft] final case class Seg(dBusy: Long, dIo: Long,
-                                      dSelf: Long, wall: Double)
+                                      dSelf: Long, dWq: Long,
+                                      wall: Double)
 
   /** Coalesce consecutive per-query slices into windows of at least
     * `minWall` seconds (ADVICE r16: a 30 s co-tenant burst inside a
@@ -94,18 +132,19 @@ object Bench {
   private[graft] def coalesceWindows(segs: Seq[Seg],
                                      minWall: Double): Seq[Seg] = {
     val out = collection.mutable.ArrayBuffer[Seg]()
-    var acc = Seg(0L, 0L, 0L, 0.0)
+    var acc = Seg(0L, 0L, 0L, 0L, 0.0)
     for (s <- segs) {
       acc = Seg(acc.dBusy + s.dBusy, acc.dIo + s.dIo,
-        acc.dSelf + s.dSelf, acc.wall + s.wall)
-      if (acc.wall >= minWall) { out += acc; acc = Seg(0L, 0L, 0L, 0.0) }
+        acc.dSelf + s.dSelf, acc.dWq + s.dWq, acc.wall + s.wall)
+      if (acc.wall >= minWall) { out += acc; acc = Seg(0L, 0L, 0L, 0L, 0.0) }
     }
     if (acc.wall > 0.0) {
       if (out.isEmpty) out += acc
       else {
         val last = out.remove(out.size - 1)
         out += Seg(last.dBusy + acc.dBusy, last.dIo + acc.dIo,
-          last.dSelf + acc.dSelf, last.wall + acc.wall)
+          last.dSelf + acc.dSelf, last.dWq + acc.dWq,
+          last.wall + acc.wall)
       }
     }
     out.toSeq
@@ -127,17 +166,25 @@ object Bench {
       if (med <= 0) 1.0 else sorted.last / med
     }
 
-  /** The contamination decision (VERDICT r16 #1 + ADVICE r16): dirty
-    * if external CPU exceeds the cap — whole-run average OR any
-    * coalesced >=2 s window (burst detection) — or system iowait
-    * exceeds its own cap on either granularity (the IO blind spot the
-    * r16 final pass slipped through; a 30 s disk-saturating co-tenant
-    * dilutes the run average exactly like the CPU case, so the IO
-    * channel gets the same per-window maximum). */
+  /** The contamination decision (VERDICT r16 #1 + ADVICE r16 +
+    * VERDICT r18 #3): dirty if external CPU exceeds the cap —
+    * whole-run average OR any coalesced >=2 s window (burst
+    * detection) — or system iowait exceeds its own cap on either
+    * granularity (the IO blind spot the r16 final pass slipped
+    * through), or the busiest device's average queue depth exceeds
+    * the disk cap on either granularity (the CPU-saturated disk
+    * blind spot: iowait only accrues on IDLE cores, so while the
+    * bench's 32 threads keep every core busy a disk-saturating
+    * co-tenant reads near-zero on both CPU channels — time-in-queue
+    * accrues regardless). Every channel's per-window maximum exists
+    * because a 30 s burst dilutes below any whole-run average. */
   private[graft] def isContaminated(extAvg: Double, extMax: Double,
                                     ioAvg: Double, ioMax: Double,
-                                    extCap: Double, ioCap: Double): Boolean =
-    extAvg > extCap || extMax > extCap || ioAvg > ioCap || ioMax > ioCap
+                                    dqAvg: Double, dqMax: Double,
+                                    extCap: Double, ioCap: Double,
+                                    dqCap: Double): Boolean =
+    extAvg > extCap || extMax > extCap || ioAvg > ioCap || ioMax > ioCap ||
+      dqAvg > dqCap || dqMax > dqCap
 
   /** This process's own jiffies (utime + stime, fields 14-15) from
     * /proc/self/stat. The comm field may contain spaces and parens,
@@ -175,6 +222,7 @@ object Bench {
       loadAvgs: Vector[Double],
       extCores: Option[Double], extMax: Option[Double],
       ioCores: Option[Double], ioMax: Option[Double],
+      dqDepth: Option[Double], dqMax: Option[Double],
       noisyLines: Int, contaminated: Boolean) {
     // loadavg rides EVERY attempt's label: on the /proc-less fallback
     // path it is the only evidence of why a pass read dirty, and the
@@ -183,6 +231,7 @@ object Bench {
     def labelJson: String =
       s"""{"ext_cores":${optJson(extCores)},"ext_max":${optJson(extMax)},""" +
         s""""io_cores":${optJson(ioCores)},"io_max":${optJson(ioMax)},""" +
+        s""""dq_depth":${optJson(dqDepth)},"dq_max":${optJson(dqMax)},""" +
         s""""noisy_lines":$noisyLines,"contaminated":$contaminated,""" +
         s""""loadavg":${loadAvgs.map(v => BigDecimal(v).setScale(2,
           BigDecimal.RoundingMode.HALF_UP).toString)
@@ -215,7 +264,9 @@ object Bench {
                                    retriesEnabled: Boolean,
                                    probeMeasured: Boolean,
                                    probeExt: Double, probeIo: Double,
-                                   extCap: Double, ioCap: Double): String =
+                                   probeDq: Double,
+                                   extCap: Double, ioCap: Double,
+                                   dqCap: Double): String =
     if (!firstContaminated) "publish_first"
     else if (soloRun || !retriesEnabled) "no_retry"
     // an UNMEASURABLE probe (no /proc — the loadavg-fallback boxes)
@@ -224,7 +275,8 @@ object Bench {
     // pass's decaying self-load and predictably publishes dirty
     // again — publish the labeled-dirty first pass instead
     else if (!probeMeasured) "skip_busy"
-    else if (probeExt > extCap || probeIo > ioCap) "skip_busy"
+    else if (probeExt > extCap || probeIo > ioCap || probeDq > dqCap)
+      "skip_busy"
     else "retry"
 
   def main(args: Array[String]): Unit = {
@@ -256,6 +308,12 @@ object Bench {
           val cpuLine = st.linesIterator.next()
           (busyJiffies(cpuLine), iowaitJiffies(cpuLine), selfJiffies(self))
         }
+    // diskstats sampled beside every cpu sample; empty map when the
+    // file is absent (the /proc-less fallback boxes) — the disk
+    // channel then reads 0 everywhere and never flags, leaving the
+    // loadavg fallback as before
+    def diskSample(): Map[String, Long] =
+      procRead("/proc/diskstats").map(diskWeightedMs).getOrElse(Map.empty)
     // Solo/A-A mode (VERDICT r16 #1): SPARK_GRAFT_ONLY=q1,q2 times
     // just the named lines — for adjudicating a single shifted query
     // against history without a 10-minute full pass. A filtered run
@@ -275,6 +333,14 @@ object Bench {
     // retry-probe decision, so the two can't disagree
     val extCap = sys.env.getOrElse("SPARK_GRAFT_EXT_CORES_MAX", "2.0").toDouble
     val ioCap = sys.env.getOrElse("SPARK_GRAFT_IO_CORES_MAX", "2.0").toDouble
+    // busiest-device average queue depth cap: like ioCap, calibrated
+    // ABOVE the bench's own clean-pass level rather than near zero
+    // (the bench's parquet/checkpoint writes queue real IO, though
+    // the page cache absorbs most of it: a clean sf0.1 pass over the
+    // checkpoint-heavy lines measured dq_depth 0.06 whole-run,
+    // dq_max 0.03 per-window) — a saturating co-tenant holds depth
+    // well above this cap for its whole era
+    val dqCap = sys.env.getOrElse("SPARK_GRAFT_DQ_MAX", "4.0").toDouble
     val loadCap = sys.env.getOrElse("SPARK_GRAFT_LOAD_MAX", "4.0").toDouble
     // JIT/codegen warm-up: run every query once at the tiny sf so the
     // timed runs measure steady-state throughput, not first-run
@@ -317,6 +383,7 @@ object Bench {
     // co-tenant's damage instead of the code.
     def measuredPass(): Pass = {
       val cpu0 = cpuSample()
+      val disk0 = diskSample()
       val wall0 = System.nanoTime()
       val errors = collection.mutable.LinkedHashMap[String, String]()
       queries.foreach { case (name, fn) =>
@@ -340,14 +407,16 @@ object Bench {
         sampleLoad()
         queries.foreach { case (name, fn) =>
           val s0 = cpuSample()
+          val d0 = diskSample()
           val t0 = System.nanoTime()
           val okRun = try { run(fn, sfDir); true } catch { case e: Throwable =>
             errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
             false
           }
           val wall = (System.nanoTime() - t0) / 1e9
+          val dWq = diskDeltaMs(d0, diskSample())
           for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
-            segs += Seg(b1 - b0, i1 - i0, f1 - f0, wall)
+            segs += Seg(b1 - b0, i1 - i0, f1 - f0, dWq, wall)
           if (okRun) {
             samples(name) = samples.getOrElse(name, Vector.empty) :+ wall
           }
@@ -364,12 +433,16 @@ object Bench {
       // threads).
       val endWall = (System.nanoTime() - wall0) / 1e9
       val endSample = cpuSample()
+      val diskEnd = diskSample()
       val extCores: Option[Double] =
         for ((b0, _, s0) <- cpu0; (b1, _, s1) <- endSample)
           yield externalCores(b1 - b0, s1 - s0, endWall)
       val ioCores: Option[Double] =
         for ((_, i0, _) <- cpu0; (_, i1, _) <- endSample)
           yield math.max(0.0, (i1 - i0) / 100.0 / endWall)
+      val dqDepth: Option[Double] =
+        if (disk0.isEmpty || diskEnd.isEmpty || endWall <= 0) None
+        else Some(diskDeltaMs(disk0, diskEnd) / 1000.0 / endWall)
       val windows = coalesceWindows(segs.toSeq, 2.0)
       val extMax: Option[Double] =
         if (windows.isEmpty) None
@@ -379,17 +452,23 @@ object Bench {
         if (windows.isEmpty) None
         else Some(windows.map(w =>
           math.max(0.0, w.dIo / 100.0 / w.wall)).max)
+      val dqMax: Option[Double] =
+        if (windows.isEmpty || dqDepth.isEmpty) None
+        else Some(windows.map(w => w.dWq / 1000.0 / w.wall).max)
       val noisyLines = samples.values.count { ts =>
         ts.size >= 2 && spreadRatio(ts) > 3.0 &&
           ts.sorted.apply(ts.size / 2) > 0.05
       }
       val contaminated = extCores match {
         case Some(x) => isContaminated(x, extMax.getOrElse(0.0),
-          ioCores.getOrElse(0.0), ioMax.getOrElse(0.0), extCap, ioCap)
+          ioCores.getOrElse(0.0), ioMax.getOrElse(0.0),
+          dqDepth.getOrElse(0.0), dqMax.getOrElse(0.0),
+          extCap, ioCap, dqCap)
         case None => loadAvgs.nonEmpty && loadAvgs.head > loadCap
       }
       Pass(samples.toMap, errors.toMap, loadAvgs.toVector,
-        extCores, extMax, ioCores, ioMax, noisyLines, contaminated)
+        extCores, extMax, ioCores, ioMax, dqDepth, dqMax,
+        noisyLines, contaminated)
     }
 
     // Self-healing on contamination (VERDICT r17 next-round #1): a
@@ -404,12 +483,18 @@ object Bench {
     val decision: String =
       if (!p1.contaminated || only.nonEmpty || !retriesEnabled)
         retryDecision(p1.contaminated, only.nonEmpty, retriesEnabled,
-          probeMeasured = true, 0.0, 0.0, extCap, ioCap)
+          probeMeasured = true, 0.0, 0.0, 0.0, extCap, ioCap, dqCap)
       else {
         val s0 = cpuSample()
+        val d0 = diskSample()
         val t0 = System.nanoTime()
         Thread.sleep(math.max(1L, (cooldownSec * 1000).toLong))
         val wall = (System.nanoTime() - t0) / 1e9
+        // the asleep-probe disk depth has ZERO self-IO, so any queue
+        // time here is the co-tenant's — but it is still judged
+        // against the same dqCap the pass label used, so the two
+        // decisions cannot disagree about what "dirty" means
+        val probeDq = diskDeltaMs(d0, diskSample()) / 1000.0 / wall
         val probe: Option[(Double, Double)] =
           for ((b0, i0, f0) <- s0; (b1, i1, f1) <- cpuSample())
             yield (externalCores(b1 - b0, f1 - f0, wall),
@@ -417,7 +502,7 @@ object Bench {
         retryDecision(firstContaminated = true, soloRun = false,
           retriesEnabled = true, probeMeasured = probe.nonEmpty,
           probe.map(_._1).getOrElse(0.0), probe.map(_._2).getOrElse(0.0),
-          extCap, ioCap)
+          probeDq, extCap, ioCap, dqCap)
       }
     val p2 = if (decision == "retry") Some(measuredPass()) else None
     val pub = p2.getOrElse(p1)
@@ -517,7 +602,7 @@ object Bench {
       BigDecimal.RoundingMode.HALF_UP).toString).mkString("[", ",", "]")
     val attemptsJson =
       (Seq(p1) ++ p2).map(_.labelJson).mkString("[", ",", "]")
-    val selfLabel = s""""ext_cores":${optJson(pub.extCores)},"ext_max":${optJson(pub.extMax)},"io_cores":${optJson(pub.ioCores)},"io_max":${optJson(pub.ioMax)},"noisy_lines":${pub.noisyLines},"contaminated":${pub.contaminated},"retry":"$decision","attempts":$attemptsJson"""
+    val selfLabel = s""""ext_cores":${optJson(pub.extCores)},"ext_max":${optJson(pub.extMax)},"io_cores":${optJson(pub.ioCores)},"io_max":${optJson(pub.ioMax)},"dq_depth":${optJson(pub.dqDepth)},"dq_max":${optJson(pub.dqMax)},"noisy_lines":${pub.noisyLines},"contaminated":${pub.contaminated},"retry":"$decision","attempts":$attemptsJson"""
     // Persist the full medians map AFTER reading the previous one, so
     // consecutive runs chain (this run becomes the next run's base).
     // Best-effort: a read-only checkout must not fail the bench.

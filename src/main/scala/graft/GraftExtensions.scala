@@ -54,6 +54,9 @@ object GraftExtensions {
       (args: Seq[Expression]) =>
         ArrayJoin(Slice(StringSplit(args(0), str(" "), Literal(-1)),
           Literal(1), args(1)), str(" "), None)),
+    ("graft_domain", info("graft_domain",
+        "registrable domain of a lowercased host (full public-suffix list)"),
+      (args: Seq[Expression]) => graft.functions.RegistrableDomain(args(0))),
     ("graft_hash64", info("graft_hash64", "md5-derived 60-bit hash"),
       (args: Seq[Expression]) =>
         Cast(Conv(Substring(Md5(Cast(args(0),

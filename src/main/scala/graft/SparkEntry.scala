@@ -664,7 +664,12 @@ object SparkEntry {
     * registrable domain keeps THREE labels). */
   private def withUrls(docs: DataFrame): DataFrame = {
     val d = col("doc_id").cast("string")
-    val t = col("doc_id") % 10
+    // (div 20) decorrelates the template index from the fixture's
+    // source assignment (source = doc_id % 20): every source then
+    // spans all ten templates (~200 domains), instead of each source
+    // collapsing onto one template — which made the r18 domain graph
+    // 20 near-identical nodes and every pagerank mass equal
+    val t = expr("doc_id div 20") % 10
     docs.withColumn("url",
       when(t === 0, concat(lit("https://WWW."), col("source"),
         lit(".CO.UK:443/articles/"), d, lit("?utm_source=feed&id="), d,
@@ -690,11 +695,12 @@ object SparkEntry {
         lit(".ck/w/"), d, lit("#x"))))
   }
 
-  /** The SQL twin of [[withUrls]] — string-identical templates. */
-  private val urlsSql =
-    """urls AS (
+  /** The SQL twin of [[withUrls]] — string-identical templates —
+    * over any source CTE/table with (doc_id, source, lang, text). */
+  private def urlsSqlFrom(src: String): String =
+    s"""urls AS (
       |  SELECT doc_id, text,
-      |    CASE CAST(doc_id % 10 AS INT)
+      |    CASE CAST((doc_id // 20) % 10 AS INT)
       |      WHEN 0 THEN 'https://WWW.' || source || '.CO.UK:443/articles/' ||
       |        CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '#frag'
       |      WHEN 1 THEN 'HTTP://blog.' || source || '.com:80/post/' ||
@@ -714,7 +720,9 @@ object SparkEntry {
       |      ELSE 'http://www.' || source || '.ck/w/' ||
       |        CAST(doc_id AS VARCHAR) || '#x'
       |    END AS url
-      |  FROM documents)""".stripMargin
+      |  FROM $src)""".stripMargin
+
+  private val urlsSql = urlsSqlFrom("documents")
 
   /** Refetch synthesis for url_dedup: five fetches of every resource
     * (doc_ids ≡ r mod 20 inside one 100-block share source AND
@@ -754,20 +762,21 @@ object SparkEntry {
       |    END AS url
       |  FROM documents)""".stripMargin
 
-  /** SQL twin of [[graft.operators.Url.normalizeCol]]/hostCol over the
-    * `urls` CTE: emits `normed(doc_id, text, url, host, url_norm)`. */
-  private val urlNormSql =
-    """comp AS (
+  /** SQL twin of [[graft.operators.Url.normalizeCol]]/hostCol over a
+    * (doc_id, text, url) CTE: emits `normed(doc_id, text, url, host,
+    * url_norm)`. */
+  private def urlNormSqlFrom(src: String): String =
+    s"""comp AS (
       |  SELECT doc_id, text, url,
       |    lower(regexp_extract(nf, '^([^:/?#]+)://', 1)) AS scheme,
       |    regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1) AS hp,
-      |    regexp_extract(nf, '^[^:/?#]+://[^/?#]*(.*)$', 1) AS pathq
-      |  FROM (SELECT *, regexp_replace(url, '#.*$', '') AS nf FROM urls)),
+      |    regexp_extract(nf, '^[^:/?#]+://[^/?#]*(.*)${"$"}', 1) AS pathq
+      |  FROM (SELECT *, regexp_replace(url, '#.*${"$"}', '') AS nf FROM $src)),
       |comp2 AS (
-      |  SELECT *, lower(regexp_replace(hp, ':[0-9]+$', '')) AS host,
-      |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+      |  SELECT *, lower(regexp_replace(hp, ':[0-9]+${"$"}', '')) AS host,
+      |    regexp_extract(hp, ':([0-9]+)${"$"}', 1) AS port,
       |    regexp_extract(pathq, '^([^?]*)', 1) AS rawpath,
-      |    regexp_extract(pathq, '\?(.*)$', 1) AS rawq
+      |    regexp_extract(pathq, '\\?(.*)${"$"}', 1) AS rawq
       |  FROM comp),
       |normed AS (
       |  SELECT doc_id, text, url, host,
@@ -780,8 +789,10 @@ object SparkEntry {
       |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END END AS url_norm
       |  FROM (SELECT *, array_to_string(list_filter(string_split(rawq, '&'),
       |          p -> p <> '' AND NOT regexp_matches(p,
-      |            '^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=.*)?$')), '&') AS qs
+      |            '^(utm_[^=&]*|gclid|fbclid|msclkid|ref)(=.*)?${"$"}')), '&') AS qs
       |        FROM comp2))""".stripMargin
+
+  private val urlNormSql = urlNormSqlFrom("urls")
 
   /** The FULL public-suffix rule table as SQL VALUES — generated
     * from the SAME parsed resource the Spark operator compiles its
@@ -802,8 +813,9 @@ object SparkEntry {
     * exception -> the exception itself; wildcard base n -> last n+2
     * labels (or the host when the host IS the n+1-label suffix);
     * rule n -> last n+1 labels (host when bare); no match -> the
-    * implicit `*` rule. Emits `dom(doc_id, text, host, domain)`. */
-  private def domainSql: String =
+    * implicit `*` rule. Emits `dom(doc_id, text, host, domain)` over
+    * any source CTE with (doc_id, text, host). */
+  private def domainSqlFrom(src: String): String =
     s"""sfx(kind, s, n) AS (SELECT * FROM (VALUES $pslValuesSql) t(kind, s, n)),
        |m AS (
        |  SELECT h.doc_id, h.text, h.host, f.kind, f.s, f.n,
@@ -811,7 +823,7 @@ object SparkEntry {
        |                       ORDER BY (f.kind = 'x') DESC,
        |                         (f.n + CASE WHEN f.kind = 'w' THEN 1 ELSE 0 END) DESC,
        |                         f.kind DESC, f.s) AS rn
-       |  FROM normed h LEFT JOIN sfx f
+       |  FROM $src h LEFT JOIN sfx f
        |    ON (h.host = f.s AND f.kind <> 'w') OR ends_with(h.host, '.' || f.s)),
        |dom AS (
        |  SELECT doc_id, text, host,
@@ -831,6 +843,8 @@ object SparkEntry {
        |             ELSE host END
        |    END AS domain
        |  FROM (SELECT *, string_split(host, '.') AS l FROM m WHERE rn = 1))""".stripMargin
+
+  private def domainSql: String = domainSqlFrom("normed")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_cosine" -> ((s, dir) => {
@@ -2871,6 +2885,98 @@ object SparkEntry {
       // normalization, so this gates the normalizer end-to-end.
       graft.operators.Url.dedupFetches(
         withRefetchUrls(Tables.documents(s, dir)), "url", "doc_id")
+    }),
+
+    "domain_pagerank" -> ((s, dir) => {
+      // the crawl key under the source prior (VERDICT r18 #4): the
+      // link-structure domain ranking a curation pipeline reads
+      // instead of the co-purchase demo graph — synthesize a
+      // deterministic doc->doc link column (each doc links to docs
+      // (id*7+13)%N and (id*13+101)%N — the url-template convention),
+      // lift both endpoints to their REGISTRABLE DOMAIN via the
+      // row-159/160 machinery, symmetrize (the operator's undirected
+      // contract: every node must source its mass), and run the
+      // EXISTING integer pagerank; ranks join back to the
+      // domain_profile roll-up. Domain cardinality is tiny by
+      // construction (suffix grouping is the whole point), so every
+      // frame past the one doc-keyed link join is domain-sized.
+      val docs = withUrls(Tables.documents(s, dir))
+      val n = Tables.documents(s, dir).count() // one metadata-cheap job
+      val dom = docs.select(col("doc_id"),
+        graft.operators.Url.registrableDomain(
+          graft.operators.Url.hostCol(col("url"))).as("domain"))
+      val links = dom.select(col("doc_id"), explode(array(
+        pmod(col("doc_id") * 7 + 13, lit(n)),
+        pmod(col("doc_id") * 13 + 101, lit(n)))).as("tgt"))
+      val e0 = links
+        .join(dom, "doc_id")
+        .join(dom.select(col("doc_id").as("tgt"),
+          col("domain").as("dst_domain")), "tgt")
+        .select(col("domain").as("src"), col("dst_domain").as("dst"))
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      val ranks = graft.operators.Graph
+        .pagerank(edges, "src", "dst", iterations = 5)
+      val prof = graft.operators.Url.domainProfile(docs, "url", "text")
+        .select(col("domain"), col("n_docs"), col("n_hosts"))
+      ranks.join(prof, col("node") === col("domain"))
+        .select(col("domain"), col("rank"), col("n_docs"), col("n_hosts"))
+        .orderBy(col("rank").desc, col("domain")).limit(20)
+    }),
+
+    "pipeline_crawl" -> ((s, dir) => {
+      // the crawl key composed END-TO-END (VERDICT r18 #5), rows
+      // 161 -> 160 -> 45 -> 14 -> 52 chained: fetch-dedup -> domain
+      // gate -> quality funnel -> near-dup pair graph -> leakage-safe
+      // split. The crawl set plants both failure modes upstream
+      // stages exist to kill: every 5th resource is REFETCHED under
+      // a different spelling (same normal form — stage 1 collapses
+      // it) and every doc_id≡3 (mod 7) is MIRRORED on its own domain
+      // under a second path with identical text (+20000 preserves
+      // the template: 20000 div 20 ≡ 0 mod 10 — a distinct resource
+      // stage 1 must NOT collapse, which raises its domain's
+      // exact-dup rate until the stage-2 gate drops the domain).
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val mirrors = base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          col("source"), col("lang"), col("text"))
+      val crawl = withUrls(base.unionByName(mirrors))
+      val fetches = crawl.select(col("doc_id"), col("url"), col("text"))
+        .unionByName(crawl.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("url"), lit("#refetch")).as("url"), col("text")))
+      // stage 1: canonical-url fetch dedup; keep_id is always the
+      // lowest-id spelling, so joining keep_id back onto the crawl
+      // frame recovers (text, url) of exactly the first fetches
+      val kept = crawl.join(
+        graft.operators.Url.dedupFetches(fetches, "url", "doc_id")
+          .select(col("keep_id").as("doc_id")), "doc_id")
+      // stage 2: the domain gate — profile the kept fetches, drop
+      // domains with >= 25% exact-dup docs or short-form content
+      val prof = graft.operators.Url.domainProfile(kept, "url", "text")
+      val gated = kept.select(
+          graft.operators.Url.registrableDomain(
+            graft.operators.Url.hostCol(col("url"))).as("domain"),
+          col("doc_id"), col("text"))
+        .join(prof.filter(col("n_dup") * 4 < col("n_docs") &&
+            col("chars_per_doc") >= 150).select(col("domain")),
+          "domain")
+      // stage 3: the quality funnel (row 45's thresholds)
+      val survivors = gated.join(
+        TextAnalysis.filterFunnel(gated.select(col("doc_id"), col("text")),
+            "text", minTokens = 20, maxTokens = 90,
+            keepLangs = Seq("en"), minStop = 0.02)
+          .filter(col("verdict") === "kept").select(col("doc_id")),
+        "doc_id").persist()
+      // stages 4+5: near-dup pair graph feeds the leakage-safe split
+      val pairs = Dedup.minhashPairs(
+        survivors.select(col("doc_id"), col("text")), "text", "doc_id",
+        numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
+      Sampling.leakageSafeSplit(survivors.select(col("doc_id")), "doc_id",
+          pairs, evalFrac = 0.1, seed = "crawl0")
+        .join(survivors.select(col("doc_id"), col("domain")), Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), col("split_key"), col("split"))
     })
   )
 
@@ -2991,11 +3097,13 @@ object SparkEntry {
     val en: String = sqlList(TextAnalysis.enStopwords)
   }
 
-  /** graph_pagerank oracle: the SAME fixed iteration count unrolled
-    * as chained CTEs — every operation is integer (floor division,
-    * integer sums), so each r_i matches the Spark frame exactly and
-    * the final ranks hash-match as BIGINTs. */
-  private def pagerankOracleSql(iters: Int): String = {
+  /** deg/n/r0 plus the unrolled r1..rI fixed-point CTEs over an edge
+    * CTE `e(src, dst)` — the integer PageRank recurrence, a pure
+    * function of the edge CTE, shared verbatim by the graph_pagerank
+    * and domain_pagerank oracles. Every operation is integer (floor
+    * division, integer sums), so each r_i matches the Spark frame
+    * exactly and the final ranks hash-match as BIGINTs. */
+  private def pagerankCtesSql(iters: Int): String = {
     val S = "1000000000000"
     val chain = (1 to iters).map { i =>
       s"""r$i AS (SELECT d.node,
@@ -3007,16 +3115,46 @@ object SparkEntry {
          |             JOIN deg dg ON dg.node = p.node
          |             GROUP BY e.dst) s$i ON s$i.nd = d.node)""".stripMargin
     }.mkString(",\n")
+    s"""deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |n AS (SELECT count(*) AS cnt FROM deg),
+       |r0 AS (SELECT node, ($S // n.cnt) AS r FROM deg, n),
+       |$chain""".stripMargin
+  }
+
+  /** graph_pagerank oracle: the shared recurrence over the
+    * co-purchase edge set. */
+  private def pagerankOracleSql(iters: Int): String =
     s"""WITH eb AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
        |e AS (SELECT src, dst FROM eb UNION SELECT dst AS src, src AS dst FROM eb),
-       |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
-       |n AS (SELECT count(*) AS cnt FROM deg),
-       |r0 AS (SELECT node, ($S // n.cnt) AS r FROM deg, n),
-       |$chain
+       |${pagerankCtesSql(iters)}
        |SELECT node, CAST(r AS BIGINT) AS rank FROM r$iters
        |ORDER BY r DESC, node LIMIT 20""".stripMargin
-  }
+
+  /** domain_pagerank oracle: the url/domain CTEs lift the synthesized
+    * doc->doc links to registrable-domain edges, then the SAME
+    * recurrence runs and the ranks join the profile roll-up. */
+  private def domainPagerankOracleSql(iters: Int): String =
+    s"""WITH $urlsSql,
+       |$urlNormSql,
+       |$domainSql,
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |links AS (
+       |  SELECT d.doc_id, (d.doc_id * 7 + 13) % nn.n AS tgt FROM dom d, nn
+       |  UNION ALL
+       |  SELECT d.doc_id, (d.doc_id * 13 + 101) % nn.n AS tgt FROM dom d, nn),
+       |eb AS (SELECT sd.domain AS src, td.domain AS dst
+       |       FROM links l JOIN dom sd ON sd.doc_id = l.doc_id
+       |                    JOIN dom td ON td.doc_id = l.tgt),
+       |e AS (SELECT DISTINCT src, dst FROM
+       |       (SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb)),
+       |${pagerankCtesSql(iters)},
+       |prof AS (SELECT domain, count(*) AS n_docs,
+       |         count(DISTINCT host) AS n_hosts FROM dom GROUP BY 1)
+       |SELECT r.node AS domain, CAST(r.r AS BIGINT) AS rank,
+       |  p.n_docs, p.n_hosts
+       |FROM r$iters r JOIN prof p ON p.domain = r.node
+       |ORDER BY rank DESC, domain LIMIT 20""".stripMargin
 
   /** Candidate cap at the GRADED boost call sites (ADVICE r13): the
     * DuckDB oracle always restates the exact-DISTINCT threshold grid,
@@ -6218,7 +6356,63 @@ object SparkEntry {
          |SELECT url_norm, min(doc_id) AS keep_id,
          |  count(*) AS n_fetches,
          |  count(DISTINCT url) AS n_variants
-         |FROM normed GROUP BY 1""".stripMargin
+         |FROM normed GROUP BY 1""".stripMargin,
+
+    "domain_pagerank" -> domainPagerankOracleSql(5),
+
+    "pipeline_crawl" ->
+      // the fetch-dedup, domain-gate, funnel, minhash-pair and
+      // split-safe oracle fragments chained, each stage reading the
+      // previous (the pipeline_curate convention)
+      s"""WITH RECURSIVE crawlsrc AS (
+         |  SELECT doc_id, source, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 20000, source, lang, text FROM documents
+         |  WHERE doc_id % 7 = 3),
+         |${urlsSqlFrom("crawlsrc")},
+         |fet AS (
+         |  SELECT doc_id, url, text FROM urls
+         |  UNION ALL
+         |  SELECT doc_id + 50000, url || '#refetch', text FROM urls
+         |  WHERE doc_id % 5 = 0),
+         |${urlNormSqlFrom("fet")},
+         |keep AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY url_norm),
+         |kept AS (SELECT n.doc_id, n.text, n.host FROM normed n JOIN keep USING (doc_id)),
+         |${domainSqlFrom("kept")},
+         |prof AS (SELECT domain, count(*) AS n_docs,
+         |           count(*) - count(DISTINCT md5(text)) AS n_dup,
+         |           CAST(sum(length(text)) AS BIGINT) // count(*) AS cpd
+         |         FROM dom GROUP BY 1),
+         |gated AS (SELECT d.doc_id, d.text, d.domain
+         |          FROM dom d JOIN prof p USING (domain)
+         |          WHERE p.n_dup * 4 < p.n_docs AND p.cpd >= 150),
+         |fw AS (SELECT doc_id, string_split(text, ' ') AS w FROM gated),
+         |fg AS (SELECT doc_id, len(w) AS n,
+         |  len(list_filter(w, t -> list_contains(${LangSql.en}, t)))::DOUBLE / len(w) AS stop,
+         |  ${LangSql.scoreCols}
+         |FROM fw),
+         |fv AS (SELECT doc_id, n, stop,
+         |         CASE WHEN ${LangSql.best} = 0 THEN 'und' ${LangSql.caseChain} END AS lang_pred
+         |       FROM fg),
+         |kept2 AS (SELECT g.doc_id, g.text, g.domain FROM gated g JOIN fv USING (doc_id)
+         |          WHERE n IS NOT NULL AND n >= 20 AND n <= 90
+         |            AND lang_pred IN ('en') AND stop >= 0.02),
+         |${minhashPairChain("kept2")},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh_pairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM mh_pairs),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (SELECT id, id AS r FROM cnodes
+         |          UNION
+         |          SELECT e.src AS id, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         |keyed AS (SELECT c.doc_id, c.domain,
+         |            CAST(coalesce(l.cluster_id, c.doc_id) AS BIGINT) AS split_key
+         |          FROM (SELECT doc_id, domain FROM kept2) c LEFT JOIN lab l ON l.id = c.doc_id)
+         |SELECT doc_id, domain, split_key,
+         |  CASE WHEN CAST('0x' || substr(md5('crawl0_' || CAST(split_key AS VARCHAR)), 1, 15) AS BIGINT)
+         |         % 1000000 < 0.1 * 1000000
+         |       THEN 'eval' ELSE 'train' END AS split
+         |FROM keyed""".stripMargin
   )
 
   /** Shortest round-trip double literal: `Double.toString` prints the

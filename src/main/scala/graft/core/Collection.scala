@@ -333,6 +333,30 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   def dump(outPath: String): Unit =
     current().orderBy(col("id")).write.mode("overwrite").json(outPath)
 
+  /** ExportJSON (dump.go:48) parity: ONE deterministic local file —
+    * the first line is the collection's options (the exact JSON
+    * [[Collection.create]] persists), then one JSON line per record
+    * in id order. A debugging/backup affordance by design (the
+    * reference writes a single stream too), so it is driver-written —
+    * but it STREAMS via `toLocalIterator` (the driver holds one
+    * partition of rows, never the collection) and each line is
+    * Spark's own row-JSON, so field escaping matches the distributed
+    * [[dump]] byte for byte. [[Collection.importDumpFile]] is the
+    * inverse (ImportJSON, dump.go:138). */
+  def dumpFile(outFile: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(outFile)
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      hfs.create(mp, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.println(Collection.optionsJson(options))
+      val it = current().orderBy(col("id"))
+        .select(col("id"), col("vector"), col("metadata"))
+        .toJSON.toLocalIterator()
+      while (it.hasNext) out.println(it.next())
+    } finally out.close()
+  }
+
   /** The COMPLETE generation numbers currently on disk, oldest first
     * — the observable face of [[compact]]'s retention window (the
     * serving façade surfaces it in stats so an operator can see how
@@ -396,13 +420,21 @@ object Collection {
   /** NewCollection (collection.go:224): persists the options next to
     * the log (the reference stores them in the spanfile header) so a
     * later [[open]] needs only the path. */
+  /** The persisted options JSON — shared by [[create]]'s sidecar and
+    * [[Collection#dumpFile]]'s header line, so a dump's first line
+    * always round-trips through the same reader as a sidecar.
+    * Single-line (newlines collapse) so the dump stays one JSON
+    * object per line. */
+  private[core] def optionsJson(options: CollectionOptions): String =
+    s"""{"name": ${q(options.name)}, "dimensionCount": ${options.dimensionCount},
+       | "distanceMethod": ${q(options.distanceMethod match {
+           case Knn.Cosine => "cosine"; case Knn.Euclidean => "euclidean" })},
+       | "quantization": ${options.quantization}, "lshPlanes": ${options.lshPlanes},
+       | "lshTables": ${options.lshTables}, "lshProbes": ${options.lshProbes}}"""
+      .stripMargin.replace("\n", "")
+
   def create(spark: SparkSession, options: CollectionOptions, path: String): Collection = {
-    val json =
-      s"""{"name": ${q(options.name)}, "dimensionCount": ${options.dimensionCount},
-         | "distanceMethod": ${q(options.distanceMethod match {
-             case Knn.Cosine => "cosine"; case Knn.Euclidean => "euclidean" })},
-         | "quantization": ${options.quantization}, "lshPlanes": ${options.lshPlanes},
-         | "lshTables": ${options.lshTables}, "lshProbes": ${options.lshProbes}}""".stripMargin
+    val json = optionsJson(options)
     val mp = new org.apache.hadoop.fs.Path(metaPath(path))
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mp, true)
@@ -418,6 +450,49 @@ object Collection {
                  path: String, dumpPath: String): Collection = {
     val c = create(spark, options, path)
     c.addDocuments(graft.sources.Sources.dumpRecords(spark, dumpPath))
+    c
+  }
+
+  /** Inverse of [[Collection#dumpFile]]: the first line carries the
+    * options (no separate options argument — the dump is
+    * self-describing, like the reference's single-stream ImportJSON),
+    * the rest are records. The record frame is read DISTRIBUTED
+    * (spark.read.json over the whole file; the header row surfaces
+    * with a null id and is filtered out — options fields and record
+    * fields share no column names). */
+  def importDumpFile(spark: SparkSession, path: String,
+                     dumpFile: String): Collection = {
+    val mp = new org.apache.hadoop.fs.Path(dumpFile)
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      hfs.open(mp), java.nio.charset.StandardCharsets.UTF_8))
+    val header = try in.readLine() finally in.close()
+    require(header != null && header.contains("dimensionCount"),
+      s"$dumpFile does not start with a collection-options line")
+    val hp = s"$path.import-header.json"
+    val hpPath = new org.apache.hadoop.fs.Path(hp)
+    val outS = hfs.create(hpPath, true)
+    outS.write(header.getBytes("UTF-8")); outS.close()
+    val optDf = spark.read.json(hp)
+    val r = optDf.collect().head
+    val metric = r.getAs[String]("distanceMethod") match {
+      case "euclidean" => Knn.Euclidean
+      case _ => Knn.Cosine
+    }
+    val opts = CollectionOptions(
+      r.getAs[String]("name"), r.getAs[Long]("dimensionCount").toInt,
+      metric, r.getAs[Long]("quantization").toInt,
+      r.getAs[Long]("lshPlanes").toInt, r.getAs[Long]("lshTables").toInt,
+      r.getAs[Long]("lshProbes").toInt)
+    hfs.delete(hpPath, false)
+    val c = create(spark, opts, path)
+    val recs = spark.read.json(dumpFile)
+      .filter(org.apache.spark.sql.functions.col("id").isNotNull)
+      .select(org.apache.spark.sql.functions.col("id").cast("long"),
+        org.apache.spark.sql.functions.col("vector")
+          .cast("array<double>"),
+        org.apache.spark.sql.functions.col("metadata").cast("string"))
+    c.addDocuments(recs)
     c
   }
 

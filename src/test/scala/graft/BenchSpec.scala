@@ -99,18 +99,19 @@ class BenchSpec extends AnyFunSuite {
   test("per-query slices coalesce into >=2s windows, tail folds back") {
     import Bench.Seg
     val segs = Seq(
-      Seg(100, 10, 80, 0.8), Seg(100, 10, 80, 0.8), Seg(100, 10, 80, 0.8),
-      Seg(900, 90, 100, 2.5),
-      Seg(50, 5, 40, 0.4))
+      Seg(100, 10, 80, 200, 0.8), Seg(100, 10, 80, 200, 0.8),
+      Seg(100, 10, 80, 200, 0.8),
+      Seg(900, 90, 100, 5000, 2.5),
+      Seg(50, 5, 40, 100, 0.4))
     val w = Bench.coalesceWindows(segs, 2.0)
     // first three slices (0.8+0.8+0.8 = 2.4s) merge; the 2.5s slice
     // stands alone; the 0.4s tail folds into it rather than dropping
     assert(w.size == 2)
-    assert(w(0) == Seg(300, 30, 240, 0.8 * 3))
-    assert(w(1) == Seg(950, 95, 140, 2.9))
+    assert(w(0) == Seg(300, 30, 240, 600, 0.8 * 3))
+    assert(w(1) == Seg(950, 95, 140, 5100, 2.9))
     // an all-tail run (every slice under min) still yields one window
-    val tiny = Bench.coalesceWindows(Seq(Seg(10, 1, 8, 0.3)), 2.0)
-    assert(tiny == Seq(Seg(10, 1, 8, 0.3)))
+    val tiny = Bench.coalesceWindows(Seq(Seg(10, 1, 8, 20, 0.3)), 2.0)
+    assert(tiny == Seq(Seg(10, 1, 8, 20, 0.3)))
     assert(Bench.coalesceWindows(Nil, 2.0).isEmpty)
   }
 
@@ -125,24 +126,54 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.spreadRatio(Seq(0.0, 0.0)) == 1.0)  // degenerate median
   }
 
-  test("contamination matrix: avg-CPU, burst-window, and IO channels") {
-    val (extCap, ioCap) = (2.0, 2.0)
+  test("contamination matrix: avg-CPU, burst-window, IO, disk-queue") {
+    val (extCap, ioCap, dqCap) = (2.0, 2.0, 6.0)
+    def c(extAvg: Double, extMax: Double, ioAvg: Double, ioMax: Double,
+          dqAvg: Double = 0.0, dqMax: Double = 0.0) =
+      Bench.isContaminated(extAvg, extMax, ioAvg, ioMax, dqAvg, dqMax,
+        extCap, ioCap, dqCap)
     // clean pass
-    assert(!Bench.isContaminated(0.1, 0.5, 0.3, 0.4, extCap, ioCap))
+    assert(!c(0.1, 0.5, 0.3, 0.4, 0.2, 1.0))
     // whole-run external average over cap (the r14/r15 CPU-tenant era)
-    assert(Bench.isContaminated(2.5, 2.5, 0.1, 0.1, extCap, ioCap))
+    assert(c(2.5, 2.5, 0.1, 0.1))
     // short burst: average dilutes under the cap but one >=2s window
     // exceeds it (the ADVICE r16 phantom-regression mode)
-    assert(Bench.isContaminated(0.9, 4.0, 0.1, 0.1, extCap, ioCap))
+    assert(c(0.9, 4.0, 0.1, 0.1))
     // the r16 final-pass shape: ext_cores 0.80 self-labeled clean
     // while the disk was the contended resource — the IO channel now
     // flags it (VERDICT r16 #1)
-    assert(Bench.isContaminated(0.80, 1.0, 3.5, 3.5, extCap, ioCap))
+    assert(c(0.80, 1.0, 3.5, 3.5))
     // a 30s disk-saturating burst that dilutes the run-average IO:
     // the per-window IO maximum flags it (same dilution mode as CPU)
-    assert(Bench.isContaminated(0.1, 0.5, 0.4, 5.0, extCap, ioCap))
-    // boundary: at-cap is clean, only strictly-over flags
-    assert(!Bench.isContaminated(2.0, 2.0, 2.0, 2.0, extCap, ioCap))
+    assert(c(0.1, 0.5, 0.4, 5.0))
+    // saturated-CPU / dirty-disk (VERDICT r18 #3): the bench's own
+    // 32 threads keep every core busy, so iowait reads ~0 and the
+    // co-tenant burns almost no CPU — only the time-in-queue channel
+    // sees the saturated device, on the whole run or one window
+    assert(c(0.3, 0.5, 0.0, 0.0, dqAvg = 9.0, dqMax = 9.0))
+    assert(c(0.3, 0.5, 0.0, 0.0, dqAvg = 1.0, dqMax = 8.0))
+    // boundary: at-cap is clean on every channel, only strictly-over
+    assert(!c(2.0, 2.0, 2.0, 2.0, 6.0, 6.0))
+  }
+
+  test("diskstats channel: parse, device filter, busiest-device delta") {
+    val t0 =
+      """   7       0 loop0 9 0 9 9 0 0 0 0 0 9 99999 0 0 0 0 0 0
+        | 253       0 zram0 9 0 9 9 0 0 0 0 0 9 99999 0 0 0 0 0 0
+        | 254       0 vda 48935 20832 2790866 286482 248791 1555863 151266856 6954445 0 505844 7761172 710737 22 139443208 519940 250 303
+        | 254      16 vdb 1253 858 16906 98 0 0 0 0 0 48 98 0 0 0 0 0 0""".stripMargin
+    val m0 = Bench.diskWeightedMs(t0)
+    // virtual devices are dropped; real ones keyed by name
+    assert(m0 == Map("vda" -> 7761172L, "vdb" -> 98L))
+    // truncated line (fewer than 11 stats) is skipped, not a crash
+    assert(Bench.diskWeightedMs(" 254 0 vda 1 2 3") == Map.empty)
+    // busiest-device delta: vda +3000ms, vdb +10ms -> 3000
+    val m1 = Map("vda" -> 7764172L, "vdb" -> 108L)
+    assert(Bench.diskDeltaMs(m0, m1) == 3000L)
+    // counter wrap / hotplug reads as zero, never negative
+    assert(Bench.diskDeltaMs(m1, m0) == 0L)
+    assert(Bench.diskDeltaMs(Map.empty, m1) == 0L)
+    assert(Bench.diskDeltaMs(m0, Map("vdc" -> 500L)) == 0L)
   }
 
   test("external-cores accounting: /proc parsing and the window math") {
@@ -167,11 +198,12 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("retry decision table (VERDICT r17 #1: self-healing bench)") {
-    val (extCap, ioCap) = (2.0, 2.0)
+    val (extCap, ioCap, dqCap) = (2.0, 2.0, 6.0)
     def d(dirty: Boolean, solo: Boolean, retries: Boolean,
-          pe: Double, pi: Double, measured: Boolean = true) =
-      Bench.retryDecision(dirty, solo, retries, measured, pe, pi,
-        extCap, ioCap)
+          pe: Double, pi: Double, pd: Double = 0.0,
+          measured: Boolean = true) =
+      Bench.retryDecision(dirty, solo, retries, measured, pe, pi, pd,
+        extCap, ioCap, dqCap)
     // clean first pass: publish it, never retry (probe values moot)
     assert(d(dirty = false, solo = false, retries = true, 9.0, 9.0)
       == "publish_first")
@@ -188,6 +220,10 @@ class BenchSpec extends AnyFunSuite {
       == "skip_busy")
     assert(d(dirty = true, solo = false, retries = true, 0.0, 2.1)
       == "skip_busy")
+    // probe disk queue still saturated: the co-tenant that tripped
+    // the dq channel is still writing — skip, don't burn a retry
+    assert(d(dirty = true, solo = false, retries = true, 0.0, 0.0,
+      pd = 6.5) == "skip_busy")
     // an UNMEASURABLE probe (no /proc — the loadavg-fallback boxes)
     // must not read as clean: a blind retry is a guaranteed second
     // full pass that predictably publishes dirty again
@@ -196,20 +232,20 @@ class BenchSpec extends AnyFunSuite {
     // probe clean: retry once (the r17 driver shape — ext_max 4.66
     // mid-pass, box idle again by round end — becomes a clean
     // second attempt instead of a refused artifact)
-    assert(d(dirty = true, solo = false, retries = true, 0.3, 0.1)
-      == "retry")
+    assert(d(dirty = true, solo = false, retries = true, 0.3, 0.1,
+      pd = 0.5) == "retry")
     // at-cap probe is clean, matching isContaminated's boundary
-    assert(d(dirty = true, solo = false, retries = true, 2.0, 2.0)
-      == "retry")
+    assert(d(dirty = true, solo = false, retries = true, 2.0, 2.0,
+      pd = 6.0) == "retry")
   }
 
   test("published label keeps both attempts visible (artifact shape)") {
     val dirty = Bench.Pass(Map("q" -> Vector(1.0)), Map.empty,
       Vector(9.0), Some(4.2), Some(4.66), Some(0.1), Some(0.2),
-      22, contaminated = true)
+      Some(0.4), Some(2.1), 22, contaminated = true)
     val clean = Bench.Pass(Map("q" -> Vector(1.0)), Map.empty,
       Vector(1.0), Some(0.1), Some(0.3), Some(0.0), Some(0.1),
-      0, contaminated = false)
+      Some(0.1), Some(0.9), 0, contaminated = false)
     assert(dirty.labelJson.contains("\"contaminated\":true"))
     assert(dirty.labelJson.contains("\"ext_max\":4.66"))
     // each attempt carries its own loadavg — on the /proc-less

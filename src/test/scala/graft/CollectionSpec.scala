@@ -35,6 +35,42 @@ class CollectionSpec extends SparkSpec {
     assert(c.getAllIds() == Seq(1L, 2L, 3L))
   }
 
+  test("dumpFile/importDumpFile: self-describing single-file round-trip") {
+    val c = newCollection(quantization = 32)
+    c.addDocuments(docs3)
+    c.removeDocuments(Seq(2L)) // the dump is the CURRENT view
+    val f = Files.createTempDirectory("graft-dump").toFile
+      .getAbsolutePath + "/coll.jsonl"
+    c.dumpFile(f)
+    // deterministic shape: line 1 is the options header, then one
+    // record line per live id, in id order
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+    assert(lines.head.contains("\"dimensionCount\": 4") &&
+      lines.head.contains("euclidean"))
+    assert(lines.tail.size == 2 &&
+      lines.tail.forall(_.startsWith("{\"id\":")))
+    // and dumping again is byte-identical (ordered, no randomness)
+    val f2 = f + ".again"
+    c.dumpFile(f2)
+    assert(scala.io.Source.fromFile(f2, "UTF-8").mkString ==
+      scala.io.Source.fromFile(f, "UTF-8").mkString)
+    // the import twin needs NO options argument: the dump describes
+    // itself, and the restored collection serves the same view
+    val dir2 = Files.createTempDirectory("graft-imp").toFile
+    dir2.delete()
+    val c2 = Collection.importDumpFile(spark, dir2.getAbsolutePath, f)
+    assert(c2.options.quantization == 32 &&
+      c2.options.distanceMethod == Knn.Euclidean)
+    assert(c2.getAllIds() == Seq(1L, 3L))
+    val got = c2.current().orderBy("id")
+      .select("id", "vector", "metadata")
+      .as[(Long, Seq[Double], String)].collect().toSeq
+    val want = c.current().orderBy("id")
+      .select("id", "vector", "metadata")
+      .as[(Long, Seq[Double], String)].collect().toSeq
+    assert(got == want)
+  }
+
   test("updateMetadata keeps vector, swaps metadata") {
     val c = newCollection()
     c.addDocuments(docs3)

@@ -163,6 +163,41 @@ class UrlSpec extends SparkSpec {
       got(1).getLong(2) == 1L)
   }
 
+  test("domainProfileSketch: exact under k, bounded-shuffle plan") {
+    // a hot-domain shape: one domain with many hosts and dup texts,
+    // one small domain — under k the sketch holds EVERY distinct
+    // hash, so est_hosts/est_dup must equal the exact twin's counts
+    val docs = (0 until 120).map { i =>
+      if (i % 4 == 3)
+        (i.toLong, s"https://only.example.org/x$i", s"unique text $i")
+      else
+        // 30 hosts on example.com, every third text a planted copy
+        (i.toLong, s"https://h${i % 30}.example.com/p/$i",
+          if (i % 3 == 0) "copied text block" else s"fresh text $i")
+    }.toDF("doc_id", "url", "text")
+    val exact = Url.domainProfile(docs, "url", "text")
+      .orderBy("domain").collect()
+    val sk = Url.domainProfileSketch(docs, "url", "text", k = 64)
+      .orderBy("domain").collect()
+    assert(exact.length == sk.length)
+    exact.zip(sk).foreach { case (e, s) =>
+      assert(s.getString(0) == e.getString(0))
+      assert(s.getLong(1) == e.getLong(1)) // n_docs
+      assert(s.getDouble(2) == e.getLong(2).toDouble, s"est_hosts $s vs $e")
+      assert(s.getDouble(3) == e.getLong(3).toDouble, s"est_dup $s vs $e")
+      assert(s.getLong(4) == e.getLong(4)) // tokens_total
+      assert(s.getLong(5) == e.getLong(5)) // chars_per_doc
+    }
+    // the plan shape the sketch exists for: no Expand (the canonical
+    // multi-countDistinct rewrite) and ONE domain-keyed exchange —
+    // map-side partials bounded at k longs per domain per partition
+    val plan = Url.domainProfileSketch(docs, "url", "text", k = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"sketch plan must not Expand:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"sketch roll-up must be one keyed agg:\n$plan")
+  }
+
   test("normalize is deterministic and stays map-side (no shuffle)") {
     val docs = Seq((0L, "https://A.co.UK:443/x?utm_a=1")).toDF("doc_id", "url")
     val plan = Url.normalize(docs, "url").queryExecution.executedPlan.toString
