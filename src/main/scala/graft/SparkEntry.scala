@@ -2959,8 +2959,11 @@ object SparkEntry {
           graft.operators.Url.registrableDomain(
             graft.operators.Url.hostCol(col("url"))).as("domain"),
           col("doc_id"), col("text"))
-        .join(prof.filter(col("n_dup") * 4 < col("n_docs") &&
-            col("chars_per_doc") >= 150).select(col("domain")),
+        // the gate dim is domain-cardinality by contract (thousands
+        // on a real crawl) — broadcast it explicitly rather than
+        // leaving the post-agg frame to a stats-blind SortMergeJoin
+        .join(broadcast(prof.filter(col("n_dup") * 4 < col("n_docs") &&
+            col("chars_per_doc") >= 150).select(col("domain"))),
           "domain")
       // stage 3: the quality funnel (row 45's thresholds)
       val survivors = gated.join(

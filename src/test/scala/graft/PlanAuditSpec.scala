@@ -162,6 +162,25 @@ class PlanAuditSpec extends SparkSpec {
       s"domain_profile should be the two-stage distinct agg:\n${dp.take(800)}")
   }
 
+  test("round-19: crawl compositions never fall back from whole-stage codegen") {
+    // the janino regression pin (§8-r19 item 2): the when/InSet
+    // domain encoding compiled fine standing alone but blew the
+    // generated-class limits once domain_pagerank/pipeline_crawl
+    // fused several occurrences into one stage, and Spark SILENTLY
+    // ran the hottest scan interpreted. With fallback disabled a
+    // compile failure throws instead — so this test EXECUTES both
+    // compositions and fails loudly if the kernel form ever regresses
+    // to a shape janino cannot compile
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try {
+      Seq("domain_pagerank", "pipeline_crawl").foreach { q =>
+        SparkEntry.queries(q)(spark, sf0001).queryExecution.toRdd.count()
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("round-12 continuation: committee scoring is exchange-free; sampled-threshold queries never global-sort") {
     // the trained stump committee rides the plan as literals — the
     // held-out scoring pass must be a pure scan-side projection
