@@ -464,7 +464,12 @@ object Bench {
           ioCores.getOrElse(0.0), ioMax.getOrElse(0.0),
           dqDepth.getOrElse(0.0), dqMax.getOrElse(0.0),
           extCap, ioCap, dqCap)
-        case None => loadAvgs.nonEmpty && loadAvgs.head > loadCap
+        // /proc/stat unreadable: loadavg fallback — but the disk
+        // channel samples /proc/diskstats INDEPENDENTLY, so a valid
+        // dq reading still flags (review r19: the first cut dropped a
+        // measured dq 9.0 on this path and published clean)
+        case None => (loadAvgs.nonEmpty && loadAvgs.head > loadCap) ||
+          dqDepth.exists(_ > dqCap) || dqMax.exists(_ > dqCap)
       }
       Pass(samples.toMap, errors.toMap, loadAvgs.toVector,
         extCores, extMax, ioCores, ioMax, dqDepth, dqMax,

@@ -346,14 +346,17 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   def dumpFile(outFile: String): Unit = {
     val mp = new org.apache.hadoop.fs.Path(outFile)
     val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+    // a plain Writer, NOT PrintWriter: PrintWriter swallows IO errors
+    // into an internal flag, so a disk-full mid-dump would return
+    // normally and leave a silently truncated backup (review r19)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       hfs.create(mp, true), java.nio.charset.StandardCharsets.UTF_8))
     try {
-      out.println(Collection.optionsJson(options))
+      out.write(Collection.optionsJson(options)); out.write('\n')
       val it = current().orderBy(col("id"))
         .select(col("id"), col("vector"), col("metadata"))
         .toJSON.toLocalIterator()
-      while (it.hasNext) out.println(it.next())
+      while (it.hasNext) { out.write(it.next()); out.write('\n') }
     } finally out.close()
   }
 
@@ -469,30 +472,36 @@ object Collection {
     val header = try in.readLine() finally in.close()
     require(header != null && header.contains("dimensionCount"),
       s"$dumpFile does not start with a collection-options line")
-    val hp = s"$path.import-header.json"
-    val hpPath = new org.apache.hadoop.fs.Path(hp)
-    val outS = hfs.create(hpPath, true)
-    outS.write(header.getBytes("UTF-8")); outS.close()
-    val optDf = spark.read.json(hp)
-    val r = optDf.collect().head
-    val metric = r.getAs[String]("distanceMethod") match {
-      case "euclidean" => Knn.Euclidean
-      case _ => Knn.Cosine
+    // the header is parsed DRIVER-SIDE with Spark's own Jackson —
+    // the first cut round-tripped it through a temp file +
+    // spark.read.json, which resolved the temp path against the
+    // session-DEFAULT filesystem while writing it on the dump's
+    // filesystem (cross-FS imports read a missing — or worse, a
+    // stale — header; review r19)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(header)
+    def num(f: String): Int = {
+      require(node.has(f), s"dump header missing '$f'")
+      node.get(f).asInt
     }
     val opts = CollectionOptions(
-      r.getAs[String]("name"), r.getAs[Long]("dimensionCount").toInt,
-      metric, r.getAs[Long]("quantization").toInt,
-      r.getAs[Long]("lshPlanes").toInt, r.getAs[Long]("lshTables").toInt,
-      r.getAs[Long]("lshProbes").toInt)
-    hfs.delete(hpPath, false)
+      node.get("name").asText, num("dimensionCount"),
+      if (node.get("distanceMethod").asText == "euclidean") Knn.Euclidean
+      else Knn.Cosine,
+      num("quantization"), num("lshPlanes"), num("lshTables"),
+      num("lshProbes"))
     val c = create(spark, opts, path)
     val recs = spark.read.json(dumpFile)
-      .filter(org.apache.spark.sql.functions.col("id").isNotNull)
-      .select(org.apache.spark.sql.functions.col("id").cast("long"),
-        org.apache.spark.sql.functions.col("vector")
-          .cast("array<double>"),
-        org.apache.spark.sql.functions.col("metadata").cast("string"))
-    c.addDocuments(recs)
+    // a header-only dump (an EMPTY collection is a legal dump) infers
+    // no `id` column at all — restore the empty collection instead of
+    // failing analysis on an unresolved column (review r19)
+    if (recs.columns.contains("id"))
+      c.addDocuments(recs
+        .filter(org.apache.spark.sql.functions.col("id").isNotNull)
+        .select(org.apache.spark.sql.functions.col("id").cast("long"),
+          org.apache.spark.sql.functions.col("vector")
+            .cast("array<double>"),
+          org.apache.spark.sql.functions.col("metadata").cast("string")))
     c
   }
 

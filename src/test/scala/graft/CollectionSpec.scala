@@ -69,6 +69,17 @@ class CollectionSpec extends SparkSpec {
       .select("id", "vector", "metadata")
       .as[(Long, Seq[Double], String)].collect().toSeq
     assert(got == want)
+    // a header-only dump (empty collection) is a legal state the
+    // round-trip must be total over (review r19: the first cut threw
+    // UNRESOLVED_COLUMN on import because no record line ever
+    // contributed an `id` to the inferred schema)
+    c.removeDocuments(Seq(1L, 3L))
+    val f3 = f + ".empty"
+    c.dumpFile(f3)
+    val dir3 = Files.createTempDirectory("graft-imp-e").toFile
+    dir3.delete()
+    val c3 = Collection.importDumpFile(spark, dir3.getAbsolutePath, f3)
+    assert(c3.documentCount() == 0 && c3.options.quantization == 32)
   }
 
   test("updateMetadata keeps vector, swaps metadata") {
