@@ -413,6 +413,27 @@ object Ingest {
       .withColumn("domain",
         graft.operators.Url.registrableDomain(org.apache.spark.sql.functions.col("host")))
 
+  /** Canonical-URL fetch dedup at ingest rate — the stateful twin of
+    * [[graft.operators.Url.dedupFetches]]' keep-first collapse:
+    * normalize map-side ([[urlStream]]'s expressions), then keep the
+    * FIRST fetch per normalized url within the watermark horizon
+    * (the [[dedupStream]]/[[contentDedupStream]] pattern keyed on
+    * the crawl's natural key). State = one entry per distinct
+    * resource inside the horizon, evicted at the watermark — the
+    * frontier dedup a crawler actually runs, where "have I fetched
+    * this resource recently" IS the horizon question. First-arrival
+    * equals the batch operator's min-id whenever ingest is id-ordered
+    * (a fetch log's natural order); StreamingSpec pins the kept
+    * (url_norm, id) set bit-equal to the batch keep set across
+    * arbitrary micro-batch splits. */
+  def urlDedupStream(fetches: DataFrame, urlCol: String, tsCol: String,
+                     watermark: String): DataFrame =
+    fetches
+      .withColumn("url_norm",
+        graft.operators.Url.normalizeCol(col(urlCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(Seq("url_norm"))
+
   /** The distilled [[graft.operators.Boost]] gate at ingest rate: the
     * quality signals are per-row computations and the stump committee
     * vote is one map-side integer expression over the driver-trained

@@ -31,6 +31,51 @@ class PropertySpec extends SparkSpec {
     assert(sparkSide == localSide)
   }
 
+  test("registrable domain kernel equals a naive full-rule-scan reference") {
+    // independent oracle: the publicsuffix.org algorithm as a direct
+    // scan over ALL ~9.5k rules (no label-count indexing, no early
+    // exit) — any indexing/ordering bug in the kernel diverges
+    def naive(host: String): String = {
+      val labels = host.split("\\.", -1)
+      val n = labels.length
+      def last(k: Int) = labels.slice(n - k, n).mkString(".")
+      val rows = graft.operators.Url.pslRows
+      val exc = rows.collect {
+        case ("x", s, k) if n >= k && last(k) == s => (k, s) }
+      if (exc.nonEmpty) exc.maxBy(_._1)._2
+      else {
+        val effs = rows.flatMap {
+          case ("r", s, k) if n >= k && last(k) == s => Some(k)
+          case ("w", s, k) if n >= k + 1 && last(k) == s => Some(k + 1)
+          case _ => None
+        }
+        val eff = if (effs.nonEmpty) effs.max else 1 // implicit `*`
+        if (n >= eff + 1) last(eff + 1) else host
+      }
+    }
+    val rules = graft.operators.Url.pslRows
+    val ruleGen = Gen.oneOf(rules).map {
+      case ("w", s, _) => "wild." + s // a concrete label under the base
+      case (_, s, _) => s
+    }
+    val label = Gen.oneOf(Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8)),
+      Gen.const("www"), Gen.const("a"))
+    val hostGen = Gen.oneOf(
+      ruleGen, // a bare rule as the host
+      Gen.zip(label, ruleGen).map { case (l, s) => s"$l.$s" },
+      Gen.zip(label, label, ruleGen).map { case (a, b, s) => s"$a.$b.$s" },
+      Gen.zip(label, label).map { case (a, b) => s"$a.$b.zzunknown" },
+      label) // single label
+    val hosts = Gen.listOfN(300, hostGen).sample.get
+    val sparkSide = hosts.toDF("h")
+      .select(graft.operators.Url.registrableDomain(col("h")).as("d"))
+      .as[String].collect().toSeq
+    val naiveSide = hosts.map(naive)
+    hosts.lazyZip(sparkSide).lazyZip(naiveSide).foreach { (h, s, nv) =>
+      assert(s == nv, s"host=$h kernel=$s naive=$nv")
+    }
+  }
+
   test("angular distance is in [0,1], symmetric, and zero on self") {
     val vecs = Gen.listOfN(30,
       Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0)).suchThat(v => v.exists(_ != 0.0))).sample.get

@@ -236,6 +236,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("urlDedupStream keeps the first fetch per normalized url " +
+      "across micro-batch splits (round-19 stateful crawl twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    // three resources, five spellings that collapse only after
+    // normalization; ids arrive in order (the fetch-log contract)
+    val fetches = Seq(
+      (10L, "https://WWW.Example.COM:443/item/1?utm_source=a", ts(0)),
+      (11L, "https://www.example.com/item/1#frag", ts(1)),
+      (12L, "https://www.example.com/item/2", ts(2)),
+      (13L, "HTTPS://www.example.com/item/1?gclid=x", ts(3)),
+      (14L, "https://www.example.com/item/3", ts(4)))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Ingest.urlDedupStream(
+        mem.toDF().toDF("doc_id", "url", "ts"), "url", "ts", "10 minutes")
+      .select("url_norm", "doc_id")
+      .writeStream.format("memory").queryName("url_dedup_stream")
+      .outputMode("append").start()
+    try {
+      // split mid-duplicate-group: 11 and 13 are refetches of 10's
+      // resource arriving in DIFFERENT micro-batches — state must
+      // carry the keep decision across the boundary
+      mem.addData(fetches.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(fetches.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("url_dedup_stream")
+        .as[(String, Long)].collect().toMap
+      val batch = graft.operators.Url.dedupFetches(
+          fetches.toDF("doc_id", "url", "ts"), "url", "doc_id")
+        .select("url_norm", "keep_id")
+        .as[(String, Long)].collect().toMap
+      assert(got == batch)
+      assert(got("https://www.example.com/item/1") == 10L)
+      assert(got.size == 3)
+    } finally q.stop()
+  }
+
   test("gopherStream verdicts match the batch rule bundle across micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
     val docs = graft.core.Tables.documents(spark, sf0001).limit(60)
