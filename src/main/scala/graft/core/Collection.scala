@@ -346,18 +346,31 @@ final class Collection(spark: SparkSession, val options: CollectionOptions, path
   def dumpFile(outFile: String): Unit = {
     val mp = new org.apache.hadoop.fs.Path(outFile)
     val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // write-then-rename: creating the destination directly would
+    // truncate the PREVIOUS backup before the dump query produced a
+    // row, so a mid-dump failure (executor loss, disk full) would
+    // destroy the only good copy along with the new one (review r19)
+    val tmp = new org.apache.hadoop.fs.Path(outFile + ".tmp")
     // a plain Writer, NOT PrintWriter: PrintWriter swallows IO errors
     // into an internal flag, so a disk-full mid-dump would return
     // normally and leave a silently truncated backup (review r19)
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      hfs.create(mp, true), java.nio.charset.StandardCharsets.UTF_8))
+      hfs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    var ok = false
     try {
       out.write(Collection.optionsJson(options)); out.write('\n')
       val it = current().orderBy(col("id"))
         .select(col("id"), col("vector"), col("metadata"))
         .toJSON.toLocalIterator()
       while (it.hasNext) { out.write(it.next()); out.write('\n') }
-    } finally out.close()
+      ok = true
+    } finally {
+      out.close()
+      if (ok) {
+        hfs.delete(mp, false)
+        require(hfs.rename(tmp, mp), s"rename $tmp -> $mp failed")
+      } else hfs.delete(tmp, false)
+    }
   }
 
   /** The COMPLETE generation numbers currently on disk, oldest first
@@ -469,61 +482,95 @@ object Collection {
     val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       hfs.open(mp), java.nio.charset.StandardCharsets.UTF_8))
-    val header = try in.readLine() finally in.close()
+    val (header, hasRecordLines) =
+      try {
+        val h = in.readLine()
+        val second = if (h == null) null else in.readLine()
+        (h, second != null && second.nonEmpty)
+      } finally in.close()
     require(header != null && header.contains("dimensionCount"),
       s"$dumpFile does not start with a collection-options line")
-    // the header is parsed DRIVER-SIDE with Spark's own Jackson —
-    // the first cut round-tripped it through a temp file +
-    // spark.read.json, which resolved the temp path against the
-    // session-DEFAULT filesystem while writing it on the dump's
-    // filesystem (cross-FS imports read a missing — or worse, a
-    // stale — header; review r19)
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(header)
-    def num(f: String): Int = {
-      require(node.has(f), s"dump header missing '$f'")
-      node.get(f).asInt
-    }
-    val opts = CollectionOptions(
-      node.get("name").asText, num("dimensionCount"),
-      if (node.get("distanceMethod").asText == "euclidean") Knn.Euclidean
-      else Knn.Cosine,
-      num("quantization"), num("lshPlanes"), num("lshTables"),
-      num("lshProbes"))
-    val c = create(spark, opts, path)
-    val recs = spark.read.json(dumpFile)
-    // a header-only dump (an EMPTY collection is a legal dump) infers
-    // no `id` column at all — restore the empty collection instead of
-    // failing analysis on an unresolved column (review r19)
-    if (recs.columns.contains("id"))
+    // the header is parsed DRIVER-SIDE through the SAME parser as
+    // the .options.json sidecar — the first cut round-tripped it
+    // through a temp file + spark.read.json, which resolved the temp
+    // path against the session-DEFAULT filesystem while writing it on
+    // the dump's filesystem (cross-FS imports read a missing — or
+    // worse, a stale — header), and hand-rolled a second, stricter
+    // parser that rejected pre-lshTables headers open() accepts
+    // (review r19)
+    val c = create(spark, parseOptionsJson(header), path)
+    if (hasRecordLines) {
+      val recs = spark.read.json(dumpFile)
+      // record lines exist, so a missing `id` column means the lines
+      // are corrupt (encoding damage, foreign format) — fail loudly
+      // instead of "successfully" restoring an empty collection; only
+      // a header-ONLY dump (an empty collection is a legal dump)
+      // skips the load (review r19)
+      require(recs.columns.contains("id"),
+        s"$dumpFile has record lines but no 'id' field — corrupt dump?")
       c.addDocuments(recs
         .filter(org.apache.spark.sql.functions.col("id").isNotNull)
         .select(org.apache.spark.sql.functions.col("id").cast("long"),
           org.apache.spark.sql.functions.col("vector")
             .cast("array<double>"),
           org.apache.spark.sql.functions.col("metadata").cast("string")))
+    }
     c
   }
 
-  /** Reopen an existing collection from its persisted options. */
-  def open(spark: SparkSession, path: String): Collection = {
-    val df = spark.read.option("multiLine", "true").json(metaPath(path))
-    val r = df.collect().head
-    def get[T](n: String): T = r.getAs[T](n)
-    val metric = get[String]("distanceMethod") match {
-      case "euclidean" => Knn.Euclidean
-      case _ => Knn.Cosine
+  /** The single parser for the options JSON — the `.options.json`
+    * sidecar ([[open]]) and a dump's header line ([[importDumpFile]])
+    * are the SAME format and must never drift (review r19: two
+    * independent parsers had different tolerances). Required fields
+    * fail with a named error (never a bare NPE); numeric fields must
+    * BE numbers (Jackson's asInt would coerce garbage to 0);
+    * lshTables/lshProbes default to 1 for pre-forest-era files. */
+  private[core] def parseOptionsJson(json: String): CollectionOptions = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    def str(f: String): String = {
+      require(node.hasNonNull(f) && node.get(f).isTextual,
+        s"options json missing string field '$f'")
+      node.get(f).asText
     }
-    // older collections predate lshTables/lshProbes; absent ->
-    // single-table, single-probe
-    val tables =
-      if (df.columns.contains("lshTables")) get[Long]("lshTables").toInt else 1
-    val probes =
-      if (df.columns.contains("lshProbes")) get[Long]("lshProbes").toInt else 1
-    new Collection(spark, CollectionOptions(
-      get[String]("name"), get[Long]("dimensionCount").toInt, metric,
-      get[Long]("quantization").toInt, get[Long]("lshPlanes").toInt, tables,
-      probes), path)
+    def num(f: String, default: Option[Int] = None): Int =
+      if (!node.has(f)) default.getOrElse {
+        throw new IllegalArgumentException(
+          s"options json missing numeric field '$f'")
+      }
+      else {
+        require(node.get(f).isNumber,
+          s"options json field '$f' is not a number")
+        node.get(f).asInt
+      }
+    CollectionOptions(
+      str("name"), num("dimensionCount"),
+      if (str("distanceMethod") == "euclidean") Knn.Euclidean
+      else Knn.Cosine,
+      num("quantization"), num("lshPlanes"),
+      num("lshTables", Some(1)), num("lshProbes", Some(1)))
+  }
+
+  /** Reopen an existing collection from its persisted options —
+    * through [[parseOptionsJson]], the same parser a dump header
+    * goes through (one format, one parser; Jackson reads the older
+    * multi-line sidecars as readily as the single-line form, and a
+    * driver-side read of the sidecar's OWN filesystem replaces a
+    * whole Spark json job for a one-object file). Older collections
+    * predate lshTables/lshProbes; absent -> single-table,
+    * single-probe (the parser's defaults). */
+  def open(spark: SparkSession, path: String): Collection = {
+    val mp = new org.apache.hadoop.fs.Path(metaPath(path))
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = hfs.open(mp)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    new Collection(spark, parseOptionsJson(json), path)
   }
 
   private def q(s: String): String =

@@ -421,18 +421,23 @@ object Ingest {
     * the crawl's natural key). State = one entry per distinct
     * resource inside the horizon, evicted at the watermark — the
     * frontier dedup a crawler actually runs, where "have I fetched
-    * this resource recently" IS the horizon question. First-arrival
-    * equals the batch operator's min-id whenever ingest is id-ordered
-    * (a fetch log's natural order); StreamingSpec pins the kept
-    * (url_norm, id) set bit-equal to the batch keep set across
-    * arbitrary micro-batch splits. */
+    * this resource recently" IS the horizon question —
+    * `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`: the
+    * plain form never evicts key state (the watermark only bounds
+    * lateness), so a long-running frontier would grow one state entry
+    * per url ever seen and a legitimate refetch a day later would be
+    * dropped forever (review r19). First-arrival equals the batch
+    * operator's min-id whenever ingest is id-ordered (a fetch log's
+    * natural order); StreamingSpec pins the kept (url_norm, id) set
+    * bit-equal to the batch keep set across arbitrary micro-batch
+    * splits. */
   def urlDedupStream(fetches: DataFrame, urlCol: String, tsCol: String,
                      watermark: String): DataFrame =
     fetches
       .withColumn("url_norm",
         graft.operators.Url.normalizeCol(col(urlCol)))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(Seq("url_norm"))
+      .dropDuplicatesWithinWatermark(Seq("url_norm"))
 
   /** The distilled [[graft.operators.Boost]] gate at ingest rate: the
     * quality signals are per-row computations and the stump committee

@@ -35,11 +35,13 @@ class PropertySpec extends SparkSpec {
     // independent oracle: the publicsuffix.org algorithm as a direct
     // scan over ALL ~9.5k rules (no label-count indexing, no early
     // exit) — any indexing/ordering bug in the kernel diverges
+    // materialized ONCE: pslRows is a def that rebuilds + sorts the
+    // ~9.5k-row table per call
+    val rows = graft.operators.Url.pslRows
     def naive(host: String): String = {
       val labels = host.split("\\.", -1)
       val n = labels.length
       def last(k: Int) = labels.slice(n - k, n).mkString(".")
-      val rows = graft.operators.Url.pslRows
       val exc = rows.collect {
         case ("x", s, k) if n >= k && last(k) == s => (k, s) }
       if (exc.nonEmpty) exc.maxBy(_._1)._2
@@ -53,8 +55,7 @@ class PropertySpec extends SparkSpec {
         if (n >= eff + 1) last(eff + 1) else host
       }
     }
-    val rules = graft.operators.Url.pslRows
-    val ruleGen = Gen.oneOf(rules).map {
+    val ruleGen = Gen.oneOf(rows).map {
       case ("w", s, _) => "wild." + s // a concrete label under the base
       case (_, s, _) => s
     }
