@@ -295,6 +295,12 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).queryExecution.toRdd.count()
+    // label every query's jobs (guide §1.5) so a listener / event log
+    // can attribute stages; a thread-local string, free in the timing
+    def labeled(name: String)(body: => Unit): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      try body finally spark.sparkContext.setJobDescription(null)
+    }
     // External-CPU window opens BEFORE any Spark work: everything the
     // bench itself burns from here on is `self` and subtracts out.
     def procRead(p: String): Option[String] =
@@ -346,8 +352,8 @@ object Bench {
     // timed runs measure steady-state throughput, not first-run
     // interpreter/compile cost (measured 4-5x on string-heavy paths).
     // Once per JVM — a retried pass is already JIT-warm.
-    queries.foreach { case (_, fn) =>
-      try run(fn, "/root/testdata/sf0.001")
+    queries.foreach { case (name, fn) =>
+      try labeled(s"warmup: $name")(run(fn, "/root/testdata/sf0.001"))
       catch { case _: Throwable => }
     }
     // median of 3 timed runs per query. Round 4 was an A/A control on
@@ -387,7 +393,8 @@ object Bench {
       val wall0 = System.nanoTime()
       val errors = collection.mutable.LinkedHashMap[String, String]()
       queries.foreach { case (name, fn) =>
-        try run(fn, sfDir) catch { case _: Throwable => }
+        try labeled(s"prepass: $name")(run(fn, sfDir))
+        catch { case _: Throwable => }
       }
       // Host-contention self-identification (VERDICT r13 perf note):
       // the r13 artifact's uniform +50-110% drift on untouched queries
@@ -409,7 +416,8 @@ object Bench {
           val s0 = cpuSample()
           val d0 = diskSample()
           val t0 = System.nanoTime()
-          val okRun = try { run(fn, sfDir); true } catch { case e: Throwable =>
+          val okRun = try { labeled(name)(run(fn, sfDir)); true }
+          catch { case e: Throwable =>
             errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
             false
           }

@@ -93,9 +93,14 @@ object SparkEntry {
       .select((col("doc_id") + 200000).as("doc_id"),
         concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text"))
     // local test files are one parquet split; spread the map-heavy
-    // hashing across cores (real deployments get this from input splits)
-    docs.unionByName(copies).unionByName(mutated)
-      .repartition(s.sparkContext.defaultParallelism)
+    // hashing across cores. SCALE-ADAPTIVE (r19, guide §2.4): a real
+    // deployment's scan already arrives in >= cores splits, where
+    // this round-robin exchange (plus its sort-before-repartition)
+    // would be a full-corpus shuffle of pure overhead — skip it when
+    // the scan supplies the parallelism by itself.
+    val u = docs.unionByName(copies).unionByName(mutated)
+    if (u.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) u
+    else u.repartition(s.sparkContext.defaultParallelism)
   }
 
   /** Keep-best test corpus: originals + truncated variants (doc_id%5,
@@ -112,8 +117,10 @@ object SparkEntry {
     val extended = docs.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 300000).as("doc_id"),
         concat(col("text"), lit(" appended trailer words here")).as("text"))
-    docs.unionByName(truncated).unionByName(extended)
-      .repartition(s.sparkContext.defaultParallelism)
+    // same scale-adaptive split rule as dedupCorpus above
+    val u = docs.unionByName(truncated).unionByName(extended)
+    if (u.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) u
+    else u.repartition(s.sparkContext.defaultParallelism)
   }
 
   /** Per-JVM scratch root for indexes a declared query builds once and
@@ -914,7 +921,11 @@ object SparkEntry {
           (col("l_suppkey") * 2 + 1).as("dst"))
       val edges = cs.unionByName(
         cs.select(col("dst").as("src"), col("src").as("dst")))
-      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 5)
+      // noSinks: the both-directions union makes every dst a src by
+      // construction, so the operator's sink semi-join is a no-op —
+      // skipping it drops one setup SMJ (identical rows, same oracle)
+      graft.operators.Graph.pagerank(edges, "src", "dst", iterations = 5,
+        noSinks = true)
         .select(concat(
             when(pmod(col("node"), lit(2)) === 0, "c").otherwise("s"),
             expr("node div 2")).as("node"), col("rank"))
@@ -1598,19 +1609,19 @@ object SparkEntry {
           graft.functions.SketchExprs.minhashSig(
             col("shs"), as16, bs16, Dedup.MINHASH_M).as("sig"))
         .localCheckpoint()
-      Seq((16, 4), (16, 8), (8, 4)).map { case (nh, nb) =>
-        Eval.pairQuality(
-            Dedup.minhashPairsFromSigs(sets, sigs, "doc_id", nb, nh / nb,
-              threshold = 0.5)
-              .select(col("id_a"), col("id_b")),
-            truth)
-          .select(lit(nh).cast("long").as("num_hashes"),
-            lit(nb).cast("long").as("bands"),
-            col("tp"), col("fp"), col("fn"),
-            round(col("precision"), 5).as("precision"),
-            round(col("recall"), 5).as("recall"),
-            round(col("f1"), 5).as("f1"))
-      }.reduce(_ unionByName _)
+      // all three arms in ONE fused plan (r19, guide §2.4): one
+      // arm-tagged band self-join, each distinct candidate pair
+      // verified once, one join+agg for every arm's tp/fp/fn — same
+      // integers, same guarded ratio expressions as the per-arm
+      // pairQuality reduce (DedupSpec pins equality); was 3 arms ×
+      // ~8 tiny exchanges of pure per-stage overhead at sf0.1
+      Dedup.minhashSweepQuality(sets, sigs, "doc_id",
+          Seq((16, 4), (16, 8), (8, 4)), threshold = 0.5, truth)
+        .select(col("num_hashes"), col("bands"),
+          col("tp"), col("fp"), col("fn"),
+          round(col("precision"), 5).as("precision"),
+          round(col("recall"), 5).as("recall"),
+          round(col("f1"), 5).as("f1"))
     }),
 
     "source_similarity" -> ((s, dir) => {
@@ -2916,7 +2927,7 @@ object SparkEntry {
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst")))
       val ranks = graft.operators.Graph
-        .pagerank(edges, "src", "dst", iterations = 5)
+        .pagerank(edges, "src", "dst", iterations = 5, noSinks = true)
       val prof = graft.operators.Url.domainProfile(docs, "url", "text")
         .select(col("domain"), col("n_docs"), col("n_hosts"))
       ranks.join(prof, col("node") === col("domain"))
@@ -2948,7 +2959,12 @@ object SparkEntry {
             concat(col("url"), lit("#refetch")).as("url"), col("text")))
       // stage 1: canonical-url fetch dedup; keep_id is always the
       // lowest-id spelling, so joining keep_id back onto the crawl
-      // frame recovers (text, url) of exactly the first fetches
+      // frame recovers (text, url) of exactly the first fetches.
+      // (r19 measured the pretrainV3Stages materialize rule here —
+      // cutting kept/gated — and REJECTED it: 2.8 → 3.8 s at sf0.1.
+      // Unlike the v3 spine, this chain's consumers prune to
+      // different narrow column sets and share their exchanges, so
+      // eager materialization only added blocking writes.)
       val kept = crawl.join(
         graft.operators.Url.dedupFetches(fetches, "url", "doc_id")
           .select(col("keep_id").as("doc_id")), "doc_id")

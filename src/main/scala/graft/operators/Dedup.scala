@@ -201,6 +201,82 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** The WHOLE (numHashes, bands) sweep fused into one plan (r19
+    * optimization round, guide §2.4 "do fewer shuffles"): per arm the
+    * un-fused shape paid its own band self-join + distinct + two
+    * verify joins + a full_outer pairQuality join+agg — at sf0.1,
+    * 3 arms × ~8 tiny-task exchanges dominated by fixed per-stage
+    * cost (~35 stages/rep profiled), and at scale 3 redundant passes
+    * over shared candidate pairs. Here the three bandings are
+    * arm-tagged map-side projections of the ONE signature frame
+    * unioned into ONE (arm, band, key) self-join; each DISTINCT
+    * candidate pair is Jaccard-verified ONCE (the verdict is
+    * pair-level — arm-independent by construction); and all arms'
+    * tp/fp/fn come from one predicted⋈truth join + one keyed agg
+    * (tp = matched predicted pairs, fp = predicted − tp,
+    * fn = |truth| − tp — the same integers pairQuality's full_outer
+    * counts, DedupSpec-pinned). precision/recall/f1 replicate
+    * [[Eval.pairQuality]]'s guarded expressions verbatim so the
+    * doubles are bit-identical.
+    *
+    * `configs` are (numHashes, bands) prefix slices of the shared
+    * `sigs` frame (the [[minhashPairsFromSigs]] sweep contract);
+    * `truth` is any (id_a, id_b) pair frame. Output: one row per
+    * config, in config order fields (num_hashes, bands, tp, fp, fn,
+    * precision, recall, f1) — unrounded; callers round. */
+  def minhashSweepQuality(sets: DataFrame, sigs: DataFrame, idCol: String,
+                          configs: Seq[(Int, Int)], threshold: Double,
+                          truth: DataFrame): DataFrame = {
+    require(configs.nonEmpty, "sweep needs at least one (numHashes, bands)")
+    val sp = sets.sparkSession
+    import sp.implicits._
+    val banded = configs.zipWithIndex.map { case ((nh, nb), i) =>
+      require(nh % nb == 0, s"numHashes $nh must divide into bands $nb")
+      bandKeys(sigs, idCol, idCol, nb, nh / nb)
+        .select(lit(i).as("_arm"), col("band"), col("key"), col(idCol))
+    }.reduce(_ unionByName _)
+    val cands = banded
+      .select(col("_arm"), col("band"), col("key"), col(idCol).as("id_a"))
+      .join(banded
+        .select(col("_arm"), col("band"), col("key"), col(idCol).as("id_b")),
+        Seq("_arm", "band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("_arm", "id_a", "id_b").distinct()
+    val verified = verifyJaccardSets(sets,
+        cands.select("id_a", "id_b").distinct(), minJaccard = threshold)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val pred = cands.join(verified, Seq("id_a", "id_b"), "left_semi")
+    val t = truth.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b")).distinct()
+      .withColumn("_t", lit(1L))
+    val per = pred.join(t, Seq("id_a", "id_b"), "left")
+      .groupBy(col("_arm"))
+      .agg(count(lit(1)).as("_np"), sum(col("_t")).as("_tp"))
+    val tot = t.agg(count(lit(1)).as("_nt"))
+    // literal arm dim: an arm whose banding found NO surviving pairs
+    // must still report (0, 0, |truth|), exactly like pairQuality on
+    // an empty predicted frame
+    val arms = configs.zipWithIndex
+      .map { case ((nh, nb), i) => (i, nh.toLong, nb.toLong) }
+      .toDF("_arm", "num_hashes", "bands")
+    arms.join(per, Seq("_arm"), "left").crossJoin(broadcast(tot))
+      .select(col("num_hashes"), col("bands"),
+        coalesce(col("_tp"), lit(0L)).as("tp"),
+        (coalesce(col("_np"), lit(0L)) - coalesce(col("_tp"), lit(0L))).as("fp"),
+        (col("_nt") - coalesce(col("_tp"), lit(0L))).as("fn"))
+      .withColumn("precision",
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
                    numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
                    threshold: Double = 0.5): DataFrame = {
@@ -424,10 +500,19 @@ object Dedup {
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jaccard") >= threshold)
-    // smallest matching corpus id wins (struct-min = ORDER BY cid)
+    // smallest matching corpus id wins (struct-min = ORDER BY cid).
+    // `best` is delta-sized (≤ 1 row per delta doc) but sits on top of
+    // the corpus-band join + verify chain, and it has TWO consumers
+    // executed in SEPARATE actions: the delta-delta closure (whose
+    // connectedComponents call eagerly counts/collects its pair
+    // frame) and the final verdict join. Un-cut, the whole corpus
+    // candidate chain executed twice per batch (measured r19: 13 AQE
+    // stage-jobs re-run, ~35% of the query's wall) — localCheckpoint
+    // it so the corpus side is touched exactly once per batch.
     val best = xver.groupBy(col("did"))
       .agg(min(struct(col("cid"), col("jaccard"))).as("m"))
       .select(col("did"), col("m.cid").as("cid"), col("m.jaccard").as("cjac"))
+      .localCheckpoint()
     // delta-delta closure among corpus-unmatched docs only
     val unmatched = deltaBands.join(best.select("did"), Seq("did"), "left_anti")
     val dcand = unmatched.select(col("band"), col("key"), col("did").as("id_a"))
@@ -1057,25 +1142,29 @@ object Dedup {
   }
 
   /** (id, pos, h) rows: the 60-bit hash of every `minLen`-word window,
-    * 1-based start position. Window hashes ride an EXPLODED token
-    * stream + lead(), not a shingle-array lambda: Catalyst's inferred
-    * not-empty filter below the Generate inlines array expressions
-    * wholesale, re-splitting the full text per window element —
-    * O(words²) per doc, measured 10 s vs 1.4 s at sf0.1. Token rows
-    * sort once per doc (the suffix-array original's honest
-    * O(tokens log) shape) and every window is minLen lead()s + one md5
-    * over attributes. */
+    * 1-based start position. Window hashes come from the
+    * [[graft.functions.SketchExprs.shingleHashSeq]] codegen kernel —
+    * one tight per-doc loop over the words array emitting every
+    * position's hash60 (identical bytes and hash to
+    * `hash64(concat_ws(" ", w_i..w_{i+minLen-1}))` by the kernel's
+    * contract; PropertySpec pins the equality against the old
+    * exploded-token lead() formulation). The r19 optimization round
+    * retired that lead() shape: it shuffled the ENTIRE exploded token
+    * stream by doc and ran a minLen-lead WindowExec over it — at
+    * sf0.1 one doc-keyed Exchange + Sort + Window per consumer
+    * (~45% of dedup_substring's wall, and at 100 TB a full-corpus
+    * token shuffle); the kernel emits (pos, h) straight off the scan
+    * with ZERO exchanges before the dup-hash aggregation. An earlier
+    * shingle-array LAMBDA formulation was rejected for O(words²)
+    * re-splitting (Catalyst inlines array exprs below the Generate);
+    * the kernel is an attribute-input Catalyst expression, so nothing
+    * re-evaluates per element. */
   private[graft] def windowHashRows(df: DataFrame, textCol: String,
-                                    idCol: String, minLen: Int): DataFrame = {
-    val byTok = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_p"))
-    df.select(col(idCol), posexplode(words(col(textCol))).as(Seq("_p", "_t")))
-      .withColumn("_win", concat_ws(" ",
-        col("_t") +: (1 until minLen).map(k => lead(col("_t"), k).over(byTok)): _*))
-      .withColumn("_last", lead(col("_t"), minLen - 1).over(byTok))
-      .filter(col("_last").isNotNull)
-      .select(col(idCol), (col("_p") + 1).as("pos"), hash64(col("_win")).as("h"))
-  }
+                                    idCol: String, minLen: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(graft.functions.SketchExprs.shingleHashSeq(
+          words(col(textCol)), minLen)).as(Seq("_p", "h")))
+      .select(col(idCol), (col("_p") + 1).as("pos"), col("h"))
 
   /** Island-merge duplicated-window POSITIONS into spans — not covered
     * word positions: two dup windows at p1 < p2 cover contiguous words

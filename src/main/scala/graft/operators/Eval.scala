@@ -203,6 +203,10 @@ object Eval {
         ((col("_s").cast("double") / col("_n")) / lit(1000000.0)).as("m"))))
         .as("_ms"))
       .select(transform(col("_ms"), s => s.getField("m")).as("_mu"))
+    // d2 is (id, long) and has TWO consumers (the moment agg and the
+    // z-score pass) — as a plain plan the whole vector-fold chain
+    // re-executed per consumer. Cut it once (r19, guide §5 / the
+    // pagerank `cut` rule); the cut runs inside the timed builder.
     val d2 = q.crossJoin(broadcast(mu))
       .select(col(idCol),
         aggregate(
@@ -213,6 +217,7 @@ object Eval {
           lit(0.0), (a, v) => a + v).as("_d2"))
       .select(col(idCol),
         round(col("_d2") * lit(1000000.0), 0).cast("long").as("_dq"))
+      .localCheckpoint()
     val st = d2.agg(count(lit(1)).as("_nn"),
       sum(col("_dq").cast("decimal(38,0)")).as("_s1"),
       sum((col("_dq") * col("_dq")).cast("decimal(38,0)")).as("_s2"))

@@ -64,7 +64,8 @@ object Graph {
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000000000L,
                damp: Int = 85, checkpointEvery: Int = 5,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None,
+               noSinks: Boolean = false): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
     require(checkpointEvery >= 1,
@@ -103,9 +104,19 @@ object Graph {
     // One left-semi on the already-cut frames (the old spine join
     // discarded the same rows EVERY iteration); the iteration loop
     // sees strictly fewer edge rows and identical integers.
-    val ed = cut(e.join(deg, e("src") === deg("node"))
+    //
+    // `noSinks = true` skips the semi (r19 optimization round): a
+    // caller that feeds a SYMMETRIC edge set (both directions
+    // unioned — the declared co-purchase and domain-link queries)
+    // guarantees every dst is also a src, so the semi keeps every
+    // row by construction and is one SMJ + exchange of pure setup
+    // overhead. Identical output for sink-free inputs (GraphSpec
+    // pins equality on a symmetric graph); directed inputs keep the
+    // default semi path.
+    val ed0 = e.join(deg, e("src") === deg("node"))
       .select(col("src"), col("dst"), col("deg"))
-      .join(deg.select(col("node").as("_dn")),
+    val ed = cut(if (noSinks) ed0
+      else ed0.join(deg.select(col("node").as("_dn")),
         col("dst") === col("_dn"), "left_semi"))
     // N is ONE scalar — collect it once (the Pca.fit model-sized
     // contract) instead of crossJoining a broadcast 1-row agg into
@@ -125,7 +136,17 @@ object Graph {
       // coalesce(left-join sum, 0) integer for integer, and one
       // iteration drops from three shuffles (join, agg, spine join)
       // to two (the union feeds the agg's one exchange)
-      ranks = ranks
+      // SHUFFLE_HASH on the rank side (r19, guide §3.1): the rank
+      // frame is node-sized — orders of magnitude smaller than the
+      // edge frame at any scale — so building its per-partition hash
+      // map is always safe, and the streamed edge side skips the
+      // per-iteration SMJ sort (localCheckpoint under AQE reports
+      // UnknownPartitioning, so each iteration's SMJ re-sorted the
+      // full edge frame: 5 sorts of 2.3M rows at sf0.1, the dominant
+      // loop cost; the exchange itself is AQE-reused). Join strategy
+      // never changes the joined rows, and the dst aggregation is an
+      // order-independent integer sum, so ranks are bit-identical.
+      ranks = ranks.hint("shuffle_hash")
         .join(ed, col("node") === col("src"))
         .select(col("dst"), expr("rank div deg").as("_c"))
         .unionByName(deg.select(col("node").as("dst"), lit(0L).as("_c")))

@@ -381,7 +381,7 @@ object Search {
     * -in for a model endpoint) and scores cosine distance against the
     * embedded `queryText`; swap in a real embedding column and the
     * plan shape is unchanged. Both arms end in bounded TopKAgg pools
-    * of `poolK` rows, so the fusion join touches two k-row frames —
+    * of `poolK` rows, so the fusion itself touches ≤ 2·poolK rows —
     * driver-safe at any corpus size. */
   def hybridSearch(df: DataFrame, textCol: String, idCol: String,
                    terms: Seq[String], queryText: String, k: Int,
@@ -392,41 +392,49 @@ object Search {
     // internally, but the embedder explodes words(text) and would
     // silently DROP null-text rows from the vector pool
     val docs = df.select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
-    // each arm costs a corpus pass and is referenced twice (fused
-    // top-k + rank attachment below), but is ≤ poolK rows — so
-    // MATERIALIZE it as a local relation (one collect of k rows, the
-    // AnnIvf.train pattern) instead of persist(): no cache entry to
-    // leak, and re-references are free
-    def materialize(arm: DataFrame, rankName: String): DataFrame = {
-      val rows = arm.select(col(idCol).cast("long"), col(rankName).cast("int"))
-        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
-      sp.createDataFrame(sp.sparkContext.parallelize(rows, 1))
-        .toDF(idCol, rankName)
-    }
-    val textRanks = materialize(
-      bm25(docs, textCol, idCol, terms, poolK)
-        .select(col(idCol), col("rank").as("rank_text")), "rank_text")
     // embed the one-row query with the SAME embedder/dim as the corpus
     val qdf = Seq((0L, queryText)).toDF(idCol, textCol)
     val qvec = Embed.embedDense(qdf, textCol, idCol, dim)
       .select(col("embedding")).head().getSeq[Double](0)
-    val vecRanks = materialize(
-      Embed.embedDense(docs, textCol, idCol, dim)
-        .select(col(idCol),
-          Knn.distCol(Knn.Cosine, col("embedding"), array(qvec.map(lit): _*)).as("_d"))
-        .agg(TopKAgg.topk(col("_d"), col(idCol).cast("long"), poolK).as("_top"))
-        .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
-        .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank_vec")), "rank_vec")
-    val fused = textRanks.join(vecRanks, Seq(idCol), "full_outer")
-      .withColumn("rrf_score",
-        coalesce(lit(1.0) / (lit(fusionK) + col("rank_text")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(fusionK) + col("rank_vec")), lit(0.0)))
-    fused
-      .agg(TopKAgg.topk(-col("rrf_score"), col(idCol).cast("long"), k).as("_top"))
+    // BOTH arms end in bounded TopKAgg pools of ≤ poolK rows, so
+    // everything downstream of them is model-sized (the AnnIvf.train
+    // collect contract). Collect the two pools in ONE union job — the
+    // two corpus passes schedule concurrently and back-fill each
+    // other's stragglers (guide §2.6) — and run the rank fusion on
+    // the ≤ 2·poolK collected rows DRIVER-SIDE: the previous shape
+    // re-wrapped each pool as a local relation and fused via a
+    // full_outer join + TopKAgg + rank re-attach join, a ~10-job
+    // driver-sequential storm of single-task stages (each broadcast
+    // exchange is its own job; measured 21 jobs/rep at sf0.1, wall
+    // dominated by scheduling, not compute). Arithmetic is identical
+    // IEEE ops in identical order: 1.0/(fusionK+rank) per present
+    // arm, text part + vec part, top-k by (-rrf, id) ascending — the
+    // TopKAgg ordering contract — so rows and hashes are unchanged.
+    val textArm = bm25(docs, textCol, idCol, terms, poolK)
+      .select(col(idCol).cast("long").as("_id"),
+        col("rank").cast("int").as("_rank"), lit(0).as("_arm"))
+    val vecArm = Embed.embedDense(docs, textCol, idCol, dim)
+      .select(col(idCol),
+        Knn.distCol(Knn.Cosine, col("embedding"), array(qvec.map(lit): _*)).as("_d"))
+      .agg(TopKAgg.topk(col("_d"), col(idCol).cast("long"), poolK).as("_top"))
       .select(posexplode(col("_top")).as(Seq("_pos", "_t")))
-      .select(col("_t.id").as(idCol), (col("_pos") + 1).as("rank"),
-        (-col("_t.dist")).as("rrf_score"))
-      .join(fused.select(col(idCol), col("rank_text"), col("rank_vec")), Seq(idCol), "left")
+      .select(col("_t.id").as("_id"), (col("_pos") + 1).cast("int").as("_rank"),
+        lit(1).as("_arm"))
+    val arms = textArm.unionByName(vecArm).collect()
+    val tR = arms.iterator.filter(_.getInt(2) == 0)
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vR = arms.iterator.filter(_.getInt(2) == 1)
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fused = (tR.keySet ++ vR.keySet).toSeq.map { id =>
+      val s = tR.get(id).fold(0.0)(r => 1.0 / (fusionK + r)) +
+        vR.get(id).fold(0.0)(r => 1.0 / (fusionK + r))
+      (id, s)
+    }
+    fused.sortBy { case (id, s) => (-s, id) }.take(k)
+      .zipWithIndex.map { case ((id, s), i) =>
+        (id, i + 1, s, tR.get(id), vR.get(id))
+      }
+      .toDF(idCol, "rank", "rrf_score", "rank_text", "rank_vec")
   }
 
   /** "More like this" — per-seed-document top-k most-similar corpus

@@ -512,13 +512,22 @@ object TextAnalysis {
     val vf = uni.agg(count(lit(1)).as("vs"))
     // every transition exists in the corpus it was counted from, so
     // inner joins lose nothing; Laplace (add-one) smoothing keeps the
-    // model total and the arithmetic integer-derived
-    val scored = pairs
-      .join(bi, Seq("prev", "cur"))
+    // model total and the arithmetic integer-derived.
+    // Assemble the MODEL first (r19, guide §2.3 "shuffle fewer
+    // bytes"): nll is a pure function of (prev, cur), so fold uni and
+    // the vocab count into the bigram frame — distinct-bigram-sized —
+    // and join the transition stream ONCE; the previous shape joined
+    // the full corpus transition stream twice (by (prev,cur), then
+    // again by prev). Same -log((npc+1)/(nw+vs)) double from the same
+    // integers, attached to the same rows.
+    val model = bi
       .join(uni.withColumnRenamed("word", "prev"), Seq("prev"))
       .crossJoin(broadcast(vf))
-      .select(col(idCol), col("pos"),
+      .select(col("prev"), col("cur"),
         (-log((col("npc") + lit(1.0)) / (col("nw") + col("vs")))).as("nll"))
+    val scored = pairs
+      .join(model, Seq("prev", "cur"))
+      .select(col(idCol), col("pos"), col("nll"))
     val agg = scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_trans"),
         aggregate(
@@ -555,23 +564,34 @@ object TextAnalysis {
                         sampleK: Int = 256,
                         seed: String = "ppl0"): DataFrame = {
     require(sampleK >= 2, s"sampleK must be >= 2, got $sampleK")
+    // snapped sits on top of the full lmScore chain (bigram explode +
+    // two model joins + per-doc ordered fold) and has THREE consumers
+    // (threshold sample, total count, the bucketed agg) — as a plain
+    // plan the chain re-executed per consumer. Cut it once (r19, guide
+    // §5 / the pagerank `cut` rule): the checkpointed frame is 2 longs
+    // per doc, and the cut runs inside the timed query builder.
     val snapped = lmScore(df, textCol, idCol)
       .select(col(idCol),
         expr("CAST(round(lm_nll * 1000000, 0) AS BIGINT)").as("_q"))
+      .localCheckpoint()
     val h = conv(substring(md5(concat(lit(seed + "_"),
       col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    // thresholds AND the total count in ONE single-row agg over the
+    // checkpoint (the count is the same count(1) the separate agg
+    // computed), so one broadcast frame replaces two jobs
     val th = snapped
       .select(h.cast("double").cast("long").as("_h"),
         col("_q").cast("double").as("_v"))
       .agg(graft.functions.SampleValuesAgg
-        .sampleValues(col("_h"), col("_v"), sampleK).as("_vs"))
+          .sampleValues(col("_h"), col("_v"), sampleK).as("_vs"),
+        count(lit(1)).as("_n_total"))
       .select(
         element_at(col("_vs"),
           (floor(lit(1.0 / 3) * (size(col("_vs")) - 1)) + 1).cast("int")).as("_t33"),
         element_at(col("_vs"),
-          (floor(lit(2.0 / 3) * (size(col("_vs")) - 1)) + 1).cast("int")).as("_t67"))
-    val tot = snapped.agg(count(lit(1)).as("_n_total"))
-    snapped.crossJoin(broadcast(th)).crossJoin(broadcast(tot))
+          (floor(lit(2.0 / 3) * (size(col("_vs")) - 1)) + 1).cast("int")).as("_t67"),
+        col("_n_total"))
+    snapped.crossJoin(broadcast(th))
       .withColumn("bucket",
         when(col("_q") <= col("_t33"), "head")
           .when(col("_q") <= col("_t67"), "middle")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Embed}
+import graft.operators.{Dedup, Embed, Eval}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -563,17 +563,59 @@ class DedupSpec extends SparkSpec {
     assert(spans == Seq((20L, 4L, 10L, 6L)))
   }
 
-  test("duplicatedSpans materializes the token stream once (ReusedExchange)") {
-    // the dup-hash count side must reuse the doc-partitioned token
-    // exchange, not recompute the explode — the 100 TB posture §4
-    // documents; AQE finalizes reuse during execution, so run first
+  test("windowHashRows kernel == exploded-token lead() formulation (r19)") {
+    // the r19 optimization swapped the doc-shuffled lead()-window
+    // formulation for the shingleHashSeq kernel; the (id, pos, h)
+    // rows must be IDENTICAL — same 1-based positions, same
+    // md5-60-bit hashes — on every edge shape: empty text, short
+    // docs, exact-minLen docs, repeated boilerplate, double spaces
+    // (split produces empty-string tokens both formulations hash).
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, ""), (3L, "one"), (4L, "a b c d"),
+      (5L, "alpha beta gamma delta epsilon zeta"),
+      (6L, "x  y z  w v u"),
+      (7L, "w w w w w w w w")).toDF("doc_id", "text")
+    val minLen = 4
+    val got = Dedup.windowHashRows(docs, "text", "doc_id", minLen)
+      .as[(Long, Long, Long)].collect().toSet
+    val byTok = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    val old = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("_p", "_t")))
+      .withColumn("_win", concat_ws(" ",
+        col("_t") +: (1 until minLen).map(k => lead(col("_t"), k).over(byTok)): _*))
+      .withColumn("_last", lead(col("_t"), minLen - 1).over(byTok))
+      .filter(col("_last").isNotNull)
+      .select(col("doc_id"), (col("_p") + 1).as("pos"),
+        Dedup.hash64(col("_win")).as("h"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == old)
+    assert(got.nonEmpty)
+  }
+
+  test("duplicatedSpans never shuffles the token stream (no lead() window)") {
+    // r19 optimization: window hashes come from the shingleHashSeq
+    // kernel straight off the scan — the old formulation shuffled the
+    // ENTIRE exploded token stream by doc and ran a minLen-lead
+    // WindowExec over it per consumer (at 100 TB, a full-corpus token
+    // shuffle). The only Window nodes left are the doc-keyed
+    // island-merge pair (lag + running sum); AQE finalizes the plan
+    // during execution, so run first.
     val q = SparkEntry.queries("dedup_substring")(spark,
       "/root/testdata/sf0.001")
     q.queryExecution.toRdd.count()
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      "token-stream exchange no longer reused — the corpus would be " +
-        "exploded and sorted twice")
+    assert(!plan.contains("lead("),
+      "the exploded-token lead() window is back — the corpus token " +
+        "stream would shuffle and sort per consumer")
+    // AQE toString repeats every node under "== Initial Plan ==" —
+    // count Window nodes in the final-plan section only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val windows = "Window \\[".r.findAllIn(finalPlan).length
+    assert(windows <= 2,
+      s"expected only the island-merge lag+sum windows, found $windows " +
+        "Window nodes — a token-stream window has crept back in")
   }
 
   test("duplicatedSpansKeepFirst mega-dup guard: correct output, no h-partitioned window") {
@@ -719,6 +761,46 @@ class DedupSpec extends SparkSpec {
     // blocking than 16 in 4 (4 rows/band): its candidate set is a
     // superset, so recall cannot drop
     assert(byCfg((16L, 8L))._3 >= byCfg((16L, 4L))._3)
+  }
+
+  test("minhashSweepQuality == per-arm minhashPairsFromSigs + pairQuality (r19)") {
+    // the r19 fused sweep must reproduce the un-fused reduce exactly:
+    // same tp/fp/fn integers, same guarded ratio doubles — including
+    // an arm whose banding finds NO pairs (must still report
+    // (0, 0, |truth|)) and an empty-truth frame
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 12L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text")
+      .unionByName(Seq((100L, "totally unrelated words here nothing shared"))
+        .toDF("doc_id", "text"))
+    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3).localCheckpoint()
+    val (as16, bs16) = Dedup.minhashConsts(16)
+    val sigs = sets.filter(size(col("shs")) > 0)
+      .select(col("sid").as("doc_id"),
+        graft.functions.SketchExprs.minhashSig(
+          col("shs"), as16, bs16, Dedup.MINHASH_M).as("sig"))
+      .localCheckpoint()
+    val configs = Seq((16, 4), (16, 8), (8, 4))
+    for (truth <- Seq(
+        Dedup.ngramJaccardPairsFromSets(sets, threshold = 0.6,
+          maxDf = 20, maxDfFrac = 0.005).select(col("id_a"), col("id_b")),
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b"))) {
+      val fused = Dedup.minhashSweepQuality(sets, sigs, "doc_id",
+          configs, threshold = 0.5, truth)
+        .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+        .collect().sortBy(r => (r._1, r._2))
+      val unfused = configs.map { case (nh, nb) =>
+        Eval.pairQuality(
+            Dedup.minhashPairsFromSigs(sets, sigs, "doc_id", nb, nh / nb,
+              threshold = 0.5).select(col("id_a"), col("id_b")),
+            truth)
+          .select(lit(nh).cast("long"), lit(nb).cast("long"),
+            col("tp"), col("fp"), col("fn"),
+            col("precision"), col("recall"), col("f1"))
+          .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+          .head()
+      }.sortBy(r => (r._1, r._2))
+      assert(fused.toSeq == unfused)
+    }
   }
 
   test("corpusOverlap counts a-side docs with a verified near-dup in b") {

@@ -107,6 +107,20 @@ class GraphSpec extends SparkSpec {
     assert(wrote, s"no checkpoint data under $dir")
   }
 
+  test("noSinks fast path equals the semi-join path on a symmetric graph") {
+    // r19 optimization: a both-directions edge set has no dst-only
+    // sinks, so skipping the sink semi-join must change nothing —
+    // and the declared queries feed exactly that shape.
+    val sym = rawEdges ++ rawEdges.map(_.swap)
+    val edges = sym.toDF("src", "dst")
+    val fast = Graph.pagerank(edges, "src", "dst", 5, noSinks = true)
+      .as[(String, Long)].collect().toMap
+    val slow = Graph.pagerank(edges, "src", "dst", 5)
+      .as[(String, Long)].collect().toMap
+    assert(fast == slow)
+    assert(fast == localPagerank(sym, 5))
+  }
+
   test("total mass stays within the floor-division leak bound") {
     val edges = rawEdges.toDF("src", "dst")
     val scale = 1000000000000L
