@@ -1385,18 +1385,40 @@ object SparkEntry {
       val exact = Knn.knnBatch(emb, "embedding", qs, 10, Knn.Cosine, "vec_id")
       val cellSizes = indexed.groupBy(col("cell"))
         .agg(count(lit(1)).as("_cs"))
-      Seq(1, 2, 4).map { np =>
-        val approx = AnnIvf.knnBatch(indexed, "embedding", qs, 10,
-          centroids, np, Knn.Cosine, "vec_id")
+      // ONE probe pass at the widest nprobe with the per-query cell
+      // rank carried (r19, guide §2.4): a narrower probe is exactly
+      // cell_rank <= np of the widest, so every arm's candidate set,
+      // top-k, and candidate count derive map-side from one scored
+      // frame — the un-fused shape scanned + broadcast-joined the
+      // index once PER arm. The scored frame is candidate-bounded
+      // (queries x widest probe's cells); cut once, three topk aggs
+      // and the count roll-up read it.
+      val nps = Seq(1, 2, 4)
+      val probed = AnnIvf.probedCellsRanked(qs, centroids, nps.max, Knn.Cosine)
+      val cellUnion = probed.select(col("cell")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val scored = indexed.select(col("cell"), col("vec_id"), col("embedding"))
+        .filter(col("cell").isin(cellUnion: _*))
+        .join(broadcast(probed), Seq("cell"))
+        .select(col("qid"), col("cell_rank"),
+          Knn.distCol(Knn.Cosine, col("embedding"), col("qvec")).as("dist"),
+          col("vec_id"))
+        .localCheckpoint()
+      val counts = probed.join(broadcast(cellSizes), Seq("cell"))
+        .groupBy(col("cell_rank")).agg(sum(col("_cs")).as("_csr"))
+        .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+      nps.map { np =>
+        val approx = scored.filter(col("cell_rank") <= np)
+          .groupBy(col("qid"))
+          .agg(graft.functions.TopKAgg.topk(col("dist"), col("vec_id"), 10).as("top"))
+          .select(col("qid"), posexplode(col("top")).as(Seq("_pos", "_t")))
+          .select(col("qid"), col("_t.id").as("vec_id"))
         val rec = graft.operators.Eval.recallAtK(exact, approx)
           .agg(sum(col("n_exact")).as("n_exact"), sum(col("n_hit")).as("n_hit"))
-        val cand = AnnIvf.probedCells(qs, centroids, np, Knn.Cosine)
-          .join(broadcast(cellSizes), Seq("cell"))
-          .agg(sum(col("_cs")).as("n_candidates"))
-        rec.crossJoin(cand)
-          .select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
-            round(col("n_hit").cast("double") / col("n_exact"), 5).as("recall"),
-            col("n_candidates"))
+        val nCand = (1 to np).map(r => counts.getOrElse(r.toLong, 0L)).sum
+        rec.select(lit(np).as("nprobe"), col("n_exact"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_exact"), 5).as("recall"),
+          lit(nCand).as("n_candidates"))
       }.reduce(_ unionByName _)
     }),
 

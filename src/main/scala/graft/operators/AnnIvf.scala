@@ -123,7 +123,16 @@ object AnnIvf {
     * sweep's candidate-cost accounting probes EXACTLY the cells the
     * search does. */
   def probedCells(queries: DataFrame, centroids: DataFrame, nprobe: Int,
-                  metric: Knn.Metric): DataFrame = {
+                  metric: Knn.Metric): DataFrame =
+    probedCellsRanked(queries, centroids, nprobe, metric).drop("cell_rank")
+
+  /** As [[probedCells]] but carrying each probed cell's 1-based rank
+    * in the query's centroid-distance order (r19 sweep fusion): a
+    * smaller-nprobe probe is exactly `cell_rank <= nprobe` of a wider
+    * one, so a probe-width sweep pays ONE index pass at the widest
+    * setting and derives the narrower arms map-side. */
+  def probedCellsRanked(queries: DataFrame, centroids: DataFrame,
+                        nprobe: Int, metric: Knn.Metric): DataFrame = {
     val cents: Array[(Long, Seq[Double])] = centroids
       .select(col("cell").cast("long"), col("centroid").cast("array<double>"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
@@ -137,8 +146,10 @@ object AnnIvf {
     }: _*))
     queries
       .select(col("qid"), col("qvec"),
-        explode(transform(slice(ranked, 1, nprobe), s => s.getField("c")))
-          .as("cell"))
+        posexplode(transform(slice(ranked, 1, nprobe), s => s.getField("c")))
+          .as(Seq("_cr", "cell")))
+      .select(col("qid"), col("qvec"), col("cell"),
+        (col("_cr") + 1).as("cell_rank"))
   }
 
   def knnBatch(indexed: DataFrame, vecCol: String, queries: DataFrame, k: Int,
