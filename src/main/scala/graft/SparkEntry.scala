@@ -84,7 +84,7 @@ object SparkEntry {
     PretrainStages(corpus, kept, clean, survivors, mixed)
   }
 
-  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))

@@ -65,7 +65,8 @@ object Graph {
                iterations: Int, scale: Long = 1000000000000L,
                damp: Int = 85, checkpointEvery: Int = 5,
                checkpointDir: Option[String] = None,
-               noSinks: Boolean = false): DataFrame = {
+               noSinks: Boolean = false,
+               hashJoinRanks: Boolean = true): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damp >= 0 && damp <= 100, s"damp must be in [0,100], got $damp")
     require(checkpointEvery >= 1,
@@ -138,15 +139,19 @@ object Graph {
       // to two (the union feeds the agg's one exchange)
       // SHUFFLE_HASH on the rank side (r19, guide §3.1): the rank
       // frame is node-sized — orders of magnitude smaller than the
-      // edge frame at any scale — so building its per-partition hash
-      // map is always safe, and the streamed edge side skips the
+      // edge frame — so the streamed edge side skips the
       // per-iteration SMJ sort (localCheckpoint under AQE reports
       // UnknownPartitioning, so each iteration's SMJ re-sorted the
       // full edge frame: 5 sorts of 2.3M rows at sf0.1, the dominant
       // loop cost; the exchange itself is AQE-reused). Join strategy
       // never changes the joined rows, and the dst aggregation is an
       // order-independent integer sum, so ranks are bit-identical.
-      ranks = ranks.hint("shuffle_hash")
+      // `hashJoinRanks = false` is the escape hatch for callers whose
+      // per-partition rank slice cannot be assumed to fit in task
+      // memory (a ShuffledHashJoin build map does not spill — the
+      // OOM-vs-spill trade of guide §3.1): billions of nodes on few,
+      // small partitions should keep the sort-merge default.
+      ranks = (if (hashJoinRanks) ranks.hint("shuffle_hash") else ranks)
         .join(ed, col("node") === col("src"))
         .select(col("dst"), expr("rank div deg").as("_c"))
         .unionByName(deg.select(col("node").as("dst"), lit(0L).as("_c")))

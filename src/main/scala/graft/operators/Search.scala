@@ -421,10 +421,15 @@ object Search {
       .select(col("_t.id").as("_id"), (col("_pos") + 1).cast("int").as("_rank"),
         lit(1).as("_arm"))
     val arms = textArm.unionByName(vecArm).collect()
-    val tR = arms.iterator.filter(_.getInt(2) == 0)
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val vR = arms.iterator.filter(_.getInt(2) == 1)
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // ids are unique within a pool for any sane idCol (document ids),
+    // but fold with min-rank rather than map-last-wins so a duplicate
+    // id could only ever keep its BEST rank, deterministically
+    def armRanks(tag: Int): Map[Long, Int] = arms.iterator
+      .filter(_.getInt(2) == tag)
+      .map(r => r.getLong(0) -> r.getInt(1)).toSeq
+      .groupMapReduce(_._1)(_._2)(math.min)
+    val tR = armRanks(0)
+    val vR = armRanks(1)
     val fused = (tR.keySet ++ vR.keySet).toSeq.map { id =>
       val s = tR.get(id).fold(0.0)(r => 1.0 / (fusionK + r)) +
         vR.get(id).fold(0.0)(r => 1.0 / (fusionK + r))

@@ -19,6 +19,11 @@ object DumpSubset {
     val dir = args(0)
     val out = args(1)
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    // a typo'd name must be a hard error, not a silently-empty dump
+    // that check.py then passes as a false green
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")}")
     val errors = graft.Verify.run(spark,
       graft.SparkEntry.queries.filter(kv => names.contains(kv._1)),
       graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1)),

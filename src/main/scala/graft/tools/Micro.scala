@@ -32,6 +32,9 @@ object Micro {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     import graft.operators.Dedup
 
+    // the REAL declared corpus builder (kept in sync by construction),
+    // plus a no-repartition variant rebuilt inline for the comparison
+    def corpus = graft.SparkEntry.dedupCorpus(spark, dir)
     val docs = graft.core.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val copies = docs.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), col("text"))
@@ -39,8 +42,6 @@ object Micro {
     val mutated = docs.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + 200000).as("doc_id"),
         concat_ws(" ", slice(w, lit(1), greatest(size(w) - 5, lit(1)))).as("text"))
-    def corpus = docs.unionByName(copies).unionByName(mutated)
-      .repartition(spark.sparkContext.defaultParallelism)
 
     time("corpus")(corpus)
     time("corpus_no_repart")(docs.unionByName(copies).unionByName(mutated))

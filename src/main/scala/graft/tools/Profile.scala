@@ -73,10 +73,15 @@ object Profile {
 
     val sv = stages.values.toSeq
     println(f"[profile] $name wall=${walls.min}%.3f s (min of $reps)")
+    // jobs/stages accumulate across ALL reps (stage ids never repeat),
+    // so totals are reps-multiplied — print per-rep alongside so the
+    // header is comparable with the min-of-reps wall above
     println(f"[profile] jobs=${jobs.size} stages=${stages.size} " +
       f"tasks=${sv.map(_.tasks).sum} runMs=${sv.map(_.runMs).sum} " +
       f"cpuMs=${sv.map(_.cpuMs).sum} gcMs=${sv.map(_.gcMs).sum} " +
-      f"deserMs=${sv.map(_.deserMs).sum}")
+      f"deserMs=${sv.map(_.deserMs).sum} (over $reps reps; per-rep: " +
+      f"jobs=${jobs.size / reps} runMs=${sv.map(_.runMs).sum / reps} " +
+      f"cpuMs=${sv.map(_.cpuMs).sum / reps})")
     jobs.sortBy(-_._2).take(16).foreach { case (id, ms, site) =>
       println(f"[job] id=$id%-4d wall=${ms}ms  $site")
     }
