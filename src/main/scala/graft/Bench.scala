@@ -13,22 +13,73 @@ object Bench {
     * query->RATIO pairs that must not be misread as times. BenchSpec
     * pins all three traps on real artifact shapes. */
   private[graft] def parsePrevQueryTimes(raw: String): Map[String, Double] = {
-    val cut = raw.indexOf("vs_prev")
-    val txt = if (cut >= 0) raw.substring(0, cut) else raw
     val pairRe = "\\\\?\"([A-Za-z0-9_]+)\\\\?\":(-?\\d+(?:\\.\\d+)?)".r
     val meta = Set("value", "sf", "total", "round", "geomean",
       "n", "rc", "cpus", "lines", "ext_cores",
       "io_cores", "ext_max", "io_max", "dq_depth", "dq_max",
-      "noisy_lines")
+      "noisy_lines", "geomean_vs_local", "errors_n", "shifted_n")
     // A pair whose match runs to the very end of the text was cut
-    // mid-token by the driver's ~3.3 KB tail window (e.g. 1.25 cut to
-    // "1.2" would parse as 1.2 and fabricate a vs_prev shift — ADVICE
-    // r14); a cleanly terminated pair always has a delimiter after
-    // the number, so drop the end-of-text match instead of misparsing.
-    pairRe.findAllMatchIn(txt)
-      .filterNot(_.`end` == txt.length)
-      .map(m => m.group(1) -> m.group(2).toDouble)
-      .filterNot { case (k, _) => meta(k) }.toMap
+    // mid-token by the driver's tail window (e.g. 1.25 cut to "1.2"
+    // would parse as 1.2 and fabricate a vs_prev shift — ADVICE r14);
+    // a cleanly terminated pair always has a delimiter after the
+    // number, so drop the end-of-text match instead of misparsing.
+    def pairs(txt: String): Map[String, Double] =
+      pairRe.findAllMatchIn(txt)
+        .filterNot(_.`end` == txt.length)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filterNot { case (k, _) => meta(k) }.toMap
+    val cut = raw.indexOf("vs_prev")
+    val front = pairs(if (cut >= 0) raw.substring(0, cut) else raw)
+    // r20 artifacts carry a third, COMPACT line after vs_prev (the
+    // driver's 2000-char tail never held the full 164-entry main line
+    // whole — "parsed": null in every BENCH_r*.json ever — so the
+    // compact line re-emits the slowest medians inside the window);
+    // parse pairs after its "compact":true marker too, past the
+    // vs_prev cut above, or a fresh checkout's fallback base would
+    // drop the only complete medians the artifact has.
+    val compactRe = "\\\\?\"compact\\\\?\":true".r
+    val back = compactRe.findAllMatchIn(raw).toSeq.lastOption
+      .map(m => pairs(raw.substring(m.`end`))).getOrElse(Map.empty)
+    front ++ back
+  }
+
+  /** The driver's artifact keeps only the stdout TAIL — measured at
+    * exactly 2000 characters in every committed BENCH_r*.json — and
+    * its parse needs a COMPLETE JSON line with the per-query map. The
+    * main line's full queries map outgrew 2000 chars before round 1
+    * ever shipped ("parsed": null in all 19 artifacts), so the driver
+    * has never had per-query times or a scaling comparison (VERDICT
+    * r19 #1). This builds the LAST printed line: guaranteed under
+    * `maxChars` (budget = 2000 minus sbt's ~80-char success trailer
+    * minus slack), carrying the true total, the line count, the
+    * geomean vs the local history, and the longest prefix of the
+    * SLOWEST per-query medians that fits. Additions-only: the full
+    * main line and the vs_prev line still print first, unchanged. */
+  private[graft] def compactLine(totalStr: String, sfDir: String,
+                                 slowestFirst: Seq[(String, Double)],
+                                 geomean: Option[Double], nErrors: Int,
+                                 maxChars: Int = 1850): String = {
+    def r3(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val geoStr = geomean.map(g => BigDecimal(g).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP).toString).getOrElse("null")
+    val head = s"""{"metric":"total","value":$totalStr,"unit":"sec",""" +
+      s""""sf":"$sfDir","compact":true,"lines":${slowestFirst.size},""" +
+      s""""geomean_vs_local":$geoStr,"errors_n":$nErrors,"queries":{"""
+    val sb = new StringBuilder(head)
+    val close = "}}"
+    var first = true
+    var room = true
+    val it = slowestFirst.iterator
+    while (room && it.hasNext) {
+      val (k, v) = it.next()
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + r3(v)
+      if (sb.length + entry.length + close.length <= maxChars) {
+        sb.append(entry); first = false
+      } else room = false
+    }
+    sb.append(close).toString
   }
 
   /** Whether this pass may overwrite the committed full-history file
@@ -561,6 +612,9 @@ object Bench {
     // covers every line; the truncated artifact stays as fallback for
     // a fresh checkout. Only a same-sf local file is comparable.
     val localHist = new java.io.File("/root/repo/BENCH_LOCAL.json")
+    // the geomean escapes the vs_prev block so the compact final line
+    // (see compactLine) can carry it inside the driver's tail window
+    var geoOpt: Option[Double] = None
     val vsPrev: String = try {
       val fromLocal: Option[(String, Map[String, Double])] =
         if (!localHist.exists()) None else {
@@ -594,14 +648,22 @@ object Bench {
           }
           if (ratios.isEmpty) "null" else {
             val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
+            geoOpt = Some(geo)
             def r2(v: Double) = BigDecimal(v).setScale(2,
               BigDecimal.RoundingMode.HALF_UP).toString
-            val shifted = ratios
+            // capped at the 30 largest shifts (VERDICT r19 #1): a
+            // contaminated pass can push 60+ lines over 1.2x, and an
+            // uncapped map blows the whole vs_prev line past the
+            // driver's 2000-char tail window; shifted_n records how
+            // many shifted in total so a cap never reads as "only 30
+            // lines moved"
+            val allShifted = ratios
               .filter { case (_, r) => math.abs(math.log(r)) > math.log(1.2) }
               .sortBy { case (_, r) => -math.abs(math.log(r)) }
+            val shifted = allShifted.take(30)
               .map { case (k, r) => "\"" + k + "\":" + r2(r) }
               .mkString("{", ",", "}")
-            s"""{$srcLabel,"lines":${ratios.size},"geomean":${r2(geo)},"shifted_gt20pct":$shifted}"""
+            s"""{$srcLabel,"lines":${ratios.size},"geomean":${r2(geo)},"shifted_n":${allShifted.size},"shifted_gt20pct":$shifted}"""
           }
       }
     } catch { case _: Throwable => "null" }
@@ -637,6 +699,14 @@ object Bench {
     // r12 computed the era comparison but embedded it before the map,
     // and the tail window truncated it away.
     println(s"""{"metric":"vs_prev","value":$vsPrev,"loadavg":$loadJson,$selfLabel}""")
+    // the COMPACT line prints LAST (VERDICT r19 #1): the only line
+    // guaranteed to sit whole inside the driver's 2000-char tail, so
+    // the driver's per-query parse and the c8/c32 scaling comparison
+    // finally have data. Same total, same medians — a re-emission of
+    // the slowest prefix, never a different measurement.
+    println(compactLine(r3(total), sfDir, results.sortBy(-_._2), geoOpt,
+      pub.errors.count { case (k, _) =>
+        pub.samples.getOrElse(k, Vector.empty).isEmpty }))
     spark.stop()
   }
 }

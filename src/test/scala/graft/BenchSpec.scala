@@ -62,6 +62,57 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePrevQueryTimes(rawJson)("dedup_exact") == 1.25)
   }
 
+  test("compact line fits the driver's 2000-char tail and keeps the " +
+      "slowest lines (VERDICT r19 #1)") {
+    // 164 realistic-length names: the full map never fit the window
+    // (parsed: null in every committed BENCH_r*.json) — the compact
+    // line must stay under budget whatever the suite size
+    val results = (1 to 164).map { i =>
+      (f"events_rolling_distinct_$i%03d", 165.0 - i)
+    }
+    val line = Bench.compactLine("133.042", "/root/testdata/sf0.1",
+      results, Some(1.02), 0)
+    assert(line.length <= 1850, s"compact line ${line.length} chars")
+    // it is one COMPLETE JSON object: balanced braces, proper close
+    assert(line.startsWith("{\"metric\":\"total\",\"value\":133.042,"))
+    assert(line.endsWith("}}"))
+    assert(line.contains("\"compact\":true"))
+    assert(line.contains("\"lines\":164"))
+    assert(line.contains("\"geomean_vs_local\":1.02"))
+    // the SLOWEST lines survive; the cheapest are what truncation drops
+    assert(line.contains("\"events_rolling_distinct_001\":164"))
+    val parsed = Bench.parsePrevQueryTimes(line)
+    assert(parsed("events_rolling_distinct_001") == 164.0)
+    assert(!parsed.contains("lines") && !parsed.contains("errors_n") &&
+      !parsed.contains("geomean_vs_local") && !parsed.contains("value"))
+    // failed queries ride as -1, never as a fast time
+    val withErr = Bench.compactLine("10.0", "/x",
+      Seq(("slow_q", 9.0), ("dead_q", -1.0)), None, 1)
+    assert(withErr.contains("\"dead_q\":-1"))
+    assert(withErr.contains("\"geomean_vs_local\":null"))
+    assert(withErr.contains("\"errors_n\":1"))
+  }
+
+  test("the full 3-line r20 artifact shape: compact pairs recovered " +
+      "past the vs_prev cut, ratios still excluded") {
+    // what the driver's 2000-char tail will hold from r20 on: the cut
+    // END of the main line, the vs_prev line (ratios!), the compact
+    // line, sbt's success trailer — all inside the escaped "tail"
+    // string of the artifact JSON
+    val artifact =
+      """{"n": 20, "rc": 0, "tail": "up_eval\":3.211,\"graph_pagerank\":4.478}}\n{\"metric\":\"vs_prev\",\"value\":{\"source\":\"BENCH_LOCAL\",\"lines\":164,\"geomean\":0.97,\"shifted_n\":2,\"shifted_gt20pct\":{\"sample_dsir\":1.44,\"knn_batch\":0.65}},\"loadavg\":[1.0],\"contaminated\":false}\n{\"metric\":\"total\",\"value\":125.100,\"unit\":\"sec\",\"sf\":\"/root/testdata/sf0.1\",\"compact\":true,\"lines\":164,\"geomean_vs_local\":0.97,\"errors_n\":0,\"queries\":{\"dedup_minhash_sweep\":4.400,\"graph_pagerank\":4.100,\"dedup_eval\":3.100}}\n[success] Total time: 1804 s (30:04)\n"}"""
+    val got = Bench.parsePrevQueryTimes(artifact)
+    // compact-line pairs recovered even though they sit AFTER vs_prev
+    assert(got("dedup_minhash_sweep") == 4.4)
+    assert(got("dedup_eval") == 3.1)
+    // compact values win over the main line's cut tail remnant
+    assert(got("graph_pagerank") == 4.1)
+    // the vs_prev ratios and meta fields never read as times
+    assert(!got.contains("sample_dsir") && !got.contains("knn_batch"))
+    assert(!got.contains("shifted_n") && !got.contains("errors_n") &&
+      !got.contains("geomean_vs_local"))
+  }
+
   test("a contaminated pass never replaces a same-sf clean history " +
       "(VERDICT r15 #3)") {
     val sf = "/root/testdata/sf0.1"
