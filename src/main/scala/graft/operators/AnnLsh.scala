@@ -638,30 +638,50 @@ object AnnLsh {
     val selfD = canon.filter(col("_gsz") > 1)
       .select(col("_cid"),
         Knn.distCol(metric, col(vecCol), col(vecCol)).as("dist"))
-    def arm(ctCol: String, g: Column => Column, k: Int): DataFrame = {
-      val ct = ctops.select(col("_cq"), explode(col(ctCol)).as("_t"))
-        .select(col("_cq"), col("_t.id").as("_cid"), col("_t.dist").as("dist"))
-      val cross = ct.join(qm, Seq("_cq")).join(im, Seq("_cid"))
-        .select(col("qid"), col("_mid"), col("dist"))
-      val own = selfD
-        .select(col("_cid"), g(col("dist")).as("dist"))
-        .join(qm.withColumnRenamed("_cq", "_cid"), Seq("_cid"))
-        .join(im, Seq("_cid"))
-        .filter(col("qid") =!= col("_mid"))
-        .select(col("qid"), col("_mid"), col("dist"))
-      cross.unionByName(own)
-        .groupBy(col("qid"))
-        .agg(TopKAgg.topk(col("dist"), col("_mid"), k).as("top"))
-        .select(col("qid").as("anchor_id"),
-          posexplode(col("top")).as(Seq("_pos", "_t")))
-    }
-    val pos = arm("_ctp", gPos, 1)
-      .select(col("anchor_id"), col("_t.id").as("pos_id"),
-        col("_t.dist").as("pos_dist"))
-    val neg = arm("_ctn", gNeg, kNeg)
-      .select(col("anchor_id"), col("_t.id").as("neg_id"),
-        (col("_pos") + 1).as("neg_rank"), col("_t.dist").as("neg_dist"))
-    pos.join(neg, Seq("anchor_id"))
+    // BOTH bands in ONE member-level pass (r20 optimization round,
+    // guide §2.4): the r19 shape ran an `arm` chain per band — each
+    // exploding its canonical top-k, expanding members through the
+    // same qm⋈im join pair, and re-aggregating by anchor — then
+    // re-joined the two ≤1/≤kNeg-row-per-anchor results on anchor_id
+    // (two full member-expansion join chains + three anchor-keyed
+    // exchanges where one suffices). Here the positive and negative
+    // canonical top-k entries ride ONE tagged frame (a pos entry
+    // carries its distance in _dp, a neg entry in _dn, the other
+    // column NULL), the member expansion runs ONCE, and one
+    // groupBy(anchor) computes both bounded top-k aggregates —
+    // TopKAgg skips NULL inputs, so each aggregate sees exactly the
+    // rows its arm saw (same multiset, same (dist, id) ordering
+    // contract, bit-identical arrays). The anchors-with-both-sides
+    // rule (`pos inner-join neg`) becomes a size()>0 filter on both
+    // arrays of the SAME row. The qid =!= _mid filter is the own-pair
+    // rule for same-canonical rows and a no-op for cross-canonical
+    // rows (distinct canonicals have disjoint member sets).
+    val ctBoth = ctops.select(col("_cq"), explode(concat(
+        transform(col("_ctp"), t => struct(
+          t.getField("dist").as("dist"), t.getField("id").as("id"),
+          lit(true).as("_p"))),
+        transform(col("_ctn"), t => struct(
+          t.getField("dist").as("dist"), t.getField("id").as("id"),
+          lit(false).as("_p"))))).as("_t"))
+      .select(col("_cq"), col("_t.id").as("_cid"),
+        when(col("_t._p"), col("_t.dist")).as("_dp"),
+        when(!col("_t._p"), col("_t.dist")).as("_dn"))
+    val ownBoth = selfD.select(col("_cid").as("_cq"), col("_cid"),
+      gPos(col("dist")).as("_dp"), gNeg(col("dist")).as("_dn"))
+    val tops = ctBoth.unionByName(ownBoth)
+      .join(qm, Seq("_cq")).join(im, Seq("_cid"))
+      .filter(col("qid") =!= col("_mid"))
+      .groupBy(col("qid"))
+      .agg(TopKAgg.topk(col("_dp"), col("_mid"), 1).as("_tp"),
+        TopKAgg.topk(col("_dn"), col("_mid"), kNeg).as("_tn"))
+    tops.filter(size(col("_tp")) > 0 && size(col("_tn")) > 0)
+      .select(col("qid").as("anchor_id"),
+        element_at(col("_tp"), 1).getField("id").as("pos_id"),
+        element_at(col("_tp"), 1).getField("dist").as("pos_dist"),
+        posexplode(col("_tn")).as(Seq("_pos", "_t")))
+      .select(col("anchor_id"), col("pos_id"), col("pos_dist"),
+        col("_t.id").as("neg_id"), (col("_pos") + 1).as("neg_rank"),
+        col("_t.dist").as("neg_dist"))
   }
 
   /** Diagnostic: the distinct canonical candidate-pair count the

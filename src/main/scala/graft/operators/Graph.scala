@@ -93,39 +93,63 @@ object Graph {
     // now computed per edge, which replicates the identical quotient
     // per out-edge before the same sum; GraphSpec's local-recurrence
     // equality pins it.
-    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val eDist = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct())
-    // src-keyed degree table doubles as the node set (contract above)
-    val deg = cut(e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
-    // edges into dst-only sinks are dropped HERE, once, at setup
-    // (ADVICE r16): ranks are defined over the src-node set, and with
-    // the spine riding the aggregate a sink's contribution rows would
-    // otherwise survive the groupBy and widen the output's node set.
-    // One left-semi on the already-cut frames (the old spine join
-    // discarded the same rows EVERY iteration); the iteration loop
-    // sees strictly fewer edge rows and identical integers.
+      .distinct()
+    // edges into dst-only sinks are dropped at setup (ADVICE r16):
+    // ranks are defined over the src-node set, and with the spine
+    // riding the aggregate a sink's contribution rows would otherwise
+    // survive the groupBy and widen the output's node set.
     //
-    // `noSinks = true` skips the semi (r19 optimization round): a
+    // `noSinks = true` skips the semi AND fuses the whole edge-sized
+    // setup into ONE job (r20 optimization round, guide §1.2/§5): a
     // caller that feeds a SYMMETRIC edge set (both directions
     // unioned — the declared co-purchase and domain-link queries)
-    // guarantees every dst is also a src, so the semi keeps every
-    // row by construction and is one SMJ + exchange of pure setup
-    // overhead. Identical output for sink-free inputs (GraphSpec
-    // pins equality on a symmetric graph); directed inputs keep the
-    // default semi path.
-    val ed0 = e.join(deg, e("src") === deg("node"))
-      .select(col("src"), col("dst"), col("deg"))
-    val ed = cut(if (noSinks) ed0
-      else ed0.join(deg.select(col("node").as("_dn")),
+    // guarantees every dst is also a src, so the semi keeps every row
+    // by construction — and with no semi in the way, the degree
+    // attaches to the distinct edge frame as a COUNT WINDOW keyed on
+    // src, so one executed plan (distinct agg → src exchange → window)
+    // replaces the staged distinct-cut + degree-agg-cut + e⋈deg-join-
+    // cut chain: one localCheckpoint write of the edge frame instead
+    // of three materializations, and no join. Two REJECTED variants,
+    // measured this round (Profile min-of-3, same session): the plain
+    // lazy e⋈deg(e) join under ReuseExchange shares the distinct's
+    // exchange DATA but re-runs the 2.3M-row final dedup aggregation
+    // once per branch — graph_pagerank 2.71 → 4.43 s; and the r19
+    // staged shape pays two edge-sized checkpoint writes — the
+    // baseline this replaces. The window's per-src group is the out-
+    // edge list: WindowExec buffers it spillably (never an agg-buffer
+    // OOM), but a pathological hub src serializes into one task —
+    // callers with adversarial degree skew should keep noSinks=false,
+    // whose staged join shape AQE can skew-split (the guide §2.5
+    // trade, documented not hidden). Identical integers: count-per-src
+    // over the distinct frame is the same whether joined back or
+    // window-attached (GraphSpec pins fast == slow on a symmetric
+    // graph); directed inputs keep the staged semi path.
+    val (ed, deg, n) = if (noSinks) {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      val edC = cut(eDist.withColumn("deg", count(lit(1)).over(w)))
+      // one row per node: max over per-edge copies of the same count
+      val degC = cut(edC.groupBy(col("src").as("node"))
+        .agg(max(col("deg")).as("deg")))
+      (edC, degC, degC.count())
+    } else {
+      val e = cut(eDist)
+      // src-keyed degree table doubles as the node set (contract above)
+      val degC = cut(e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg")))
+      val ed0 = e.join(degC, e("src") === degC("node"))
+        .select(col("src"), col("dst"), col("deg"))
+      val edC = cut(ed0.join(degC.select(col("node").as("_dn")),
         col("dst") === col("_dn"), "left_semi"))
-    // N is ONE scalar — collect it once (the Pca.fit model-sized
-    // contract) instead of crossJoining a broadcast 1-row agg into
-    // every iteration's plan: the same integer reaches the same
-    // integer expressions as a literal, and each iteration's plan
-    // drops a count-agg + crossJoin subtree (the deg frame is already
-    // materialized, so the count is a metadata-cheap job).
-    val n = deg.count()
+      // N is ONE scalar — collect it once (the Pca.fit model-sized
+      // contract) instead of crossJoining a broadcast 1-row agg into
+      // every iteration's plan: the same integer reaches the same
+      // integer expressions as a literal, and each iteration's plan
+      // drops a count-agg + crossJoin subtree (the deg frame is
+      // already materialized, so the count is a metadata-cheap job).
+      (edC, degC, degC.count())
+    }
     require(n > 0, "pagerank needs at least one source node")
     val base = lit(((100 - damp) * (scale / n)) / 100)
     var ranks = deg.select(col("node"), lit(scale / n).as("rank"))
