@@ -95,12 +95,17 @@ object SparkEntry {
     // local test files are one parquet split; spread the map-heavy
     // hashing across cores. SCALE-ADAPTIVE (r19, guide §2.4): a real
     // deployment's scan already arrives in >= cores splits, where
-    // this round-robin exchange (plus its sort-before-repartition)
-    // would be a full-corpus shuffle of pure overhead — skip it when
-    // the scan supplies the parallelism by itself.
+    // this exchange would be a full-corpus shuffle of pure overhead —
+    // skip it when the scan supplies the parallelism by itself.
+    // HASH on the unique doc_id, not round-robin (r20, guide §2.5):
+    // round-robin pays a local sort of the full text rows before the
+    // exchange (SPARK-23207 determinism sort) — Micro A/B same-window:
+    // RR 2.03 s vs hash 0.70 s per construction; doc_id is dense and
+    // ~200x the partition count, so the hash spreads evenly, and a
+    // deterministic key is also the retry-safe choice (SPARK-38388).
     val u = docs.unionByName(copies).unionByName(mutated)
     if (u.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) u
-    else u.repartition(s.sparkContext.defaultParallelism)
+    else u.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   /** Keep-best test corpus: originals + truncated variants (doc_id%5,
@@ -117,10 +122,10 @@ object SparkEntry {
     val extended = docs.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 300000).as("doc_id"),
         concat(col("text"), lit(" appended trailer words here")).as("text"))
-    // same scale-adaptive split rule as dedupCorpus above
+    // same scale-adaptive split + hash-on-id rule as dedupCorpus above
     val u = docs.unionByName(truncated).unionByName(extended)
     if (u.rdd.getNumPartitions >= s.sparkContext.defaultParallelism) u
-    else u.repartition(s.sparkContext.defaultParallelism)
+    else u.repartition(s.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   /** Per-JVM scratch root for indexes a declared query builds once and

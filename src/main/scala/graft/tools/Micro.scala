@@ -45,6 +45,18 @@ object Micro {
 
     time("corpus")(corpus)
     time("corpus_no_repart")(docs.unionByName(copies).unionByName(mutated))
+    // r20 A/B: round-robin repartition pays a sort-before-repartition
+    // (SPARK-23207 determinism sort) on the full text rows; hash on
+    // the unique doc_id needs no sort and spreads 200x partitions
+    time("corpus_hash_repart")(docs.unionByName(copies).unionByName(mutated)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")))
+    time("shingles_rr")(Dedup.shingleSets(
+      docs.unionByName(copies).unionByName(mutated)
+        .repartition(spark.sparkContext.defaultParallelism), "text", "doc_id", 3))
+    time("shingles_hash")(Dedup.shingleSets(
+      docs.unionByName(copies).unionByName(mutated)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+      "text", "doc_id", 3))
     time("words_only")(corpus.select(col("doc_id"), split(col("text"), " ").as("w")))
     time("shingleSets")(Dedup.shingleSets(corpus, "text", "doc_id", 3))
     val sets = Dedup.shingleSets(corpus, "text", "doc_id", 3).localCheckpoint()
