@@ -2418,19 +2418,25 @@ object SparkEntry {
       // so the bench line stays honest
       val st = pretrainV3Stages(s, dir, materialize = true)
       // TWO aggregation arms, not one per stage: the early stages are
-      // nested prefixes of one chain, so counting them via a doc-spine
-      // join + conditional sums executes the chain once, and the
-      // mixed/train/eval trio is one agg over the mixture frame; the
-      // 7 output rows then EXPLODE from the single joined row
-      // (map-side). The naive 7-branch union re-planned the chain per
-      // branch: 19 s at sf0.1; this shape lands at ~1.2x the
-      // composition itself (10.7 vs 9.1 s), the floor without caching
-      val early = st.corpus.select(col("doc_id"))
-        .join(st.kept.select(col("doc_id"), lit(1L).as("_k")), Seq("doc_id"), "left")
-        .join(st.clean.select(col("doc_id"), lit(1L).as("_c")), Seq("doc_id"), "left")
-        .join(st.survivors.select(col("doc_id"), lit(1L).as("_s")), Seq("doc_id"), "left")
-        .agg(count(lit(1)).as("_n0"), sum(col("_k")).as("_n1"),
-          sum(col("_c")).as("_n2"), sum(col("_s")).as("_n3"))
+      // nested prefixes of one chain — and with materialize = true
+      // they are CHECKPOINTED prefixes, so each stage count is one
+      // partial-aggregated count over its own cut frame, crossJoined
+      // into the single row (r20, guide §1.2): the doc-spine shape
+      // this replaces left-joined kept/clean/survivors back onto the
+      // corpus and summed match flags — three full doc-keyed joins
+      // (plus a corpus re-derivation) to compute what are provably
+      // the same integers (each stage is a filtered SUBSET of the
+      // unique-id corpus, so sum-of-matches == count; oracle
+      // re-gated). The mixed/train/eval trio stays one agg over the
+      // mixture frame; the 7 output rows then EXPLODE from the single
+      // joined row (map-side). The naive 7-branch union re-planned
+      // the chain per branch: 19 s at sf0.1; the join shape landed at
+      // ~1.2x the composition itself; this shape removes the last
+      // three joins on top of it.
+      val early = st.corpus.agg(count(lit(1)).as("_n0"))
+        .crossJoin(st.kept.agg(count(lit(1)).as("_n1")))
+        .crossJoin(st.clean.agg(count(lit(1)).as("_n2")))
+        .crossJoin(st.survivors.agg(count(lit(1)).as("_n3")))
       val late = st.mixed.agg(count(lit(1)).as("_n4"),
         sum((col("split") === "train").cast("long")).as("_n5"),
         sum((col("split") === "eval").cast("long")).as("_n6"))
@@ -2474,13 +2480,17 @@ object SparkEntry {
       // kernel; bit-identical preds by the trainNaiveBayes contract,
       // so the chain-restating oracle is unchanged — and the
       // composition now shows the real pipeline shape: train once,
-      // gate every corpus pass at scan speed
-      val gated = kept.join(
-          TextAnalysis.naiveBayesScoreAll(kept, "text", "doc_id",
-              nbModel(s, dir))
-            .filter(col("pred") === "en")
-            .select(col("doc_id"), col("pred").as("pred_lang")),
-          Seq("doc_id"))
+      // gate every corpus pass at scan speed. The text rides THROUGH
+      // the scorer (carry, r20 guide §2.4): the old shape joined the
+      // scored (doc_id, pred) frame back onto kept — a corpus-sized
+      // doc-keyed join per construction to re-attach columns the
+      // scan-speed kernel never had to drop. Same rows (doc_id is
+      // unique; filter-then-join == carry-then-filter), oracle
+      // re-gated.
+      val gated = TextAnalysis.naiveBayesScoreAll(kept, "text", "doc_id",
+            nbModel(s, dir), carry = Seq("text"))
+        .filter(col("pred") === "en")
+        .select(col("doc_id"), col("text"), col("pred").as("pred_lang"))
         .localCheckpoint()
       val pairs = Dedup.minhashPairs(gated, "text", "doc_id",
         numHashes = 16, bands = 4, shingleN = 3, threshold = 0.5)
