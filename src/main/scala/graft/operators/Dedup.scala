@@ -105,12 +105,21 @@ object Dedup {
     * it — a pre-explode array-of-structs formulation made the
     * optimizer inline the whole signature pipeline into every key. */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    // BOTH legs of the self-join are the SAME projection (r20, guide
+    // §2.4 "share one exchange"): renaming the id to id_a/id_b BEFORE
+    // the join made the two legs' plans differ by an alias, so the
+    // banding map pass and its exchange ran TWICE — byte-identical
+    // data under two names. Aliasing the one frame twice keeps the
+    // legs canonically equal and ReuseExchange serves the second leg
+    // from the first's shuffle; at scale that halves the band-key
+    // pass over the signature frame. Same rows: the join keys and the
+    // id_a < id_b cut are unchanged, the names move to the select.
     val banded = bandKeys(sigs, idCol, idCol, bands, rowsPerBand)
-    val a = banded.select(col("band"), col("key"), col(idCol).as("id_a"))
-    val b = banded.select(col("band"), col("key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
   }
 
   /** Band-key projection shared by [[lshCandidates]] and
@@ -235,13 +244,26 @@ object Dedup {
       bandKeys(sigs, idCol, idCol, nb, nh / nb)
         .select(lit(i).as("_arm"), col("band"), col("key"), col(idCol))
     }.reduce(_ unionByName _)
-    val cands = banded
-      .select(col("_arm"), col("band"), col("key"), col(idCol).as("id_a"))
-      .join(banded
-        .select(col("_arm"), col("band"), col("key"), col(idCol).as("id_b")),
-        Seq("_arm", "band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("_arm", "id_a", "id_b").distinct()
+    // identical-leg self-join (the lshCandidates r20 rule): one
+    // exchange of the arm-tagged band keys serves both sides.
+    // localCheckpoint the pair-sized result (r20): `cands` feeds BOTH
+    // the verify chain and the per-arm semi — as a plain plan the
+    // whole banding self-join re-derived per consumer (the executed
+    // sf0.01 plan carried THREE copies of the banding chain; profiled
+    // as two full 96-task banding map stages per rep at sf0.1). The
+    // cut is (arm, id_a, id_b) rows — candidate-pair-sized, orders of
+    // magnitude under the corpus — and runs eagerly inside the timed
+    // builder. Executor-loss caveat as for every localCheckpoint cut
+    // in this family (ADVICE r19): acceptable for the local harness,
+    // recompute-on-loss callers should checkpoint reliably instead.
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l._arm") === col("r._arm") && col("l.band") === col("r.band") &&
+          col("l.key") === col("r.key"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col("l._arm").as("_arm"), col(s"l.$idCol").as("id_a"),
+        col(s"r.$idCol").as("id_b"))
+      .distinct()
+      .localCheckpoint()
     val verified = verifyJaccardSets(sets,
         cands.select("id_a", "id_b").distinct(), minJaccard = threshold)
       .filter(col("jaccard") >= threshold)
@@ -662,10 +684,14 @@ object Dedup {
     // rare-shingle count per doc, for the intersection upper bound
     val docStats = filtered.groupBy(col("sid"))
       .agg(first(col("n_sh")).as("n_sh"), count(lit(1)).as("n_rare"))
-    val pairCounts = filtered.select(col("sh"), col("sid").as("id_a"))
-      .join(filtered.select(col("sh"), col("sid").as("id_b")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // identical-leg self-join (the lshCandidates r20 rule): one
+    // (sh, sid) projection aliased twice, so the shingle-keyed
+    // exchange is shared instead of shuffling the inverted index once
+    // per leg
+    val fx = filtered.select(col("sh"), col("sid"))
+    val pairCounts = fx.as("l").join(fx.as("r"), col("l.sh") === col("r.sh"))
+      .filter(col("l.sid") < col("r.sid"))
+      .groupBy(col("l.sid").as("id_a"), col("r.sid").as("id_b"))
       .agg(count(lit(1)).as("rare_inter"))
     val survivors = pairCounts
       .join(docStats.select(col("sid").as("id_a"), col("n_sh").as("na"), col("n_rare").as("ra")), "id_a")
@@ -710,10 +736,12 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val docStats = filtered.groupBy(col("sid"))
       .agg(first(col("n_sh")).as("n_sh"), count(lit(1)).as("n_rare"))
-    val pairCounts = filtered.select(col("sh"), col("sid").as("id_a"))
-      .join(filtered.select(col("sh"), col("sid").as("id_b")), "sh")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // identical-leg self-join (the lshCandidates r20 rule, see
+    // ngramJaccardPairsFromSets)
+    val fx = filtered.select(col("sh"), col("sid"))
+    val pairCounts = fx.as("l").join(fx.as("r"), col("l.sh") === col("r.sh"))
+      .filter(col("l.sid") < col("r.sid"))
+      .groupBy(col("l.sid").as("id_a"), col("r.sid").as("id_b"))
       .agg(count(lit(1)).as("rare_inter"))
     val survivors = pairCounts
       .join(docStats.select(col("sid").as("id_a"), col("n_sh").as("na"), col("n_rare").as("ra")), "id_a")
